@@ -1,0 +1,133 @@
+"""Distance / similarity kernels as Catalyst column expressions.
+
+Re-expresses the reference's scalar "expression library" (SURVEY.md §2.3):
+cosine / L2 / inner-product over float vectors (``vectordb_optimized.py:
+669-683``, ``parallel_search.py:119-134``) and Hamming over packed bits
+(``quantization.py:356-374``).
+
+Design rules:
+- **JVM-side only.** Every kernel is `zip_with` + `aggregate` (higher-order
+  functions execute inside codegen; no Python round-trip, no UDF in the hot
+  path). A GEMM-style pandas-UDF batch path exists in ``operators/knn.py``
+  for throughput benchmarking, asserted equal to these expressions in tests.
+- **Canonical double math.** Elements are cast to double BEFORE any multiply
+  so the exact same arithmetic is expressible in the DuckDB oracle
+  (`CAST(v AS DOUBLE[])` + `list_inner_product`); float32 accumulation would
+  drift between engines.
+- Scores are *distances* (lower = better), matching the reference's contract
+  (hnswlib convention, ``vectordb_optimized.py:49-53``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _dbl(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot_product(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Σ a_i·b_i in double precision (sequential fold, oracle-reproducible)."""
+    prods = F.zip_with(_dbl(_c(a)), _dbl(_c(b)), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: ColumnOrName) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """1 − cos(a,b), as in ``vectordb_optimized.py:669-676``."""
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Euclidean distance (``vectordb_optimized.py:677-680``)."""
+    diffs = F.zip_with(_dbl(_c(a)), _dbl(_c(b)), lambda x, y: (x - y) * (x - y))
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def sq_l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Squared L2 — cheaper when only ordering matters."""
+    diffs = F.zip_with(_dbl(_c(a)), _dbl(_c(b)), lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Inner-product 'distance' = −a·b (``vectordb_optimized.py:681-683``)."""
+    return -dot_product(a, b)
+
+
+def l2_normalize(a: ColumnOrName) -> Column:
+    """v / ‖v‖ (pervasive pre-processing in the reference, e.g.
+    ``parallel_search.py:270-276``). Zero vectors pass through unchanged."""
+    vec = _dbl(_c(a))
+    norm = F.sqrt(F.aggregate(F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+    return F.when(norm == 0.0, vec).otherwise(F.transform(vec, lambda x: x / norm))
+
+
+def hamming_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Popcount of XOR over arrays of packed 64-bit words
+    (``quantization.py:356-374`` packs bits with np.packbits; we pack into
+    BIGINT words — `bit_count(x ^ y)` is a single codegen intrinsic)."""
+    words = F.zip_with(_c(a), _c(b), lambda x, y: F.bit_count(x.bitwiseXOR(y)))
+    return F.aggregate(words, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+
+
+_METRICS = {
+    "cosine": cosine_distance,
+    "l2": l2_distance,
+    "ip": dot_distance,
+    "dot": dot_distance,
+}
+
+
+def distance_expr(metric: str, a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Dispatch by metric name (enum parity with ``vectordb_optimized.py:49-53``)."""
+    try:
+        fn = _METRICS[metric]
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}") from None
+    return fn(a, b)
+
+
+# DuckDB-oracle equivalents of the kernels above, as SQL snippet builders.
+# Kept next to the Spark definitions so the two stay in lockstep.
+
+def duck_dot(a: str, b: str) -> str:
+    return f"list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def duck_cosine_distance(a: str, b: str) -> str:
+    return (
+        f"(1.0 - {duck_dot(a, b)} / "
+        f"(sqrt({duck_dot(a, a)}) * sqrt({duck_dot(b, b)})))"
+    )
+
+
+def duck_l2_distance(a: str, b: str) -> str:
+    return f"list_distance(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def duck_dot_distance(a: str, b: str) -> str:
+    return f"(-{duck_dot(a, b)})"
+
+
+DUCK_METRICS = {
+    "cosine": duck_cosine_distance,
+    "l2": duck_l2_distance,
+    "ip": duck_dot_distance,
+    "dot": duck_dot_distance,
+}

@@ -1,0 +1,366 @@
+"""Spine queries (SURVEY.md §7 phase 1): scans, lookups, predicates,
+distance kernels, exact kNN top-k, core aggregations, set ops.
+
+Each entry pairs the Spark plan with a DuckDB oracle over the same parquet.
+Reference parity notes live in the operator modules; here we only wire.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.functions.distances import DUCK_METRICS
+from custom_python_vectordb_spark.functions.filters import Filter
+from custom_python_vectordb_spark.operators.knn import knn
+from custom_python_vectordb_spark.registry import query
+from custom_python_vectordb_spark.session import tune_session
+from custom_python_vectordb_spark.sources.catalog import load_table
+
+ROUND = 6  # float score precision for cross-engine value hashing
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    """Deterministic query set: the first n embedding rows."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < n)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+
+
+def _duck_knn(metric: str, k: int = 10, nq: int = 5, where: str | None = None, with_label: bool = False) -> str:
+    dist = DUCK_METRICS[metric]("qv", "v")
+    filt = f"WHERE {where}" if where else ""
+    label_sel = ", label" if with_label else ""
+    return f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {nq}),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings {filt})
+SELECT qid, vec_id{label_sel}, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
+    SELECT q.qid, c.vec_id, c.label, {dist} AS dist,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {dist}, c.vec_id) AS rn
+    FROM c CROSS JOIN q
+) WHERE rn <= {k}
+ORDER BY qid, dist, vec_id
+"""
+
+
+# ---------------------------------------------------------------- kNN (K1-K3, D1-D3)
+
+@query("knn_cosine", _duck_knn("cosine"))
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn(
+        _t(spark, sf_dir, "embeddings"), _query_vectors(spark, sf_dir), k=10,
+        metric="cosine", round_to=ROUND,
+    )
+
+
+@query("knn_l2", _duck_knn("l2"))
+def knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn(
+        _t(spark, sf_dir, "embeddings"), _query_vectors(spark, sf_dir), k=10,
+        metric="l2", round_to=ROUND,
+    )
+
+
+@query("knn_ip", _duck_knn("ip"))
+def knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn(
+        _t(spark, sf_dir, "embeddings"), _query_vectors(spark, sf_dir), k=10,
+        metric="ip", round_to=ROUND,
+    )
+
+
+@query("knn_filtered", _duck_knn("cosine", where="label IN (1, 2, 3)", with_label=True))
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 as filter-then-rank: exact, no fetch_k over-fetch heuristic."""
+    return knn(
+        _t(spark, sf_dir, "embeddings"), _query_vectors(spark, sf_dir), k=10,
+        metric="cosine", filter_cond=F.col("label").isin(1, 2, 3),
+        payload_cols=["label"], round_to=ROUND,
+    )
+
+
+# ---------------------------------------------------------------- scans / lookups (S3-S9)
+
+@query("point_lookup", """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal, c_mktsegment
+FROM customer WHERE c_custkey = 421
+""")
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 421)
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"), "c_mktsegment")
+    )
+
+
+@query("batch_lookup", """
+SELECT vec_id, label FROM embeddings WHERE vec_id IN (1, 5, 10, 20, 50, 99)
+ORDER BY vec_id
+""")
+def batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — multi-id get as a broadcast left-semi join (not an IN literal,
+    so the id side can itself be a 10⁹-row table at scale)."""
+    spark_ids = spark.createDataFrame([(i,) for i in (1, 5, 10, 20, 50, 99)], "vec_id long")
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.join(F.broadcast(spark_ids), "vec_id", "left_semi").select("vec_id", "label").orderBy("vec_id")
+
+
+@query("list_ids", """
+SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 50 OFFSET 100
+""")
+def list_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — paged id listing (``list_ids(limit, offset)``)."""
+    return _t(spark, sf_dir, "embeddings").select("vec_id").orderBy("vec_id").offset(100).limit(50)
+
+
+@query("peek", """
+SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id LIMIT 5
+""")
+def peek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — deterministic first-n sample."""
+    return _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars").orderBy("doc_id").limit(5)
+
+
+@query("count_rows", "SELECT COUNT(*) AS n FROM embeddings")
+def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------- predicates (P1-P3, P6)
+
+@query("filter_eq", "SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL AND lang = 'en'")
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").filter(Filter.where("lang", "eq", "en").column).select("doc_id", "lang")
+
+
+@query("filter_ne", "SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL AND lang <> 'en'")
+def filter_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").filter(Filter.where("lang", "ne", "en").column).select("doc_id", "lang")
+
+
+@query("filter_gt", "SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL AND n_chars > 400")
+def filter_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").filter(Filter.where("n_chars", "gt", 400).column).select("doc_id", "n_chars")
+
+
+@query("filter_gte_lt", """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal FROM customer
+WHERE (c_acctbal IS NOT NULL AND c_acctbal >= 1000.0) AND (c_acctbal IS NOT NULL AND c_acctbal < 2000.0)
+""")
+def filter_gte_lt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = Filter.where("c_acctbal", "gte", 1000.0) & Filter.where("c_acctbal", "lt", 2000.0)
+    return (
+        _t(spark, sf_dir, "customer").filter(f.column)
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@query("filter_lte", "SELECT p_partkey, p_size FROM part WHERE p_size IS NOT NULL AND p_size <= 10")
+def filter_lte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").filter(Filter.where("p_size", "lte", 10).column).select("p_partkey", "p_size")
+
+
+@query("filter_in", "SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL AND lang IN ('en', 'de')")
+def filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").filter(Filter.where("lang", "in", ["en", "de"]).column).select("doc_id", "lang")
+
+
+@query("filter_nin", "SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en', 'de')")
+def filter_nin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").filter(Filter.where("lang", "nin", ["en", "de"]).column).select("doc_id", "lang")
+
+
+@query("filter_contains", """
+SELECT doc_id FROM documents WHERE text IS NOT NULL AND contains(text, 'hash join')
+""")
+def filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").filter(Filter.where("text", "contains", "hash join").column).select("doc_id")
+
+
+@query("filter_regex", r"""
+SELECT doc_id, source FROM documents WHERE source IS NOT NULL AND regexp_matches(source, 'src1[0-9]$')
+""")
+def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").filter(Filter.where("source", "regex", "src1[0-9]$").column).select("doc_id", "source")
+
+
+@query("filter_bool_combo", """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE ((lang IS NOT NULL AND lang = 'en') AND NOT (source IS NOT NULL AND source = 'src1'))
+   OR (n_chars IS NOT NULL AND n_chars > 450)
+""")
+def filter_bool_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — AND / OR / NOT combinators over leaves."""
+    f = (Filter.where("lang", "eq", "en") & ~Filter.where("source", "eq", "src1")) | Filter.where("n_chars", "gt", 450)
+    return _t(spark, sf_dir, "documents").filter(f.column).select("doc_id", "lang", "source", "n_chars")
+
+
+@query("filter_dict", """
+SELECT doc_id, lang, source FROM documents
+WHERE (lang IS NOT NULL AND lang = 'en') AND (source IS NOT NULL AND source = 'src3')
+""")
+def filter_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — dict-equality shorthand."""
+    f = Filter.from_dict({"lang": "en", "source": "src3"})
+    return _t(spark, sf_dir, "documents").filter(f.column).select("doc_id", "lang", "source")
+
+
+@query("projection_prune", """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+FROM lineitem WHERE l_quantity > 45.0
+""")
+def projection_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — 3-col projection of a 10-col table; ReadSchema in .explain shows
+    only the referenced columns reach the scan."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+# ---------------------------------------------------------------- aggregations (A1-A3)
+
+@query("agg_events_by_type", """
+SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY event_type
+""")
+def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+@query("agg_docs_lang_source", """
+SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+""")
+def agg_docs_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("agg_orders_year_status", """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY 1, 2
+""")
+def agg_orders_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — year-bucketed trend (reference pre-materializes year ints because
+    it can't compute date parts at query time; we compute them)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("o_year"), "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the bench anchor for pure agg
+    throughput (map-side partial agg + tiny shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query("top_customers", """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total DESC, c_custkey LIMIT 10
+""")
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7-shaped 'trending' top-k over a join+agg (broadcast customer dim)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.col("total").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- set ops (U1-U5)
+
+@query("set_union", """
+SELECT doc_id FROM documents WHERE lang = 'en'
+UNION
+SELECT doc_id FROM documents WHERE source = 'src1'
+""")
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") == "en").select("doc_id")
+        .union(docs.filter(F.col("source") == "src1").select("doc_id"))
+        .distinct()
+    )
+
+
+@query("set_intersect", """
+SELECT doc_id FROM documents WHERE lang = 'en'
+INTERSECT
+SELECT doc_id FROM documents WHERE n_chars > 300
+""")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") == "en").select("doc_id")
+        .intersect(docs.filter(F.col("n_chars") > 300).select("doc_id"))
+    )
+
+
+@query("set_except", """
+SELECT doc_id FROM documents WHERE lang = 'en'
+EXCEPT
+SELECT doc_id FROM documents WHERE source IN ('src1', 'src2')
+""")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") == "en").select("doc_id")
+        .exceptAll(docs.filter(F.col("source").isin("src1", "src2")).select("doc_id"))
+        .distinct()
+    )
+
+
+@query("dup_check", """
+SELECT COUNT(*) AS n_dups FROM (
+    SELECT vec_id FROM embeddings WHERE vec_id BETWEEN 100 AND 200
+) batch JOIN embeddings USING (vec_id)
+""")
+def dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 / M1 — duplicate-id detection before insert, as an inner-join count
+    (the reference intersects Python sets, ``vectordb_optimized.py:395-398``)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id").between(100, 200)).select("vec_id")
+    return batch.join(emb, "vec_id").agg(F.count(F.lit(1)).alias("n_dups"))

@@ -1,0 +1,46 @@
+"""Physical-plan assertions: the optimizations we rely on for 100 TB scale
+must actually appear in the plan (not just 'the query returned rows').
+
+- filter pushdown reaches the Parquet scan (PushedFilters)
+- column pruning reaches the scan (ReadSchema)
+- per-query top-k is limited below the shuffle (WindowGroupLimit)
+- small-side joins broadcast (BroadcastHashJoin)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.operators.knn import knn
+from custom_python_vectordb_spark.queries import spine
+from custom_python_vectordb_spark.sources.catalog import load_table
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_and_pruning(spark, sf_small):
+    df = spine.projection_prune(spark, sf_small)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+    # pruned scan: only 3 referenced columns in ReadSchema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read_schema and "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_knn_plan_uses_window_group_limit_and_broadcast(spark, sf_small):
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plan = plan_of(knn(corpus, queries, k=10))
+    assert "WindowGroupLimit" in plan, "per-query top-k must limit below the shuffle"
+    assert "Broadcast" in plan, "query side must broadcast (corpus must not shuffle)"
+
+
+def test_dim_join_broadcasts(spark, sf_small):
+    df = spine.top_customers(spark, sf_small)
+    assert "BroadcastHashJoin" in plan_of(df)

@@ -1,0 +1,103 @@
+"""Local correctness checker mimicking the driver's t2 gate.
+
+For each registered query: run the Spark plan and the DuckDB oracle at the
+given sf, compare row count, column names, and order-insensitive values
+(sorted rows, floats to 6 significant decimals).
+
+Usage:
+    python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(rows, columns):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_val(v):
+        if v is None:
+            return "\x00"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.6g}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(norm_val(x) for x in v) + "]"
+        return str(v)
+
+    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    import duckdb
+
+    from __spark_entry__ import oracle_sql, queries
+    from custom_python_vectordb_spark.session import get_spark
+    from custom_python_vectordb_spark.sources.catalog import TABLES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = queries(), oracle_sql()
+    failed, passed, weak = [], 0, 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failed.append((name, f"spark error: {e}"))
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            weak += 1
+            print(f"weak  {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception as e:
+            failed.append((name, f"oracle error: {e}"))
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(scols) != sorted(c.lower() for c in ocols) and sorted(c.lower() for c in scols) != sorted(
+            c.lower() for c in ocols
+        ):
+            problems.append(f"columns spark={sorted(scols)} duck={sorted(ocols)}")
+        if not problems:
+            a, b = normalize(srows, scols), normalize(orows, ocols)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            failed.append((name, "; ".join(problems)))
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            passed += 1
+            print(f"ok    {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+
+    print(f"\n{passed} ok, {weak} weak (no oracle), {len(failed)} failed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
