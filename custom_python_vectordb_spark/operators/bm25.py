@@ -1,0 +1,188 @@
+"""BM25 keyword search and hybrid (vector + keyword) fusion.
+
+Semantics parity with the reference (SURVEY.md §2 K6/A7/A8/D9/J9):
+
+- ``BM25Index`` (``hybrid_search.py:49-204``): postings/stats are *derived
+  state* re-expressed as DataFrames — `postings(doc, term, tf)` via
+  explode+groupBy, `df(term)`, `dl(doc)`, scalars `(N, avgdl)`. No
+  materialized inverted index: on a cluster the groupBy IS the index build,
+  and it can be persisted as a Parquet postings table when reused.
+- scoring (``hybrid_search.py:119-154``): idf = ln((N−df+0.5)/(df+0.5)+1),
+  score = Σ_t q_count(t)·idf(t)·tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) with
+  k1=1.5, b=0.75. Duplicate query terms contribute once per occurrence
+  (the reference iterates the token list, not the set).
+- hybrid fusion (``hybrid_search.py:360-477``): vector side normalized
+  `1 − dist/max(dist)`, keyword side `score/max(score)`, candidates are the
+  UNION of both lists (full-outer join, missing side = 0), combined =
+  α·vec + (1−α)·kw, metadata filter applied AFTER fusion, then top-k desc.
+  At test scale fetch_k ≥ N pins the reference's candidate-set-dependent
+  normalization to the full corpus.
+
+Scale notes: global max-normalizers are computed as 1-row aggregates
+cross-joined back via broadcast (never a `Window.over()` with no partition,
+which would single-thread the corpus). The tiny query-term set is a
+broadcast join against postings, so BM25 scoring is one shuffle (the
+groupBy doc) regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.functions.distances import distance_expr
+from custom_python_vectordb_spark.functions.text import tokenize, tokenize_py
+from custom_python_vectordb_spark.operators.topk import top_k_per_group
+
+K1 = 1.5
+B = 0.75
+
+
+def tokens_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(F.col(id_col), tokenize(text_col).alias("toks"))
+
+
+def postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf) — A8. explode + count = map-side-combined build."""
+    return (
+        tokens_df(docs, id_col, text_col)
+        .select(F.col(id_col), F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return tokens_df(docs, id_col, text_col).select(F.col(id_col), F.size("toks").alias("dl"))
+
+
+def corpus_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """1-row (n_docs, avgdl) — A7."""
+    return doc_lengths(docs, id_col, text_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """Score every doc containing ≥1 query term: (doc_id, score), score>0."""
+    spark = docs.sparkSession
+    terms = tokenize_py(query)
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, {score_col} double")
+    qcounts: dict[str, int] = {}
+    for t in terms:
+        qcounts[t] = qcounts.get(t, 0) + 1
+    q = spark.createDataFrame(list(qcounts.items()), "term string, qn long")
+
+    post = postings(docs, id_col, text_col)
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = doc_lengths(docs, id_col, text_col)
+    stats = corpus_stats(docs, id_col, text_col)
+
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        post.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq.join(F.broadcast(q), "term", "left_semi")), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("qn") * idf * tf_part).alias(score_col))
+    )
+
+
+def bm25_topk(docs: DataFrame, query: str, k: int = 10, **kw) -> DataFrame:
+    """K6 — candidates scored, sorted desc, truncated (``hybrid_search.py:
+    156-179``). Tie-break by id for determinism."""
+    id_col = kw.get("id_col", "doc_id")
+    scored = bm25_scores(docs, query, **kw)
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hybrid_search(
+    corpus_vec: DataFrame,
+    docs: DataFrame,
+    query_vec: DataFrame,
+    query_text: str,
+    k: int = 10,
+    alpha: float = 0.5,
+    *,
+    metric: str = "cosine",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    post_filter: Column | None = None,
+    filter_source: DataFrame | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """D9/J9 — fused ranking over the union of vector and keyword candidates.
+
+    `query_vec` is a 1-row (qvec) DataFrame so the query embedding never
+    round-trips through the driver. `post_filter` replicates the reference's
+    filter-AFTER-fusion semantics (its acknowledged asymmetry); pass
+    `filter_source` (a DataFrame with doc_id_col + the filtered metadata
+    columns) when the predicate's columns live outside the two score tables.
+    """
+    dist = distance_expr(metric, vec_col, "qvec")
+    vec_scored = (
+        corpus_vec.crossJoin(F.broadcast(query_vec))
+        .select(F.col(vec_id_col).alias("id"), dist.alias("dist"))
+    )
+    vmax = vec_scored.agg(F.max("dist").alias("max_dist"))
+    vec_norm = vec_scored.crossJoin(F.broadcast(vmax)).select(
+        "id",
+        F.when(F.col("max_dist") > 0, 1.0 - F.col("dist") / F.col("max_dist"))
+        .otherwise(F.lit(1.0))
+        .alias("vector_score"),
+    )
+
+    kw_scored = bm25_scores(docs, query_text, id_col=doc_id_col, text_col=text_col).select(
+        F.col(doc_id_col).alias("id"), F.col("score").alias("kscore")
+    )
+    kmax = kw_scored.agg(F.max("kscore").alias("max_k"))
+    kw_norm = kw_scored.crossJoin(F.broadcast(kmax)).select(
+        "id",
+        F.when(F.col("max_k") > 0, F.col("kscore") / F.col("max_k"))
+        .otherwise(F.lit(0.0))
+        .alias("keyword_score"),
+    )
+
+    fused = (
+        vec_norm.join(kw_norm, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce(F.col("vector_score"), F.lit(0.0)).alias("vector_score"),
+            F.coalesce(F.col("keyword_score"), F.lit(0.0)).alias("keyword_score"),
+        )
+        .withColumn("score", alpha * F.col("vector_score") + (1 - alpha) * F.col("keyword_score"))
+    )
+    if post_filter is not None:
+        if filter_source is not None:
+            fused = fused.join(
+                filter_source.filter(post_filter).select(F.col(doc_id_col).alias("id")),
+                "id",
+                "left_semi",
+            )
+        else:
+            fused = fused.filter(post_filter)
+    out = fused.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+    if round_to is not None:
+        for c in ("score", "vector_score", "keyword_score"):
+            out = out.withColumn(c, F.round(F.col(c), round_to) + F.lit(0.0))
+    return out
+
+
+def weights_to_alpha(vector_weight: float, keyword_weight: float) -> float:
+    """``hybrid_search.py:393-395``."""
+    total = vector_weight + keyword_weight
+    return vector_weight / total if total > 0 else 0.5

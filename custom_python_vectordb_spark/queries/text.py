@@ -1,0 +1,188 @@
+"""Text / BM25 / hybrid-fusion queries (SURVEY.md §7 phase 2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.functions.text import duck_tokenize, tokenize, tokenize_py
+from custom_python_vectordb_spark.operators import bm25
+from custom_python_vectordb_spark.operators.bm25 import (
+    bm25_topk,
+    corpus_stats,
+    hybrid_search,
+    postings,
+    weights_to_alpha,
+)
+from custom_python_vectordb_spark.registry import query
+from custom_python_vectordb_spark.queries.spine import ROUND, _t
+
+QUERY_TEXT = "fast hash join merge sort join"  # duplicate term exercises per-occurrence scoring
+TOKS = duck_tokenize("text")
+
+
+def _duck_values(terms: list[str]) -> str:
+    counts: dict[str, int] = {}
+    for t in terms:
+        counts[t] = counts.get(t, 0) + 1
+    return ", ".join(f"('{t}', {n})" for t, n in counts.items())
+
+
+def _duck_bm25_ctes(query_text: str) -> str:
+    """Shared CTE block computing bm25 scores → relation `scored(doc_id, score)`."""
+    return f"""
+tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+doclen AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doclen),
+post AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+q(term, qn) AS (VALUES {_duck_values(tokenize_py(query_text))}),
+scored AS (
+    SELECT post.doc_id,
+           SUM(q.qn * ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * post.tf * ({bm25.K1} + 1)
+               / (post.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * doclen.dl / stats.avgdl))) AS score
+    FROM post
+    JOIN q USING (term)
+    JOIN dfreq USING (term)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY post.doc_id
+)"""
+
+
+# ------------------------------------------------------------------ E6/A7/A8
+
+@query("tokenize_count", f"""
+SELECT doc_id, CAST(len({TOKS}) AS INTEGER) AS n_tokens FROM documents
+""")
+def tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select("doc_id", F.size(tokenize("text")).alias("n_tokens"))
+
+
+@query("term_frequencies", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 10)
+SELECT doc_id, term, COUNT(*) AS tf
+FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+GROUP BY doc_id, term
+""")
+def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — per-doc term counts (explode + groupBy = the inverted index build)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return postings(docs)
+
+
+@query("corpus_stats", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT COUNT(*) AS n_docs, ROUND(AVG(len(toks)), {ROUND}) AS avgdl FROM tok
+""")
+def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — N and avg doc length."""
+    return corpus_stats(_t(spark, sf_dir, "documents")).select(
+        "n_docs", (F.round("avgdl", ROUND)).alias("avgdl")
+    )
+
+
+@query("doc_freq_top", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+post AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok)
+SELECT term, COUNT(*) AS df FROM post GROUP BY term
+ORDER BY df DESC, term LIMIT 20
+""")
+def doc_freq_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency — the BM25 idf input; top terms for stability."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        postings(docs)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------------------ K6 BM25 top-k
+
+@query("bm25_topk", f"""
+WITH {_duck_bm25_ctes(QUERY_TEXT)}
+SELECT doc_id, ROUND(score, {ROUND}) + 0.0 AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10
+""")
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = bm25_topk(_t(spark, sf_dir, "documents"), QUERY_TEXT, k=10)
+    return out.withColumn("score", F.round("score", ROUND) + F.lit(0.0))
+
+
+# ------------------------------------------------------------------ D9/J9 hybrid fusion
+
+def _duck_hybrid(query_text: str, alpha: float, k: int = 10, where: str | None = None) -> str:
+    filt = (
+        f"JOIN (SELECT doc_id AS fid FROM documents WHERE {where}) flt ON fused.id = flt.fid"
+        if where
+        else ""
+    )
+    return f"""
+WITH {_duck_bm25_ctes(query_text)},
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+    SELECT e.vec_id AS id,
+           1.0 - list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.v)
+               / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(qv.v, qv.v))) AS dist
+    FROM embeddings e CROSS JOIN qv
+),
+vec_norm AS (
+    SELECT id, CASE WHEN (SELECT MAX(dist) FROM vec_scored) > 0
+                    THEN 1.0 - dist / (SELECT MAX(dist) FROM vec_scored) ELSE 1.0 END AS vector_score
+    FROM vec_scored
+),
+kw_norm AS (
+    SELECT doc_id AS id, CASE WHEN (SELECT MAX(score) FROM scored) > 0
+                              THEN score / (SELECT MAX(score) FROM scored) ELSE 0.0 END AS keyword_score
+    FROM scored
+),
+fused AS (
+    SELECT COALESCE(v.id, w.id) AS id,
+           COALESCE(v.vector_score, 0.0) AS vector_score,
+           COALESCE(w.keyword_score, 0.0) AS keyword_score,
+           {alpha} * COALESCE(v.vector_score, 0.0) + (1 - {alpha}) * COALESCE(w.keyword_score, 0.0) AS score
+    FROM vec_norm v FULL OUTER JOIN kw_norm w ON v.id = w.id
+)
+SELECT id, ROUND(score, {ROUND}) + 0.0 AS score,
+       ROUND(vector_score, {ROUND}) + 0.0 AS vector_score,
+       ROUND(keyword_score, {ROUND}) + 0.0 AS keyword_score
+FROM fused {filt}
+ORDER BY fused.score DESC, id LIMIT {k}
+"""
+
+
+def _hybrid(spark: SparkSession, sf_dir: str, alpha: float, where=None) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return hybrid_search(
+        emb, docs, qv, QUERY_TEXT, k=10, alpha=alpha,
+        post_filter=where, filter_source=docs if where is not None else None,
+        round_to=ROUND,
+    )
+
+
+@query("hybrid_fusion", _duck_hybrid(QUERY_TEXT, 0.5))
+def hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hybrid(spark, sf_dir, alpha=0.5)
+
+
+@query("hybrid_fusion_weighted", _duck_hybrid(QUERY_TEXT, weights_to_alpha(2.0, 1.0)))
+def hybrid_fusion_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector_weight/keyword_weight → alpha (``hybrid_search.py:393-395``)."""
+    return _hybrid(spark, sf_dir, alpha=weights_to_alpha(2.0, 1.0))
+
+
+@query("hybrid_fusion_filtered", _duck_hybrid(QUERY_TEXT, 0.5, where="lang = 'en'"))
+def hybrid_fusion_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter applied AFTER fusion — the reference's exact (asymmetric)
+    semantics (``hybrid_search.py:455-460``)."""
+    return _hybrid(spark, sf_dir, alpha=0.5, where=F.col("lang") == "en")
