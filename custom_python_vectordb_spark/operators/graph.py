@@ -1,0 +1,313 @@
+"""Graph query operators over (nodes, edges) DataFrames (SURVEY.md §2.6).
+
+Every reference graph operation is a join plan:
+- neighbors (``graph.py:818-842``)           → edge filter ⋈ nodes (J4)
+- find_nodes (``graph.py:665-686``)          → conjunctive filter (J3/P7/P8)
+- 2-hop patterns (``graph.py:1008-1038``)    → chained equi-joins (J5)
+- traverse all simple paths (``graph.py:844-869``)   → iterative join, path
+  carried as an array column with a cycle check (J6); depth capped ≤3 as in
+  all reference usage
+- shortest path BFS (``graph.py:871-902``)   → frontier loop + anti-join (J8)
+- hyperedge any/all (``graph.py:457-478``)   → semi-join / count==n (J7)
+- semantic graph search (``hybrid_graph_vector.py:337-453``) → vector seeds
+  + min-hop BFS expansion + decay scoring (D8)
+
+The BFS loops are driver-orchestrated (hop counts ≤3 in every reference
+call site); each iteration is one narrow equi-join on dst/src — on a
+cluster the frontier stays partitioned by node id and only frontier-sized
+data moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.functions.distances import distance_expr
+from custom_python_vectordb_spark.operators.topk import top_k_per_group
+
+
+def _directed(edges: DataFrame, direction: str, edge_type: str | None) -> DataFrame:
+    """Normalize to (frm, to) pairs honoring direction both = union of the
+    two orientations (graph.py:828-841)."""
+    if edge_type is not None:
+        edges = edges.filter(F.col("type") == edge_type)
+    out_e = edges.select(F.col("src").alias("frm"), F.col("dst").alias("to"))
+    in_e = edges.select(F.col("dst").alias("frm"), F.col("src").alias("to"))
+    if direction == "out":
+        return out_e
+    if direction == "in":
+        return in_e
+    if direction == "both":
+        return out_e.unionByName(in_e)
+    raise ValueError(f"direction must be out|in|both, got {direction!r}")
+
+
+def neighbors(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_id: str,
+    direction: str = "out",
+    edge_type: str | None = None,
+) -> DataFrame:
+    """Distinct neighbor nodes of one node (J4)."""
+    pairs = _directed(edges, direction, edge_type).filter(F.col("frm") == node_id)
+    return nodes.join(pairs.select(F.col("to").alias("id")).distinct(), "id")
+
+
+def find_nodes(
+    nodes: DataFrame,
+    labels: list[str] | None = None,
+    prop_filter: Column | None = None,
+) -> DataFrame:
+    """Label ∩ property filter (J3): arrays_overlap replaces the label index,
+    pushdown replaces the property index."""
+    out = nodes
+    if labels:
+        out = out.filter(F.arrays_overlap(F.col("labels"), F.array(*[F.lit(x) for x in labels])))
+    if prop_filter is not None:
+        out = out.filter(prop_filter)
+    return out
+
+
+def degree_top(
+    edges: DataFrame,
+    k: int = 10,
+    edge_type: str | None = None,
+    direction: str = "in",
+) -> DataFrame:
+    """A9/K7 — incoming/outgoing degree per node, top-k (the reference's
+    'trending entities' count of MENTIONS edges)."""
+    if edge_type is not None:
+        edges = edges.filter(F.col("type") == edge_type)
+    key = "dst" if direction == "in" else "src"
+    return (
+        edges.groupBy(F.col(key).alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy(F.col("degree").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def match_2hop(
+    nodes: DataFrame,
+    edges: DataFrame,
+    type1: str,
+    type2: str,
+    start_filter: Column | None = None,
+    end_filter: Column | None = None,
+) -> DataFrame:
+    """J5 — `(a)-[:T1]->(b)-[:T2]->(c)`: chained equi-joins. Returns
+    (a_id, b_id, c_id) distinct bindings."""
+    e1 = edges.filter(F.col("type") == type1).select(F.col("src").alias("a_id"), F.col("dst").alias("b_id"))
+    e2 = edges.filter(F.col("type") == type2).select(F.col("src").alias("b_id"), F.col("dst").alias("c_id"))
+    bindings = e1.join(e2, "b_id").select("a_id", "b_id", "c_id").distinct()
+    if start_filter is not None:
+        a = nodes.filter(start_filter).select(F.col("id").alias("a_id"))
+        bindings = bindings.join(a, "a_id", "left_semi")
+    if end_filter is not None:
+        c = nodes.filter(end_filter).select(F.col("id").alias("c_id"))
+        bindings = bindings.join(c, "c_id", "left_semi")
+    return bindings
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    direction: str = "both",
+    edge_type: str | None = None,
+) -> DataFrame:
+    """J8 — min-hop BFS: (id, hop) for every node reachable in ≤ max_hops,
+    hop = shortest distance from the seed set (seeds at hop 0). Driver loop,
+    one distinct-join + anti-join per hop."""
+    pairs = _directed(edges, direction, edge_type)
+    visited = seeds.select("id").distinct().withColumn("hop", F.lit(0))
+    frontier = visited.select("id")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            pairs.join(frontier.withColumnRenamed("id", "frm"), "frm")
+            .select(F.col("to").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hop", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint(eager=True)  # truncate lineage per hop
+        if nxt.rdd.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("id")
+    return visited
+
+
+def traverse_paths(
+    edges: DataFrame,
+    start: str,
+    max_depth: int = 3,
+    direction: str = "out",
+    edge_type: str | None = None,
+) -> DataFrame:
+    """J6 — all simple paths of length ≥1 from `start` up to max_depth
+    (graph.py:844-869: DFS appending every current_path with >1 node).
+    Path carried as array<string>; the `not in path` cycle check is
+    array_contains. Exponential in general — reference usage caps depth ≤3.
+    Returns (path array<string>, depth, path_str)."""
+    pairs = _directed(edges, direction, edge_type).distinct()
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([([start],)], "path array<string>")
+    out = None
+    for _ in range(max_depth):
+        ext = (
+            pairs.join(frontier.withColumn("frm", F.element_at("path", -1)), "frm")
+            .filter(~F.array_contains(F.col("path"), F.col("to")))
+            .select(F.concat(F.col("path"), F.array(F.col("to"))).alias("path"))
+        )
+        ext = ext.localCheckpoint(eager=True)
+        if ext.rdd.isEmpty():
+            break
+        out = ext if out is None else out.unionByName(ext)
+        frontier = ext
+    if out is None:
+        return spark.createDataFrame([], "path array<string>, depth int, path_str string")
+    return out.select(
+        "path",
+        (F.size("path") - 1).alias("depth"),
+        F.array_join("path", "->").alias("path_str"),
+    )
+
+
+def shortest_path(
+    edges: DataFrame,
+    from_node: str,
+    to_node: str,
+    edge_type: str | None = None,
+    max_depth: int = 10,
+    direction: str = "out",
+) -> DataFrame:
+    """J8 — BFS shortest path. The reference returns the first path its
+    queue order happens to find (graph.py:871-902); we pin the deterministic
+    refinement: the lexicographically-smallest among minimum-length paths.
+    Returns 1 row (path_str, length) or 0 rows if unreachable."""
+    pairs = _directed(edges, direction, edge_type).distinct()
+    spark = edges.sparkSession
+    if from_node == to_node:
+        return spark.createDataFrame([(from_node, 0)], "path_str string, length int")
+    frontier = spark.createDataFrame([([from_node],)], "path array<string>")
+    visited = spark.createDataFrame([(from_node,)], "id string")
+    for depth in range(1, max_depth + 1):
+        ext = (
+            pairs.join(frontier.withColumn("frm", F.element_at("path", -1)), "frm")
+            .join(visited.withColumnRenamed("id", "to"), "to", "left_anti")
+            .select(F.concat(F.col("path"), F.array(F.col("to"))).alias("path"))
+        )
+        ext = ext.localCheckpoint(eager=True)
+        hits = ext.filter(F.element_at("path", -1) == to_node)
+        hit_rows = hits.select(F.array_join("path", "->").alias("path_str")).orderBy("path_str").limit(1).collect()
+        if hit_rows:
+            return spark.createDataFrame([(hit_rows[0]["path_str"], depth)], "path_str string, length int")
+        new_ids = ext.select(F.element_at("path", -1).alias("id")).distinct()
+        # keep ONE representative path per new node (min path_str) — enough
+        # for shortest-path reconstruction, keeps the frontier linear in |V|
+        frontier = (
+            ext.withColumn("last", F.element_at("path", -1))
+            .withColumn("ps", F.array_join("path", "->"))
+            .groupBy("last")
+            .agg(F.min_by("path", "ps").alias("path"))
+            .select("path")
+        )
+        visited = visited.unionByName(new_ids.join(visited, "id", "left_anti")).localCheckpoint(eager=True)
+        if frontier.rdd.isEmpty():
+            break
+    return spark.createDataFrame([], "path_str string, length int")
+
+
+def hyperedges_with_any(membership: DataFrame, node_ids: list[str]) -> DataFrame:
+    """J7 any — hyperedges touching any of node_ids (semi-join)."""
+    spark = membership.sparkSession
+    wanted = spark.createDataFrame([(n,) for n in node_ids], "node_id string")
+    return membership.join(F.broadcast(wanted), "node_id", "left_semi").select("hyperedge_id").distinct()
+
+
+def hyperedges_with_all(membership: DataFrame, node_ids: list[str]) -> DataFrame:
+    """J7 all — hyperedges containing every node_id (count==n after semi-join)."""
+    spark = membership.sparkSession
+    wanted = spark.createDataFrame([(n,) for n in set(node_ids)], "node_id string")
+    return (
+        membership.join(F.broadcast(wanted), "node_id")
+        .groupBy("hyperedge_id")
+        .agg(F.count_distinct("node_id").alias("n"))
+        .filter(F.col("n") == len(set(node_ids)))
+        .select("hyperedge_id")
+    )
+
+
+def semantic_graph_search(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_vectors: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    expand_hops: int = 2,
+    vector_weight: float = 0.7,
+    graph_weight: float = 0.3,
+    label_filter: list[str] | None = None,
+    prop_filter: Column | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """D8 — the reference's RuVector-style hybrid
+    (``hybrid_graph_vector.py:337-453``), exact semantics:
+
+    - seeds: top 2k nodes by cosine similarity (sim = 1 − distance);
+      seed combined_score = sim, graph_distance = 0
+    - expansion: min-hop BFS (direction both) from the seed set; a node
+      first reached at hop h scores
+      ``w_v · max_seed_sim · 1/(1+h) + w_g · (1/h)``
+      (best_seed_score in the reference is the max over ALL seeds — a
+      constant — despite the 'closest seed' comment; ``:400-402``)
+    - label/property filters applied AFTER expansion, then top-k desc.
+
+    `node_vectors`: (id, embedding). `query_vec`: 1-row (qvec).
+    """
+    sim = (F.lit(1.0) - distance_expr("cosine", "embedding", "qvec")).alias("sim")
+    seeds = (
+        node_vectors.crossJoin(F.broadcast(query_vec))
+        .select("id", sim)
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(2 * k)
+    )
+    seeds = seeds.localCheckpoint(eager=True)  # reused 3×: scores, max, BFS
+    max_sim = seeds.agg(F.max("sim").alias("max_sim"))
+
+    hops = bfs_hops(edges, seeds.select("id"), expand_hops, direction="both")
+    seed_scored = seeds.select(
+        "id",
+        F.col("sim").alias("vector_score"),
+        F.lit(0).alias("graph_distance"),
+        F.col("sim").alias("combined_score"),
+    )
+    expanded = (
+        hops.filter(F.col("hop") > 0)
+        .crossJoin(F.broadcast(max_sim))
+        .select(
+            "id",
+            (F.col("max_sim") / (1.0 + F.col("hop"))).alias("vector_score"),
+            F.col("hop").alias("graph_distance"),
+            (
+                vector_weight * F.col("max_sim") / (1.0 + F.col("hop"))
+                + graph_weight / F.col("hop")
+            ).alias("combined_score"),
+        )
+    )
+    scored = seed_scored.unionByName(expanded)
+    flt = nodes
+    if label_filter:
+        flt = flt.filter(F.arrays_overlap(F.col("labels"), F.array(*[F.lit(x) for x in label_filter])))
+    if prop_filter is not None:
+        flt = flt.filter(prop_filter)
+    if label_filter or prop_filter is not None:
+        scored = scored.join(flt.select("id"), "id", "left_semi")
+    out = scored.orderBy(F.col("combined_score").desc(), F.col("id")).limit(k)
+    if round_to is not None:
+        for c in ("vector_score", "combined_score"):
+            out = out.withColumn(c, F.round(F.col(c), round_to) + F.lit(0.0))
+    return out

@@ -1,0 +1,107 @@
+"""Graph operators on a small hand-checkable graph.
+
+    a -R-> b -R-> c -R-> d
+    a -S-> c
+    b -R-> a   (cycle)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.operators.graph import (
+    bfs_hops,
+    degree_top,
+    hyperedges_with_all,
+    hyperedges_with_any,
+    match_2hop,
+    neighbors,
+    shortest_path,
+    traverse_paths,
+)
+
+EDGES = [
+    ("a", "b", "R"),
+    ("b", "c", "R"),
+    ("c", "d", "R"),
+    ("a", "c", "S"),
+    ("b", "a", "R"),
+]
+NODES = [("a",), ("b",), ("c",), ("d",)]
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    edges = spark.createDataFrame(
+        [(s, d, t, None) for s, d, t in EDGES], "src string, dst string, type string, qty double"
+    )
+    nodes = spark.createDataFrame(
+        [(n, ["N"], n.upper()) for (n,) in NODES], "id string, labels array<string>, name string"
+    )
+    return nodes, edges
+
+
+def ids(df, col="id"):
+    return sorted(r[col] for r in df.collect())
+
+
+def test_neighbors_directions(g):
+    nodes, edges = g
+    assert ids(neighbors(nodes, edges, "b", "out")) == ["a", "c"]
+    assert ids(neighbors(nodes, edges, "b", "in")) == ["a"]
+    assert ids(neighbors(nodes, edges, "b", "both")) == ["a", "c"]  # distinct
+    assert ids(neighbors(nodes, edges, "a", "out", edge_type="S")) == ["c"]
+
+
+def test_bfs_min_hop(g):
+    nodes, edges = g
+    seeds = nodes.filter(F.col("id") == "a").select("id")
+    hops = {r["id"]: r["hop"] for r in bfs_hops(edges, seeds, 3, direction="out").collect()}
+    assert hops == {"a": 0, "b": 1, "c": 1, "d": 2}  # c via S at hop 1, not R-R at 2
+
+
+def test_traverse_all_simple_paths(g):
+    nodes, edges = g
+    got = sorted(r["path_str"] for r in traverse_paths(edges, "a", max_depth=2, direction="out").collect())
+    assert got == sorted(
+        ["a->b", "a->c", "a->b->c", "a->c->d"]
+    ), got
+
+
+def test_traverse_cycle_check(g):
+    nodes, edges = g
+    paths = [r["path_str"] for r in traverse_paths(edges, "a", max_depth=3, direction="out").collect()]
+    assert "a->b->a" not in paths  # simple paths only
+    assert "a->b->c->d" in paths
+
+
+def test_shortest_path(g):
+    nodes, edges = g
+    r = shortest_path(edges, "a", "d", direction="out").collect()
+    assert len(r) == 1 and r[0]["path_str"] == "a->c->d" and r[0]["length"] == 2
+    assert shortest_path(edges, "d", "a", direction="out").collect() == []  # unreachable
+    same = shortest_path(edges, "a", "a").collect()
+    assert same[0]["length"] == 0
+
+
+def test_match_2hop(g):
+    nodes, edges = g
+    rows = {(r["a_id"], r["b_id"], r["c_id"]) for r in match_2hop(nodes, edges, "R", "R").collect()}
+    assert rows == {("a", "b", "c"), ("b", "c", "d"), ("b", "a", "b"), ("a", "b", "a")}
+
+
+def test_degree(g):
+    nodes, edges = g
+    got = {r["id"]: r["degree"] for r in degree_top(edges, k=10, direction="in").collect()}
+    assert got == {"a": 1, "b": 1, "c": 2, "d": 1}
+
+
+def test_hyperedges(spark):
+    m = spark.createDataFrame(
+        [("h1", "x"), ("h1", "y"), ("h2", "x"), ("h3", "z")],
+        "hyperedge_id string, node_id string",
+    )
+    assert ids(hyperedges_with_any(m, ["x", "y"]), "hyperedge_id") == ["h1", "h2"]
+    assert ids(hyperedges_with_all(m, ["x", "y"]), "hyperedge_id") == ["h1"]
+    assert ids(hyperedges_with_all(m, ["x", "x"]), "hyperedge_id") == ["h1", "h2"]
