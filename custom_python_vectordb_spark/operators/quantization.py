@@ -1,0 +1,287 @@
+"""Vector quantization operators (SURVEY.md §2 A4-A6, E1-E4, D4-D7, K5).
+
+Reference semantics (``quantization.py``), re-expressed as DataFrame plans:
+
+- **SQ** (scalar, uint8): train = per-dim min/max (``:85-106``); encode =
+  ``trunc(clip((v−min)/scale·255, 0, 255))`` (``:108-126`` — NumPy's
+  ``.astype(uint8)`` truncates after clip, so we floor explicitly in both
+  engines); decode = ``code/255·scale+min`` (``:128-139``); L2 on codes =
+  ``sqrt(Σ((Δcode·scale/255)²))`` (``:217-236``); dot = reconstruct-then-
+  −dot (``:239-251``).
+- **BQ** (1 bit/dim): train = per-dim median thresholds (``:307-327``);
+  encode = ``v > t`` bits (``:329-350``); distance = Hamming (``:356-374``).
+  The bit-array form is the semantic canon (oracle-checkable); packing into
+  64-bit words for `bit_count` is the storage/bandwidth optimization
+  (asserted equal in tests).
+- **PQ** (M×uint8): per-subspace nearest-centroid encode (``:510-539``),
+  asymmetric LUT distance ``sqrt(Σ_m lut[m][code])`` (``:541-578``).
+  Codebook *quality* comes from k-means (``:480-508``) — nondeterministic
+  in the reference (np.random); here MLlib KMeans with a fixed seed is the
+  production trainer, while a deterministic first-K-vectors sample codebook
+  is used for oracle-checked encode/distance queries (the operator under
+  test is encode/ADC, not Lloyd's).
+- **K5 rerank**: quantized scan → candidate top-C → exact distance on
+  candidates → top-k (``parallel_search.py:895-947``).
+
+Scale design: the trained model (64 dims / M×K centroids) is a 1-row or
+tiny DataFrame broadcast into `zip_with`/`transform` expressions — no UDF,
+no driver-side matrix, corpus never shuffles for encode or scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.functions.distances import distance_expr
+from custom_python_vectordb_spark.operators.topk import top_k_per_group
+
+# ------------------------------------------------------------------ SQ
+
+def sq_train(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """A4 — (dim, min_val, max_val, scale); scale 0 → 1.0. posexplode →
+    groupBy(dim) is map-side combined; dim count is tiny."""
+    exploded = vectors.select(F.posexplode(vec_col).alias("dim", "v"))
+    return (
+        exploded.groupBy("dim")
+        .agg(F.min("v").cast("double").alias("min_val"), F.max("v").cast("double").alias("max_val"))
+        .withColumn(
+            "scale",
+            F.when(F.col("max_val") - F.col("min_val") == 0.0, F.lit(1.0)).otherwise(
+                F.col("max_val") - F.col("min_val")
+            ),
+        )
+    )
+
+
+def sq_model(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """1-row (minv array<double>, scale array<double>), dim-ordered —
+    broadcastable into encode/decode expressions."""
+    stats = sq_train(vectors, vec_col)
+    return stats.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "min_val", "scale"))).alias("s")
+    ).select(
+        F.transform("s", lambda x: x["min_val"]).alias("minv"),
+        F.transform("s", lambda x: x["scale"]).alias("scale"),
+    )
+
+
+def sq_encode_expr(vec: Column) -> Column:
+    """E1 — requires `minv`/`scale` columns in scope (join sq_model first).
+    floor() pins NumPy's truncating uint8 cast in both engines."""
+    norm = F.zip_with(vec, F.col("minv"), lambda x, m: x.cast("double") - m)
+    scaled = F.zip_with(norm, F.col("scale"), lambda x, s: x / s * 255.0)
+    return F.transform(scaled, lambda x: F.floor(F.least(F.greatest(x, F.lit(0.0)), F.lit(255.0))).cast("int"))
+
+
+def sq_decode_expr(codes: Column) -> Column:
+    """E2 — inverse affine."""
+    un = F.zip_with(codes, F.col("scale"), lambda c, s: c.cast("double") / 255.0 * s)
+    return F.zip_with(un, F.col("minv"), lambda x, m: x + m)
+
+
+def sq_encode(vectors: DataFrame, model: DataFrame, vec_col: str = "embedding", out_col: str = "codes") -> DataFrame:
+    return vectors.crossJoin(F.broadcast(model)).withColumn(out_col, sq_encode_expr(F.col(vec_col)))
+
+
+def sq_l2_dist_expr(codes_a: Column, codes_b: Column) -> Column:
+    """D5 — ``sqrt(Σ((Δcode·scale/255)²))`` (int16 trick ≡ exact int diff)."""
+    diff = F.zip_with(codes_a, codes_b, lambda a, b: (a - b).cast("double"))
+    scaled = F.zip_with(diff, F.col("scale"), lambda d, s: d * s / 255.0)
+    return F.sqrt(F.aggregate(scaled, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def sq_dot_dist_expr(codes_a: Column, codes_b: Column) -> Column:
+    """D6 — reconstruct both sides, −dot."""
+    rec_a = sq_decode_expr(codes_a)
+    rec_b = sq_decode_expr(codes_b)
+    prods = F.zip_with(rec_a, rec_b, lambda x, y: x * y)
+    return -F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+# ------------------------------------------------------------------ BQ
+
+def bq_train(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """A5 — per-dim median thresholds (1-row array<double>)."""
+    exploded = vectors.select(F.posexplode(vec_col).alias("dim", "v"))
+    stats = exploded.groupBy("dim").agg(F.median("v").alias("t"))
+    return stats.agg(F.array_sort(F.collect_list(F.struct("dim", "t"))).alias("s")).select(
+        F.transform("s", lambda x: x["t"]).alias("thresholds")
+    )
+
+
+def bq_encode_expr(vec: Column) -> Column:
+    """E3 — bit per dim: v > threshold (requires `thresholds` in scope)."""
+    return F.zip_with(vec, F.col("thresholds"), lambda x, t: (x.cast("double") > t).cast("int"))
+
+
+def bq_pack_expr(bits: Column, n_words: int) -> Column:
+    """Pack bit array into BIGINT words, 32 bits per word MSB-first (staying
+    below the sign bit keeps ANSI-mode arithmetic overflow-free), for
+    `bit_count` Hamming. n_words = ceil(D/32)."""
+    def word(w):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc * F.lit(2).cast("long")
+            + F.coalesce(
+                F.element_at(bits, (F.lit(w * 32 + 1) + j).cast("int")).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+        )
+    return F.array(*[word(w) for w in range(n_words)])
+
+
+def hamming_bits_expr(bits_a: Column, bits_b: Column) -> Column:
+    """D4 over unpacked bits: Σ (a≠b)."""
+    return F.aggregate(
+        F.zip_with(bits_a, bits_b, lambda a, b: F.when(a != b, 1).otherwise(0)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+
+
+# ------------------------------------------------------------------ PQ
+
+def pq_sample_codebook(
+    vectors: DataFrame,
+    num_subspaces: int,
+    num_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic codebook: centroid c of subspace m = subvector m of the
+    c-th lowest-id vector. (dim-order slice as in ``quantization.py:466-471``;
+    kmeans *quality* is supplied by :func:`pq_train_kmeans` instead.)
+    Returns (m, code, centroid array<double>)."""
+    dim_df = vectors.orderBy(id_col).limit(num_centroids)
+    base = dim_df.select(
+        F.row_number().over(Window.orderBy(id_col)).alias("rk"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("code", F.col("rk") - 1).drop("rk")
+    m_df = base.crossJoin(
+        base.sparkSession.range(num_subspaces).select(F.col("id").cast("int").alias("m"))
+    )
+    sub = F.expr(f"slice(v, m * (size(v) div {num_subspaces}) + 1, size(v) div {num_subspaces})")
+    return m_df.select("m", "code", F.transform(sub, lambda x: x.cast("double")).alias("centroid"))
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    num_subspaces: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E4 — (id, m, code): nearest centroid per subspace slice (L2²,
+    lowest code wins ties = np.argmin)."""
+    m_df = vectors.crossJoin(
+        vectors.sparkSession.range(num_subspaces).select(F.col("id").cast("int").alias("m"))
+    )
+    sub = F.expr(f"slice({vec_col}, m * (size({vec_col}) div {num_subspaces}) + 1, size({vec_col}) div {num_subspaces})")
+    sliced = m_df.select(F.col(id_col), "m", F.transform(sub, lambda x: x.cast("double")).alias("sub"))
+    joined = sliced.join(F.broadcast(codebook), "m")
+    d2 = F.aggregate(
+        F.zip_with("sub", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(F.col(id_col), "m", "code", d2.alias("d2"))
+    return (
+        scored.groupBy(id_col, "m")
+        .agg(F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias("code"))
+    )
+
+
+def pq_lut(query_vec: DataFrame, codebook: DataFrame, num_subspaces: int) -> DataFrame:
+    """D7 — (m, code, d2): ‖q_sub − centroid‖² per (subspace, centroid)."""
+    m_df = query_vec.crossJoin(
+        query_vec.sparkSession.range(num_subspaces).select(F.col("id").cast("int").alias("m"))
+    )
+    sub = F.expr(f"slice(qvec, m * (size(qvec) div {num_subspaces}) + 1, size(qvec) div {num_subspaces})")
+    sliced = m_df.select("m", F.transform(sub, lambda x: x.cast("double")).alias("qsub"))
+    joined = sliced.join(F.broadcast(codebook), "m")
+    d2 = F.aggregate(
+        F.zip_with("qsub", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return joined.select("m", "code", d2.alias("d2"))
+
+
+def pq_adc_distances(codes: DataFrame, lut: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, dist): sqrt(Σ_m lut[m][code_m]) — the O(M) table-lookup scan as a
+    broadcast join + sum."""
+    return (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy(id_col)
+        .agg(F.sqrt(F.sum("d2")).alias("dist"))
+    )
+
+
+def pq_train_kmeans(
+    vectors: DataFrame,
+    num_subspaces: int,
+    num_centroids: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """A6 — production codebook via MLlib KMeans per subspace (seeded).
+    Returns (m, code, centroid array<double>)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = vectors.sparkSession
+    out = []
+    dim = len(vectors.select(vec_col).first()[0])
+    sub_dim = dim // num_subspaces
+    for m in range(num_subspaces):
+        sliced = vectors.select(
+            array_to_vector(
+                F.transform(F.slice(vec_col, m * sub_dim + 1, sub_dim), lambda x: x.cast("double"))
+            ).alias("features")
+        )
+        km = KMeans(k=num_centroids, seed=seed, maxIter=max_iter).fit(sliced)
+        for code, center in enumerate(km.clusterCenters()):
+            out.append((m, code, [float(x) for x in center]))
+    return spark.createDataFrame(out, "m int, code int, centroid array<double>")
+
+
+# ------------------------------------------------------------------ K5 rerank
+
+def quantized_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    model: DataFrame,
+    k: int = 10,
+    candidates: int = 50,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K5 — SQ-coded coarse scan → top-`candidates` per query → exact
+    distance on the candidate set → top-k. Two-stage plan: stage 1 reads
+    codes only (4× less data), stage 2 touches `candidates` rows per query."""
+    coded_corpus = sq_encode(corpus, model, vec_col).select(id_col, vec_col, "codes")
+    coded_queries = (
+        queries.withColumnRenamed("qvec", "embedding")
+        .crossJoin(F.broadcast(model))
+        .withColumn("qcodes", sq_encode_expr(F.col("embedding")))
+        .select("qid", F.col("embedding").alias("qvec"), "qcodes")
+    )
+    stage1 = (
+        coded_corpus.join(F.broadcast(coded_queries.select("qid", "qcodes")))
+        .crossJoin(F.broadcast(model))
+        .select(
+            "qid", id_col, vec_col,
+            sq_l2_dist_expr(F.col("qcodes"), F.col("codes")).alias("qdist"),
+        )
+    )
+    cands = top_k_per_group(stage1, "qid", candidates, F.col("qdist").asc(), F.col(id_col).asc())
+    stage2 = cands.join(F.broadcast(coded_queries.select("qid", "qvec")), "qid").select(
+        "qid", id_col, distance_expr(metric, vec_col, "qvec").alias("dist")
+    )
+    return top_k_per_group(stage2, "qid", k, F.col("dist").asc(), F.col(id_col).asc()).orderBy(
+        "qid", "dist", id_col
+    )

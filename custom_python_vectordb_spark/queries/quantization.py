@@ -1,0 +1,346 @@
+"""Quantization queries (SURVEY.md §7 phase 4): SQ / BQ / PQ training aggs,
+encode/decode, quantized distances, two-stage rerank, recall harness."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.operators.quantization import (
+    bq_encode_expr,
+    bq_train,
+    hamming_bits_expr,
+    pq_adc_distances,
+    pq_encode,
+    pq_lut,
+    pq_sample_codebook,
+    pq_train_kmeans,
+    quantized_rerank,
+    sq_encode,
+    sq_encode_expr,
+    sq_l2_dist_expr,
+    sq_dot_dist_expr,
+    sq_model,
+    sq_train,
+)
+from custom_python_vectordb_spark.operators.topk import top_k_per_group
+from custom_python_vectordb_spark.queries.spine import ROUND, _query_vectors, _t
+from custom_python_vectordb_spark.registry import query
+
+DIM = 64
+M = 8          # PQ subspaces
+KCENT = 16     # PQ sample-codebook centroids
+SUB = DIM // M
+
+# shared oracle CTEs ------------------------------------------------------
+DUCK_EXPL = f"""
+dims AS (SELECT CAST(unnest(range({DIM})) AS INTEGER) AS dim),
+expl AS (SELECT e.vec_id, d.dim, CAST(e.embedding[d.dim + 1] AS DOUBLE) AS v
+         FROM embeddings e, dims d)"""
+
+DUCK_SQ_STATS = """
+stats AS (SELECT dim, MIN(v) AS min_val, MAX(v) AS max_val,
+                 CASE WHEN MAX(v) - MIN(v) = 0 THEN 1.0 ELSE MAX(v) - MIN(v) END AS scale
+          FROM expl GROUP BY dim)"""
+
+DUCK_SQ_CODES = """
+codes AS (SELECT e.vec_id, e.dim,
+                 CAST(floor(least(greatest((e.v - s.min_val) / s.scale * 255.0, 0.0), 255.0)) AS INTEGER) AS code
+          FROM expl e JOIN stats s USING (dim))"""
+
+
+@query("sq_train", f"""
+WITH {DUCK_EXPL.strip()}, {DUCK_SQ_STATS.strip()}
+SELECT dim, ROUND(min_val, {ROUND}) AS min_val, ROUND(max_val, {ROUND}) AS max_val,
+       ROUND(scale, {ROUND}) AS scale
+FROM stats
+""")
+def sq_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sq_train(_t(spark, sf_dir, "embeddings")).select(
+        "dim",
+        F.round("min_val", ROUND).alias("min_val"),
+        F.round("max_val", ROUND).alias("max_val"),
+        F.round("scale", ROUND).alias("scale"),
+    )
+
+
+@query("sq_encode", f"""
+WITH {DUCK_EXPL.strip()}, {DUCK_SQ_STATS.strip()}, {DUCK_SQ_CODES.strip()}
+SELECT vec_id, dim, code FROM codes WHERE vec_id < 3
+""")
+def sq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    model = sq_model(emb)
+    coded = sq_encode(emb.filter(F.col("vec_id") < 3), model)
+    return coded.select("vec_id", F.posexplode("codes").alias("dim", "code"))
+
+
+@query("sq_roundtrip", f"""
+WITH {DUCK_EXPL.strip()}, {DUCK_SQ_STATS.strip()}, {DUCK_SQ_CODES.strip()},
+err AS (SELECT abs(e.v - (c.code / 255.0 * s.scale + s.min_val)) AS ae
+        FROM expl e JOIN codes c ON e.vec_id = c.vec_id AND e.dim = c.dim
+        JOIN stats s ON s.dim = e.dim)
+SELECT ROUND(MAX(ae), {ROUND}) AS max_abs_err, ROUND(AVG(ae), {ROUND}) AS avg_abs_err FROM err
+""")
+def sq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E2 — encode→decode reconstruction error bounds (byte-integrity
+    analog of the reference's round-trip suite, test_comprehensive.py:538-548)."""
+    from custom_python_vectordb_spark.operators.quantization import sq_decode_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded = sq_encode(emb, sq_model(emb)).withColumn("recon", sq_decode_expr(F.col("codes")))
+    err = coded.select(
+        F.explode(F.zip_with("embedding", "recon", lambda a, b: F.abs(a.cast("double") - b))).alias("ae")
+    )
+    return err.agg(
+        F.round(F.max("ae"), ROUND).alias("max_abs_err"),
+        F.round(F.avg("ae"), ROUND).alias("avg_abs_err"),
+    )
+
+
+_DUCK_SQL2 = """
+qcodes AS (SELECT vec_id AS qid, dim, code FROM codes WHERE vec_id < 3),
+sqd AS (SELECT q.qid, c.vec_id,
+               sqrt(SUM(POW((q.code - c.code) * s.scale / 255.0, 2))) AS dist
+        FROM qcodes q
+        JOIN codes c ON q.dim = c.dim
+        JOIN stats s ON s.dim = q.dim
+        GROUP BY q.qid, c.vec_id)"""
+
+
+@query("knn_sq_l2", f"""
+WITH {DUCK_EXPL.strip()}, {DUCK_SQ_STATS.strip()}, {DUCK_SQ_CODES.strip()}, {_DUCK_SQL2.strip()}
+SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
+    SELECT qid, vec_id, dist,
+           row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM sqd
+) WHERE rn <= 10 ORDER BY qid, dist, vec_id
+""")
+def knn_sq_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — approximate L2 entirely on uint8 codes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    model = sq_model(emb)
+    coded = sq_encode(emb, model).select("vec_id", "codes")
+    qcoded = (
+        sq_encode(emb.filter(F.col("vec_id") < 3), model)
+        .select(F.col("vec_id").alias("qid"), F.col("codes").alias("qcodes"))
+    )
+    scored = (
+        coded.join(F.broadcast(qcoded))
+        .crossJoin(F.broadcast(model))
+        .select("qid", "vec_id", sq_l2_dist_expr(F.col("qcodes"), F.col("codes")).alias("dist"))
+    )
+    out = top_k_per_group(scored, "qid", 10, F.col("dist").asc(), F.col("vec_id").asc())
+    return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0)).orderBy("qid", "dist", "vec_id")
+
+
+@query("knn_sq_dot", f"""
+WITH {DUCK_EXPL.strip()}, {DUCK_SQ_STATS.strip()}, {DUCK_SQ_CODES.strip()},
+rec AS (SELECT c.vec_id, c.dim, c.code / 255.0 * s.scale + s.min_val AS r
+        FROM codes c JOIN stats s USING (dim)),
+qrec AS (SELECT vec_id AS qid, dim, r FROM rec WHERE vec_id < 3),
+sqd AS (SELECT q.qid, c.vec_id, -SUM(q.r * c.r) AS dist
+        FROM qrec q JOIN rec c ON q.dim = c.dim GROUP BY q.qid, c.vec_id)
+SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
+    SELECT qid, vec_id, dist,
+           row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM sqd
+) WHERE rn <= 10 ORDER BY qid, dist, vec_id
+""")
+def knn_sq_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — reconstruct-then-dot on codes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    model = sq_model(emb)
+    coded = sq_encode(emb, model).select("vec_id", "codes")
+    qcoded = (
+        sq_encode(emb.filter(F.col("vec_id") < 3), model)
+        .select(F.col("vec_id").alias("qid"), F.col("codes").alias("qcodes"))
+    )
+    scored = (
+        coded.join(F.broadcast(qcoded))
+        .crossJoin(F.broadcast(model))
+        .select("qid", "vec_id", sq_dot_dist_expr(F.col("qcodes"), F.col("codes")).alias("dist"))
+    )
+    out = top_k_per_group(scored, "qid", 10, F.col("dist").asc(), F.col("vec_id").asc())
+    return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0)).orderBy("qid", "dist", "vec_id")
+
+
+@query("bq_train", f"""
+WITH {DUCK_EXPL.strip()}
+SELECT dim, ROUND(median(v), {ROUND}) AS threshold FROM expl GROUP BY dim
+""")
+def bq_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — per-dimension median thresholds."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.round(F.median("v"), ROUND).alias("threshold"))
+    )
+
+
+@query("knn_hamming", f"""
+WITH {DUCK_EXPL.strip()},
+th AS (SELECT dim, median(v) AS t FROM expl GROUP BY dim),
+bits AS (SELECT e.vec_id, e.dim, CASE WHEN e.v > th.t THEN 1 ELSE 0 END AS b
+         FROM expl e JOIN th USING (dim)),
+qbits AS (SELECT vec_id AS qid, dim, b FROM bits WHERE vec_id < 3),
+hd AS (SELECT q.qid, c.vec_id, CAST(SUM(CASE WHEN q.b <> c.b THEN 1 ELSE 0 END) AS BIGINT) AS dist
+       FROM qbits q JOIN bits c ON q.dim = c.dim GROUP BY q.qid, c.vec_id)
+SELECT qid, vec_id, dist FROM (
+    SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM hd
+) WHERE rn <= 10 ORDER BY qid, dist, vec_id
+""")
+def knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 + D4 — binary-quantize (median thresholds) then Hamming top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    model = bq_train(emb)
+    bits = emb.crossJoin(F.broadcast(model)).select(
+        "vec_id", bq_encode_expr(F.col("embedding")).alias("bits")
+    )
+    qbits = bits.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("bits").alias("qb")
+    )
+    scored = bits.join(F.broadcast(qbits)).select(
+        "qid", "vec_id", hamming_bits_expr(F.col("qb"), F.col("bits")).alias("dist")
+    )
+    return top_k_per_group(scored, "qid", 10, F.col("dist").asc(), F.col("vec_id").asc()).orderBy(
+        "qid", "dist", "vec_id"
+    )
+
+
+# PQ: deterministic sample codebook (code c = subvector of vec_id c) -------
+_DUCK_PQ_CB = f"""
+subs AS (SELECT CAST(unnest(range({M})) AS INTEGER) AS m),
+cbd AS (SELECT s.m, e.vec_id AS code, d.dim AS dl,
+               CAST(e.embedding[s.m * {SUB} + d.dim + 1] AS DOUBLE) AS cv
+        FROM embeddings e, subs s, (SELECT CAST(unnest(range({SUB})) AS INTEGER) AS dim) d
+        WHERE e.vec_id < {KCENT}),
+vsub AS (SELECT e.vec_id, s.m, d.dim AS dl,
+                CAST(e.embedding[s.m * {SUB} + d.dim + 1] AS DOUBLE) AS v
+         FROM embeddings e, subs s, (SELECT CAST(unnest(range({SUB})) AS INTEGER) AS dim) d),
+pqd AS (SELECT v.vec_id, v.m, c.code, SUM(POW(v.v - c.cv, 2)) AS d2
+        FROM vsub v JOIN cbd c ON v.m = c.m AND v.dl = c.dl
+        GROUP BY v.vec_id, v.m, c.code),
+pqcodes AS (SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM pqd) WHERE rn = 1)"""
+
+
+@query("pq_encode", f"""
+WITH {_DUCK_PQ_CB.strip()}
+SELECT vec_id, m, code FROM pqcodes WHERE vec_id < 20
+""")
+def pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — nearest-centroid codes, deterministic sample codebook."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_sample_codebook(emb, M, KCENT)
+    return pq_encode(emb.filter(F.col("vec_id") < 20), cb, M)
+
+
+@query("knn_pq_adc", f"""
+WITH {_DUCK_PQ_CB.strip()},
+qsub AS (SELECT m, dl, v FROM vsub WHERE vec_id = 0),
+lut AS (SELECT q.m, c.code, SUM(POW(q.v - c.cv, 2)) AS d2
+        FROM qsub q JOIN cbd c ON q.m = c.m AND q.dl = c.dl GROUP BY q.m, c.code),
+adc AS (SELECT p.vec_id, sqrt(SUM(l.d2)) AS dist
+        FROM pqcodes p JOIN lut l ON p.m = l.m AND p.code = l.code GROUP BY p.vec_id)
+SELECT vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM adc
+ORDER BY dist, vec_id LIMIT 10
+""")
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 — asymmetric PQ distance via broadcast lookup table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_sample_codebook(emb, M, KCENT)
+    codes = pq_encode(emb, cb, M)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    lut = pq_lut(qv, cb, M)
+    out = pq_adc_distances(codes, lut)
+    return (
+        out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )
+
+
+@query("knn_sq_rerank", f"""
+WITH {DUCK_EXPL.strip()}, {DUCK_SQ_STATS.strip()}, {DUCK_SQ_CODES.strip()}, {_DUCK_SQL2.strip()},
+cands AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM sqd
+) WHERE rn <= 50),
+exact AS (SELECT c.qid, c.vec_id,
+                 sqrt(SUM(POW(qe.v - ce.v, 2))) AS dist
+          FROM cands c
+          JOIN expl qe ON qe.vec_id = c.qid
+          JOIN expl ce ON ce.vec_id = c.vec_id AND ce.dim = qe.dim
+          GROUP BY c.qid, c.vec_id)
+SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
+    SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+    FROM exact
+) WHERE rn <= 10 ORDER BY qid, dist, vec_id
+""")
+def knn_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 — quantized coarse scan (50 candidates) → exact L2 rerank → top-10."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantized_rerank(
+        emb, _query_vectors(spark, sf_dir, 3), sq_model(emb), k=10, candidates=50, metric="l2"
+    )
+    return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
+
+
+@query("recall_sq_vs_exact", f"""
+WITH {DUCK_EXPL.strip()}, {DUCK_SQ_STATS.strip()}, {DUCK_SQ_CODES.strip()}, {_DUCK_SQL2.strip()},
+approx AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM sqd
+) WHERE rn <= 10),
+exd AS (SELECT q.vec_id AS qid, c.vec_id, sqrt(SUM(POW(q.v - c.v, 2))) AS dist
+        FROM expl q JOIN expl c ON q.dim = c.dim
+        WHERE q.vec_id < 3 GROUP BY q.vec_id, c.vec_id),
+truth AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM exd
+) WHERE rn <= 10),
+hits AS (SELECT t.qid, COUNT(*) AS n FROM truth t JOIN approx a ON t.qid = a.qid AND t.vec_id = a.vec_id
+         GROUP BY t.qid)
+SELECT ROUND(AVG(n) / 10.0, {ROUND}) AS avg_recall FROM hits
+""")
+def recall_sq_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — recall@10 of the SQ-coded ranking vs exact L2 ground truth
+    (the reference's quality gate, benchmark_quantization.py:874-928)."""
+    from custom_python_vectordb_spark.operators.knn import knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = sq_model(emb)
+    queries = _query_vectors(spark, sf_dir, 3)
+    coded = sq_encode(emb, model).select("vec_id", "codes")
+    qcoded = (
+        sq_encode(emb.filter(F.col("vec_id") < 3), model)
+        .select(F.col("vec_id").alias("qid"), F.col("codes").alias("qcodes"))
+    )
+    approx = top_k_per_group(
+        coded.join(F.broadcast(qcoded))
+        .crossJoin(F.broadcast(model))
+        .select("qid", "vec_id", sq_l2_dist_expr(F.col("qcodes"), F.col("codes")).alias("dist")),
+        "qid", 10, F.col("dist").asc(), F.col("vec_id").asc(),
+    ).select("qid", "vec_id")
+    truth = knn(emb, queries, k=10, metric="l2").select("qid", "vec_id")
+    hits = truth.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(F.count(F.lit(1)).alias("n"))
+    return hits.agg(F.round(F.avg("n") / 10.0, ROUND).alias("avg_recall"))
+
+
+@query("pq_kmeans_recall")  # A6: k-means codebook — model-metric check (no SQL oracle)
+def pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib-KMeans-trained PQ (seeded): recall@10 of ADC ranking vs exact
+    L2 for one query. Weaker rows-only driver check; the quality bar
+    (recall ≥ 0.5 at M=8×K=16 on 64d) is asserted in tests."""
+    from custom_python_vectordb_spark.operators.knn import knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train_kmeans(emb, M, KCENT, seed=42, max_iter=10)
+    codes = pq_encode(emb, cb, M)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    lut = pq_lut(qv, cb, M)
+    approx = pq_adc_distances(codes, lut).orderBy("dist", "vec_id").limit(10).select("vec_id")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    truth = knn(emb, queries, k=10, metric="l2").select("vec_id")
+    n_hit = truth.join(approx, "vec_id").count()
+    return spark.createDataFrame([(float(n_hit) / 10.0,)], "recall double")
