@@ -46,3 +46,79 @@ def slugify(col: Column | str) -> Column:
     """E12 — the reference's id-slugging (lower + spaces→underscores,
     ``query_news_db.py:329,336``)."""
     return F.regexp_replace(F.lower(_c(col)), " ", "_")
+
+
+# ---- training-data text analysis (pipeline additions) --------------------
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu"],
+    "es": ["el", "la", "los", "y", "de", "que", "es"],
+    "fr": ["le", "la", "les", "et", "de", "que", "est"],
+}
+
+BPE_ISH_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are `lang` stopwords (0 for empty docs)."""
+    toks = tokenize(col)
+    # count with multiplicity: filter tokens ∈ stopword set
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    nhits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, nhits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic doc-quality heuristic in [0, 1]:
+    0.4·min(n_tokens/100, 1) + 0.3·en-stopword-ratio·3 (capped at 0.3)
+    + 0.3·(1 − punct_ratio) — length, naturalness, cleanliness."""
+    c = _c(col)
+    toks = tokenize(c)
+    n = F.size(toks)
+    length_part = F.least(n.cast("double") / 100.0, F.lit(1.0)) * 0.4
+    sw_part = F.least(stopword_ratio(c) * 3.0, F.lit(1.0)) * 0.3
+    n_chars = F.length(c)
+    punct = F.length(F.regexp_replace(F.lower(c), "[a-z0-9_\\s]", ""))
+    punct_part = (
+        F.when(n_chars > 0, 1.0 - punct.cast("double") / n_chars).otherwise(F.lit(1.0)) * 0.3
+    )
+    return length_part + sw_part + punct_part
+
+
+def langid_scores(col: Column | str) -> list[tuple[str, Column]]:
+    """(lang, stopword-hit-count) per language — the n-gram/function-word
+    voting heuristic."""
+    toks = tokenize(col)
+    out = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        out.append((lang, F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))))
+    return out
+
+
+def langid_predict(col: Column | str) -> Column:
+    """argmax language by stopword votes; 'und' when no votes; ties →
+    lexicographically-first language (deterministic)."""
+    scores = langid_scores(col)
+    best = None
+    for lang, s in sorted(scores, key=lambda kv: kv[0]):
+        entry = F.struct(s.alias("n"), F.lit(lang).alias("lang"))
+        best = entry if best is None else F.when(s > best["n"], entry).otherwise(best)
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def token_stats(col: Column | str) -> tuple[Column, Column]:
+    """(whitespace token count, BPE-ish regex token count)."""
+    c = _c(col)
+    ws = F.size(F.filter(F.split(c, "\\s+"), lambda t: t != F.lit("")))
+    bpe = F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_REGEX), 0))
+    return ws, bpe
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — a rolling-hash-free canonical fingerprint identical across
+    engines (duck: md5(array_to_string(list_sort(list_distinct(toks)),' ')))."""
+    toks = tokenize(col)
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))

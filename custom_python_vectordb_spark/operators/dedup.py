@@ -1,0 +1,232 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its only dup handling is id-collision checks,
+``vectordb_optimized.py:395-398``) — these are the standard corpus-dedup
+family, each expressed as a shuffle-minimal DataFrame plan:
+
+- exact:    md5(text) → groupBy hash (one shuffle on the hash)
+- MinHash+LSH: shingle → H seeded min-hashes → band buckets → bucket join
+  (candidates only; true Jaccard verifies) — the classic near-dup pipeline
+- SimHash:  per-token 60-bit hash, tf-weighted bit votes → 60-bit signature
+- n-gram Jaccard: shingle-set overlap via a shingle join (exact pairwise,
+  for candidate verification or small corpora)
+- embedding near-dup: cosine-similar pairs (brute pairs here; LSH/IVF from
+  operators/similarity.py bounds candidates at scale)
+
+Scale notes: every op is groupBy/join on hashed keys — uniform by
+construction, no skew; LSH banding keeps the candidate join linear in
+near-dup count rather than quadratic in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.functions.hashing import seeded_hash60
+from custom_python_vectordb_spark.functions.text import tokenize
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    toks = tokenize(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def duck_shingles(toks: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles_expr`; `toks` is a token-list SQL
+    expression (1-based inclusive slicing; empty range → empty list)."""
+    return (
+        f"list_distinct([array_to_string(({toks})[i:i+{n - 1}], ' ') "
+        f"FOR i IN range(1, len({toks}) - {n - 2})])"
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_hash, n, keeper): duplicate groups; keeper = min id (the row an
+    exact-dedup pass would retain)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keeper"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) exploded distinct shingles."""
+    return docs.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, h, minhash): h ∈ [0, num_hashes) seeded min-hash of the shingle
+    set. Documents with no shingles produce no rows (reference-free choice,
+    consistent across engines)."""
+    sh = doc_shingles(docs, shingle_n, id_col, text_col)
+    seeds = sh.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("h"))
+    hashed = sh.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col),
+        "h",
+        seeded_hash60(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("shingle")), 0).alias("hv"),
+    )
+    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b) a<b: pairs agreeing on all rows of ≥1 band. Band key = hash of
+    the concatenated minhashes of that band → join on (band, key)."""
+    banded = (
+        signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.format_string("%d:%d", F.col("h"), F.col("minhash")))))).alias("band_key")
+        )
+    )
+    left = banded.select(F.col(id_col).alias("a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    restrict_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(a, b, jaccard ≥ threshold): exact shingle-set Jaccard. Candidate
+    generation via the shingle join (pairs sharing ≥1 shingle); pass
+    `restrict_pairs` (a, b) to verify LSH candidates only."""
+    sh = doc_shingles(docs, shingle_n, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if restrict_pairs is not None:
+        inter = inter.join(restrict_pairs, ["a", "b"], "left_semi")
+    sized = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+    )
+    return sized.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def simhash_bits(
+    docs: DataFrame,
+    num_bits: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bit, b): tf-weighted per-bit vote sign of token hashes — the
+    48-bit SimHash signature in exploded form (bit 0 = LSB of the hash).
+    48 bits so floor(h / 2^bit) stays exact in double arithmetic on both
+    engines (bit index is a column, so integer shifts aren't available)."""
+    from custom_python_vectordb_spark.functions.hashing import seeded_hash48
+
+    toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    hashed = tf.withColumn("hv", seeded_hash48(F.col("term"), 7))
+    bits = hashed.sparkSession.range(num_bits).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        hashed.crossJoin(F.broadcast(bits))
+        .select(
+            F.col(id_col),
+            "bit",
+            (
+                F.col("tf").cast("double")
+                * (
+                    (F.floor(F.col("hv") / F.pow(F.lit(2.0), F.col("bit"))).cast("long") % 2)
+                    * 2
+                    - 1
+                ).cast("double")
+            ).alias("vote"),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("s"))
+        .select(F.col(id_col), "bit", (F.col("s") > 0).cast("int").alias("b"))
+    )
+    return votes
+
+
+def simhash_fingerprint(docs: DataFrame, num_bits: int = 48, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash): bit-string fingerprint, bit 0 first."""
+    bits = simhash_bits(docs, num_bits, id_col, text_col)
+    return (
+        bits.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("bit", "b"))), lambda s: s["b"].cast("string"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    num_bits: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, hamming ≤ max_hamming) over per-bit signature compare."""
+    bits = simhash_bits(docs, num_bits, id_col, text_col)
+    a = bits.select(F.col(id_col).alias("a"), "bit", F.col("b").alias("ba"))
+    bb = bits.select(F.col(id_col).alias("b"), "bit", F.col("b").alias("bb"))
+    return (
+        a.join(bb, "bit")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum((F.col("ba") != F.col("bb")).cast("long")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_topk(
+    vectors: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most cosine-similar distinct pairs (a < b). Brute pairwise —
+    at scale, generate candidates with LSH buckets (operators/similarity)
+    first and verify here."""
+    from custom_python_vectordb_spark.functions.distances import cosine_similarity
+
+    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b")).select(
+        "a", "b", cosine_similarity("va", "vb").alias("sim")
+    )
+    return pairs.orderBy(F.col("sim").desc(), "a", "b").limit(k)

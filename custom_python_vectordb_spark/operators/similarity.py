@@ -1,0 +1,123 @@
+"""Approximate nearest-neighbour accelerators: IVF and hyperplane-LSH.
+
+The HNSW role (``vectordb_optimized.py:271-280`` via hnswlib) on a cluster:
+bound the scanned fraction of the corpus per query, then exact-score only
+candidates. Both accelerators here are pure DataFrame plans:
+
+- **IVF**: coarse centroids → every vector assigned to nearest centroid
+  (the partition/bucketing key at scale: write the corpus partitioned by
+  `cluster` and probing prunes whole files); query probes `nprobe` nearest
+  cells, exact top-k within. Deterministic sample centroids keep the plan
+  oracle-checkable; KMeans (operators/quantization.pq_train_kmeans pattern)
+  drops in for quality.
+- **LSH**: random-hyperplane sign bits → bucket id; candidates = same
+  bucket. Hyperplanes are data rows (deterministic, engine-independent);
+  at scale use multiple tables (bands) to trade recall vs candidates.
+
+Both return the same (qid, vec_id, dist) contract as operators/knn.knn —
+recall vs the exact oracle is the quality metric (A12), measured in the
+registered recall queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.functions.distances import distance_expr, sq_l2_distance, dot_product
+from custom_python_vectordb_spark.operators.topk import top_k_per_group
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster): nearest centroid by L2² (ties → lowest cluster id).
+    `centroids`: (cluster, cvec)."""
+    scored = corpus.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("cluster"),
+        sq_l2_distance(vec_col, "cvec").alias("d2"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by("cluster", F.struct(F.col("d2"), F.col("cluster"))).alias("cluster")
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: per query probe the `nprobe` nearest cells, exact-score
+    only vectors in probed cells. Scanned fraction ≈ nprobe/n_cells."""
+    assigned = corpus.join(ivf_assign(corpus, centroids, id_col, vec_col), id_col)
+    qprobe = top_k_per_group(
+        queries.join(F.broadcast(centroids)).select(
+            "qid", "cluster", sq_l2_distance("qvec", "cvec").alias("d2")
+        ),
+        "qid", nprobe, F.col("d2").asc(), F.col("cluster").asc(),
+    ).select("qid", "cluster")
+    cands = assigned.join(F.broadcast(qprobe), "cluster").join(
+        F.broadcast(queries), "qid"
+    )
+    scored = cands.select("qid", id_col, distance_expr(metric, vec_col, "qvec").alias("dist"))
+    return top_k_per_group(scored, "qid", k, F.col("dist").asc(), F.col(id_col).asc()).orderBy(
+        "qid", "dist", id_col
+    )
+
+
+def lsh_bucket_expr(vec, hyperplanes_col):
+    """Bucket id from sign bits: Σ_i (v·h_i > 0) · 2^i (planes ordered)."""
+    return F.aggregate(
+        hyperplanes_col,
+        F.lit(0).cast("long"),
+        lambda acc, h: acc * F.lit(2).cast("long")
+        + (dot_product(vec, h) > 0).cast("long"),
+    )
+
+
+def lsh_buckets(
+    corpus: DataFrame,
+    hyperplanes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket). `hyperplanes`: (plane_idx, hvec) small DF, collected
+    into one array column and broadcast."""
+    planes = hyperplanes.agg(
+        F.array_sort(F.collect_list(F.struct("plane_idx", "hvec"))).alias("ps")
+    ).select(F.transform("ps", lambda s: s["hvec"]).alias("planes"))
+    return corpus.crossJoin(F.broadcast(planes)).select(
+        F.col(id_col), lsh_bucket_expr(F.col(vec_col), F.col("planes")).alias("bucket")
+    )
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    hyperplanes: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH search: exact top-k within the query's bucket (may return < k —
+    recall/candidate-count tradeoff is the number of planes)."""
+    cbuckets = corpus.join(lsh_buckets(corpus, hyperplanes, id_col, vec_col), id_col)
+    qbuckets = lsh_buckets(
+        queries.withColumnRenamed("qvec", vec_col).withColumnRenamed("qid", id_col),
+        hyperplanes, id_col, vec_col,
+    ).select(F.col(id_col).alias("qid"), F.col("bucket"))
+    cands = cbuckets.join(F.broadcast(qbuckets), "bucket").join(F.broadcast(queries), "qid")
+    scored = cands.select("qid", id_col, distance_expr(metric, vec_col, "qvec").alias("dist"))
+    return top_k_per_group(scored, "qid", k, F.col("dist").asc(), F.col(id_col).asc()).orderBy(
+        "qid", "dist", id_col
+    )

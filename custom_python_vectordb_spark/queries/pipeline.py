@@ -1,0 +1,408 @@
+"""Training-data pipeline queries: dedup (exact / MinHash-LSH / SimHash /
+Jaccard / embedding), ANN (IVF / LSH), text analysis (lang-id, quality,
+token stats, fingerprinting).
+
+Near-dup operators are exercised on an *injected-duplicates* corpus
+(documents ∪ copies of doc_id<20 re-keyed +10000) derived identically in
+both engines — the raw synthetic corpus has no near-dups, which would make
+every pair query vacuously empty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.functions.hashing import duck_seeded_hash48, duck_seeded_hash60
+from custom_python_vectordb_spark.functions.text import (
+    BPE_ISH_REGEX,
+    STOPWORDS,
+    doc_fingerprint,
+    duck_tokenize,
+    langid_predict,
+    quality_score,
+    token_stats,
+    tokenize,
+)
+from custom_python_vectordb_spark.operators.dedup import (
+    duck_shingles,
+    embedding_neardup_topk,
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_fingerprint,
+    simhash_pairs,
+)
+from custom_python_vectordb_spark.operators.similarity import ivf_assign, knn_ivf, knn_lsh
+from custom_python_vectordb_spark.operators.topk import top_k_per_group
+from custom_python_vectordb_spark.queries.spine import ROUND, _query_vectors, _t
+from custom_python_vectordb_spark.registry import query
+
+TOKS = duck_tokenize("text")
+
+DUCK_CORPUS = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20
+)"""
+
+DUCK_TOKS = f"tok AS (SELECT doc_id, {TOKS} AS toks FROM corpus)"
+DUCK_SHINGLES = f"shc AS (SELECT doc_id, unnest({duck_shingles('toks')}) AS shingle FROM tok)"
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = (
+        docs.filter(F.col("doc_id") < 20)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return docs.unionByName(dupes)
+
+
+# ---------------------------------------------------------------- dedup: exact
+
+@query("dedup_exact", f"""
+WITH {DUCK_CORPUS.strip()}
+SELECT md5(text) AS text_hash, COUNT(*) AS n, MIN(doc_id) AS keeper
+FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_corpus(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- dedup: MinHash + LSH
+
+@query("dedup_minhash", f"""
+WITH {DUCK_CORPUS.strip()}, {DUCK_TOKS.strip()}, {DUCK_SHINGLES.strip()},
+seeds AS (SELECT CAST(unnest(range(16)) AS INTEGER) AS h),
+mh AS (SELECT s.doc_id, d.h,
+              MIN({duck_seeded_hash60("CAST(d.h AS VARCHAR) || '|' || s.shingle", 0)}) AS minhash
+       FROM shc s, seeds d GROUP BY s.doc_id, d.h)
+SELECT doc_id, h, minhash FROM mh WHERE doc_id < 5
+""")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_corpus(spark, sf_dir), num_hashes=16)
+    return sigs.filter(F.col("doc_id") < 5)
+
+
+_DUCK_MINHASH_FULL = f"""
+seeds AS (SELECT CAST(unnest(range(16)) AS INTEGER) AS h),
+mh AS (SELECT s.doc_id, d.h,
+              MIN({duck_seeded_hash60("CAST(d.h AS VARCHAR) || '|' || s.shingle", 0)}) AS minhash
+       FROM shc s, seeds d GROUP BY s.doc_id, d.h),
+banded AS (
+    SELECT doc_id, CAST(h / 4 AS INTEGER) AS band,
+           md5(array_to_string(list_sort(list(format('{{}}:{{}}', h, minhash))), ',')) AS band_key
+    FROM mh GROUP BY doc_id, CAST(h / 4 AS INTEGER)
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+    WHERE l.doc_id < r.doc_id
+)"""
+
+_DUCK_JACCARD = """
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS i
+          FROM shc sa JOIN shc sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+          GROUP BY sa.doc_id, sb.doc_id),
+jac AS (SELECT i.a, i.b, CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) AS jaccard
+        FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b)"""
+
+
+@query("dedup_lsh_pairs", f"""
+WITH {DUCK_CORPUS.strip()}, {DUCK_TOKS.strip()}, {DUCK_SHINGLES.strip()},
+{_DUCK_MINHASH_FULL.strip()},
+{_DUCK_JACCARD.strip()}
+SELECT j.a, j.b, ROUND(j.jaccard, {ROUND}) AS jaccard
+FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+WHERE j.jaccard >= 0.5
+""")
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→band→bucket-join→verify pipeline: LSH candidates
+    (4 bands × 4 rows over 16 min-hashes) verified with exact Jaccard."""
+    corpus = _corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=16)
+    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    verified = jaccard_pairs(corpus, threshold=0.5, restrict_pairs=cands)
+    return verified.withColumn("jaccard", F.round("jaccard", ROUND))
+
+
+@query("dedup_jaccard_pairs", f"""
+WITH {DUCK_CORPUS.strip()}, {DUCK_TOKS.strip()}, {DUCK_SHINGLES.strip()},
+{_DUCK_JACCARD.strip()}
+SELECT a, b, ROUND(jaccard, {ROUND}) AS jaccard FROM jac WHERE jaccard >= 0.8
+""")
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = jaccard_pairs(_corpus(spark, sf_dir), threshold=0.8)
+    return out.withColumn("jaccard", F.round("jaccard", ROUND))
+
+
+# ---------------------------------------------------------------- dedup: SimHash
+
+_DUCK_SIMHASH_BITS = f"""
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY doc_id, term),
+hashed AS (SELECT doc_id, tf, {duck_seeded_hash48("term", 7)} AS hv FROM tf),
+bitsidx AS (SELECT CAST(unnest(range(48)) AS INTEGER) AS bit),
+votes AS (
+    SELECT h.doc_id, b.bit,
+           SUM(CAST(h.tf AS DOUBLE) *
+               ((CAST(floor(h.hv / power(2.0, b.bit)) AS BIGINT) % 2) * 2 - 1)) AS s
+    FROM hashed h, bitsidx b GROUP BY h.doc_id, b.bit
+),
+sbits AS (SELECT doc_id, bit, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b FROM votes)"""
+
+
+@query("dedup_simhash", f"""
+WITH {DUCK_CORPUS.strip()}, {DUCK_TOKS.strip()},
+{_DUCK_SIMHASH_BITS.strip()}
+SELECT doc_id, array_to_string(list(b ORDER BY bit), '') AS simhash
+FROM sbits WHERE doc_id < 5 GROUP BY doc_id
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprint(_corpus(spark, sf_dir)).filter(F.col("doc_id") < 5)
+
+
+@query("dedup_simhash_pairs", f"""
+WITH {DUCK_CORPUS.strip()}, {DUCK_TOKS.strip()},
+{_DUCK_SIMHASH_BITS.strip()},
+sub AS (SELECT * FROM sbits WHERE doc_id < 20 OR doc_id >= 10000)
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+FROM sub x JOIN sub y ON x.bit = y.bit AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+HAVING SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) <= 3
+""")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _corpus(spark, sf_dir).filter((F.col("doc_id") < 20) | (F.col("doc_id") >= 10000))
+    return simhash_pairs(sub, max_hamming=3)
+
+
+# ---------------------------------------------------------------- dedup: embedding
+
+@query("neardup_embedding", f"""
+WITH pairs AS (
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+           / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT a, b, ROUND(sim, {ROUND}) + 0.0 AS sim FROM pairs
+ORDER BY sim DESC, a, b LIMIT 20
+""")
+def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = embedding_neardup_topk(_t(spark, sf_dir, "embeddings"), k=20)
+    return out.withColumn("sim", F.round("sim", ROUND) + F.lit(0.0))
+
+
+# ---------------------------------------------------------------- ANN: IVF
+
+_DUCK_IVF = f"""
+cents AS (SELECT CAST(vec_id - 200 AS INTEGER) AS cluster, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id BETWEEN 200 AND 207),
+asgn AS (SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cluster) AS rn
+    FROM embeddings e, cents c
+) WHERE rn = 1)"""
+
+
+@query("ivf_cluster_sizes", f"""
+WITH {_DUCK_IVF.strip()}
+SELECT cluster, COUNT(*) AS n FROM asgn GROUP BY cluster
+""")
+def ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-size histogram — the partition-balance check for IVF bucketing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(200, 207)).select(
+        (F.col("vec_id") - 200).cast("int").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    return ivf_assign(emb, cents).groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("knn_ivf", f"""
+WITH {_DUCK_IVF.strip()},
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+qprobe AS (SELECT qid, cluster FROM (
+    SELECT q.qid, c.cluster,
+           row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cluster) AS rn
+    FROM q, cents c
+) WHERE rn <= 2),
+cand AS (SELECT p.qid, a.vec_id FROM asgn a JOIN qprobe p ON a.cluster = p.cluster),
+scored AS (
+    SELECT cand.qid, cand.vec_id,
+           1.0 - list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(q.qv, q.qv))) AS dist
+    FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id JOIN q ON q.qid = cand.qid
+)
+SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
+    SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 10 ORDER BY qid, dist, vec_id
+""")
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(200, 207)).select(
+        (F.col("vec_id") - 200).cast("int").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    out = knn_ivf(emb, _query_vectors(spark, sf_dir, 3), cents, k=10, nprobe=2)
+    return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
+
+
+# ---------------------------------------------------------------- ANN: LSH
+
+_DUCK_LSH = """
+planes AS (SELECT CAST(vec_id - 100 AS INTEGER) AS plane_idx, CAST(embedding AS DOUBLE[]) AS hv
+           FROM embeddings WHERE vec_id BETWEEN 100 AND 105),
+cbuck AS (SELECT e.vec_id,
+                 SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.hv) > 0
+                          THEN CAST(power(2, 5 - p.plane_idx) AS BIGINT) ELSE 0 END) AS bucket
+          FROM embeddings e, planes p GROUP BY e.vec_id)"""
+
+
+@query("knn_lsh", f"""
+WITH {_DUCK_LSH.strip()},
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+qbuck AS (SELECT b.vec_id AS qid, b.bucket FROM cbuck b WHERE b.vec_id < 3),
+cand AS (SELECT qb.qid, cb.vec_id FROM cbuck cb JOIN qbuck qb ON cb.bucket = qb.bucket),
+scored AS (
+    SELECT cand.qid, cand.vec_id,
+           1.0 - list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(q.qv, q.qv))) AS dist
+    FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id JOIN q ON q.qid = cand.qid
+)
+SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
+    SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 10 ORDER BY qid, dist, vec_id
+""")
+def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id").between(100, 105)).select(
+        (F.col("vec_id") - 100).cast("int").alias("plane_idx"), F.col("embedding").alias("hvec")
+    )
+    out = knn_lsh(emb, _query_vectors(spark, sf_dir, 3), planes, k=10)
+    return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
+
+
+@query("recall_ivf_vs_exact", f"""
+WITH {_DUCK_IVF.strip()},
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+qprobe AS (SELECT qid, cluster FROM (
+    SELECT q.qid, c.cluster,
+           row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cluster) AS rn
+    FROM q, cents c
+) WHERE rn <= 2),
+cand AS (SELECT p.qid, a.vec_id FROM asgn a JOIN qprobe p ON a.cluster = p.cluster),
+scored AS (
+    SELECT cand.qid, cand.vec_id,
+           1.0 - list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(q.qv, q.qv))) AS dist
+    FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id JOIN q ON q.qid = cand.qid
+),
+approx AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM scored
+) WHERE rn <= 10),
+exact_d AS (
+    SELECT q.qid, e.vec_id,
+           1.0 - list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(q.qv, q.qv))) AS dist
+    FROM embeddings e, q
+),
+truth AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM exact_d
+) WHERE rn <= 10),
+hits AS (SELECT t.qid, COUNT(*) AS n FROM truth t JOIN approx a USING (qid, vec_id) GROUP BY t.qid)
+SELECT ROUND(AVG(n) / 10.0, {ROUND}) AS avg_recall FROM hits
+""")
+def recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 for the IVF accelerator: recall@10 vs exact cosine."""
+    from custom_python_vectordb_spark.operators.knn import knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _query_vectors(spark, sf_dir, 3)
+    cents = emb.filter(F.col("vec_id").between(200, 207)).select(
+        (F.col("vec_id") - 200).cast("int").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    approx = knn_ivf(emb, queries, cents, k=10, nprobe=2).select("qid", "vec_id")
+    truth = knn(emb, queries, k=10, metric="cosine").select("qid", "vec_id")
+    hits = truth.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(F.count(F.lit(1)).alias("n"))
+    return hits.agg(F.round(F.avg("n") / 10.0, ROUND).alias("avg_recall"))
+
+
+# ---------------------------------------------------------------- text analysis
+
+@query("text_quality", f"""
+WITH tok AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+       ROUND(
+         least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+         + least(CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, t -> list_contains({STOPWORDS['en']}, t))) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END * 3.0, 1.0) * 0.3
+         + (CASE WHEN length(text) > 0
+                 THEN 1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9_\\s]', '', 'g')) AS DOUBLE) / length(text)
+                 ELSE 1.0 END) * 0.3,
+         {ROUND}) AS quality
+FROM tok
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score("text"), ROUND).alias("quality")
+    )
+
+
+@query("langid_heuristic", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+votes AS (SELECT doc_id,
+    len(list_filter(toks, t -> list_contains({STOPWORDS['de']}, t))) AS v_de,
+    len(list_filter(toks, t -> list_contains({STOPWORDS['en']}, t))) AS v_en,
+    len(list_filter(toks, t -> list_contains({STOPWORDS['es']}, t))) AS v_es,
+    len(list_filter(toks, t -> list_contains({STOPWORDS['fr']}, t))) AS v_fr
+    FROM tok)
+SELECT doc_id,
+       CASE WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr AND v_de > 0 THEN 'de'
+            WHEN v_en >= v_es AND v_en >= v_fr AND v_en > 0 THEN 'en'
+            WHEN v_es >= v_fr AND v_es > 0 THEN 'es'
+            WHEN v_fr > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang
+FROM votes
+""")
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word voting lang-id (ties → lexicographically-first lang)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", langid_predict("text").alias("pred_lang")
+    )
+
+
+@query("token_stats", f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_ws,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_REGEX}')) AS INTEGER) AS n_bpe
+FROM documents
+""")
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws, bpe = token_stats("text")
+    return _t(spark, sf_dir, "documents").select("doc_id", ws.alias("n_ws"), bpe.alias("n_bpe"))
+
+
+@query("doc_fingerprint", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM tok WHERE doc_id < 50
+""")
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (bag-of-words canonical form)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    )
