@@ -1,0 +1,187 @@
+"""User-facing facade: VectorDB / Collection with the reference's client
+surface (``fastpyvectordb/client.py``, ``vectordb_optimized.py:746-818``),
+re-expressed over the Spark engine. A user of the reference switches by
+constructing ``VectorDB(spark, root)`` instead of ``VectorDB(path)``.
+
+Semantic deltas, all strict improvements and documented:
+- search is exact (filter-then-rank) — no fetch_k over-fetch, never
+  returns < k when k matches exist (fixes the reference's filtered-ANN
+  correctness hole, ``vectordb_optimized.py:531-532``)
+- mutations are batch rewrite jobs (no tombstones, no locks)
+- results come back as DataFrames (collect() for lists-of-dicts parity)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.functions.embeddings import embed_column, mock_embed_one
+from custom_python_vectordb_spark.functions.filters import Filter
+from custom_python_vectordb_spark.operators import mutations
+from custom_python_vectordb_spark.operators.bm25 import bm25_topk, hybrid_search
+from custom_python_vectordb_spark.operators.knn import knn
+from custom_python_vectordb_spark.sources.warehouse import Warehouse
+
+
+class Collection:
+    """One vector collection = one Parquet table
+    (id STRING, embedding ARRAY<FLOAT>, …metadata columns)."""
+
+    def __init__(self, db: "VectorDB", name: str, dimensions: int):
+        self.db = db
+        self.name = name
+        self.dimensions = dimensions
+
+    # -- reads ------------------------------------------------------------
+    def df(self) -> DataFrame:
+        return self.db.warehouse.load(self.name)
+
+    def count(self) -> int:
+        return self.df().count()
+
+    def get(self, id: str, include_vector: bool = False) -> dict | None:
+        rows = self.df().filter(F.col("id") == id).collect()
+        if not rows:
+            return None
+        d = rows[0].asDict(recursive=True)
+        if not include_vector:
+            d.pop("embedding", None)
+        return d
+
+    def get_batch(self, ids: list[str], include_vectors: bool = False) -> list[dict]:
+        ids_df = self.db.spark.createDataFrame([(i,) for i in ids], "id string")
+        rows = self.df().join(F.broadcast(ids_df), "id", "left_semi").collect()
+        out = []
+        for r in rows:
+            d = r.asDict(recursive=True)
+            if not include_vectors:
+                d.pop("embedding", None)
+            out.append(d)
+        return out
+
+    def list_ids(self, limit: int = 100, offset: int = 0) -> list[str]:
+        return [
+            r["id"]
+            for r in self.df().select("id").orderBy("id").offset(offset).limit(limit).collect()
+        ]
+
+    def peek(self, n: int = 5) -> DataFrame:
+        return self.df().orderBy("id").limit(n)
+
+    # -- writes -----------------------------------------------------------
+    def _validate(self, df: DataFrame) -> DataFrame:
+        bad = df.filter(F.size("embedding") != self.dimensions).count()
+        if bad:
+            raise ValueError(f"{bad} vector(s) with wrong dimension, expected {self.dimensions}")
+        return df
+
+    def insert_batch(self, df: DataFrame) -> None:
+        merged = mutations.insert_batch(self.df(), self._validate(df), "id")
+        self.db.warehouse.save(self.name, merged)
+
+    def upsert(self, df: DataFrame) -> None:
+        merged = mutations.upsert(self.df(), self._validate(df), "id")
+        self.db.warehouse.save(self.name, merged)
+
+    def delete(self, ids: list[str]) -> None:
+        self.db.warehouse.save(self.name, mutations.delete_ids(self.df(), ids, "id"))
+
+    def delete_by_filter(self, predicate: Column | Filter) -> None:
+        pred = predicate.column if isinstance(predicate, Filter) else predicate
+        self.db.warehouse.save(self.name, mutations.delete_by_filter(self.df(), pred))
+
+    def update_metadata(self, changes: DataFrame) -> None:
+        self.db.warehouse.save(self.name, mutations.update_merge(self.df(), changes, "id"))
+
+    # -- search -----------------------------------------------------------
+    def search(
+        self,
+        vector: list[float] | None = None,
+        query_text: str | None = None,
+        k: int = 10,
+        metric: str = "cosine",
+        where: dict[str, Any] | Column | Filter | None = None,
+    ) -> DataFrame:
+        """Exact kNN; `query_text` is embedded with the deterministic mock
+        provider (server-side embed, ``server_full.py:360-362``)."""
+        if (vector is None) == (query_text is None):
+            raise ValueError("provide exactly one of vector / query_text")
+        if vector is None:
+            vector = mock_embed_one(query_text, self.dimensions).tolist()
+        cond = None
+        if isinstance(where, dict):
+            cond = Filter.from_dict(where).column
+        elif isinstance(where, Filter):
+            cond = where.column
+        elif where is not None:
+            cond = where
+        queries = self.db.spark.createDataFrame(
+            [(0, [float(x) for x in vector])], "qid long, qvec array<float>"
+        )
+        payload = [c for c in self.df().columns if c not in ("id", "embedding")]
+        return knn(
+            self.df(), queries, k=k, metric=metric, id_col="id",
+            filter_cond=cond, payload_cols=payload,
+        ).drop("qid")
+
+    def keyword_search(self, query: str, k: int = 10) -> DataFrame:
+        return bm25_topk(self.df(), query, k=k, id_col="id", text_col="_document")
+
+    def hybrid(self, query_text: str, k: int = 10, alpha: float = 0.5) -> DataFrame:
+        qv = self.db.spark.createDataFrame(
+            [(mock_embed_one(query_text, self.dimensions).tolist(),)], "qvec array<float>"
+        )
+        return hybrid_search(
+            self.df(), self.df(), qv, query_text, k=k, alpha=alpha,
+            vec_id_col="id", doc_id_col="id", text_col="_document",
+        )
+
+    def add_texts(self, texts: list[tuple[str, str]], **metadata_cols) -> None:
+        """ChromaDB-style: (id, document) pairs embedded on insert; the raw
+        text is kept in `_document` (the reference's `_`-prefixed internal
+        field convention, stripped from result projections)."""
+        df = self.db.spark.createDataFrame(texts, "id string, _document string")
+        df = embed_column(df, "_document", "embedding", self.dimensions)
+        for col, vals in metadata_cols.items():
+            mapping = F.create_map(*[F.lit(x) for kv in vals.items() for x in kv])
+            df = df.withColumn(col, mapping[F.col("id")])
+        self.insert_batch(df)
+
+
+class VectorDB:
+    """Multi-collection database over a warehouse directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.warehouse = Warehouse(spark, root)
+        self._dims: dict[str, int] = {}
+
+    def create_collection(self, name: str, dimensions: int, overwrite: bool = False) -> Collection:
+        if self.warehouse.exists(name):
+            if not overwrite:
+                raise ValueError(f"collection {name!r} already exists")
+            self.warehouse.drop(name)
+        empty = self.spark.createDataFrame([], f"id string, embedding array<float>, _document string")
+        self.warehouse.save(name, empty)
+        self._dims[name] = dimensions
+        return Collection(self, name, dimensions)
+
+    def get_collection(self, name: str, dimensions: int | None = None) -> Collection:
+        if not self.warehouse.exists(name):
+            raise FileNotFoundError(f"collection {name!r} does not exist")
+        dim = dimensions or self._dims.get(name)
+        if dim is None:
+            row = self.warehouse.load(name).select(F.size("embedding").alias("d")).first()
+            dim = row["d"] if row else 64
+        self._dims[name] = dim
+        return Collection(self, name, dim)
+
+    def list_collections(self) -> list[str]:
+        return self.warehouse.list_collections()
+
+    def delete_collection(self, name: str) -> bool:
+        self._dims.pop(name, None)
+        return self.warehouse.drop(name)

@@ -1,0 +1,129 @@
+"""Mutation-operator queries (M1-M7) in pure form: each derives a mutation
+batch from the tables, applies the rewrite plan, and returns a checkable
+slice of the result — side-effect-free, so the driver can value-hash them.
+The write path (temp+swap commit) is exercised in tests/test_api.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.functions.embeddings import embed_column
+from custom_python_vectordb_spark.operators.mutations import (
+    cascade_delete_nodes,
+    delete_by_filter,
+    delete_ids,
+    update_merge,
+    upsert,
+)
+from custom_python_vectordb_spark.queries.spine import _t
+from custom_python_vectordb_spark.registry import query
+from custom_python_vectordb_spark.sources.graph_view import DUCK_EDGES, DUCK_NODES, edges_df, nodes_df
+
+
+@query("mutation_upsert", """
+WITH batch AS (
+    SELECT doc_id, 'updated:' || lang AS lang FROM documents WHERE doc_id < 10
+),
+merged AS (
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM batch)
+    UNION ALL
+    SELECT doc_id, lang FROM batch
+)
+SELECT doc_id, lang FROM merged WHERE doc_id < 15
+""")
+def mutation_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — delete-then-insert replace of 10 rows."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    batch = docs.filter(F.col("doc_id") < 10).select(
+        "doc_id", F.concat(F.lit("updated:"), F.col("lang")).alias("lang")
+    )
+    return upsert(docs, batch, "doc_id").filter(F.col("doc_id") < 15)
+
+
+@query("mutation_delete_ids", """
+SELECT COUNT(*) AS n, MIN(doc_id) AS min_id FROM documents WHERE doc_id NOT IN (0,1,2,3,4,5,6,7,8,9)
+""")
+def mutation_delete_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — anti-join rewrite."""
+    docs = _t(spark, sf_dir, "documents")
+    remaining = delete_ids(docs, list(range(10)), "doc_id")
+    return remaining.agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+
+
+@query("mutation_delete_by_filter", """
+SELECT lang, COUNT(*) AS n FROM documents
+WHERE NOT COALESCE(lang IS NOT NULL AND lang = 'en', FALSE)
+GROUP BY lang
+""")
+def mutation_delete_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — delete WHERE lang='en' (missing-field rows are kept)."""
+    from custom_python_vectordb_spark.functions.filters import Filter
+
+    docs = _t(spark, sf_dir, "documents")
+    remaining = delete_by_filter(docs, Filter.where("lang", "eq", "en").column)
+    return remaining.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("mutation_update_merge", """
+WITH changes AS (
+    SELECT doc_id, 'bulk' AS source, NULL::BIGINT AS n_chars FROM documents WHERE doc_id < 10
+)
+SELECT d.doc_id,
+       CASE WHEN c.doc_id IS NOT NULL THEN COALESCE(c.source, d.source) ELSE d.source END AS source,
+       CASE WHEN c.doc_id IS NOT NULL THEN COALESCE(c.n_chars, d.n_chars) ELSE d.n_chars END AS n_chars
+FROM documents d LEFT JOIN changes c USING (doc_id)
+WHERE d.doc_id < 15
+""")
+def mutation_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — column-merge update: `source` overwritten, NULL `n_chars`
+    means keep-existing."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    changes = docs.filter(F.col("doc_id") < 10).select(
+        "doc_id", F.lit("bulk").alias("source"), F.lit(None).cast("long").alias("n_chars")
+    )
+    return update_merge(docs, changes, "doc_id").filter(F.col("doc_id") < 15)
+
+
+@query("mutation_cascade_delete", f"""
+WITH {DUCK_NODES.strip()}, {DUCK_EDGES.strip()},
+gone(id) AS (VALUES ('c:1'), ('n:0')),
+kept_edges AS (
+    SELECT * FROM edges
+    WHERE src NOT IN (SELECT id FROM gone) AND dst NOT IN (SELECT id FROM gone)
+)
+SELECT type, COUNT(*) AS n FROM kept_edges GROUP BY type
+""")
+def mutation_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — deleting nodes c:1 and n:0 drops their PLACED/IN_NATION edges."""
+    from custom_python_vectordb_spark.session import tune_session
+
+    tune_session(spark)
+    nodes = nodes_df(spark, sf_dir)
+    edges = edges_df(spark, sf_dir)
+    _, kept = cascade_delete_nodes(nodes, edges, ["c:1", "n:0"])
+    return kept.groupBy("type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("embed_mock")  # E8: numpy RandomState is not SQL-expressible → rows-only check
+def embed_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mock embeddings for the first 20 docs: verifies the
+    pandas-UDF provider path end-to-end; exact parity with the reference's
+    MockEmbedder is asserted bit-for-bit in tests/test_embeddings.py."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select("doc_id", "text")
+    out = embed_column(docs, "text", "embedding", dimensions=64)
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+            4,
+        ).alias("norm"),
+    )

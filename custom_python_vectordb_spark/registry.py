@@ -43,9 +43,10 @@ def load_all() -> None:
         "text",
         "graph",
         "quantization",
-        "dedup",
-        "streaming",
         "pipeline",
+        "mutation",
+        "streaming",
+        "multimodal",
     ):
         try:
             __import__(f"custom_python_vectordb_spark.queries.{mod}")

@@ -1,0 +1,68 @@
+"""Collection persistence: a directory of Parquet tables (SURVEY.md §1.4).
+
+Replaces the reference's four hand-rolled formats (HNSW binary + JSON state
+``vectordb_optimized.py:282-331``, PYVDB binary ``binary_persistence.py:
+39-193``, mmap store ``parallel_search.py:427-661``, graph JSON
+``graph.py:540-582``) with Parquet: schema/stats in the footer, ZSTD
+compression, row-group pruning.
+
+Rewrites (upsert/delete are full-table rewrites in an immutable store) use
+write-to-temp-then-swap so a reader never sees a half-written table.
+At warehouse scale the same layout maps to object-store prefixes and the
+swap becomes a metastore pointer flip (or a table format's commit).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Warehouse:
+    """M8 — create/drop/list/load/save collections under a root dir."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def list_collections(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(self._path(d)) and not d.startswith("_")
+        )
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
+    def load(self, name: str) -> DataFrame:
+        if not self.exists(name):
+            raise FileNotFoundError(f"collection {name!r} does not exist")
+        return self.spark.read.parquet(self._path(name))
+
+    def save(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
+        """Append writes go straight in; overwrites go through temp+swap
+        (Spark can't overwrite a directory it is currently reading)."""
+        path = self._path(name)
+        if mode == "append" and self.exists(name):
+            df.write.mode("append").parquet(path)
+            return
+        tmp = os.path.join(self.root, f"_tmp_{name}_{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(self.root, f"_old_{name}_{uuid.uuid4().hex[:8]}")
+        if self.exists(name):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def drop(self, name: str) -> bool:
+        if not self.exists(name):
+            return False
+        shutil.rmtree(self._path(name))
+        return True

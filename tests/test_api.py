@@ -1,0 +1,110 @@
+"""End-to-end client API: the reference's tests/test_client.py coverage —
+add/query/filter/update/upsert/delete/delete-by-filter/peek/persistence
+reload — against the Spark engine facade."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.api import VectorDB
+from custom_python_vectordb_spark.functions.embeddings import mock_embed_one
+from custom_python_vectordb_spark.functions.filters import Filter
+from custom_python_vectordb_spark.operators.mutations import DuplicateIdError
+
+TEXTS = [
+    ("d1", "spark shuffles data between stages"),
+    ("d2", "broadcast joins avoid the shuffle"),
+    ("d3", "the quick brown fox jumps"),
+    ("d4", "hash join and merge join strategies"),
+]
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return VectorDB(spark, str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def coll(db):
+    c = db.create_collection("docs", dimensions=64)
+    c.add_texts(TEXTS, category={"d1": "eng", "d2": "eng", "d3": "animals", "d4": "eng"})
+    return c
+
+
+def test_create_list_drop(db):
+    db.create_collection("a", 8)
+    db.create_collection("b", 8)
+    assert db.list_collections() == ["a", "b"]
+    assert db.delete_collection("a") is True
+    assert db.list_collections() == ["b"]
+    with pytest.raises(ValueError):
+        db.create_collection("b", 8)
+
+
+def test_count_get_peek(coll):
+    assert coll.count() == 4
+    got = coll.get("d2")
+    assert got["_document"].startswith("broadcast")
+    assert "embedding" not in got
+    assert coll.get("d2", include_vector=True)["embedding"] is not None
+    assert coll.get("nope") is None
+    assert coll.list_ids(limit=2) == ["d1", "d2"]
+    assert coll.peek(2).count() == 2
+
+
+def test_search_text_and_vector(coll):
+    hits = coll.search(query_text="spark shuffles data between stages", k=2).collect()
+    assert hits[0]["id"] == "d1" and hits[0]["dist"] == pytest.approx(0.0, abs=1e-6)
+    vec = mock_embed_one("broadcast joins avoid the shuffle", 64).tolist()
+    hits = coll.search(vector=vec, k=1).collect()
+    assert hits[0]["id"] == "d2"
+    with pytest.raises(ValueError):
+        coll.search()
+
+
+def test_search_filtered_exact(coll):
+    hits = coll.search(query_text="anything at all", k=4, where={"category": "animals"}).collect()
+    # exact engine: filter-then-rank returns every match, never starves
+    assert [h["id"] for h in hits] == ["d3"]
+
+
+def test_insert_dup_gate_and_upsert(coll, spark):
+    batch = spark.createDataFrame(
+        [("d1", mock_embed_one("x", 64).tolist(), "replacement", "eng")],
+        "id string, embedding array<float>, _document string, category string",
+    )
+    with pytest.raises(DuplicateIdError):
+        coll.insert_batch(batch)
+    coll.upsert(batch)
+    assert coll.count() == 4
+    assert coll.get("d1")["_document"] == "replacement"
+
+
+def test_delete_and_delete_by_filter(coll):
+    coll.delete(["d3"])
+    assert coll.count() == 3
+    coll.delete_by_filter(Filter.where("category", "eq", "eng").column)
+    assert coll.count() == 0
+
+
+def test_update_metadata_merge(coll, spark):
+    changes = spark.createDataFrame([("d1", "updated")], "id string, category string")
+    coll.update_metadata(changes)
+    assert coll.get("d1")["category"] == "updated"
+    assert coll.get("d2")["category"] == "eng"  # untouched
+
+
+def test_persistence_reload(db, coll):
+    again = db.get_collection("docs")
+    assert again.count() == 4
+    hits = again.search(query_text="hash join and merge join strategies", k=1).collect()
+    assert hits[0]["id"] == "d4"
+
+
+def test_keyword_and_hybrid(coll):
+    kw = coll.keyword_search("merge join strategies", k=2).collect()
+    assert kw[0]["id"] == "d4"
+    hy = coll.hybrid("spark shuffles data between stages", k=2).collect()
+    assert hy[0]["id"] == "d1"
