@@ -19,14 +19,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # vector search (the reference's core): exact kNN, filtered, quantized, rerank
     "knn_cosine",
     "knn_l2",
     "knn_filtered",
+    "knn_sq_l2",
+    "knn_sq_rerank",
+    "knn_ivf",
+    # text / hybrid
+    "bm25_topk",
+    "hybrid_fusion",
+    # analytics
     "pricing_summary",
     "top_customers",
     "agg_events_by_type",
     "agg_orders_year_status",
-    "set_union",
+    # graph
+    "graph_degree_top",
+    "graph_pattern_2hop",
+    "graph_semantic_search",
+    # pipeline
+    "dedup_lsh_pairs",
+    "text_quality",
+    "events_session_window",
 ]
 
 

@@ -28,13 +28,18 @@ from custom_python_vectordb_spark.functions.text import tokenize
 
 
 def shingles_expr(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column."""
-    toks = tokenize(text)
+    """Distinct word n-gram shingles of a text column. Prefer
+    :func:`doc_shingles`, which tokenizes once per row."""
+    return _grams_of(tokenize(text), n)
+
+
+def _grams_of(toks: Column, n: int) -> Column:
+    # O(1) element lookups per gram (slice() would copy O(n) per position)
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
@@ -61,10 +66,11 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle) exploded distinct shingles."""
-    return docs.select(
-        F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("shingle")
-    )
+    """(id, shingle) exploded distinct shingles. Tokenization materializes
+    in its own projection so the gram lambda reuses it instead of
+    re-splitting the text once per gram."""
+    toks = docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("toks"))
+    return toks.select(F.col(id_col), F.explode(_grams_of(F.col("toks"), n)).alias("shingle"))
 
 
 def minhash_signatures(
@@ -73,11 +79,13 @@ def minhash_signatures(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, h, minhash): h ∈ [0, num_hashes) seeded min-hash of the shingle
     set. Documents with no shingles produce no rows (reference-free choice,
-    consistent across engines)."""
-    sh = doc_shingles(docs, shingle_n, id_col, text_col)
+    consistent across engines). Pass `shingles` to reuse a precomputed
+    (cached) shingle table."""
+    sh = shingles if shingles is not None else doc_shingles(docs, shingle_n, id_col, text_col)
     seeds = sh.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("h"))
     hashed = sh.crossJoin(F.broadcast(seeds)).select(
         F.col(id_col),
@@ -119,22 +127,33 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     restrict_pairs: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, jaccard ≥ threshold): exact shingle-set Jaccard. Candidate
     generation via the shingle join (pairs sharing ≥1 shingle); pass
-    `restrict_pairs` (a, b) to verify LSH candidates only."""
-    sh = doc_shingles(docs, shingle_n, id_col, text_col)
+    `restrict_pairs` (a, b) to verify LSH candidates only, and `shingles`
+    to reuse a precomputed shingle table."""
+    sh = shingles if shingles is not None else doc_shingles(docs, shingle_n, id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if restrict_pairs is not None:
-        inter = inter.join(restrict_pairs, ["a", "b"], "left_semi")
+        # candidates-first: join shingles onto the (small) candidate set,
+        # never materializing the all-co-shingle-pairs blowup — with a
+        # repetitive vocabulary that blowup is ~quadratic in corpus size
+        inter = (
+            restrict_pairs.join(a, "a")
+            .join(b, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sized = (
         inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")

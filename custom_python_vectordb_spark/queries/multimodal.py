@@ -1,0 +1,105 @@
+"""Multimodal queries: binary columns, stubbed decode via mapInPandas
+(the Arrow plumbing under test; dims are a pure function of payload bytes
+so DuckDB can oracle-check the full pipeline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    media_features,
+    media_from_text,
+    media_metadata,
+    resize_media,
+)
+from custom_python_vectordb_spark.queries.spine import _t
+from custom_python_vectordb_spark.registry import query
+
+DUCK_MEDIA = """
+media AS (
+    SELECT doc_id, CAST(text AS BLOB) AS media,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type
+    FROM documents
+)"""
+
+
+@query("media_metadata", f"""
+WITH {DUCK_MEDIA.strip()}
+SELECT doc_id, media_type, CAST(octet_length(media) AS INTEGER) AS n_bytes, md5(CAST(media AS VARCHAR)) AS digest
+FROM media
+""")
+def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_metadata(media_from_text(_t(spark, sf_dir, "documents")))
+
+
+@query("media_decode", f"""
+WITH {DUCK_MEDIA.strip()}
+SELECT doc_id,
+       CAST(octet_length(media) % 640 + 1 AS INTEGER) AS width,
+       CAST((octet_length(media) * 7) % 480 + 1 AS INTEGER) AS height,
+       3 AS channels
+FROM media
+""")
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas fake-decode — oracle checks the Arrow round trip of the
+    binary column against pure SQL arithmetic on the payload length."""
+    out = decode_media(media_from_text(_t(spark, sf_dir, "documents")))
+    return out.withColumn("channels", F.col("channels").cast("int"))
+
+
+@query("media_resize", f"""
+WITH {DUCK_MEDIA.strip()},
+dec AS (
+    SELECT doc_id,
+           octet_length(media) % 640 + 1 AS width,
+           (octet_length(media) * 7) % 480 + 1 AS height
+    FROM media
+),
+scaled AS (
+    SELECT doc_id,
+           CASE WHEN greatest(width, height) > 256
+                THEN 256.0 / greatest(width, height) ELSE 1.0 END AS s,
+           width, height
+    FROM dec
+)
+SELECT doc_id,
+       CAST(greatest(floor(width * s), 1) AS INTEGER) AS width,
+       CAST(greatest(floor(height * s), 1) AS INTEGER) AS height
+FROM scaled
+""")
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = decode_media(media_from_text(_t(spark, sf_dir, "documents")))
+    return resize_media(decoded, 256).select("doc_id", "width", "height")
+
+
+@query("media_frame_sample", f"""
+WITH {DUCK_MEDIA.strip()}
+SELECT m.doc_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
+       CAST(floor(f.frame_idx * octet_length(m.media) / 4) AS BIGINT) AS byte_offset
+FROM media m, (SELECT unnest(range(4)) AS frame_idx) f
+WHERE m.media_type = 'video'
+""")
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(media_from_text(_t(spark, sf_dir, "documents")), 4)
+
+
+@query("media_features")  # mock-embedding feature vectors — rows-only check
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = media_features(media_from_text(_t(spark, sf_dir, "documents")), 64)
+    return out.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("features", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+            4,
+        ).alias("norm"),
+    )

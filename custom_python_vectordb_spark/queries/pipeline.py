@@ -123,10 +123,15 @@ WHERE j.jaccard >= 0.5
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash→band→bucket-join→verify pipeline: LSH candidates
     (4 bands × 4 rows over 16 min-hashes) verified with exact Jaccard."""
+    from custom_python_vectordb_spark.operators.dedup import doc_shingles
+
     corpus = _corpus(spark, sf_dir)
-    sigs = minhash_signatures(corpus, num_hashes=16)
+    # shingling is the expensive stage — compute once, share between the
+    # signature build and the Jaccard verification
+    sh = doc_shingles(corpus).localCheckpoint(eager=False)
+    sigs = minhash_signatures(corpus, num_hashes=16, shingles=sh)
     cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
-    verified = jaccard_pairs(corpus, threshold=0.5, restrict_pairs=cands)
+    verified = jaccard_pairs(corpus, threshold=0.5, restrict_pairs=cands, shingles=sh)
     return verified.withColumn("jaccard", F.round("jaccard", ROUND))
 
 

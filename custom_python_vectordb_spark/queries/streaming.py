@@ -1,0 +1,96 @@
+"""Streaming-layer queries in batch form (the window/subscription operators
+are identical expressions in batch and streaming — the streaming execution
+path with triggers, sinks, and watermarks is exercised in
+tests/test_streaming.py, which asserts stream results equal these batch
+plans).
+
+DuckDB oracles first truncate the nanosecond timestamps to microseconds
+(CAST(ts AS TIMESTAMP)) to pin the same precision Spark reads."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.queries.spine import ROUND, _t
+from custom_python_vectordb_spark.registry import query
+from custom_python_vectordb_spark.streaming.events import (
+    replay_tail,
+    session_windows,
+    sliding_counts,
+    subscription_filter,
+    tumbling_counts,
+)
+
+DUCK_EV = "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+
+@query("events_tumbling_window", f"""
+WITH {DUCK_EV}
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+FROM ev GROUP BY 1, 2
+""")
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(_t(spark, sf_dir, "events"), "1 hour")
+
+
+@query("events_sliding_window", f"""
+WITH {DUCK_EV},
+starts AS (
+    SELECT event_id, date_trunc('hour', ts) AS ws FROM ev
+    UNION ALL
+    SELECT event_id, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM ev
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n
+FROM starts GROUP BY ws
+""")
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2h windows sliding 1h — each event lands in exactly two windows."""
+    return sliding_counts(_t(spark, sf_dir, "events"), "2 hours", "1 hour")
+
+
+@query("events_session_window", f"""
+WITH {DUCK_EV},
+marks AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM ev
+),
+sessions AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marks
+)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, COUNT(*) AS n
+FROM sessions GROUP BY user_id, sid
+""")
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (5 min) per user — F.session_window vs the
+    classic gaps-and-islands oracle."""
+    return session_windows(_t(spark, sf_dir, "events"), "5 minutes")
+
+
+@query("events_subscription", """
+SELECT event_id, event_type, props FROM events
+WHERE event_type IN ('click', 'purchase')
+  AND json_extract_string(props, '$.k') IS NOT NULL
+  AND json_extract_string(props, '$.k') = '37'
+""")
+def events_subscription(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 — Subscription.matches as a filter (type set + metadata equality)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        subscription_filter(event_types=["click", "purchase"], metadata={"k": 37})
+    ).select("event_id", "event_type", "props")
+
+
+@query("events_replay_tail", """
+SELECT event_id, event_type FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 10
+""")
+def events_replay_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 — bounded replay for late joiners."""
+    return replay_tail(_t(spark, sf_dir, "events"), 10).select("event_id", "event_type")

@@ -1,0 +1,126 @@
+"""Realtime layer (SURVEY.md §2.10) as Structured Streaming.
+
+The reference's realtime module is a change-event pub/sub (``realtime.py``):
+an EventBus queue, Subscription filters, N-subscriber broadcast, bounded
+replay. Spark mapping:
+
+- R1 event emission      → the `events` table IS the stream: `readStream`
+  over its directory (file source; Kafka at production scale)
+- R2 Subscription.matches (``realtime.py:99-118``) → a filter Column usable
+  identically in batch and streaming (empty set = match-all, metadata
+  equality over JSON props)
+- R3 broadcast to N subscribers (``realtime.py:184-215``) → N streaming
+  queries over one source, each with its own sink/offset tracking
+- R4 bounded replay (``realtime.py:132-137``) → tail-N batch query (the
+  history buffer is just the table)
+- R5 drop-oldest backpressure (``realtime.py:242-318``) → engine-level:
+  source buffering + watermark eviction replace the hand-rolled queue
+
+Beyond parity (the reference has NO windowed operators): tumbling /
+sliding / session windows with watermarked late-data handling over
+`events.ts` — see queries/streaming.py for the oracle-checked batch
+equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events directory (nanos → micros timestamp,
+    same convention as sources/catalog.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # single-file table; the file source wants a directory
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def subscription_filter(
+    collections: list[str] | None = None,
+    event_types: list[str] | None = None,
+    metadata: dict[str, object] | None = None,
+    collection_col: str = "event_type",  # test schema has no collection col
+    props_col: str = "props",
+) -> Column:
+    """R2 — ``Subscription.matches`` semantics: every provided constraint
+    must hold; an absent/empty constraint matches everything; metadata
+    equality over the JSON props (missing key ⇒ no match)."""
+    cond = F.lit(True)
+    if collections:
+        cond = cond & F.col(collection_col).isin(collections)
+    if event_types:
+        cond = cond & F.col("event_type").isin(event_types)
+    if metadata:
+        for k, v in metadata.items():
+            extracted = F.get_json_object(F.col(props_col), f"$.{k}")
+            cond = cond & extracted.isNotNull() & (extracted == F.lit(str(v)))
+    return cond
+
+
+def replay_tail(events: DataFrame, n: int = 10) -> DataFrame:
+    """R4 — last-n replay for late joiners (history buffer = the table)."""
+    return events.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(n)
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str | None = None) -> DataFrame:
+    """Tumbling-window counts per event_type; pass `watermark` on streams
+    to bound state and drop late rows."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "avg_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, size: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Session windows per user (gap-based). In batch this is the classic
+    gaps-and-islands; F.session_window expresses it in one operator for
+    both batch and streaming."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n",
+        )
+    )

