@@ -81,10 +81,16 @@ def bm25_scores(
         qcounts[t] = qcounts.get(t, 0) + 1
     q = spark.createDataFrame(list(qcounts.items()), "term string, qn long")
 
-    post = postings(docs, id_col, text_col)
+    # tokenize once; postings/df/dl/stats all derive from this materialization
+    toks = tokens_df(docs, id_col, text_col).localCheckpoint(eager=False)
+    post = (
+        toks.select(F.col(id_col), F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    dl = doc_lengths(docs, id_col, text_col)
-    stats = corpus_stats(docs, id_col, text_col)
+    dl = toks.select(F.col(id_col), F.size("toks").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
 
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     tf_part = (F.col("tf") * (K1 + 1)) / (

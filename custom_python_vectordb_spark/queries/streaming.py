@@ -94,3 +94,21 @@ ORDER BY ts DESC, event_id DESC LIMIT 10
 def events_replay_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4 — bounded replay for late joiners."""
     return replay_tail(_t(spark, sf_dir, "events"), 10).select("event_id", "event_type")
+
+
+@query("value_percentiles", f"""
+SELECT ROUND(quantile_cont(value, 0.5), {ROUND}) AS p50,
+       ROUND(quantile_cont(value, 0.95), {ROUND}) AS p95,
+       ROUND(quantile_cont(value, 0.99), {ROUND}) AS p99
+FROM events
+""")
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — exact interpolated percentiles (the reference's latency
+    p50/p95/p99 harness, examples/benchmark.py:174-230); at cluster scale
+    swap percentile() for percentile_approx (t-digest, mergeable)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.round(F.percentile("value", 0.5), ROUND).alias("p50"),
+        F.round(F.percentile("value", 0.95), ROUND).alias("p95"),
+        F.round(F.percentile("value", 0.99), ROUND).alias("p99"),
+    )

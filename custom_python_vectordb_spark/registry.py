@@ -46,6 +46,7 @@ def load_all() -> None:
         "pipeline",
         "mutation",
         "streaming",
+        "cypher",
         "multimodal",
     ):
         try:

@@ -17,8 +17,7 @@ from custom_python_vectordb_spark.queries import spine
 from custom_python_vectordb_spark.sources.catalog import load_table
 
 
-def plan_of(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+from custom_python_vectordb_spark.plans.explain import plan_of
 
 
 def test_filter_pushdown_and_pruning(spark, sf_small):
