@@ -133,7 +133,7 @@ def bfs_hops(
             .withColumn("hop", F.lit(hop))
         )
         nxt = nxt.localCheckpoint(eager=True)  # truncate lineage per hop
-        if nxt.rdd.isEmpty():
+        if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt)
         frontier = nxt.select("id")
@@ -163,7 +163,7 @@ def traverse_paths(
             .select(F.concat(F.col("path"), F.array(F.col("to"))).alias("path"))
         )
         ext = ext.localCheckpoint(eager=True)
-        if ext.rdd.isEmpty():
+        if ext.isEmpty():
             break
         out = ext if out is None else out.unionByName(ext)
         frontier = ext
@@ -216,7 +216,7 @@ def shortest_path(
             .select("path")
         )
         visited = visited.unionByName(new_ids.join(visited, "id", "left_anti")).localCheckpoint(eager=True)
-        if frontier.rdd.isEmpty():
+        if frontier.isEmpty():
             break
     return spark.createDataFrame([], "path_str string, length int")
 

@@ -89,6 +89,20 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("knn_batch", _duck_knn("cosine", k=10, nq=100))
+def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 — 100-query batch in ONE job via the Arrow/NumPy GEMM path
+    (``search_batch`` ``vectordb_optimized.py:577-644``: one BLAS similarity
+    matrix per partition, local top-k, global merge). Same oracle as the
+    expression path — the two implementations are asserted equal in
+    tests/test_knn.py; the bench's amortized ms/query comes from this."""
+    from custom_python_vectordb_spark.operators.knn import knn_batch_gemm
+
+    queries_pd = _query_vectors(spark, sf_dir, 100).toPandas()
+    out = knn_batch_gemm(_t(spark, sf_dir, "embeddings"), queries_pd, k=10, metric="cosine")
+    return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
+
+
 # ---------------------------------------------------------------- scans / lookups (S3-S9)
 
 @query("point_lookup", """
@@ -307,6 +321,39 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy(F.col("total").desc(), F.col("c_custkey"))
         .limit(10)
+    )
+
+
+@query("order_enrichment", """
+SELECT o.o_orderkey, c.c_name, n.n_name, r.r_name,
+       COUNT(l.l_linenumber) AS n_lines, ROUND(SUM(l.l_extendedprice), 2) AS total_price
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey < 100
+GROUP BY 1, 2, 3, 4
+""")
+def order_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 — multi-way left-join enrichment (the reference's read_article:
+    entity/source/topic joins, query_news_db.py:250-272). All dimension
+    sides broadcast."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .join(li, li.l_orderkey == o.o_orderkey, "left")
+        .groupBy("o_orderkey", "c_name", "n_name", "r_name")
+        .agg(
+            F.count("l_linenumber").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
     )
 
 
