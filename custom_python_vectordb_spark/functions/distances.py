@@ -45,7 +45,11 @@ def l2_norm(a: ColumnOrName) -> Column:
 
 
 def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """Zero-norm operands ⇒ similarity 0 (distance 1): NumPy would emit
+    nan-with-warning, ANSI Spark would THROW on the 0/0 — neither is usable
+    when a 100 TB corpus inevitably contains a zero vector."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0.0, dot_product(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def cosine_distance(a: ColumnOrName, b: ColumnOrName) -> Column:

@@ -104,6 +104,52 @@ def doc_freq_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("normalize_vectors", f"""
+SELECT vec_id,
+       ROUND(embedding[1] / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), {ROUND}) + 0.0 AS first_component,
+       CAST(1.0 AS DOUBLE) AS norm
+FROM embeddings WHERE vec_id < 50
+""")
+def normalize_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — L2 normalization (pervasive pre-processing in the reference)."""
+    from custom_python_vectordb_spark.functions.distances import l2_norm, l2_normalize
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    out = emb.select("vec_id", l2_normalize("embedding").alias("nv"))
+    return out.select(
+        "vec_id",
+        (F.round(F.element_at("nv", 1), ROUND) + F.lit(0.0)).alias("first_component"),
+        F.round(l2_norm("nv"), 6).alias("norm"),
+    )
+
+
+@query("extract_text", f"""
+SELECT doc_id, concat_ws(' ', lang, source, text) AS joined,
+       CAST(len({duck_tokenize("concat_ws(' ', lang, source, text)")}) AS INTEGER) AS n_tokens
+FROM documents WHERE doc_id < 20
+""")
+def extract_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — concat string fields into the indexable text
+    (``hybrid_search.py:266-281``)."""
+    from custom_python_vectordb_spark.functions.text import extract_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    joined = extract_text("lang", "source", "text")
+    return docs.select("doc_id", joined.alias("joined"), F.size(tokenize(joined)).alias("n_tokens"))
+
+
+@query("slugify_names", """
+SELECT c_custkey, replace(lower(c_name), ' ', '_') AS slug
+FROM customer WHERE c_custkey < 50
+""")
+def slugify_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 — the reference's id-slugging string ops."""
+    from custom_python_vectordb_spark.functions.text import slugify
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    return cust.select("c_custkey", slugify("c_name").alias("slug"))
+
+
 # ------------------------------------------------------------------ K6 BM25 top-k
 
 @query("bm25_topk", f"""

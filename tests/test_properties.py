@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): filter semantics and distance kernels
+hold for arbitrary data, not just the fixtures — an upgrade over the
+reference's example-based suite (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from custom_python_vectordb_spark.functions.distances import cosine_distance, l2_distance
+from custom_python_vectordb_spark.functions.filters import Filter, FilterOp
+
+# one shared tiny SparkSession via the conftest fixture; hypothesis drives
+# data through createDataFrame per example, so keep examples few and small
+SETTINGS = settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+meta_rows = st.lists(
+    st.tuples(
+        st.integers(0, 1_000_000),
+        st.one_of(st.none(), st.text(alphabet="abcXYZ ", min_size=0, max_size=8)),
+        st.one_of(st.none(), st.integers(-100, 100)),
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+def ref_eval(op: FilterOp, field_val, needle) -> bool:
+    """Independent reimplementation of the reference's FilterCondition
+    semantics: missing field ⇒ False for every op."""
+    if field_val is None:
+        return False
+    if op is FilterOp.EQ:
+        return field_val == needle
+    if op is FilterOp.NE:
+        return field_val != needle
+    if op is FilterOp.GT:
+        return field_val > needle
+    if op is FilterOp.LTE:
+        return field_val <= needle
+    if op is FilterOp.CONTAINS:
+        return needle in field_val
+    raise AssertionError(op)
+
+
+@SETTINGS
+@given(rows=meta_rows, needle=st.integers(-100, 100))
+@pytest.mark.parametrize("op", [FilterOp.EQ, FilterOp.NE, FilterOp.GT, FilterOp.LTE])
+def test_numeric_filter_matches_reference_semantics(spark, rows, needle, op):
+    df = spark.createDataFrame(rows, "id long, category string, score int")
+    got = sorted(r["id"] for r in df.filter(Filter.where("score", op, needle).column).collect())
+    exp = sorted(i for i, _, s in rows if ref_eval(op, s, needle))
+    assert got == exp
+
+
+@SETTINGS
+@given(rows=meta_rows, needle=st.text(alphabet="abcXYZ", min_size=1, max_size=3))
+def test_contains_filter_matches_reference_semantics(spark, rows, needle):
+    df = spark.createDataFrame(rows, "id long, category string, score int")
+    got = sorted(r["id"] for r in df.filter(Filter.where("category", "contains", needle).column).collect())
+    exp = sorted(i for i, c, _ in rows if ref_eval(FilterOp.CONTAINS, c, needle))
+    assert got == exp
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-10, 10, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_distance_kernels_match_numpy(spark, vecs):
+    a = vecs[0]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    qdf = df.crossJoin(spark.createDataFrame([(a,)], "q array<float>"))
+    got = {r["id"]: (r["l2"], r["cos"]) for r in qdf.select(
+        "id", l2_distance("v", "q").alias("l2"), cosine_distance("v", "q").alias("cos")
+    ).collect()}
+    a64 = np.array(a, dtype=np.float32).astype(np.float64)
+    for i, v in rows:
+        v64 = np.array(v, dtype=np.float32).astype(np.float64)
+        assert got[i][0] == pytest.approx(float(np.linalg.norm(v64 - a64)), rel=1e-9, abs=1e-12)
+        na, nv = np.linalg.norm(a64), np.linalg.norm(v64)
+        if na > 0 and nv > 0:
+            assert got[i][1] == pytest.approx(1.0 - float(v64 @ a64) / (nv * na), rel=1e-9, abs=1e-9)
+        else:
+            # engine contract: zero-norm operand => distance 1.0 (no throw)
+            assert got[i][1] == pytest.approx(1.0)
