@@ -43,3 +43,31 @@ def test_knn_plan_uses_window_group_limit_and_broadcast(spark, sf_small):
 def test_dim_join_broadcasts(spark, sf_small):
     df = spine.top_customers(spark, sf_small)
     assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_knn_filter_pushed_to_scan(spark, sf_small):
+    """The filtered-kNN predicate must reach the Parquet scan (the exact
+    engine's replacement for the reference's fetch_k over-fetch)."""
+    spark.catalog.clearCache()  # a cached corpus from another module would hide the scan
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    df = knn(corpus, queries, k=5, filter_cond=F.col("label").isin(1, 2, 3))
+    plan = plan_of(df)
+    assert "PushedFilters: [In(label" in plan
+
+
+def test_sql_surface_over_views(spark, sf_small):
+    """spark.sql over registered views — the engine's native SQL surface."""
+    from custom_python_vectordb_spark.sources.catalog import register_views
+
+    register_views(spark, sf_small)
+    df = spark.sql("""
+        SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_returnflag
+    """)
+    rows = df.collect()
+    assert len(rows) >= 1 and all(r["n"] > 0 for r in rows)

@@ -92,3 +92,27 @@ def test_watermarked_append_emits_closed_windows(spark, sf_small):
     for row in emitted:
         assert row in batch
     q.stop()
+
+
+def test_stateful_running_totals(spark, sf_small):
+    """applyInPandasWithState: per-user running aggregates; final state
+    equals the batch groupBy."""
+    from custom_python_vectordb_spark.streaming.stateful import running_user_totals
+
+    stream = read_event_stream(spark, sf_small)
+    q = run_to_memory(running_user_totals(stream), "t_state", mode="update")
+    # memory sink in update mode appends every state emission; the LAST row
+    # per user is the final state
+    final = spark.sql(
+        "select user_id, count, total from "
+        "(select *, row_number() over (partition by user_id order by count desc) rn from t_state) "
+        "where rn = 1"
+    )
+    got = {r["user_id"]: (r["count"], round(r["total"], 6)) for r in final.collect()}
+    ev = load_table(spark, sf_small, "events")
+    exp = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t")).collect()
+    }
+    assert got == exp
+    q.stop()
