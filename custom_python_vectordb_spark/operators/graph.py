@@ -120,8 +120,11 @@ def bfs_hops(
 ) -> DataFrame:
     """J8 — min-hop BFS: (id, hop) for every node reachable in ≤ max_hops,
     hop = shortest distance from the seed set (seeds at hop 0). Driver loop,
-    one distinct-join + anti-join per hop."""
-    pairs = _directed(edges, direction, edge_type)
+    one distinct-join + anti-join per hop. The directed pair set is
+    materialized once (lazy localCheckpoint) instead of re-deriving the
+    multi-table edge union on every hop — at warehouse scale substitute a
+    pre-built adjacency table partitioned by frm."""
+    pairs = _directed(edges, direction, edge_type).localCheckpoint(eager=False)
     visited = seeds.select("id").distinct().withColumn("hop", F.lit(0))
     frontier = visited.select("id")
     for hop in range(1, max_hops + 1):
