@@ -1,0 +1,90 @@
+"""Beyond-parity relational operators the platform gives for free (SURVEY.md
+§2.5 note): as-of join, rollup grouping, distinct aggregation, range join.
+All additive over the same tables, all oracle-checked (DuckDB has native
+ASOF JOIN and ROLLUP)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.operators.asof import asof_join_backward
+from custom_python_vectordb_spark.queries.spine import _t
+from custom_python_vectordb_spark.registry import query
+
+
+@query("asof_join_purchase_view", """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+p AS (SELECT event_id, ts, user_id FROM ev WHERE event_type = 'purchase'),
+v AS (SELECT event_id AS view_id, ts, user_id FROM ev WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, v.view_id AS asof_view_id,
+       CASE WHEN v.ts IS NOT NULL THEN epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""")
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of: each purchase ← the user's most recent prior view.
+    Union-sort-window composition vs DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    out = asof_join_backward(left, right, key="user_id", right_cols=["view_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_view_id"),
+        F.when(
+            F.col("asof_ts").isNotNull(), F.unix_micros("ts") - F.unix_micros("asof_ts")
+        ).alias("gap_us"),
+    )
+
+
+@query("rollup_orders", """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP(CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
+""")
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (year → status → grand total)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup(F.year("o_orderdate").alias("o_year"), F.col("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query("distinct_users_per_type", """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+""")
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (at 100 TB prefer approx_count_distinct —
+    mergeable HLL sketch, no second shuffle)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query("range_join_value_buckets", """
+WITH buckets(lbl, lo, hi) AS (VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e12))
+SELECT b.lbl, COUNT(*) AS n, ROUND(AVG(e.value), 6) AS avg_value
+FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.lbl
+""")
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (interval) join against a tiny bucket dimension —
+    BroadcastNestedLoopJoin with the bucket side broadcast."""
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 75.0), ("high", 75.0, 1e12)],
+        "lbl string, lo double, hi double",
+    )
+    ev = _t(spark, sf_dir, "events")
+    joined = ev.join(
+        F.broadcast(buckets), (ev.value >= buckets.lo) & (ev.value < buckets.hi)
+    )
+    return joined.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )

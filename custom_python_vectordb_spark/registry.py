@@ -48,6 +48,7 @@ def load_all() -> None:
         "streaming",
         "cypher",
         "multimodal",
+        "extras",
     ):
         try:
             __import__(f"custom_python_vectordb_spark.queries.{mod}")
