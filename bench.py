@@ -22,6 +22,7 @@ HEADLINE = [
     # vector search (the reference's core): exact kNN, filtered, quantized, rerank
     "knn_cosine",
     "knn_batch",
+    "knn_batch_1k",
     "knn_l2",
     "knn_filtered",
     "knn_sq_l2",
@@ -77,6 +78,8 @@ def main() -> None:
     if "knn_batch" in timings:
         # the baseline's comparable: batch-amortized ms/query (BASELINE.md)
         out["knn_batch_amortized_ms_per_query"] = round(timings["knn_batch"] * 1000 / 100, 3)
+    if "knn_batch_1k" in timings and sf == "0.1":
+        out["knn_batch_1k_amortized_ms_per_query"] = round(timings["knn_batch_1k"], 3)  # 1000 q
     print(json.dumps(out))
 
 

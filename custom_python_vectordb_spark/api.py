@@ -104,9 +104,18 @@ class Collection:
         k: int = 10,
         metric: str = "cosine",
         where: dict[str, Any] | Column | Filter | None = None,
+        mode: str = "exact",
+        n_cells: int = 16,
+        nprobe: int = 2,
     ) -> DataFrame:
-        """Exact kNN; `query_text` is embedded with the deterministic mock
-        provider (server-side embed, ``server_full.py:360-362``)."""
+        """kNN; `query_text` is embedded with the deterministic mock
+        provider (server-side embed, ``server_full.py:360-362``).
+
+        `mode`: 'exact' (default — filter-then-rank, always exhaustive) or
+        'ivf' (sample-centroid inverted file, scans ~nprobe/n_cells of the
+        corpus; the HNSW-accelerator role at cluster scale). Filters apply
+        to candidates in ivf mode (post-probe), exactly in exact mode.
+        """
         if (vector is None) == (query_text is None):
             raise ValueError("provide exactly one of vector / query_text")
         if vector is None:
@@ -122,10 +131,29 @@ class Collection:
             [(0, [float(x) for x in vector])], "qid long, qvec array<float>"
         )
         payload = [c for c in self.df().columns if c not in ("id", "embedding")]
-        return knn(
-            self.df(), queries, k=k, metric=metric, id_col="id",
-            filter_cond=cond, payload_cols=payload,
-        ).drop("qid")
+        if mode == "exact":
+            return knn(
+                self.df(), queries, k=k, metric=metric, id_col="id",
+                filter_cond=cond, payload_cols=payload,
+            ).drop("qid")
+        if mode == "ivf":
+            from custom_python_vectordb_spark.operators.similarity import knn_ivf
+
+            from pyspark.sql import Window
+
+            corpus = self.df() if cond is None else self.df().filter(cond)
+            cents = (
+                corpus.orderBy("id").limit(n_cells)
+                .select(
+                    (F.row_number().over(Window.orderBy("id")) - 1).alias("cluster"),
+                    F.col("embedding").alias("cvec"),
+                )
+            )
+            hits = knn_ivf(
+                corpus, queries, cents, k=k, nprobe=nprobe, metric=metric, id_col="id"
+            ).drop("qid")
+            return hits.join(self.df().drop("embedding"), "id", "left")
+        raise ValueError(f"unknown search mode {mode!r}; one of exact|ivf")
 
     def keyword_search(self, query: str, k: int = 10) -> DataFrame:
         return bm25_topk(self.df(), query, k=k, id_col="id", text_col="_document")

@@ -103,6 +103,18 @@ def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
 
 
+@query("knn_batch_1k", _duck_knn("cosine", k=10, nq=1000))
+def knn_batch_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 at full amortization: every available query id < 1000 (500 at
+    sf0.01, 1000 at sf0.1) in one GEMM job — the honest comparable to the
+    reference's 1.66 ms/query batch number."""
+    from custom_python_vectordb_spark.operators.knn import knn_batch_gemm
+
+    queries_pd = _query_vectors(spark, sf_dir, 1000).toPandas()
+    out = knn_batch_gemm(_t(spark, sf_dir, "embeddings"), queries_pd, k=10, metric="cosine")
+    return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
+
+
 # ---------------------------------------------------------------- scans / lookups (S3-S9)
 
 @query("point_lookup", """

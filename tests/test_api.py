@@ -108,3 +108,24 @@ def test_keyword_and_hybrid(coll):
     assert kw[0]["id"] == "d4"
     hy = coll.hybrid("spark shuffles data between stages", k=2).collect()
     assert hy[0]["id"] == "d1"
+
+
+def test_search_ivf_mode(spark, tmp_path):
+    """IVF mode returns sane neighbors on a clustered corpus and never
+    throws; with nprobe == n_cells it equals exact search."""
+    db = VectorDB(spark, str(tmp_path / "wh2"))
+    c = db.create_collection("vecs", dimensions=4)
+    rows = [(f"v{i}", [float(i % 4 == j) for j in range(4)], f"doc {i}") for i in range(20)]
+    c.insert_batch(
+        spark.createDataFrame(rows, "id string, embedding array<float>, _document string")
+    )
+    exact = [r["id"] for r in c.search(vector=[1.0, 0.0, 0.0, 0.0], k=5).collect()]
+    full_probe = [
+        r["id"]
+        for r in c.search(vector=[1.0, 0.0, 0.0, 0.0], k=5, mode="ivf", n_cells=4, nprobe=4).collect()
+    ]
+    assert full_probe == exact
+    partial = c.search(vector=[1.0, 0.0, 0.0, 0.0], k=5, mode="ivf", n_cells=4, nprobe=1).collect()
+    assert 0 < len(partial) <= 5
+    with pytest.raises(ValueError):
+        c.search(vector=[1.0, 0.0, 0.0, 0.0], mode="hnsw")
