@@ -110,13 +110,42 @@ def knn_lsh(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """LSH search: exact top-k within the query's bucket (may return < k —
-    recall/candidate-count tradeoff is the number of planes)."""
+    recall/candidate-count tradeoff is the number of planes; use
+    :func:`knn_lsh_multitable` for higher recall)."""
     cbuckets = corpus.join(lsh_buckets(corpus, hyperplanes, id_col, vec_col), id_col)
     qbuckets = lsh_buckets(
         queries.withColumnRenamed("qvec", vec_col).withColumnRenamed("qid", id_col),
         hyperplanes, id_col, vec_col,
     ).select(F.col(id_col).alias("qid"), F.col("bucket"))
     cands = cbuckets.join(F.broadcast(qbuckets), "bucket").join(F.broadcast(queries), "qid")
+    scored = cands.select("qid", id_col, distance_expr(metric, vec_col, "qvec").alias("dist"))
+    return top_k_per_group(scored, "qid", k, F.col("dist").asc(), F.col(id_col).asc()).orderBy(
+        "qid", "dist", id_col
+    )
+
+
+def knn_lsh_multitable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    plane_tables: list[DataFrame],
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH: candidates = union of same-bucket matches across T
+    independent plane sets (recall grows with T while each table's bucket
+    stays selective — the standard banding trade)."""
+    cand_union = None
+    for t, planes in enumerate(plane_tables):
+        cb = lsh_buckets(corpus, planes, id_col, vec_col).withColumn("t", F.lit(t))
+        qb = lsh_buckets(
+            queries.withColumnRenamed("qvec", vec_col).withColumnRenamed("qid", id_col),
+            planes, id_col, vec_col,
+        ).select(F.col(id_col).alias("qid"), F.col("bucket")).withColumn("t", F.lit(t))
+        pairs = cb.join(F.broadcast(qb), ["bucket", "t"]).select("qid", id_col)
+        cand_union = pairs if cand_union is None else cand_union.unionByName(pairs)
+    cands = cand_union.distinct().join(corpus, id_col).join(F.broadcast(queries), "qid")
     scored = cands.select("qid", id_col, distance_expr(metric, vec_col, "qvec").alias("dist"))
     return top_k_per_group(scored, "qid", k, F.col("dist").asc(), F.col(id_col).asc()).orderBy(
         "qid", "dist", id_col

@@ -93,9 +93,9 @@ mh AS (SELECT s.doc_id, d.h,
               MIN({duck_seeded_hash60("CAST(d.h AS VARCHAR) || '|' || s.shingle", 0)}) AS minhash
        FROM shc s, seeds d GROUP BY s.doc_id, d.h),
 banded AS (
-    SELECT doc_id, CAST(h / 4 AS INTEGER) AS band,
+    SELECT doc_id, CAST(h // 4 AS INTEGER) AS band,
            md5(array_to_string(list_sort(list(format('{{}}:{{}}', h, minhash))), ',')) AS band_key
-    FROM mh GROUP BY doc_id, CAST(h / 4 AS INTEGER)
+    FROM mh GROUP BY doc_id, CAST(h // 4 AS INTEGER)
 ),
 cand AS (
     SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -293,6 +293,54 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") - 100).cast("int").alias("plane_idx"), F.col("embedding").alias("hvec")
     )
     out = knn_lsh(emb, _query_vectors(spark, sf_dir, 3), planes, k=10)
+    return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
+
+
+_DUCK_LSH2 = """
+planes2 AS (SELECT CAST(vec_id - 110 AS INTEGER) AS plane_idx, CAST(embedding AS DOUBLE[]) AS hv
+            FROM embeddings WHERE vec_id BETWEEN 110 AND 115),
+cbuck2 AS (SELECT e.vec_id,
+                  SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.hv) > 0
+                           THEN CAST(power(2, 5 - p.plane_idx) AS BIGINT) ELSE 0 END) AS bucket
+           FROM embeddings e, planes2 p GROUP BY e.vec_id)"""
+
+
+@query("knn_lsh_multitable", f"""
+WITH {_DUCK_LSH.strip()}, {_DUCK_LSH2.strip().replace("vec_id - 110", "vec_id - 110").replace("5 - p.plane_idx", "5 - (p.plane_idx)")},
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+cand AS (
+    SELECT qb.vec_id AS qid, cb.vec_id FROM cbuck cb JOIN cbuck qb ON cb.bucket = qb.bucket
+    WHERE qb.vec_id < 3
+    UNION
+    SELECT qb.vec_id AS qid, cb.vec_id FROM cbuck2 cb JOIN cbuck2 qb ON cb.bucket = qb.bucket
+    WHERE qb.vec_id < 3
+),
+scored AS (
+    SELECT cand.qid, cand.vec_id,
+           1.0 - list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(q.qv, q.qv))) AS dist
+    FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id JOIN q ON q.qid = cand.qid
+)
+SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
+    SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 10 ORDER BY qid, dist, vec_id
+""")
+def knn_lsh_multitable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent 6-plane tables; candidate union, exact rerank."""
+    from custom_python_vectordb_spark.operators.similarity import knn_lsh_multitable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tables = []
+    for base in (100, 110):
+        tables.append(
+            emb.filter(F.col("vec_id").between(base, base + 5)).select(
+                (F.col("vec_id") - base).cast("int").alias("plane_idx"),
+                F.col("embedding").alias("hvec"),
+            )
+        )
+    out = knn_lsh_multitable(emb, _query_vectors(spark, sf_dir, 3), tables, k=10)
     return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
 
 

@@ -28,6 +28,8 @@ def query(name: str, oracle: str | None = None):
     for genuinely non-SQL-expressible ops → driver does a rows-only check)."""
 
     def deco(fn):
+        if name in QUERIES and QUERIES[name] is not fn:
+            raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
