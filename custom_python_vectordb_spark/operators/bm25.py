@@ -144,6 +144,32 @@ def hybrid_search(
         corpus_vec.crossJoin(F.broadcast(query_vec))
         .select(F.col(vec_id_col).alias("id"), dist.alias("dist"))
     )
+    if not query_text or not tokenize_py(query_text):
+        # no-text fallback (hybrid_search.py:398-411): pure vector ranking
+        # shaped as fusion output — score = raw distance-as-score contract
+        # is kept as (vector_score, keyword_score=0, score=vector_score)
+        out = (
+            vec_scored.crossJoin(F.broadcast(vec_scored.agg(F.max("dist").alias("max_dist"))))
+            .select(
+                "id",
+                F.when(F.col("max_dist") > 0, 1.0 - F.col("dist") / F.col("max_dist"))
+                .otherwise(F.lit(1.0))
+                .alias("vector_score"),
+            )
+            .withColumn("keyword_score", F.lit(0.0))
+            .withColumn("score", F.col("vector_score"))
+        )
+        if post_filter is not None and filter_source is not None:
+            out = out.join(
+                filter_source.filter(post_filter).select(F.col(doc_id_col).alias("id")),
+                "id",
+                "left_semi",
+            )
+        out = out.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+        if round_to is not None:
+            for c in ("score", "vector_score", "keyword_score"):
+                out = out.withColumn(c, F.round(F.col(c), round_to) + F.lit(0.0))
+        return out
     vmax = vec_scored.agg(F.max("dist").alias("max_dist"))
     vec_norm = vec_scored.crossJoin(F.broadcast(vmax)).select(
         "id",

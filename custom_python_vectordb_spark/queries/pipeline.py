@@ -203,6 +203,55 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sim", F.round("sim", ROUND) + F.lit(0.0))
 
 
+@query("neardup_embedding_lsh", f"""
+WITH {_DUCK_LSH.strip() if False else ""}
+planes AS (SELECT CAST(vec_id - 100 AS INTEGER) AS plane_idx, CAST(embedding AS DOUBLE[]) AS hv
+           FROM embeddings WHERE vec_id BETWEEN 100 AND 105),
+cbuck AS (SELECT e.vec_id,
+                 SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.hv) > 0
+                          THEN CAST(power(2, 5 - p.plane_idx) AS BIGINT) ELSE 0 END) AS bucket
+          FROM embeddings e, planes p GROUP BY e.vec_id),
+pairs AS (
+    SELECT x.vec_id AS a, y.vec_id AS b FROM cbuck x JOIN cbuck y
+    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+scored AS (
+    SELECT p.a, p.b,
+           list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+           / (sqrt(list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) AS sim
+    FROM pairs p JOIN embeddings ea ON ea.vec_id = p.a JOIN embeddings eb ON eb.vec_id = p.b
+)
+SELECT a, b, ROUND(sim, {ROUND}) + 0.0 AS sim FROM scored
+ORDER BY sim DESC, a, b LIMIT 10
+""".replace("WITH \n", "WITH "))
+def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, scale path: candidate pairs restricted to shared
+    LSH buckets (≈ n²/2^planes pairwise work instead of n²), exact cosine
+    rerank, top-10."""
+    from custom_python_vectordb_spark.functions.distances import cosine_similarity
+    from custom_python_vectordb_spark.operators.similarity import lsh_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id").between(100, 105)).select(
+        (F.col("vec_id") - 100).cast("int").alias("plane_idx"), F.col("embedding").alias("hvec")
+    )
+    buckets = lsh_buckets(emb, planes)
+    pairs = (
+        buckets.select(F.col("vec_id").alias("a"), "bucket")
+        .join(buckets.select(F.col("vec_id").alias("b"), "bucket"), "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    scored = pairs.join(ea, "a").join(eb, "b").select(
+        "a", "b", cosine_similarity("va", "vb").alias("sim")
+    )
+    out = scored.orderBy(F.col("sim").desc(), "a", "b").limit(10)
+    return out.withColumn("sim", F.round("sim", ROUND) + F.lit(0.0))
+
+
 # ---------------------------------------------------------------- ANN: IVF
 
 _DUCK_IVF = f"""

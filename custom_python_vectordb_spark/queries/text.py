@@ -232,3 +232,29 @@ def hybrid_fusion_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter applied AFTER fusion — the reference's exact (asymmetric)
     semantics (``hybrid_search.py:455-460``)."""
     return _hybrid(spark, sf_dir, alpha=0.5, where=F.col("lang") == "en")
+
+
+@query("hybrid_no_text", f"""
+WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+    SELECT e.vec_id AS id,
+           1.0 - list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.v)
+               / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(qv.v, qv.v))) AS dist
+    FROM embeddings e CROSS JOIN qv
+)
+SELECT id, ROUND(score, {ROUND}) + 0.0 AS score,
+       ROUND(score, {ROUND}) + 0.0 AS vector_score, CAST(0.0 AS DOUBLE) AS keyword_score
+FROM (
+    SELECT id, CASE WHEN (SELECT MAX(dist) FROM vec_scored) > 0
+                    THEN 1.0 - dist / (SELECT MAX(dist) FROM vec_scored) ELSE 1.0 END AS score
+    FROM vec_scored
+) ORDER BY score DESC, id LIMIT 10
+""")
+def hybrid_no_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-query-text fallback: pure vector path shaped as fusion output
+    (``hybrid_search.py:398-411``)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return hybrid_search(emb, docs, qv, "", k=10, alpha=0.5, round_to=ROUND)
