@@ -440,6 +440,45 @@ def recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.agg(F.round(F.avg("n") / 10.0, ROUND).alias("avg_recall"))
 
 
+@query("curation_pipeline", f"""
+WITH {DUCK_CORPUS.strip()},
+hashed AS (SELECT doc_id, text, md5(text) AS h FROM corpus),
+keepers AS (
+    SELECT doc_id, text FROM hashed
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM hashed GROUP BY h)
+),
+toks AS (SELECT doc_id, text, {TOKS} AS t FROM keepers),
+scored AS (
+    SELECT doc_id,
+           least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + least(CASE WHEN len(t) > 0
+                        THEN CAST(len(list_filter(t, x -> list_contains({STOPWORDS['en']}, x))) AS DOUBLE) / len(t)
+                        ELSE 0.0 END * 3.0, 1.0) * 0.3
+           + (CASE WHEN length(text) > 0
+                   THEN 1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9_\\s]', '', 'g')) AS DOUBLE) / length(text)
+                   ELSE 1.0 END) * 0.3 AS q
+    FROM toks
+)
+SELECT COUNT(*) AS n_kept, ROUND(AVG(q), {ROUND}) AS avg_quality
+FROM scored WHERE q >= 0.55
+""")
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition: exact-dedup (keep min-id per hash)
+    → quality filter → corpus stats. The shape of a real training-data
+    cleaning job, as one declarative plan."""
+    corpus = _corpus(spark, sf_dir)
+    hashed = corpus.withColumn("h", F.md5("text"))
+    keepers = hashed.join(
+        hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    scored = keepers.select("doc_id", quality_score("text").alias("q"))
+    return scored.filter(F.col("q") >= 0.55).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.round(F.avg("q"), ROUND).alias("avg_quality")
+    )
+
+
 # ---------------------------------------------------------------- text analysis
 
 @query("text_quality", f"""
