@@ -34,6 +34,9 @@ HEADLINE = [
     # analytics
     "pricing_summary",
     "top_customers",
+    "shipping_priority",
+    "regional_volume",
+    "asof_join_purchase_view",
     "agg_events_by_type",
     "agg_orders_year_status",
     # graph

@@ -95,3 +95,16 @@ def test_distance_kernels_match_numpy(spark, vecs):
         else:
             # engine contract: zero-norm operand => distance 1.0 (no throw)
             assert got[i][1] == pytest.approx(1.0)
+
+
+@SETTINGS
+@given(texts=st.lists(st.text(alphabet="abc XY_0.,!'\n\t", min_size=0, max_size=40), min_size=1, max_size=8))
+def test_tokenizer_matches_python_twin(spark, texts):
+    """functions.text.tokenize (engine) ≡ tokenize_py (driver twin) — the
+    shared foundation of BM25, dedup shingles, SimHash, and lang-id."""
+    from custom_python_vectordb_spark.functions.text import tokenize, tokenize_py
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    got = {r["id"]: r["toks"] for r in df.select("id", tokenize("t").alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == tokenize_py(t), repr(t)
