@@ -117,6 +117,7 @@ def bfs_hops(
     max_hops: int,
     direction: str = "both",
     edge_type: str | None = None,
+    checkpoint_each_hop: bool = True,
 ) -> DataFrame:
     """J8 — min-hop BFS: (id, hop) for every node reachable in ≤ max_hops,
     hop = shortest distance from the seed set (seeds at hop 0). Driver loop,
@@ -135,9 +136,12 @@ def bfs_hops(
             .join(visited.select("id"), "id", "left_anti")
             .withColumn("hop", F.lit(hop))
         )
-        nxt = nxt.localCheckpoint(eager=True)  # truncate lineage per hop
-        if nxt.isEmpty():
-            break
+        if checkpoint_each_hop:
+            nxt = nxt.localCheckpoint(eager=True)  # truncate lineage per hop
+            if nxt.isEmpty():
+                break
+        # with checkpointing off (short fixed loops), an empty frontier just
+        # makes the remaining joins trivially empty — no extra action needed
         visited = visited.unionByName(nxt)
         frontier = nxt.select("id")
     return visited
@@ -281,7 +285,12 @@ def semantic_graph_search(
     seeds = seeds.localCheckpoint(eager=True)  # reused 3×: scores, max, BFS
     max_sim = seeds.agg(F.max("sim").alias("max_sim"))
 
-    hops = bfs_hops(edges, seeds.select("id"), expand_hops, direction="both")
+    # ≤3 hops: skip per-hop checkpoints/emptiness actions — the lineage
+    # stays shallow and each skipped checkpoint saves a full job round
+    hops = bfs_hops(
+        edges, seeds.select("id"), expand_hops, direction="both",
+        checkpoint_each_hop=expand_hops > 3,
+    )
     seed_scored = seeds.select(
         "id",
         F.col("sim").alias("vector_score"),

@@ -145,6 +145,38 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("jaccard", F.round("jaccard", ROUND))
 
 
+@query("dedup_clusters", f"""
+WITH RECURSIVE {DUCK_CORPUS.strip()}, {DUCK_TOKS.strip()}, {DUCK_SHINGLES.strip()},
+{_DUCK_MINHASH_FULL.strip()},
+{_DUCK_JACCARD.strip()},
+verified AS (
+    SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b WHERE j.jaccard >= 0.5
+),
+sym AS (SELECT a AS u, b AS v FROM verified UNION SELECT b, a FROM verified),
+reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+lab AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+SELECT component AS cluster, COUNT(*) AS size, MIN(id) AS keeper
+FROM lab GROUP BY component
+""")
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → transitive duplicate clusters (connected components via
+    min-label propagation) → (cluster, size, keeper). The complete dedup
+    decision: everything but `keeper` in each cluster is droppable."""
+    from custom_python_vectordb_spark.operators.components import dedup_clusters
+    from custom_python_vectordb_spark.operators.dedup import doc_shingles
+
+    corpus = _corpus(spark, sf_dir)
+    sh = doc_shingles(corpus).localCheckpoint(eager=False)
+    sigs = minhash_signatures(corpus, num_hashes=16, shingles=sh)
+    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    verified = jaccard_pairs(corpus, threshold=0.5, restrict_pairs=cands, shingles=sh).select("a", "b")
+    return dedup_clusters(verified)
+
+
 # ---------------------------------------------------------------- dedup: SimHash
 
 _DUCK_SIMHASH_BITS = f"""

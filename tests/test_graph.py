@@ -105,3 +105,15 @@ def test_hyperedges(spark):
     assert ids(hyperedges_with_any(m, ["x", "y"]), "hyperedge_id") == ["h1", "h2"]
     assert ids(hyperedges_with_all(m, ["x", "y"]), "hyperedge_id") == ["h1"]
     assert ids(hyperedges_with_all(m, ["x", "x"]), "hyperedge_id") == ["h1", "h2"]
+
+
+def test_connected_components(spark):
+    from custom_python_vectordb_spark.operators.components import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 1)], "a long, b long"  # {1,2,3,9} and {5,6}
+    )
+    cc = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    clusters = {r["cluster"]: (r["size"], r["keeper"]) for r in dedup_clusters(pairs).collect()}
+    assert clusters == {1: (4, 1), 5: (2, 5)}
