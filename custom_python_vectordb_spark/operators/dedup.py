@@ -73,6 +73,19 @@ def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: 
     return toks.select(F.col(id_col), F.explode(_grams_of(F.col("toks"), n)).alias("shingle"))
 
 
+MINHASH_MOD = 1 << 48
+
+
+def minhash_seeds(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic affine seed family (h, a, b): odd multipliers < 2^14
+    (so a·hash48 + b stays under 2^63 — ANSI-safe), distinct by bijectivity
+    of odd multiplication mod 2^14. Identical constants go into the oracle."""
+    return [
+        (i, ((2 * i + 1) * 12553) % 16384 | 1, (i * 40503 + 17) % 65536)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -81,18 +94,24 @@ def minhash_signatures(
     text_col: str = "text",
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, h, minhash): h ∈ [0, num_hashes) seeded min-hash of the shingle
-    set. Documents with no shingles produce no rows (reference-free choice,
-    consistent across engines). Pass `shingles` to reuse a precomputed
-    (cached) shingle table."""
+    """(id, h, minhash): h ∈ [0, num_hashes) min-hash of the shingle set.
+
+    Each shingle is md5-hashed ONCE (48-bit), then the H hash functions are
+    affine transforms `(a_h·hv + b_h) mod 2^48` — H× fewer md5 evaluations
+    than hashing per-seed, the standard universal-hash-family construction.
+    Documents with no shingles produce no rows. Pass `shingles` to reuse a
+    precomputed shingle table."""
+    from custom_python_vectordb_spark.functions.hashing import hash48
+
     sh = shingles if shingles is not None else doc_shingles(docs, shingle_n, id_col, text_col)
-    seeds = sh.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("h"))
-    hashed = sh.crossJoin(F.broadcast(seeds)).select(
-        F.col(id_col),
-        "h",
-        seeded_hash60(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("shingle")), 0).alias("hv"),
+    spark = sh.sparkSession
+    seeds = spark.createDataFrame(minhash_seeds(num_hashes), "h int, a long, b long")
+    hashed = sh.withColumn("hv", hash48(F.col("shingle")))
+    mixed = hashed.join(F.broadcast(seeds)).select(
+        F.col(id_col), "h",
+        ((F.col("a") * F.col("hv") + F.col("b")) % F.lit(MINHASH_MOD)).alias("hm"),
     )
-    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
+    return mixed.groupBy(id_col, "h").agg(F.min("hm").alias("minhash"))
 
 
 def lsh_candidate_pairs(

@@ -128,6 +128,46 @@ def regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_moving_avg", """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events)
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+FROM ev WHERE user_id < 5
+""")
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-row window analytics: per-user 3-event moving average."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mavg")
+    )
+
+
+@query("pivot_event_counts", """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+FROM events WHERE user_id < 20 GROUP BY user_id
+""")
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event-type columns per user (groupBy().pivot() — map-side
+    combined, one shuffle)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0)
+    )
+
+
 @query("range_join_value_buckets", """
 WITH buckets(lbl, lo, hi) AS (VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e12))
 SELECT b.lbl, COUNT(*) AS n, ROUND(AVG(e.value), 6) AS avg_value

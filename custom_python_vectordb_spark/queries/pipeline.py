@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from custom_python_vectordb_spark.functions.hashing import duck_seeded_hash48, duck_seeded_hash60
+from custom_python_vectordb_spark.functions.hashing import duck_hash48, duck_seeded_hash48
+from custom_python_vectordb_spark.operators.dedup import minhash_seeds
 from custom_python_vectordb_spark.functions.text import (
     BPE_ISH_REGEX,
     STOPWORDS,
@@ -40,6 +41,7 @@ from custom_python_vectordb_spark.queries.spine import ROUND, _query_vectors, _t
 from custom_python_vectordb_spark.registry import query
 
 TOKS = duck_tokenize("text")
+_SEED_VALUES = ", ".join(f"({h}, {a}, {b})" for h, a, b in minhash_seeds(16))
 
 DUCK_CORPUS = """
 corpus AS (
@@ -76,9 +78,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash", f"""
 WITH {DUCK_CORPUS.strip()}, {DUCK_TOKS.strip()}, {DUCK_SHINGLES.strip()},
-seeds AS (SELECT CAST(unnest(range(16)) AS INTEGER) AS h),
+seeds(h, a, b) AS (VALUES {_SEED_VALUES}),
 mh AS (SELECT s.doc_id, d.h,
-              MIN({duck_seeded_hash60("CAST(d.h AS VARCHAR) || '|' || s.shingle", 0)}) AS minhash
+              MIN((d.a * {duck_hash48('s.shingle')} + d.b) % 281474976710656) AS minhash
        FROM shc s, seeds d GROUP BY s.doc_id, d.h)
 SELECT doc_id, h, minhash FROM mh WHERE doc_id < 5
 """)
@@ -88,9 +90,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUCK_MINHASH_FULL = f"""
-seeds AS (SELECT CAST(unnest(range(16)) AS INTEGER) AS h),
+seeds(h, a, b) AS (VALUES {_SEED_VALUES}),
 mh AS (SELECT s.doc_id, d.h,
-              MIN({duck_seeded_hash60("CAST(d.h AS VARCHAR) || '|' || s.shingle", 0)}) AS minhash
+              MIN((d.a * {duck_hash48('s.shingle')} + d.b) % 281474976710656) AS minhash
        FROM shc s, seeds d GROUP BY s.doc_id, d.h),
 banded AS (
     SELECT doc_id, CAST(h // 4 AS INTEGER) AS band,
