@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 
 from custom_python_vectordb_spark.functions.distances import distance_expr
 from custom_python_vectordb_spark.functions.text import tokenize, tokenize_py
-from custom_python_vectordb_spark.operators.topk import top_k_per_group
 
 K1 = 1.5
 B = 0.75

@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from custom_python_vectordb_spark.functions.hashing import seeded_hash60
 from custom_python_vectordb_spark.functions.text import tokenize
 
 

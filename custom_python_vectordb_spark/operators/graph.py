@@ -24,7 +24,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from custom_python_vectordb_spark.functions.distances import distance_expr
-from custom_python_vectordb_spark.operators.topk import top_k_per_group
 
 
 def _directed(edges: DataFrame, direction: str, edge_type: str | None) -> DataFrame:

@@ -36,7 +36,6 @@ from custom_python_vectordb_spark.operators.dedup import (
     simhash_pairs,
 )
 from custom_python_vectordb_spark.operators.similarity import ivf_assign, knn_ivf, knn_lsh
-from custom_python_vectordb_spark.operators.topk import top_k_per_group
 from custom_python_vectordb_spark.queries.spine import ROUND, _query_vectors, _t
 from custom_python_vectordb_spark.registry import query
 

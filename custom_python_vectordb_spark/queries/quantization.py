@@ -17,7 +17,6 @@ from custom_python_vectordb_spark.operators.quantization import (
     pq_train_kmeans,
     quantized_rerank,
     sq_encode,
-    sq_encode_expr,
     sq_l2_dist_expr,
     sq_dot_dist_expr,
     sq_model,

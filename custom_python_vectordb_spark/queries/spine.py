@@ -7,7 +7,6 @@ Reference parity notes live in the operator modules; here we only wire.
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -96,6 +96,24 @@ def events_replay_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_tail(_t(spark, sf_dir, "events"), 10).select("event_id", "event_type")
 
 
+@query("value_percentiles_by_type", f"""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), {ROUND}) AS p50,
+       ROUND(quantile_cont(value, 0.95), {ROUND}) AS p95
+FROM events GROUP BY event_type
+""")
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 per group — percentile aggregation under a groupBy."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), ROUND).alias("p50"),
+            F.round(F.percentile("value", 0.95), ROUND).alias("p95"),
+        )
+    )
+
+
 @query("value_percentiles", f"""
 SELECT ROUND(quantile_cont(value, 0.5), {ROUND}) AS p50,
        ROUND(quantile_cont(value, 0.95), {ROUND}) AS p95,

@@ -4,7 +4,6 @@ reference's example-based suite (SURVEY.md §5)."""
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import pytest
