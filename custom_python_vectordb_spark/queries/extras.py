@@ -128,6 +128,41 @@ def regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("json_props_avg", """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+""")
+def json_props_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON path extraction + numeric aggregation
+    (the reference keeps metadata as open dicts; ours rides JSON columns)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 6).alias("avg_k"), F.max("k").alias("max_k"))
+    )
+
+
+@query("cube_orders", """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE(CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+""")
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping — all subtotal combinations across two dimensions."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube(F.year("o_orderdate").alias("o_year"), F.col("o_orderpriority"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @query("events_moving_avg", """
 WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events)
 SELECT event_id, user_id,
