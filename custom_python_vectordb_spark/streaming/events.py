@@ -111,6 +111,31 @@ def sliding_counts(events: DataFrame, size: str = "2 hours", slide: str = "1 hou
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static join: per-event enrichment against a broadcast
+    dimension (the static side is re-read per micro-batch, so a slowly
+    changing dim stays current without restarting the query)."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
+def dedup_stream(events: DataFrame, id_col: str = "event_id", watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-id within the watermark horizon: the streaming form
+    of exact dedup (state = ids seen inside the horizon; without the
+    watermark the state would grow unboundedly)."""
+    return events.withWatermark("ts", watermark).dropDuplicates([id_col])
+
+
+def ingest_to_warehouse(events: DataFrame, warehouse, name: str):
+    """R1 — continuous ingest: foreachBatch appends each micro-batch to a
+    warehouse collection (idempotence at scale comes from batch-id-aware
+    sinks or a table format; append suffices for the file-source demo)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        warehouse.save(name, batch_df, mode="append")
+
+    return events.writeStream.foreachBatch(write_batch)
+
+
 def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Session windows per user (gap-based). In batch this is the classic
     gaps-and-islands; F.session_window expresses it in one operator for

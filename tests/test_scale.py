@@ -56,3 +56,37 @@ def test_global_topk_is_take_ordered(spark, sf_small):
     li = load_table(spark, sf_small, "lineitem")
     df = li.orderBy(F.col("l_extendedprice").desc()).limit(5)
     assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_batch_knn_at_reference_scale(spark, sf_small):
+    """Reference-scale probe: 100K-vector corpus (offset-union derived),
+    1000-query GEMM batch. The baseline's comparable is 1.66 ms/query
+    (batch GEMM at 100K, BASELINE.md); assert a generous ceiling so the
+    test stays robust on slower machines while catching regressions to the
+    per-pair expression path (~50 ms/q)."""
+    import time
+
+    from custom_python_vectordb_spark.operators.knn import knn_batch_gemm
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    parts = [
+        emb.select((F.col("vec_id") + F.lit(i * 2000)).alias("vec_id"), "embedding")
+        for i in range(50)
+    ]
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.union(p)
+    corpus = corpus.repartition(16).cache()
+    assert corpus.count() == 100_000
+    qpd = (
+        emb.filter(F.col("vec_id") < 1000)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+    knn_batch_gemm(corpus, qpd, k=10).count()  # warm
+    t0 = time.time()
+    n = knn_batch_gemm(corpus, qpd, k=10).count()
+    dt = time.time() - t0
+    corpus.unpersist()
+    assert n == 10_000
+    assert dt / 1000 * 1000 < 10.0, f"{dt:.2f}s for 1000 queries (> 10 ms/q)"

@@ -116,3 +116,47 @@ def test_stateful_running_totals(spark, sf_small):
     }
     assert got == exp
     q.stop()
+
+
+def test_stream_static_enrichment(spark, sf_small):
+    """Stream-static broadcast join: every event gets its user's tier."""
+    from custom_python_vectordb_spark.streaming.events import enrich_stream
+
+    static = (
+        load_table(spark, sf_small, "events")
+        .select("user_id").distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = enrich_stream(read_event_stream(spark, sf_small), static)
+    q = run_to_memory(stream.select("event_id", "user_id", "tier"), "t_enrich", mode="append")
+    rows = spark.sql("select * from t_enrich").collect()
+    assert len(rows) == load_table(spark, sf_small, "events").count()
+    assert all(r["tier"] == r["user_id"] % 3 for r in rows)
+    q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, sf_small):
+    """Union of two reads of the same source = every event twice; streaming
+    dropDuplicates on event_id restores exactly-once."""
+    from custom_python_vectordb_spark.streaming.events import dedup_stream
+
+    doubled = read_event_stream(spark, sf_small).unionByName(read_event_stream(spark, sf_small))
+    q = run_to_memory(dedup_stream(doubled).select("event_id"), "t_dedup", mode="append")
+    got = spark.sql("select count(*) n, count(distinct event_id) d from t_dedup").collect()[0]
+    expect = load_table(spark, sf_small, "events").count()
+    assert got["n"] == got["d"] == expect
+    q.stop()
+
+
+def test_foreachbatch_ingest_to_warehouse(spark, sf_small, tmp_path):
+    """R1 — continuous ingest into a Parquet collection via foreachBatch."""
+    from custom_python_vectordb_spark.sources.warehouse import Warehouse
+    from custom_python_vectordb_spark.streaming.events import ingest_to_warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.save("ingested", read_event_stream(spark, sf_small).select("event_id").limit(0).sparkSession.createDataFrame([], "event_id long, event_type string"))
+    stream = read_event_stream(spark, sf_small).select("event_id", "event_type")
+    q = ingest_to_warehouse(stream, wh, "ingested").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert wh.load("ingested").count() == load_table(spark, sf_small, "events").count()
+    q.stop()
