@@ -324,6 +324,67 @@ def recall_sq_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.agg(F.round(F.avg("n") / 10.0, ROUND).alias("avg_recall"))
 
 
+@query("knn_ivfpq", f"""
+WITH {_DUCK_PQ_CB.strip()},
+cents AS (SELECT CAST(vec_id - 200 AS INTEGER) AS cluster, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id BETWEEN 200 AND 207),
+asgn AS (SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cluster) AS rn
+    FROM embeddings e, cents c
+) WHERE rn = 1),
+qsub AS (SELECT m, dl, v FROM vsub WHERE vec_id = 0),
+qprobe AS (SELECT cluster FROM (
+    SELECT c.cluster,
+           row_number() OVER (ORDER BY list_distance(
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0), c.cv), c.cluster) AS rn
+    FROM cents c
+) WHERE rn <= 2),
+lut AS (SELECT q.m, c.code, SUM(POW(q.v - c.cv, 2)) AS d2
+        FROM qsub q JOIN cbd c ON q.m = c.m AND q.dl = c.dl GROUP BY q.m, c.code),
+cand AS (SELECT a.vec_id FROM asgn a JOIN qprobe p ON a.cluster = p.cluster),
+adc AS (SELECT p.vec_id, sqrt(SUM(l.d2)) AS dist
+        FROM pqcodes p JOIN cand USING (vec_id) JOIN lut l ON p.m = l.m AND p.code = l.code
+        GROUP BY p.vec_id)
+SELECT vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM adc
+ORDER BY dist, vec_id LIMIT 10
+""")
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the classic composed accelerator: coarse IVF cells prune
+    the corpus (scan ≈ nprobe/n_cells), PQ lookup-table distances score the
+    surviving candidates in O(M) each. At 100 TB: corpus partitioned by
+    cluster, codes table 16× smaller than vectors, LUT broadcast."""
+    from custom_python_vectordb_spark.operators.similarity import ivf_assign
+    from custom_python_vectordb_spark.operators.topk import top_k_per_group as _tkpg
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(200, 207)).select(
+        (F.col("vec_id") - 200).cast("int").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    assigned = ivf_assign(emb, cents)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    qprobe = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("cluster", F.col("cvec"), "qvec")
+        .select("cluster",
+                F.aggregate(F.zip_with(F.col("cvec"), F.col("qvec"),
+                                       lambda a, b: (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+                            F.lit(0.0), lambda acc, x: acc + x).alias("d2"))
+        .orderBy("d2", "cluster").limit(2).select("cluster")
+    )
+    cand = assigned.join(F.broadcast(qprobe), "cluster").select("vec_id")
+    cb = pq_sample_codebook(emb, M, KCENT)
+    codes = pq_encode(emb, cb, M).join(cand, "vec_id", "left_semi")
+    lut = pq_lut(qv, cb, M)
+    out = pq_adc_distances(codes, lut)
+    return (
+        out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )
+
+
 @query("pq_kmeans_recall")  # A6: k-means codebook — model-metric check (no SQL oracle)
 def pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib-KMeans-trained PQ (seeded): recall@10 of ADC ranking vs exact

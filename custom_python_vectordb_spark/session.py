@@ -39,12 +39,16 @@ def tune_session(spark: SparkSession) -> SparkSession:
     The driver harness owns its own SparkSession; only runtime-mutable confs
     can be applied there.
     """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     for key, value in (
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        # externally-created sessions default to 200 shuffle partitions —
+        # wasteful at test scale and for streaming state stores
+        ("spark.sql.shuffle.partitions", str(cpus)),
     ):
         try:
             spark.conf.set(key, value)
