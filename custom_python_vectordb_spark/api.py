@@ -107,6 +107,7 @@ class Collection:
         mode: str = "exact",
         n_cells: int = 16,
         nprobe: int = 2,
+        include_vector: bool = False,
     ) -> DataFrame:
         """kNN; `query_text` is embedded with the deterministic mock
         provider (server-side embed, ``server_full.py:360-362``).
@@ -131,6 +132,8 @@ class Collection:
             [(0, [float(x) for x in vector])], "qid long, qvec array<float>"
         )
         payload = [c for c in self.df().columns if c not in ("id", "embedding")]
+        if include_vector:
+            payload = payload + ["embedding"]
         if mode == "exact":
             return knn(
                 self.df(), queries, k=k, metric=metric, id_col="id",

@@ -129,15 +129,31 @@ def hybrid_search(
     post_filter: Column | None = None,
     filter_source: DataFrame | None = None,
     round_to: int | None = None,
+    filter_mode: str = "post",
 ) -> DataFrame:
     """D9/J9 — fused ranking over the union of vector and keyword candidates.
 
     `query_vec` is a 1-row (qvec) DataFrame so the query embedding never
-    round-trips through the driver. `post_filter` replicates the reference's
-    filter-AFTER-fusion semantics (its acknowledged asymmetry); pass
-    `filter_source` (a DataFrame with doc_id_col + the filtered metadata
-    columns) when the predicate's columns live outside the two score tables.
+    round-trips through the driver. `post_filter` + `filter_source` (a
+    DataFrame with doc_id_col + the filtered metadata columns) scope the
+    results; `filter_mode`:
+
+    - 'post' (default) — reference parity: filter AFTER fusion
+      (``hybrid_search.py:455-460``), normalization computed over the
+      unfiltered candidate sets (its acknowledged asymmetry).
+    - 'pre' — the corrected semantics: both branches restricted BEFORE
+      scoring, so normalizers come from the filtered population and heavy
+      filters cannot starve results.
     """
+    if filter_mode not in ("post", "pre"):
+        raise ValueError(f"filter_mode must be post|pre, got {filter_mode!r}")
+    if filter_mode == "pre" and post_filter is not None and filter_source is not None:
+        allowed = filter_source.filter(post_filter)
+        corpus_vec = corpus_vec.join(
+            allowed.select(F.col(doc_id_col).alias(vec_id_col)), vec_id_col, "left_semi"
+        )
+        docs = docs.join(allowed.select(doc_id_col), doc_id_col, "left_semi")
+        post_filter = None  # already applied
     dist = distance_expr(metric, vec_col, "qvec")
     vec_scored = (
         corpus_vec.crossJoin(F.broadcast(query_vec))

@@ -234,6 +234,64 @@ def hybrid_fusion_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hybrid(spark, sf_dir, alpha=0.5, where=F.col("lang") == "en")
 
 
+def _duck_hybrid_pre(query_text: str, alpha: float, where: str, k: int = 10) -> str:
+    """Pre-filter variant: both branches restricted before scoring, so the
+    max-normalizers come from the filtered population. `documents` and
+    `embeddings` share the id domain in the fixture."""
+    ctes = _duck_bm25_ctes(query_text).replace(
+        "FROM documents", f"FROM documents WHERE {where}", 1
+    )
+    return f"""
+WITH {ctes},
+allowed AS (SELECT doc_id FROM documents WHERE {where}),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+    SELECT e.vec_id AS id,
+           1.0 - list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.v)
+               / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(qv.v, qv.v))) AS dist
+    FROM embeddings e CROSS JOIN qv
+    WHERE e.vec_id IN (SELECT doc_id FROM allowed)
+),
+vec_norm AS (
+    SELECT id, CASE WHEN (SELECT MAX(dist) FROM vec_scored) > 0
+                    THEN 1.0 - dist / (SELECT MAX(dist) FROM vec_scored) ELSE 1.0 END AS vector_score
+    FROM vec_scored
+),
+kw_norm AS (
+    SELECT doc_id AS id, CASE WHEN (SELECT MAX(score) FROM scored) > 0
+                              THEN score / (SELECT MAX(score) FROM scored) ELSE 0.0 END AS keyword_score
+    FROM scored
+),
+fused AS (
+    SELECT COALESCE(v.id, w.id) AS id,
+           COALESCE(v.vector_score, 0.0) AS vector_score,
+           COALESCE(w.keyword_score, 0.0) AS keyword_score,
+           {alpha} * COALESCE(v.vector_score, 0.0) + (1 - {alpha}) * COALESCE(w.keyword_score, 0.0) AS score
+    FROM vec_norm v FULL OUTER JOIN kw_norm w ON v.id = w.id
+)
+SELECT id, ROUND(score, {ROUND}) + 0.0 AS score,
+       ROUND(vector_score, {ROUND}) + 0.0 AS vector_score,
+       ROUND(keyword_score, {ROUND}) + 0.0 AS keyword_score
+FROM fused ORDER BY score DESC, id LIMIT {k}
+"""
+
+
+@query("hybrid_fusion_prefiltered", _duck_hybrid_pre(QUERY_TEXT, 0.5, "lang = 'en'"))
+def hybrid_fusion_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_mode='pre' — the corrected hybrid semantics: the filter
+    restricts BOTH branches before scoring/normalization (the reference's
+    post-fusion filter can starve results under heavy filters)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return hybrid_search(
+        emb, docs, qv, QUERY_TEXT, k=10, alpha=0.5,
+        post_filter=F.col("lang") == "en", filter_source=docs,
+        filter_mode="pre", round_to=ROUND,
+    )
+
+
 @query("hybrid_no_text", f"""
 WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
 vec_scored AS (
