@@ -158,6 +158,34 @@ class Collection:
             return hits.join(self.df().drop("embedding"), "id", "left")
         raise ValueError(f"unknown search mode {mode!r}; one of exact|ivf")
 
+    def query(
+        self,
+        query_texts: list[str] | None = None,
+        query_embeddings: list[list[float]] | None = None,
+        n_results: int = 10,
+        where: dict[str, Any] | None = None,
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """ChromaDB-style batch entry point (``fastpyvectordb/client.py:
+        184-274``): texts XOR embeddings, many queries in ONE plan. Returns
+        (qid, id, dist, …metadata) — qid indexes the input list."""
+        if (query_texts is None) == (query_embeddings is None):
+            raise ValueError("provide exactly one of query_texts / query_embeddings")
+        if query_embeddings is None:
+            query_embeddings = [
+                mock_embed_one(t, self.dimensions).tolist() for t in query_texts
+            ]
+        queries = self.db.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(query_embeddings)],
+            "qid long, qvec array<float>",
+        )
+        cond = Filter.from_dict(where).column if where else None
+        payload = [c for c in self.df().columns if c not in ("id", "embedding")]
+        return knn(
+            self.df(), queries, k=n_results, metric=metric, id_col="id",
+            filter_cond=cond, payload_cols=payload,
+        )
+
     def keyword_search(self, query: str, k: int = 10) -> DataFrame:
         return bm25_topk(self.df(), query, k=k, id_col="id", text_col="_document")
 

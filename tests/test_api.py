@@ -129,3 +129,20 @@ def test_search_ivf_mode(spark, tmp_path):
     assert 0 < len(partial) <= 5
     with pytest.raises(ValueError):
         c.search(vector=[1.0, 0.0, 0.0, 0.0], mode="hnsw")
+
+
+def test_batch_query_entry_point(coll):
+    """ChromaDB-style query(): many texts, one plan, qid-indexed results."""
+    out = coll.query(
+        query_texts=["spark shuffles data between stages", "the quick brown fox jumps"],
+        n_results=2,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r["id"])
+    assert by_q[0][0] == "d1" and by_q[1][0] == "d3"
+    with pytest.raises(ValueError):
+        coll.query()
+    emb = [mock_embed_one("hash join and merge join strategies", 64).tolist()]
+    hits = coll.query(query_embeddings=emb, n_results=1).collect()
+    assert hits[0]["id"] == "d4"
