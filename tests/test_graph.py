@@ -117,3 +117,24 @@ def test_connected_components(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
     clusters = {r["cluster"]: (r["size"], r["keeper"]) for r in dedup_clusters(pairs).collect()}
     assert clusters == {1: (4, 1), 5: (2, 5)}
+
+
+def test_cypher_translator_edge_cases(spark, sf_small):
+    from custom_python_vectordb_spark.plans.cypher import cypher
+    from custom_python_vectordb_spark.sources.graph_view import edges_df, nodes_df
+
+    nodes, edges = nodes_df(spark, sf_small), edges_df(spark, sf_small)
+    # numeric inline prop + multiple WHERE conds ANDed
+    rows = cypher(
+        nodes, edges,
+        "MATCH (p:Part {size: 1}) WHERE p.size >= 1 AND p.size <= 1 RETURN p, p.name",
+    ).collect()
+    assert rows and all(r["p_id"].startswith("p:") for r in rows)
+    # untyped edge pattern binds every edge type
+    some = cypher(nodes, edges, "MATCH (n:Nation)-[]->(r:Region) RETURN n, r").collect()
+    assert len(some) == nodes.filter(F.array_contains("labels", "Nation")).count()
+    # quoted string with spaces in inline props
+    seg = cypher(
+        nodes, edges, "MATCH (c:Customer {mktsegment: 'MACHINERY'}) RETURN c"
+    ).count()
+    assert seg > 0
