@@ -106,6 +106,25 @@ def mutation_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("type").agg(F.count(F.lit(1)).alias("n"))
 
 
+@query("semantic_text_search")  # E8+K1 composed: UDF embeddings → rows-only check
+def semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full text pipeline in one plan: embed raw documents with the
+    deterministic provider, embed a query string, exact cosine top-10.
+    Deterministic end-to-end (bit-identical embeddings) but the RandomState
+    generation is not SQL-expressible — rows-only driver check; embedding
+    parity is pinned in tests/test_embeddings.py."""
+    from custom_python_vectordb_spark.functions.embeddings import mock_embed_one
+    from custom_python_vectordb_spark.operators.knn import knn
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id", "text")
+    corpus = embed_column(docs, "text", "embedding", dimensions=64)
+    qv = mock_embed_one("fast hash join merge sort", 64).tolist()
+    queries = spark.createDataFrame([(0, qv)], "qid long, qvec array<float>")
+    return knn(
+        corpus, queries, k=10, id_col="doc_id", round_to=6
+    ).select("doc_id", "dist")
+
+
 @query("embed_mock")  # E8: numpy RandomState is not SQL-expressible → rows-only check
 def embed_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mock embeddings for the first 20 docs: verifies the
