@@ -62,6 +62,28 @@ def _routes(db: VectorDB):
                         {"id": r["id"], "dist": float(r["dist"])}
                     )
                 return 200, {"results": [out.get(i, []) for i in sorted(out)]}
+            if len(parts) == 4 and parts[2] == "get" and method == "GET":
+                doc = coll.get(parts[3])
+                return (200, doc) if doc is not None else (404, {"error": f"id {parts[3]!r} not found"})
+            if parts[2:] == ["delete"] and method == "POST":
+                coll.delete(list(body["ids"]))
+                return 200, {"deleted": len(body["ids"])}
+            if parts[2:] == ["keyword"] and method == "POST":
+                rows = coll.keyword_search(body["query"], k=int(body.get("n_results", 10))).collect()
+                return 200, {"results": [{"id": r["id"], "score": float(r["score"])} for r in rows]}
+            if parts[2:] == ["hybrid"] and method == "POST":
+                rows = coll.hybrid(
+                    body["query"], k=int(body.get("n_results", 10)),
+                    alpha=float(body.get("alpha", 0.5)),
+                ).collect()
+                return 200, {
+                    "results": [
+                        {"id": r["id"], "score": float(r["score"]),
+                         "vector_score": float(r["vector_score"]),
+                         "keyword_score": float(r["keyword_score"])}
+                        for r in rows
+                    ]
+                }
         return 404, {"error": f"no route {method} {path}"}
 
     return handle

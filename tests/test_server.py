@@ -57,3 +57,20 @@ def test_rest_errors(served):
     assert call(port, "GET", "/collections/nope/count")[0] == 404
     assert call(port, "GET", "/bogus")[0] == 404
     assert call(port, "POST", "/collections", {"dimensions": 4})[0] == 400  # missing name
+
+
+def test_rest_get_delete_keyword_hybrid(served):
+    port = served
+    call(port, "POST", "/collections", {"name": "kb", "dimensions": 64})
+    call(port, "POST", "/collections/kb/add",
+         {"ids": ["x", "y", "z"],
+          "documents": ["spark joins data", "brown foxes run", "hash join strategies"]})
+    status, doc = call(port, "GET", "/collections/kb/get/y")
+    assert status == 200 and doc["_document"] == "brown foxes run"
+    assert call(port, "GET", "/collections/kb/get/missing")[0] == 404
+    status, kw = call(port, "POST", "/collections/kb/keyword", {"query": "hash join", "n_results": 2})
+    assert status == 200 and kw["results"][0]["id"] == "z"
+    status, hy = call(port, "POST", "/collections/kb/hybrid", {"query": "spark joins data", "n_results": 2})
+    assert status == 200 and hy["results"][0]["id"] == "x"
+    assert call(port, "POST", "/collections/kb/delete", {"ids": ["x"]})[1] == {"deleted": 1}
+    assert call(port, "GET", "/collections/kb/count")[1] == {"count": 2}
