@@ -473,6 +473,46 @@ def recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.agg(F.round(F.avg("n") / 10.0, ROUND).alias("avg_recall"))
 
 
+@query("deterministic_sample", f"""
+SELECT doc_id FROM documents
+WHERE {duck_hash48("'sample|' || CAST(doc_id AS VARCHAR)")} % 100 < 10
+""")
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample via hash-thresholding the id — the
+    cluster-safe sampling primitive (no RNG state, stable across reruns,
+    partitioning, and engines; the basis of held-out splits at 100 TB)."""
+    from custom_python_vectordb_spark.functions.hashing import hash48
+
+    docs = _t(spark, sf_dir, "documents")
+    key = hash48(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    return docs.filter(key % 100 < 10).select("doc_id")
+
+
+@query("stratified_sample", f"""
+SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY {duck_hash48("'strat|' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+    FROM documents
+) WHERE rn <= 5
+""")
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 docs per language, chosen by hash order — deterministic stratified
+    sampling (equal-size per-stratum subsets for eval sets)."""
+    from pyspark.sql import Window
+
+    from custom_python_vectordb_spark.functions.hashing import hash48
+
+    docs = _t(spark, sf_dir, "documents")
+    key = hash48(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id")
+    )
+
+
 @query("curation_pipeline", f"""
 WITH {DUCK_CORPUS.strip()},
 hashed AS (SELECT doc_id, text, md5(text) AS h FROM corpus),
