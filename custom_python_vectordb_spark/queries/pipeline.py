@@ -513,6 +513,71 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("train_val_test_split", f"""
+WITH keyed AS (
+    SELECT doc_id, {duck_hash48("'split|' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n, MIN(doc_id) AS min_id
+FROM keyed GROUP BY 1
+""")
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split assignment by id hash — membership is a pure function
+    of the id, so splits never leak across reruns or repartitioning."""
+    from custom_python_vectordb_spark.functions.hashing import hash48
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = hash48(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select(split.alias("split"), "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
+    )
+
+
+@query("pack_sequences", f"""
+WITH tok AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents),
+ordered AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY {duck_hash48("'pack|' || CAST(doc_id AS VARCHAR)")}, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM tok
+),
+binned AS (SELECT doc_id, n_tokens, CAST((cum - 1) // 512 AS BIGINT) AS bin FROM ordered)
+SELECT bin, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM binned WHERE bin < 10 GROUP BY bin
+""")
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs greedily binned to ~512-token groups along a
+    deterministic hash order (running token sum → bin = cum div budget) —
+    the batch-construction op for pretraining pipelines, as one window
+    plan. First 10 bins shown.
+
+    Scale note: the global ordering here is the oracle-checkable form; at
+    100 TB partition the hash space first (e.g. hash % n_shards) and pack
+    within shards — bins stay balanced because the hash order is uniform,
+    and the window never crosses shard boundaries."""
+    from pyspark.sql import Window
+
+    from custom_python_vectordb_spark.functions.hashing import hash48
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens")
+    )
+    key = hash48(F.concat(F.lit("pack|"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key, F.col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)
+    binned = docs.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin", F.expr("(cum - 1) div 512")
+    )
+    return (
+        binned.filter(F.col("bin") < 10)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
+
+
 @query("curation_pipeline", f"""
 WITH {DUCK_CORPUS.strip()},
 hashed AS (SELECT doc_id, text, md5(text) AS h FROM corpus),
