@@ -1,0 +1,48 @@
+"""Registry invariants: the driver contract stays well-formed as queries
+are added."""
+
+from __future__ import annotations
+
+import inspect
+
+from custom_python_vectordb_spark import registry
+
+registry.load_all()
+
+
+def test_every_oracle_has_a_query():
+    assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+def test_query_callables_take_spark_and_sfdir():
+    for name, fn in registry.QUERIES.items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) == 2, f"{name} must take (spark, sf_dir)"
+
+
+def test_names_are_snake_case():
+    import re
+
+    for name in registry.QUERIES:
+        assert re.fullmatch(r"[a-z0-9_]+", name), name
+
+
+def test_oracle_sql_is_nonempty_and_selects():
+    for name, sql in registry.ORACLES.items():
+        assert "SELECT" in sql.upper(), name
+        assert len(sql.strip()) > 20, name
+
+
+def test_weak_queries_are_the_documented_set():
+    weak = set(registry.QUERIES) - set(registry.ORACLES)
+    assert weak == {
+        "embed_mock",            # RandomState embeddings not SQL-expressible
+        "pq_kmeans_recall",      # MLlib KMeans model metric
+        "media_features",        # embedding-based feature stub
+        "semantic_text_search",  # UDF embeddings end-to-end
+    }, weak
+
+
+def test_contract_size_floor():
+    assert len(registry.QUERIES) >= 120
+    assert len(registry.ORACLES) >= 116
