@@ -146,3 +146,25 @@ def test_batch_query_entry_point(coll):
     emb = [mock_embed_one("hash join and merge join strategies", 64).tolist()]
     hits = coll.query(query_embeddings=emb, n_results=1).collect()
     assert hits[0]["id"] == "d4"
+
+
+def test_upsert_with_new_column_schema_evolution(coll, spark):
+    batch = spark.createDataFrame(
+        [("d9", mock_embed_one("new", 64).tolist(), "brand new", "eng", 0.9)],
+        "id string, embedding array<float>, _document string, category string, quality double",
+    )
+    coll.upsert(batch)
+    assert coll.count() == 5
+    assert coll.get("d9")["quality"] == pytest.approx(0.9)
+    assert coll.get("d1")["quality"] is None  # old rows take NULL for the new column
+
+
+def test_delete_empty_and_missing_ids(coll):
+    coll.delete([])
+    assert coll.count() == 4
+    coll.delete(["does-not-exist"])
+    assert coll.count() == 4
+
+
+def test_warehouse_drop_missing(db):
+    assert db.delete_collection("ghost") is False
