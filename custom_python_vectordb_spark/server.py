@@ -129,3 +129,28 @@ def serve_background(db: VectorDB, port: int = 0) -> tuple[ThreadingHTTPServer, 
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, srv.server_address[1]
+
+
+def main() -> None:
+    """CLI: python -m custom_python_vectordb_spark.server <warehouse_dir> [port]"""
+    import sys
+
+    from custom_python_vectordb_spark.session import get_spark
+
+    if len(sys.argv) < 2:
+        print("usage: python -m custom_python_vectordb_spark.server <warehouse_dir> [port]")
+        raise SystemExit(2)
+    root = sys.argv[1]
+    port = int(sys.argv[2]) if len(sys.argv) > 2 else 8765
+    spark = get_spark("vectordb-server")
+    spark.sparkContext.setLogLevel("ERROR")
+    srv = make_server(VectorDB(spark, root), port)
+    print(f"serving {root} on http://127.0.0.1:{srv.server_address[1]} — Ctrl-C to stop")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()
