@@ -1,0 +1,64 @@
+"""Maximal Marginal Relevance rerank — diversity-aware top-k.
+
+Plain top-k returns near-duplicate hits together; MMR greedily picks
+    argmax_d [ λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s) ]
+trading relevance against novelty. Two-stage plan, same shape as K5:
+
+1. distributed: exact top-`fetch_k` candidates by similarity (the corpus
+   never shuffles — operators/knn contract);
+2. driver-side: greedy MMR over the ≤fetch_k collected candidates —
+   the candidate set is small by construction, so this is the honest
+   place for the sequential argmax (a distributed loop would shuffle
+   per selection step for no benefit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.operators.knn import knn
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    lam: float = 0.7,
+    fetch_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """Returns [(id, relevance_sim, mmr_score), …] in selection order."""
+    spark = corpus.sparkSession
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in query_vec])], "qid long, qvec array<float>"
+    )
+    cands = knn(
+        corpus, queries, k=fetch_k, metric="cosine",
+        id_col=id_col, vec_col=vec_col, payload_cols=[vec_col],
+    ).collect()
+    if not cands:
+        return []
+    ids = [r[id_col] for r in cands]
+    mat = np.array([r[vec_col] for r in cands], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = np.array(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    rel = mat @ q
+
+    selected: list[int] = []
+    out: list[tuple] = []
+    remaining = set(range(len(ids)))
+    for _ in range(min(k, len(ids))):
+        if selected:
+            redundancy = (mat @ mat[selected].T).max(axis=1)
+        else:
+            redundancy = np.zeros(len(ids))
+        scores = lam * rel - (1 - lam) * redundancy
+        best = max(remaining, key=lambda i: (scores[i], -ids[i] if isinstance(ids[i], int) else 0))
+        selected.append(best)
+        remaining.discard(best)
+        out.append((ids[best], float(rel[best]), float(scores[best])))
+    return out

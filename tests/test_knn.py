@@ -71,3 +71,25 @@ def test_gemm_path_equals_expression_path(spark, corpus, queries_df):
     assert [(r["qid"], r["vec_id"]) for r in expr] == [(r["qid"], r["vec_id"]) for r in gemm]
     for a, b in zip(expr, gemm):
         assert a["dist"] == pytest.approx(b["dist"], rel=1e-9, abs=1e-12)
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """With a near-duplicate of the best hit in the corpus, plain top-2
+    returns both copies; MMR's second pick is the diverse document."""
+    from custom_python_vectordb_spark.operators.mmr import mmr_rerank
+
+    corpus_rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-duplicate of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # diverse, moderately relevant
+        (4, [0.0, 0.0, 1.0, 0.0]),      # irrelevant
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<float>")
+    q = [0.9, 0.44, 0.0, 0.0]  # between doc 1/2 and doc 3
+    picks = mmr_rerank(corpus, q, k=2, lam=0.5, fetch_k=4)
+    assert picks[0][0] == 2                 # most relevant first
+    assert picks[1][0] == 3                 # diversity beats the duplicate of the first pick
+    # relevance-only limit: λ=1 reduces to plain top-k
+    plain = mmr_rerank(corpus, q, k=2, lam=1.0, fetch_k=4)
+    assert [p[0] for p in plain] == [2, 1]
+    assert mmr_rerank(corpus.filter("vec_id < 0"), q, k=2) == []
