@@ -125,6 +125,21 @@ def semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "dist")
 
 
+@query("mmr_rerank")  # iterative greedy argmax — rows-only check; behavior pinned in tests
+def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-5 for query vector 0 (λ=0.7 over 30 candidates)."""
+    from custom_python_vectordb_spark.operators.mmr import mmr_rerank
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    picks = mmr_rerank(emb, list(qv), k=5, lam=0.7, fetch_k=30)
+    return spark.createDataFrame(
+        [(i, int(p[0]), round(p[1], 6), round(p[2], 6)) for i, p in enumerate(picks)],
+        "rank int, vec_id long, relevance double, mmr_score double",
+    )
+
+
 @query("embed_mock")  # E8: numpy RandomState is not SQL-expressible → rows-only check
 def embed_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mock embeddings for the first 20 docs: verifies the

@@ -578,6 +578,46 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("more_like_this", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+shd AS (SELECT doc_id, unnest({duck_shingles('toks')}) AS shingle FROM tok),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id),
+src AS (SELECT shingle FROM shd WHERE doc_id = 42),
+inter AS (SELECT s.doc_id, COUNT(*) AS i FROM shd s JOIN src USING (shingle)
+          WHERE s.doc_id <> 42 GROUP BY s.doc_id)
+SELECT i.doc_id, ROUND(CAST(i.i AS DOUBLE) / (z.sz + (SELECT sz FROM sizes WHERE doc_id = 42) - i.i), {ROUND}) AS jaccard
+FROM inter i JOIN sizes z ON z.doc_id = i.doc_id
+ORDER BY jaccard DESC, i.doc_id LIMIT 10
+""")
+def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-documents: top-10 by shingle Jaccard to one source doc —
+    the single-anchor form of near-dup (one shingle semi-join, no pairs
+    blowup)."""
+    from custom_python_vectordb_spark.operators.dedup import doc_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    src = sh.filter(F.col("doc_id") == 42).select("shingle")
+    src_sz = sizes.filter(F.col("doc_id") == 42).select(F.col("sz").alias("src_sz"))
+    inter = (
+        sh.filter(F.col("doc_id") != 42)
+        .join(F.broadcast(src), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes, "doc_id")
+        .crossJoin(F.broadcast(src_sz))
+        .select(
+            "doc_id",
+            F.round(F.col("i") / (F.col("sz") + F.col("src_sz") - F.col("i")), ROUND).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 @query("curation_pipeline", f"""
 WITH {DUCK_CORPUS.strip()},
 hashed AS (SELECT doc_id, text, md5(text) AS h FROM corpus),

@@ -40,6 +40,7 @@ def test_weak_queries_are_the_documented_set():
         "pq_kmeans_recall",      # MLlib KMeans model metric
         "media_features",        # embedding-based feature stub
         "semantic_text_search",  # UDF embeddings end-to-end
+        "mmr_rerank",            # iterative greedy argmax
     }, weak
 
 
