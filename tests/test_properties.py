@@ -107,3 +107,33 @@ def test_tokenizer_matches_python_twin(spark, texts):
     got = {r["id"]: r["toks"] for r in df.select("id", tokenize("t").alias("toks")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == tokenize_py(t), repr(t)
+
+
+def test_quality_score_components(spark):
+    """Quality formula on hand-computable docs: length, stopword, punct parts."""
+    from custom_python_vectordb_spark.functions.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "the " * 50 + "cat"), (2, "!!!???"), (3, "")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["q"] for r in df.select("id", quality_score("text").alias("q")).collect()}
+    assert got[1] == pytest.approx(0.4 * 51 / 100 + 0.3 + 0.3, rel=1e-6)  # no punct chars
+    assert got[2] == pytest.approx(0.0)  # no tokens, all punctuation
+    assert got[3] == pytest.approx(0.3)  # empty: clean but zero content
+
+
+def test_langid_votes_and_tiebreak(spark):
+    from custom_python_vectordb_spark.functions.text import langid_predict
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist von"),
+            (3, "xyzzy qwerty plugh"),
+            (4, "the el the el"),  # en/es tie 2-2 → first-processed (sorted) wins
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["p"] for r in df.select("id", langid_predict("text").alias("p")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "und" and got[4] == "en"
