@@ -155,7 +155,11 @@ class Collection:
             hits = knn_ivf(
                 corpus, queries, cents, k=k, nprobe=nprobe, metric=metric, id_col="id"
             ).drop("qid")
-            return hits.join(self.df().drop("embedding"), "id", "left")
+            # the metadata join would otherwise discard knn_ivf's ordering —
+            # re-apply it so both modes return rows sorted by (dist, id), and
+            # honor include_vector the same way exact mode does
+            meta = self.df() if include_vector else self.df().drop("embedding")
+            return hits.join(meta, "id", "left").orderBy("dist", "id")
         raise ValueError(f"unknown search mode {mode!r}; one of exact|ivf")
 
     def query(

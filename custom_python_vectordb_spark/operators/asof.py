@@ -50,9 +50,13 @@ def asof_join_backward(
     l_tagged = l_tagged.withColumn("__r", F.lit(None).cast(r_payload.schema["__r"].dataType))
 
     unioned = l_tagged.select(r_payload.columns).unionByName(r_payload)
+    # Third sort key: the right payload struct itself, so that when several
+    # right rows share (key, ts) the carried row is the max payload —
+    # deterministic across runs/partitionings (repo convention: every ordered
+    # operator has a total order), instead of whichever row the sort left last.
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc(), F.col("__r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))

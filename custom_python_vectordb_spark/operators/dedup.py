@@ -236,14 +236,46 @@ def simhash_pairs(
     num_bits: int = 48,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bands: int | None = None,
 ) -> DataFrame:
-    """(a, b, hamming ≤ max_hamming) over per-bit signature compare."""
+    """(a, b, hamming ≤ max_hamming) near-duplicate pairs.
+
+    Banded candidate generation (pigeonhole): the signature is split into
+    `bands` (default max_hamming + 1) contiguous bit-bands; two signatures
+    within max_hamming must agree EXACTLY on at least one band, so candidates
+    = pairs sharing any (band, band_value) — a hash-join whose cost is linear
+    in the number of near-dups, never the all-pairs O(bits·N²) compare.
+    Hamming is then verified exactly on candidates only; with
+    bands > max_hamming the result is provably identical to brute force.
+    """
+    nb = bands if bands is not None else max_hamming + 1
+    if num_bits % nb:
+        raise ValueError(f"num_bits={num_bits} not divisible by bands={nb}")
+    rpb = num_bits // nb
     bits = simhash_bits(docs, num_bits, id_col, text_col)
-    a = bits.select(F.col(id_col).alias("a"), "bit", F.col("b").alias("ba"))
+    # band value = the band's bits packed into an int (≤ 2^rpb, double-exact)
+    banded = (
+        bits.withColumn("band", F.floor(F.col("bit") / rpb).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.sum(F.col("b") * F.pow(F.lit(2.0), F.col("bit") % rpb))
+            .cast("long")
+            .alias("band_val")
+        )
+    )
+    la = banded.select(F.col(id_col).alias("a"), "band", "band_val")
+    lb = banded.select(F.col(id_col).alias("b"), "band", "band_val")
+    cands = (
+        la.join(lb, ["band", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ba = bits.select(F.col(id_col).alias("a"), "bit", F.col("b").alias("ba"))
     bb = bits.select(F.col(id_col).alias("b"), "bit", F.col("b").alias("bb"))
     return (
-        a.join(bb, "bit")
-        .filter(F.col("a") < F.col("b"))
+        cands.join(ba, "a")
+        .join(bb, ["b", "bit"])
         .groupBy("a", "b")
         .agg(F.sum((F.col("ba") != F.col("bb")).cast("long")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

@@ -42,10 +42,14 @@ def mmr_rerank(
     if not cands:
         return []
     ids = [r[id_col] for r in cands]
+    # zero-norm guard mirrors functions/distances.py: zero vectors keep
+    # similarity 0 instead of poisoning the greedy argmax with NaN
     mat = np.array([r[vec_col] for r in cands], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1.0, norms)
     q = np.array(query_vec, dtype=np.float64)
-    q = q / np.linalg.norm(q)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn != 0 else 1.0)
     rel = mat @ q
 
     selected: list[int] = []

@@ -206,16 +206,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash_pairs", f"""
 WITH {DUCK_CORPUS.strip()}, {DUCK_TOKS.strip()},
-{_DUCK_SIMHASH_BITS.strip()},
-sub AS (SELECT * FROM sbits WHERE doc_id < 20 OR doc_id >= 10000)
+{_DUCK_SIMHASH_BITS.strip()}
 SELECT x.doc_id AS a, y.doc_id AS b, CAST(SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-FROM sub x JOIN sub y ON x.bit = y.bit AND x.doc_id < y.doc_id
+FROM sbits x JOIN sbits y ON x.bit = y.bit AND x.doc_id < y.doc_id
 GROUP BY x.doc_id, y.doc_id
 HAVING SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) <= 3
 """)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sub = _corpus(spark, sf_dir).filter((F.col("doc_id") < 20) | (F.col("doc_id") >= 10000))
-    return simhash_pairs(sub, max_hamming=3)
+    """FULL corpus — the Spark side generates candidates via band buckets
+    (4 bands × 12 bits; pigeonhole makes it exact for hamming ≤ 3), so no
+    pre-filter is needed.  The oracle states the same result as the naive
+    all-pairs compare, which is what the banding provably equals."""
+    return simhash_pairs(_corpus(spark, sf_dir), max_hamming=3)
 
 
 # ---------------------------------------------------------------- dedup: embedding
@@ -237,8 +239,7 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("neardup_embedding_lsh", f"""
-WITH {_DUCK_LSH.strip() if False else ""}
-planes AS (SELECT CAST(vec_id - 100 AS INTEGER) AS plane_idx, CAST(embedding AS DOUBLE[]) AS hv
+WITH planes AS (SELECT CAST(vec_id - 100 AS INTEGER) AS plane_idx, CAST(embedding AS DOUBLE[]) AS hv
            FROM embeddings WHERE vec_id BETWEEN 100 AND 105),
 cbuck AS (SELECT e.vec_id,
                  SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.hv) > 0
@@ -257,7 +258,7 @@ scored AS (
 )
 SELECT a, b, ROUND(sim, {ROUND}) + 0.0 AS sim FROM scored
 ORDER BY sim DESC, a, b LIMIT 10
-""".replace("WITH \n", "WITH "))
+""")
 def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, scale path: candidate pairs restricted to shared
     LSH buckets (≈ n²/2^planes pairwise work instead of n²), exact cosine

@@ -38,10 +38,50 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver's correctness gate samples queries in registration order (round 1
+# checked exactly the first 50).  To rotate coverage across rounds, queries
+# named here are moved to the FRONT of the registry, in this order; everything
+# else keeps module registration order behind them.  Round-2 front block = the
+# families with no CORRECTNESS_r01 row: quantization, graph traversal/semantic,
+# mutation, streaming/events, cypher, multimodal, dedup.
+PRIORITY: tuple[str, ...] = (
+    # quantization (13)
+    "sq_train", "sq_encode", "sq_roundtrip", "knn_sq_l2", "knn_sq_dot",
+    "bq_train", "knn_hamming", "pq_encode", "knn_pq_adc", "knn_sq_rerank",
+    "recall_sq_vs_exact", "knn_ivfpq", "pq_kmeans_recall",
+    # graph tail (8)
+    "graph_degree_top", "graph_pattern_2hop", "graph_traverse",
+    "graph_shortest_path", "graph_hyperedge_any", "graph_hyperedge_all",
+    "graph_semantic_search", "graph_semantic_search_filtered",
+    # mutation family (8)
+    "mutation_upsert", "mutation_delete_ids", "mutation_delete_by_filter",
+    "mutation_update_merge", "mutation_cascade_delete",
+    "semantic_text_search", "mmr_rerank", "embed_mock",
+    # streaming/events (7)
+    "events_tumbling_window", "events_sliding_window", "events_session_window",
+    "events_subscription", "events_replay_tail",
+    "value_percentiles_by_type", "value_percentiles",
+    # cypher (3)
+    "cypher_node", "cypher_edge", "cypher_varlen",
+    # multimodal (5)
+    "media_metadata", "media_decode", "media_resize",
+    "media_frame_sample", "media_features",
+    # dedup core (6)
+    "dedup_exact", "dedup_minhash", "dedup_lsh_pairs",
+    "dedup_jaccard_pairs", "dedup_clusters", "dedup_simhash",
+)
+
+
 def load_all() -> None:
-    """Import every query-defining module (idempotent)."""
-    import custom_python_vectordb_spark.queries.spine  # noqa: F401
+    """Import every query-defining module (idempotent) and apply the
+    driver-window rotation order.
+
+    A broken query module must fail LOUDLY here: swallowing ImportError would
+    silently shrink the contract and turn driver verification into a false
+    green (round-1 verdict, fix #5).
+    """
     for mod in (
+        "spine",
         "text",
         "graph",
         "quantization",
@@ -52,7 +92,10 @@ def load_all() -> None:
         "multimodal",
         "extras",
     ):
-        try:
-            __import__(f"custom_python_vectordb_spark.queries.{mod}")
-        except ImportError:
-            pass  # phase not built yet
+        __import__(f"custom_python_vectordb_spark.queries.{mod}")
+
+    front = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
+    rest = {n: f for n, f in QUERIES.items() if n not in front}
+    QUERIES.clear()
+    QUERIES.update(front)
+    QUERIES.update(rest)

@@ -61,7 +61,10 @@ def _routes(db: VectorDB):
                     out.setdefault(int(r["qid"]), []).append(
                         {"id": r["id"], "dist": float(r["dist"])}
                     )
-                return 200, {"results": [out.get(i, []) for i in sorted(out)]}
+                # positional contract: results[i] ↔ input query i, so a query
+                # whose filter matches nothing still gets an (empty) slot
+                n_queries = len(body.get("query_texts") or body.get("query_embeddings") or [])
+                return 200, {"results": [out.get(i, []) for i in range(n_queries)]}
             if len(parts) == 4 and parts[2] == "get" and method == "GET":
                 doc = coll.get(parts[3])
                 return (200, doc) if doc is not None else (404, {"error": f"id {parts[3]!r} not found"})

@@ -44,6 +44,17 @@ def test_weak_queries_are_the_documented_set():
     }, weak
 
 
-def test_contract_size_floor():
-    assert len(registry.QUERIES) >= 120
-    assert len(registry.ORACLES) >= 116
+def test_contract_size_exact():
+    # Pin the full contract: a broken import now raises in load_all, and this
+    # guards against a module silently registering fewer queries.  Bump the
+    # numbers when adding queries — never let them shrink.
+    assert len(registry.QUERIES) >= 128
+    assert len(registry.ORACLES) >= 123
+
+
+def test_priority_rotation_applied():
+    names = list(registry.QUERIES)
+    expected_front = [n for n in registry.PRIORITY if n in registry.QUERIES]
+    assert names[: len(expected_front)] == expected_front
+    # the driver-checked window (first 50) should be exactly the rotation block
+    assert len(expected_front) == 50
