@@ -81,7 +81,7 @@ def bm25_scores(
     q = spark.createDataFrame(list(qcounts.items()), "term string, qn long")
 
     # tokenize once; postings/df/dl/stats all derive from this materialization
-    toks = tokens_df(docs, id_col, text_col).localCheckpoint(eager=False)
+    toks = tokens_df(docs, id_col, text_col).persist()
     post = (
         toks.select(F.col(id_col), F.explode("toks").alias("term"))
         .groupBy(id_col, "term")

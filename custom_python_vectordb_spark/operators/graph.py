@@ -121,10 +121,10 @@ def bfs_hops(
     """J8 — min-hop BFS: (id, hop) for every node reachable in ≤ max_hops,
     hop = shortest distance from the seed set (seeds at hop 0). Driver loop,
     one distinct-join + anti-join per hop. The directed pair set is
-    materialized once (lazy localCheckpoint) instead of re-deriving the
-    multi-table edge union on every hop — at warehouse scale substitute a
-    pre-built adjacency table partitioned by frm."""
-    pairs = _directed(edges, direction, edge_type).localCheckpoint(eager=False)
+    cached once (persist) instead of re-deriving the multi-table edge union
+    on every hop — at warehouse scale substitute a pre-built adjacency table
+    partitioned by frm."""
+    pairs = _directed(edges, direction, edge_type).persist()
     visited = seeds.select("id").distinct().withColumn("hop", F.lit(0))
     frontier = visited.select("id")
     for hop in range(1, max_hops + 1):
@@ -281,7 +281,10 @@ def semantic_graph_search(
         .orderBy(F.col("sim").desc(), F.col("id"))
         .limit(2 * k)
     )
-    seeds = seeds.localCheckpoint(eager=True)  # reused 3×: scores, max, BFS
+    # reused 3× (scores, max, BFS): persist caches the top-2k scan after the
+    # first action without spawning checkpoint jobs (whose late accumulator
+    # updates surfaced as DAGScheduler errors in the round-1 bench tail)
+    seeds = seeds.persist()
     max_sim = seeds.agg(F.max("sim").alias("max_sim"))
 
     # ≤3 hops: skip per-hop checkpoints/emptiness actions — the lineage

@@ -28,6 +28,37 @@ from custom_python_vectordb_spark.functions.distances import distance_expr, sq_l
 from custom_python_vectordb_spark.operators.topk import top_k_per_group
 
 
+def with_ivf_cluster(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """corpus + nearest-centroid column, MAP-ONLY: the (small) centroid set
+    is collected into a single array row, broadcast, and argmin'd per corpus
+    row inside one projection — no explode, no groupBy, no join-back, so the
+    corpus is scanned once and never shuffles (the property that matters at
+    100 TB; assignment cost is O(rows·cells) arithmetic in codegen).
+    Ties → lowest cluster id (struct ordering). `centroids`: (cluster, cvec).
+    """
+    carr = centroids.agg(F.array_sort(F.collect_list(F.struct("cluster", "cvec"))).alias("__cs"))
+    best = F.array_min(
+        F.transform(
+            F.col("__cs"),
+            lambda s: F.struct(
+                sq_l2_distance(F.col(vec_col), s["cvec"]).alias("d2"),
+                s["cluster"].alias("cluster"),
+            ),
+        )
+    )
+    return (
+        corpus.crossJoin(F.broadcast(carr))
+        .withColumn(out_col, best["cluster"])
+        .drop("__cs")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -36,14 +67,7 @@ def ivf_assign(
 ) -> DataFrame:
     """(id, cluster): nearest centroid by L2² (ties → lowest cluster id).
     `centroids`: (cluster, cvec)."""
-    scored = corpus.join(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col("cluster"),
-        sq_l2_distance(vec_col, "cvec").alias("d2"),
-    )
-    return scored.groupBy(id_col).agg(
-        F.min_by("cluster", F.struct(F.col("d2"), F.col("cluster"))).alias("cluster")
-    )
+    return with_ivf_cluster(corpus, centroids, id_col, vec_col).select(id_col, "cluster")
 
 
 def knn_ivf(
@@ -58,7 +82,7 @@ def knn_ivf(
 ) -> DataFrame:
     """IVF search: per query probe the `nprobe` nearest cells, exact-score
     only vectors in probed cells. Scanned fraction ≈ nprobe/n_cells."""
-    assigned = corpus.join(ivf_assign(corpus, centroids, id_col, vec_col), id_col)
+    assigned = with_ivf_cluster(corpus, centroids, id_col, vec_col)
     qprobe = top_k_per_group(
         queries.join(F.broadcast(centroids)).select(
             "qid", "cluster", sq_l2_distance("qvec", "cvec").alias("d2")

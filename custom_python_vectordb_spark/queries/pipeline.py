@@ -129,7 +129,7 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     # shingling is the expensive stage — compute once, share between the
     # signature build and the Jaccard verification
-    sh = doc_shingles(corpus).localCheckpoint(eager=False)
+    sh = doc_shingles(corpus).persist()
     sigs = minhash_signatures(corpus, num_hashes=16, shingles=sh)
     cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
     verified = jaccard_pairs(corpus, threshold=0.5, restrict_pairs=cands, shingles=sh)
@@ -171,7 +171,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_python_vectordb_spark.operators.dedup import doc_shingles
 
     corpus = _corpus(spark, sf_dir)
-    sh = doc_shingles(corpus).localCheckpoint(eager=False)
+    sh = doc_shingles(corpus).persist()
     sigs = minhash_signatures(corpus, num_hashes=16, shingles=sh)
     cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
     verified = jaccard_pairs(corpus, threshold=0.5, restrict_pairs=cands, shingles=sh).select("a", "b")
@@ -597,7 +597,7 @@ def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_python_vectordb_spark.operators.dedup import doc_shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sh = doc_shingles(docs).localCheckpoint(eager=False)
+    sh = doc_shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     src = sh.filter(F.col("doc_id") == 42).select("shingle")
     src_sz = sizes.filter(F.col("doc_id") == 42).select(F.col("sz").alias("src_sz"))

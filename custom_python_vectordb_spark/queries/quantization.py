@@ -355,27 +355,33 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus (scan ≈ nprobe/n_cells), PQ lookup-table distances score the
     surviving candidates in O(M) each. At 100 TB: corpus partitioned by
     cluster, codes table 16× smaller than vectors, LUT broadcast."""
-    from custom_python_vectordb_spark.operators.similarity import ivf_assign
-    from custom_python_vectordb_spark.operators.topk import top_k_per_group as _tkpg
+    from custom_python_vectordb_spark.operators.similarity import with_ivf_cluster
 
     emb = _t(spark, sf_dir, "embeddings")
+    # tiny pruned scans, each reused by ≥2 subtrees → persist once
     cents = emb.filter(F.col("vec_id").between(200, 207)).select(
         (F.col("vec_id") - 200).cast("int").alias("cluster"), F.col("embedding").alias("cvec")
-    )
-    assigned = ivf_assign(emb, cents)
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    ).persist()
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec")).persist()
+    cb = pq_sample_codebook(emb, M, KCENT).persist()
+
     qprobe = (
         qv.crossJoin(F.broadcast(cents))
-        .select("cluster", F.col("cvec"), "qvec")
         .select("cluster",
                 F.aggregate(F.zip_with(F.col("cvec"), F.col("qvec"),
                                        lambda a, b: (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
                             F.lit(0.0), lambda acc, x: acc + x).alias("d2"))
         .orderBy("d2", "cluster").limit(2).select("cluster")
     )
-    cand = assigned.join(F.broadcast(qprobe), "cluster").select("vec_id")
-    cb = pq_sample_codebook(emb, M, KCENT)
-    codes = pq_encode(emb, cb, M).join(cand, "vec_id", "left_semi")
+    # ONE full corpus scan: map-only cluster assignment carries the embedding
+    # through the probe filter straight into encoding — no join-back, no
+    # second scan (round-1 plan re-scanned embeddings ~6×)
+    cand_emb = (
+        with_ivf_cluster(emb, cents)
+        .join(F.broadcast(qprobe), "cluster")
+        .select("vec_id", "embedding")
+    )
+    codes = pq_encode(cand_emb, cb, M)
     lut = pq_lut(qv, cb, M)
     out = pq_adc_distances(codes, lut)
     return (
