@@ -50,6 +50,57 @@ HEADLINE = [
 ]
 
 
+VEC100K_ROWS = 100_000
+VEC100K_DIM = 128
+
+
+def _ensure_vec100k(path: str) -> None:
+    """Deterministic 100K×128d float32 corpus (seeded PCG64 — bit-identical
+    across runs/machines), written once. Exists so the batch-kNN gate is
+    measured at the REFERENCE's own scale (BASELINE.md: 100K×128d, batch
+    GEMM 1.66 ms/query) instead of the sf0.1 embeddings table (2K rows)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.default_rng(42)
+    mat = rng.standard_normal((VEC100K_ROWS, VEC100K_DIM), dtype=np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(VEC100K_ROWS, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(pa.array(mat.reshape(-1)), VEC100K_DIM).cast(
+            pa.list_(pa.float32())
+        ),
+    })
+    pq.write_table(tbl, path, row_group_size=12_500)
+
+
+def _bench_knn_100k(spark) -> dict[str, float]:
+    """Warm batch-amortized ms/query on the 100K corpus, at the reference's
+    20-query batch (its GEMM methodology) and at 1000 queries."""
+    from custom_python_vectordb_spark.operators.knn import knn_batch_gemm
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "vec100k_128d.parquet")
+    _ensure_vec100k(path)
+    corpus = spark.read.parquet(path)
+    qpd = (
+        corpus.filter("vec_id < 1000")
+        .selectExpr("vec_id as qid", "embedding as qvec")
+        .toPandas()
+    )
+    out: dict[str, float] = {}
+    for label, nq in (("knn_batch20_100k_ms_per_query", 20), ("knn_batch1k_100k_ms_per_query", 1000)):
+        sub = qpd.iloc[:nq]
+        knn_batch_gemm(corpus, sub, k=10, dtype="float32").collect()  # warm
+        t0 = time.perf_counter()
+        rows = knn_batch_gemm(corpus, sub, k=10, dtype="float32").collect()
+        assert len(rows) == nq * 10
+        out[label] = round((time.perf_counter() - t0) * 1000 / nq, 3)
+    return out
+
+
 def main() -> None:
     from custom_python_vectordb_spark import registry
     from custom_python_vectordb_spark.session import get_spark
@@ -83,6 +134,8 @@ def main() -> None:
         out["knn_batch_amortized_ms_per_query"] = round(timings["knn_batch"] * 1000 / 100, 3)
     if "knn_batch_1k" in timings and sf == "0.1":
         out["knn_batch_1k_amortized_ms_per_query"] = round(timings["knn_batch_1k"], 3)  # 1000 q
+    # reference-scale gate: 100K×128d corpus, vs BASELINE batch GEMM 1.66 ms/q
+    out.update(_bench_knn_100k(spark))
     print(json.dumps(out))
 
 

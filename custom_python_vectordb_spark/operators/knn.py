@@ -82,18 +82,23 @@ def knn_batch_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dist_col: str = "dist",
+    dtype: str = "float64",
 ) -> DataFrame:
     """Throughput path: NumPy GEMM per Arrow batch (mapInPandas), mirroring
     the reference's batch-GEMM plan (``search_batch`` ``vectordb_optimized.py:
     577-644``). Queries arrive as a pandas DataFrame (qid, qvec) small enough
     to ship in the UDF closure; per-partition local top-k then global merge —
     identical result contract to :func:`knn` (asserted in tests).
+
+    `dtype`: float64 (default) keeps the arithmetic oracle-reproducible;
+    float32 halves memory bandwidth and doubles BLAS throughput for
+    benchmark/serving paths where last-ulp tie order doesn't matter.
     """
     import numpy as np
     import pandas as pd
 
     qids = queries_pd["qid"].to_numpy()
-    qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in queries_pd["qvec"]])
+    qmat = np.asarray([np.asarray(v, dtype=dtype) for v in queries_pd["qvec"]])
     if metric in ("cosine",):
         qnorm = np.linalg.norm(qmat, axis=1)
 
@@ -101,7 +106,7 @@ def knn_batch_gemm(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = np.asarray([np.asarray(v, dtype=dtype) for v in pdf[vec_col]])
             if metric == "cosine":
                 sims = (mat @ qmat.T) / (np.linalg.norm(mat, axis=1)[:, None] * qnorm[None, :])
                 dists = 1.0 - sims
