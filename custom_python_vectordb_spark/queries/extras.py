@@ -223,3 +223,42 @@ def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
     )
+
+
+# ------------------------------------------------- partition-local ANN index
+
+@query("knn_partitioned")  # approximate + partitioning-dependent → rows-only
+def knn_partitioned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-analog accelerator (operators/partitioned.py): per-partition
+    NumPy IVF built inside mapInPandas, deterministic via range partitioning
+    + seeded k-means. Quality is gated by `recall_partitioned_vs_exact`,
+    not an SQL oracle (an approximate, partition-shaped result has no
+    engine-independent SQL statement)."""
+    from custom_python_vectordb_spark.operators.partitioned import knn_partitioned
+    from custom_python_vectordb_spark.queries.spine import _query_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qpd = _query_vectors(spark, sf_dir, 5).toPandas()
+    return knn_partitioned(emb, qpd, k=10, n_cells=16, nprobe=6)
+
+
+@query("recall_partitioned_vs_exact")  # model-quality metric → rows-only
+def recall_partitioned_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the partition-local index vs exact kNN ground truth —
+    the reference's quality-gate methodology for its accelerators
+    (benchmark_quantization.py:874-928). tests/test_partitioned.py asserts
+    >= 0.9."""
+    from custom_python_vectordb_spark.operators.knn import knn
+    from custom_python_vectordb_spark.operators.partitioned import knn_partitioned
+    from custom_python_vectordb_spark.queries.spine import _query_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _query_vectors(spark, sf_dir, 5)
+    approx = knn_partitioned(emb, queries.toPandas(), k=10, n_cells=16, nprobe=6).select(
+        "qid", "vec_id"
+    )
+    truth = knn(emb, queries, k=10).select("qid", "vec_id")
+    hits = truth.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return hits.agg(F.round(F.avg("n") / 10.0, 6).alias("avg_recall"))

@@ -1,0 +1,69 @@
+"""Partition-local ANN index: determinism, contract, and the recall gate
+(the accelerator must stay ≥0.9 recall@10 vs exact — the reference's own
+quality bar for its HNSW/quantized accelerators)."""
+
+from __future__ import annotations
+
+from custom_python_vectordb_spark.operators.knn import knn
+from custom_python_vectordb_spark.operators.partitioned import knn_partitioned
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def _emb(spark, sf_dir):
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _queries(spark, sf_dir, n=5):
+    from pyspark.sql import functions as F
+
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < n)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+
+
+def test_contract_sorted_topk(spark):
+    emb = _emb(spark, SF01)
+    qpd = _queries(spark, SF01).toPandas()
+    rows = knn_partitioned(emb, qpd, k=10, n_cells=16, nprobe=6).collect()
+    assert len(rows) == 50
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r["dist"])
+    for q, dists in by_q.items():
+        assert len(dists) == 10
+        assert dists == sorted(dists), f"qid {q} not sorted"
+
+
+def test_deterministic_across_runs(spark):
+    emb = _emb(spark, SF01)
+    qpd = _queries(spark, SF01).toPandas()
+    a = [tuple(r) for r in knn_partitioned(emb, qpd, k=10).collect()]
+    b = [tuple(r) for r in knn_partitioned(emb, qpd, k=10).collect()]
+    assert a == b
+
+
+def test_recall_gate(spark):
+    emb = _emb(spark, SF01)
+    queries = _queries(spark, SF01)
+    qpd = queries.toPandas()
+    approx = {
+        (r["qid"], r["vec_id"])
+        for r in knn_partitioned(emb, qpd, k=10, n_cells=16, nprobe=6).collect()
+    }
+    truth = {(r["qid"], r["vec_id"]) for r in knn(emb, queries, k=10).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, f"recall@10 {recall:.2f} < 0.9"
+
+
+def test_self_query_found(spark):
+    """Each query vector is its own nearest neighbour — the index must not
+    prune the query's own cell."""
+    emb = _emb(spark, SF01)
+    qpd = _queries(spark, SF01).toPandas()
+    rows = knn_partitioned(emb, qpd, k=1, n_cells=16, nprobe=6).collect()
+    assert all(r["qid"] == r["vec_id"] for r in rows)

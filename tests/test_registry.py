@@ -41,6 +41,8 @@ def test_weak_queries_are_the_documented_set():
         "media_features",        # embedding-based feature stub
         "semantic_text_search",  # UDF embeddings end-to-end
         "mmr_rerank",            # iterative greedy argmax
+        "knn_partitioned",       # approximate, partition-shaped result
+        "recall_partitioned_vs_exact",  # model-quality metric
     }, weak
 
 
@@ -48,7 +50,7 @@ def test_contract_size_exact():
     # Pin the full contract: a broken import now raises in load_all, and this
     # guards against a module silently registering fewer queries.  Bump the
     # numbers when adding queries — never let them shrink.
-    assert len(registry.QUERIES) >= 128
+    assert len(registry.QUERIES) >= 130
     assert len(registry.ORACLES) >= 123
 
 

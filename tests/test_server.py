@@ -74,3 +74,71 @@ def test_rest_get_delete_keyword_hybrid(served):
     assert status == 200 and hy["results"][0]["id"] == "x"
     assert call(port, "POST", "/collections/kb/delete", {"ids": ["x"]})[1] == {"deleted": 1}
     assert call(port, "GET", "/collections/kb/count")[1] == {"count": 2}
+
+
+def _read_sse_events(resp, n, timeout=60.0):
+    """Read n SSE data events from a streaming response."""
+    import time as _time
+
+    events, buf = [], b""
+    deadline = _time.time() + timeout
+    while len(events) < n and _time.time() < deadline:
+        chunk = resp.readline()
+        if not chunk:
+            break
+        buf += chunk
+        if chunk == b"\n":  # frame terminator
+            for line in buf.decode().splitlines():
+                if line.startswith("data: "):
+                    events.append(json.loads(line[len("data: "):]))
+            buf = b""
+    return events
+
+
+def test_sse_subscribe_insert_receive(served):
+    """R1/P10 push semantics: subscribe → mutate → the event arrives on the
+    open stream (reference realtime.py:449-510)."""
+    import threading
+
+    port = served
+    call(port, "POST", "/collections", {"name": "kb", "dimensions": 64})
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/collections/kb/events?types=add,delete"
+    )
+    resp = urllib.request.urlopen(req, timeout=60)
+    assert resp.headers["Content-Type"] == "text/event-stream"
+
+    def mutate():
+        call(port, "POST", "/collections/kb/add",
+             {"ids": ["a"], "documents": ["pushed doc"]})
+        call(port, "POST", "/collections/kb/delete", {"ids": ["a"]})
+
+    t = threading.Thread(target=mutate)
+    t.start()
+    events = _read_sse_events(resp, 2)
+    t.join()
+    resp.close()
+    assert [e["event_type"] for e in events] == ["add", "delete"]
+    assert events[0]["collection"] == "kb" and events[0]["ids"] == ["a"]
+    assert events[0]["seq"] < events[1]["seq"]
+
+
+def test_sse_replay_and_type_filter(served):
+    """R4 replay: events published BEFORE subscribing are delivered from the
+    ring buffer, marked replayed, honoring the type filter."""
+    port = served
+    call(port, "POST", "/collections", {"name": "kb", "dimensions": 64})
+    call(port, "POST", "/collections/kb/add", {"ids": ["a"], "documents": ["one"]})
+    call(port, "POST", "/collections/kb/add", {"ids": ["b"], "documents": ["two"]})
+    call(port, "POST", "/collections/kb/delete", {"ids": ["a"]})
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/collections/kb/events?types=add&replay=10"
+    )
+    resp = urllib.request.urlopen(req, timeout=60)
+    events = _read_sse_events(resp, 2)
+    resp.close()
+    assert [e["event_type"] for e in events] == ["add", "add"]
+    assert [e["ids"] for e in events] == [["a"], ["b"]]
+    assert all(e.get("replayed") for e in events)

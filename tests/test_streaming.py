@@ -160,3 +160,135 @@ def test_foreachbatch_ingest_to_warehouse(spark, sf_small, tmp_path):
     q.awaitTermination(120)
     assert wh.load("ingested").count() == load_table(spark, sf_small, "events").count()
     q.stop()
+
+
+def test_checkpoint_recovery_stateful(spark, sf_small, tmp_path):
+    """R4/recovery — stop a stateful query, add new input, restart from the
+    SAME checkpoint: per-key state survives the restart (phase-2 outputs
+    include phase-1 contributions) and phase-1 files are not reprocessed."""
+    from custom_python_vectordb_spark.streaming.stateful import running_user_totals
+
+    indir, cp = str(tmp_path / "in"), str(tmp_path / "cp")
+    ev = load_table(spark, sf_small, "events").select("user_id", "ts", "value")
+    half1 = ev.filter(F.col("event_id") % 2 == 0) if "event_id" in ev.columns else None
+    ev_full = load_table(spark, sf_small, "events").select("event_id", "user_id", "ts", "value")
+    half1 = ev_full.filter(F.col("event_id") % 2 == 0).drop("event_id")
+    half2 = ev_full.filter(F.col("event_id") % 2 == 1).drop("event_id")
+    half1.write.mode("append").parquet(indir)
+
+    def run_phase(outdir):
+        # memory sink cannot recover from a checkpoint; foreachBatch into
+        # parquet is the recoverable-sink pattern
+        stream = spark.readStream.schema(half1.schema).parquet(indir)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(outdir)
+
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    out1, out2 = str(tmp_path / "out1"), str(tmp_path / "out2")
+    run_phase(out1)
+    assert spark.read.parquet(out1).count() > 0
+
+    half2.write.mode("append").parquet(indir)
+    run_phase(out2)
+    t_cp2 = spark.read.parquet(out2)
+    t_cp2.createOrReplaceTempView("t_cp2")
+
+    # phase 2 emits only keys present in the NEW files (no reprocessing of
+    # phase-1 input) ...
+    phase2_users = {r["user_id"] for r in spark.sql("select distinct user_id from t_cp2").collect()}
+    assert phase2_users == {r["user_id"] for r in half2.select("user_id").distinct().collect()}
+    # ... and their state carries phase-1 counts: final (count, total) per
+    # user equals the batch aggregate over BOTH halves
+    final = spark.sql(
+        "select user_id, count, total from "
+        "(select *, row_number() over (partition by user_id order by count desc) rn from t_cp2) "
+        "where rn = 1"
+    )
+    got = {r["user_id"]: (r["count"], round(r["total"], 6)) for r in final.collect()}
+    exp_df = (
+        load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .join(half2.select("user_id").distinct(), "user_id")
+    )
+    exp = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in exp_df.collect()}
+    assert got == exp
+
+
+def test_checkpoint_recovery_windowed_append(spark, sf_small, tmp_path):
+    """Windowed agg + watermark across a restart: emitted windows after both
+    phases match the batch truth with no duplicate emissions."""
+    indir, cp = str(tmp_path / "in"), str(tmp_path / "cp")
+    ev = load_table(spark, sf_small, "events").select("event_id", "event_type", "ts")
+    half1 = ev.filter(F.col("event_id") % 2 == 0).drop("event_id")
+    half2 = ev.filter(F.col("event_id") % 2 == 1).drop("event_id")
+    half1.write.mode("append").parquet(indir)
+
+    def run_phase(outdir):
+        stream = spark.readStream.schema(half1.schema).parquet(indir)
+        counts = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("window_start"), "event_type", "n")
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(outdir)
+
+        q = (
+            counts.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    out1, out2 = str(tmp_path / "outw1"), str(tmp_path / "outw2")
+    run_phase(out1)
+    half2.write.mode("append").parquet(indir)
+    run_phase(out2)
+
+    p1 = spark.read.parquet(out1).collect()
+    p2 = spark.read.parquet(out2).collect()
+    assert p1 and p2
+    keys = [(r["window_start"], r["event_type"]) for r in p1 + p2]
+    assert len(keys) == len(set(keys)), "window emitted twice across restart"
+
+    def truth(df):
+        return {
+            (r["ws"], r["event_type"]): r["n"]
+            for r in df.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "event_type", "n")
+            .collect()
+        }
+
+    # phase-1 closes windows over half1 only; a window closed after the
+    # RESTART must carry the phase-1 state → its count equals the FULL batch
+    half1_truth = truth(half1)
+    full_truth = truth(load_table(spark, sf_small, "events"))
+    for r in p1:
+        assert half1_truth[(r["window_start"], r["event_type"])] == r["n"]
+    for r in p2:
+        assert full_truth[(r["window_start"], r["event_type"])] == r["n"]
+    # at least one phase-2 window must actually have phase-1 contributions,
+    # otherwise the state-survival claim is vacuous
+    assert any(
+        full_truth[(r["window_start"], r["event_type"])]
+        > truth(half2).get((r["window_start"], r["event_type"]), 0)
+        for r in p2
+    )
