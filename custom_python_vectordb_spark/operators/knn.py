@@ -97,6 +97,13 @@ def knn_batch_gemm(
     import numpy as np
     import pandas as pd
 
+    # the closure-shipped query matrix rides every task's serialized state;
+    # beyond ~10⁴ queries switch to a broadcast-join plan (operators/knn.knn)
+    if len(queries_pd) > 10_000:
+        raise ValueError(
+            f"{len(queries_pd)} queries exceed the closure-shipping cap (10000); "
+            "use knn() or chunk the batch"
+        )
     qids = queries_pd["qid"].to_numpy()
     qmat = np.asarray([np.asarray(v, dtype=dtype) for v in queries_pd["qvec"]])
     if metric in ("cosine",):

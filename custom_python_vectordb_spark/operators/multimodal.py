@@ -1,12 +1,17 @@
 """Multimodal (image/audio/video) columns for training-data pipelines.
 
-Media are opaque BINARY columns with typed metadata. The Spark-side
-plumbing — schema, Arrow batch shape, mapInPandas signatures, partitioning —
-is real and tested; the actual codec step is STUBBED (this environment has
-no image/audio libraries): `decode_media` uses a deterministic fake decoder
-(pure arithmetic on the byte payload) and raises NotImplementedError if a
-real codec is requested. Swapping in PIL/ffmpeg later changes only the
-inner function, not the plan.
+Media are opaque BINARY columns with typed metadata. Two codec tiers:
+
+- **Real, dependency-free codecs** (`decode_images`, `decode_audio`,
+  `resize_ppm_pixels`): PPM(P6) and BMP(24bpp) images decoded with pure
+  NumPy, WAV audio with stdlib ``wave`` — actual pixel/sample math
+  (luma means, RMS amplitude, nearest-neighbour pixel resampling), no
+  PIL/ffmpeg needed. Formats are sniffed from magic bytes.
+- **Fake codec** (`decode_media(codec='fake')`): deterministic arithmetic
+  on payload length, used by the oracle-checked `media_*` queries (the
+  driver tables carry text-derived payloads, not real images). JPEG/PNG/
+  MP4 still raise — those need PIL/ffmpeg, absent from this runtime; the
+  mapInPandas plumbing is codec-agnostic so they plug into the same body.
 
 Scale notes: binary payloads ride the same Parquet scans as everything else
 (column pruning skips them unless referenced); decode is mapInPandas so
@@ -18,6 +23,191 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- real codecs
+# The codec functions are created inside a factory so their __qualname__
+# carries <locals>: cloudpickle then serializes them BY VALUE when a worker
+# closure captures them. Module-level defs would pickle by reference and die
+# with ModuleNotFoundError on workers that don't have this repo on their
+# PYTHONPATH (exactly how the round driver runs — see .claude/skills/verify).
+
+
+def _codec_fns():
+    def encode_ppm(arr) -> bytes:
+        """(h, w, 3) uint8 array → binary PPM (P6)."""
+        h, w = arr.shape[0], arr.shape[1]
+        return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+    def decode_ppm(buf: bytes):
+        """P6 PPM → (width, height, channels, pixels uint8 (h, w, 3))."""
+        import numpy as np
+
+        if not buf.startswith(b"P6"):
+            raise ValueError("not a P6 PPM payload")
+        # header: magic, ws/comments, width, height, maxval, one ws byte
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if buf[pos : pos + 1] == b"#":  # comment to EOL
+                while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(buf[start:pos]))
+        pos += 1
+        w, h, maxval = fields
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+        return w, h, 3, px
+
+    def decode_bmp(buf: bytes):
+        """Uncompressed 24bpp BITMAPINFOHEADER BMP → (w, h, 3, pixels RGB)."""
+        import struct
+
+        import numpy as np
+
+        if not buf.startswith(b"BM"):
+            raise ValueError("not a BMP payload")
+        data_offset = struct.unpack_from("<I", buf, 10)[0]
+        header_size = struct.unpack_from("<I", buf, 14)[0]
+        if header_size < 40:
+            raise ValueError("BITMAPCOREHEADER not supported")
+        w, h = struct.unpack_from("<ii", buf, 18)
+        bpp = struct.unpack_from("<H", buf, 28)[0]
+        compression = struct.unpack_from("<I", buf, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise ValueError(f"only uncompressed 24bpp BMP supported (bpp={bpp})")
+        flipped = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=data_offset)
+        px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+        if flipped:  # bottom-up row order
+            px = px[::-1]
+        return w, h, 3, px
+
+    def decode_wav(buf: bytes):
+        """WAV → (n_channels, sample_rate, n_samples, duration_s, rms)."""
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(buf)) as wf:
+            nch, sw, rate, nframes = (
+                wf.getnchannels(), wf.getsampwidth(), wf.getframerate(), wf.getnframes(),
+            )
+            raw = wf.readframes(nframes)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+        if dtype is None:
+            raise ValueError(f"sample width {sw} not supported")
+        samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if sw == 1:
+            samples -= 128.0  # 8-bit WAV is unsigned
+        rms = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
+        return nch, rate, nframes, nframes / rate if rate else 0.0, rms
+
+    return encode_ppm, decode_ppm, decode_bmp, decode_wav
+
+
+encode_ppm, decode_ppm, decode_bmp, decode_wav = _codec_fns()
+
+
+def decode_images(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real image decode, format sniffed per row (PPM/BMP) →
+    (id, codec, width, height, channels, mean_luma). Rec.601 luma over the
+    actual pixels — proof the bytes really were decoded."""
+
+    _ppm, _bmp = decode_ppm, decode_bmp  # closure cells → pickled by value
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "codec", "width", "height", "channels", "mean_luma")}
+            for i, buf in zip(pdf[id_col], pdf["media"]):
+                buf = bytes(buf or b"")
+                if buf.startswith(b"P6"):
+                    codec, (w, h, c, px) = "ppm", _ppm(buf)
+                elif buf.startswith(b"BM"):
+                    codec, (w, h, c, px) = "bmp", _bmp(buf)
+                else:
+                    continue  # not an image this operator understands
+                luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]).mean()
+                for k, v in ((id_col, i), ("codec", codec), ("width", w),
+                             ("height", h), ("channels", c), ("mean_luma", float(luma))):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "media").mapInPandas(
+        decode,
+        schema=f"{id_col} long, codec string, width int, height int, channels int, mean_luma double",
+    )
+
+
+def decode_audio(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real WAV decode → (id, n_channels, sample_rate, n_samples,
+    duration_s, rms)."""
+
+    _wav = decode_wav  # closure cell → pickled by value
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "n_channels", "sample_rate", "n_samples", "duration_s", "rms")}
+            for i, buf in zip(pdf[id_col], pdf["media"]):
+                buf = bytes(buf or b"")
+                if not buf.startswith(b"RIFF"):
+                    continue
+                nch, rate, n, dur, rms = _wav(buf)
+                for k, v in ((id_col, i), ("n_channels", nch), ("sample_rate", rate),
+                             ("n_samples", n), ("duration_s", dur), ("rms", rms)):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "media").mapInPandas(
+        decode,
+        schema=f"{id_col} long, n_channels int, sample_rate int, n_samples long, "
+               "duration_s double, rms double",
+    )
+
+
+def resize_ppm_pixels(media: DataFrame, max_side: int = 64, id_col: str = "doc_id") -> DataFrame:
+    """REAL pixel resize: decode P6 → nearest-neighbour resample so
+    max(w, h) ≤ max_side (aspect preserved) → re-encode P6 →
+    (id, width, height, media). Actual pixel movement, not metadata math."""
+    ms = max_side
+    _ppm, _enc = decode_ppm, encode_ppm  # closure cells → pickled by value
+
+    def resize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "width", "height", "media")}
+            for i, buf in zip(pdf[id_col], pdf["media"]):
+                buf = bytes(buf or b"")
+                if not buf.startswith(b"P6"):
+                    continue
+                w, h, _, px = _ppm(buf)
+                scale = min(1.0, ms / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                xs = (np.arange(nw) * (w / nw)).astype(int)
+                ys = (np.arange(nh) * (h / nh)).astype(int)
+                small = px[ys][:, xs]
+                for k, v in ((id_col, i), ("width", nw), ("height", nh),
+                             ("media", _enc(small))):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "media").mapInPandas(
+        resize, schema=f"{id_col} long, width int, height int, media binary"
+    )
 
 
 def media_from_text(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -58,8 +248,10 @@ def decode_media(media: DataFrame, id_col: str = "doc_id", codec: str = "fake") 
     """
     if codec != "fake":
         raise NotImplementedError(
-            f"codec {codec!r}: no image/audio libraries in this environment; "
-            "plug the real decoder into the mapInPandas body below"
+            f"codec {codec!r}: this entry point drives the oracle-checked "
+            "queries over text-derived payloads. Real decoding lives in "
+            "decode_images (PPM/BMP), decode_audio (WAV) and "
+            "resize_ppm_pixels; JPEG/PNG/MP4 need PIL/ffmpeg, absent here"
         )
 
     def decode(batches):

@@ -1,0 +1,130 @@
+"""Real dependency-free media codecs: PPM/BMP pixel decode, WAV sample
+decode, and actual pixel-space resize — end-to-end through mapInPandas so
+the worker-serialization path is exercised too."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from custom_python_vectordb_spark.operators.multimodal import (
+    decode_audio,
+    decode_bmp,
+    decode_images,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    resize_ppm_pixels,
+)
+
+
+def make_gradient(h, w):
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    px[:, :, 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    px[:, :, 2] = 7
+    return px
+
+
+def make_bmp(px) -> bytes:
+    """24bpp bottom-up BMP from an (h, w, 3) RGB array."""
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[:, :, ::-1].reshape(h, w * 3)  # RGB→BGR
+    body = rows[::-1].tobytes()  # bottom-up
+    data_offset = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_offset + len(body), 0, 0, data_offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+def make_wav(samples: np.ndarray, rate=8000, nch=1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_ppm_roundtrip_pure():
+    px = make_gradient(5, 9)
+    w, h, c, out = decode_ppm(encode_ppm(px))
+    assert (w, h, c) == (9, 5, 3)
+    assert np.array_equal(out, px)
+
+
+def test_bmp_decode_pure():
+    px = make_gradient(6, 5)  # odd width exercises row padding
+    w, h, c, out = decode_bmp(make_bmp(px))
+    assert (w, h, c) == (5, 6, 3)
+    assert np.array_equal(out, px)
+
+
+def test_wav_decode_pure():
+    t = np.arange(8000)
+    samples = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    nch, rate, n, dur, rms = decode_wav(make_wav(samples))
+    assert (nch, rate, n) == (1, 8000, 8000)
+    assert dur == pytest.approx(1.0)
+    assert rms == pytest.approx(10000 / np.sqrt(2), rel=0.01)
+
+
+def test_decode_images_spark(spark):
+    ppm_px, bmp_px = make_gradient(8, 12), make_gradient(4, 6)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_ppm(ppm_px))),
+            (2, bytearray(make_bmp(bmp_px))),
+            (3, bytearray(b"not an image")),
+        ],
+        "doc_id long, media binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_images(df).collect()}
+    assert set(rows) == {1, 2}  # non-image rows skipped
+    assert (rows[1]["codec"], rows[1]["width"], rows[1]["height"]) == ("ppm", 12, 8)
+    assert (rows[2]["codec"], rows[2]["width"], rows[2]["height"]) == ("bmp", 6, 4)
+    for did, px in ((1, ppm_px), (2, bmp_px)):
+        luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]).mean()
+        assert rows[did]["mean_luma"] == pytest.approx(float(luma), rel=1e-9)
+
+
+def test_decode_audio_spark(spark):
+    samples = (5000 * np.sin(2 * np.pi * np.arange(4000) * 0.05)).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(make_wav(samples, rate=16000))), (2, bytearray(b"xx"))],
+        "doc_id long, media binary",
+    )
+    rows = decode_audio(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["n_channels"], r["sample_rate"], r["n_samples"]) == (1, 1, 16000, 4000)
+    assert r["duration_s"] == pytest.approx(0.25)
+    assert r["rms"] == pytest.approx(float(np.sqrt((samples.astype(np.float64) ** 2).mean())), rel=1e-9)
+
+
+def test_resize_ppm_pixels_spark(spark):
+    px = make_gradient(40, 100)
+    df = spark.createDataFrame([(1, bytearray(encode_ppm(px)))], "doc_id long, media binary")
+    out = resize_ppm_pixels(df, max_side=50).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (50, 20)
+    w2, h2, _, small = decode_ppm(bytes(r["media"]))
+    assert (w2, h2) == (50, 20)
+    # nearest-neighbour: resampled pixels are exact picks from the source
+    xs = (np.arange(50) * (100 / 50)).astype(int)
+    ys = (np.arange(20) * (40 / 20)).astype(int)
+    assert np.array_equal(small, px[ys][:, xs])
+    # upscale never happens
+    same = resize_ppm_pixels(df, max_side=200).collect()[0]
+    assert (same["width"], same["height"]) == (100, 40)
