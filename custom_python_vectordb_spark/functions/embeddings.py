@@ -88,3 +88,52 @@ def embed_with_cache(
     miss = keyed.join(cache.select(F.col("key").alias("__key")), "__key", "left_anti")
     computed = miss.withColumn(out_col, mock_embedder_udf(dimensions)(F.col(text_col)))
     return hit.unionByName(computed).drop("__key")
+
+
+def sentence_transformer_udf(model_name: str = "all-MiniLM-L6-v2", batch_size: int = 64):
+    """Real-provider slot (reference ``embeddings.py:146-256``,
+    SentenceTransformerEmbedder): same pandas-UDF contract as the mock, so
+    swapping providers changes one factory call. Gated at factory time —
+    sentence-transformers is not in this runtime, and a clear driver-side
+    error beats an executor-side ImportError storm.
+
+    When the library exists, the model loads lazily ONCE PER WORKER (cached
+    on the function object), then every Arrow batch is one `encode` call —
+    the batching the reference hand-rolls in `embed_batch`.
+    """
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "sentence-transformers is not installed in this runtime; use "
+            "mock_embedder_udf (deterministic) or install the provider"
+        ) from e
+
+    @pandas_udf("array<float>")
+    def embed(texts: pd.Series) -> pd.Series:
+        import pandas as _pd
+        from sentence_transformers import SentenceTransformer as _ST
+
+        model = getattr(embed, "_model", None)
+        if model is None:
+            model = _ST(model_name)
+            embed._model = model
+        vecs = model.encode(
+            ["" if t is None else t for t in texts],
+            batch_size=batch_size,
+            normalize_embeddings=True,
+        )
+        return _pd.Series([v.tolist() for v in vecs])
+
+    return embed
+
+
+def embedder_udf(provider: str = "mock", dimensions: int = 64, **kwargs):
+    """Provider dispatch mirroring the reference's embedder registry
+    (``embeddings.py:425-459``): 'mock' (deterministic, always available)
+    or 'sentence-transformers' (real, gated on the library)."""
+    if provider == "mock":
+        return mock_embedder_udf(dimensions)
+    if provider in ("sentence-transformers", "st"):
+        return sentence_transformer_udf(**kwargs)
+    raise ValueError(f"unknown embedding provider {provider!r}; one of mock|sentence-transformers")

@@ -55,3 +55,19 @@ def test_cache_join_path(spark):
     out = {r["id"]: r["embedding"] for r in embed_with_cache(df, cache, "text").collect()}
     assert out[1] == fake  # served from cache
     assert np.array_equal(np.array(out[2], dtype=np.float32), mock_embed_one("bbb", 64))
+
+
+def test_provider_dispatch_and_gating(spark):
+    """The real-provider slot is gated at factory time with a clear error;
+    the mock dispatches and stays the deterministic default."""
+    import pytest as _pytest
+
+    from custom_python_vectordb_spark.functions.embeddings import embedder_udf
+
+    udf = embedder_udf("mock", dimensions=8)
+    df = spark.createDataFrame([("hello",)], "text string").select(udf("text").alias("e"))
+    assert len(df.collect()[0]["e"]) == 8
+    with _pytest.raises(NotImplementedError, match="sentence-transformers"):
+        embedder_udf("sentence-transformers")
+    with _pytest.raises(ValueError, match="unknown embedding provider"):
+        embedder_udf("nope")

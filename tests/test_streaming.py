@@ -292,3 +292,32 @@ def test_checkpoint_recovery_windowed_append(spark, sf_small, tmp_path):
         > truth(half2).get((r["window_start"], r["event_type"]), 0)
         for r in p2
     )
+
+
+def test_kafka_shaped_payload_parsing(spark, sf_small):
+    """The Kafka source's value-projection maps wire JSON onto the exact
+    schema read_event_stream produces, so downstream plans are
+    source-agnostic (no broker needed to verify the mapping)."""
+    from custom_python_vectordb_spark.streaming.events import parse_kafka_events
+
+    ev = load_table(spark, sf_small, "events").limit(50)
+    wire = ev.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id", "event_type", "value", "props",
+            )
+        ).cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+    )
+    parsed = parse_kafka_events(wire)
+    assert parsed.schema == ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).schema
+    a = {tuple(r) for r in parsed.collect()}
+    b = {tuple(r) for r in ev.select("event_id", "ts", "user_id", "event_type", "value", "props").collect()}
+    assert a == b
