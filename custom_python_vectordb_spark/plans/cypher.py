@@ -1,20 +1,29 @@
 """Cypher-subset → DataFrame-plan translator (SURVEY.md §2.11).
 
 The reference's ``SimpleQueryParser`` (``graph.py:950-1111``) regex-parses
-exactly this grammar and *executes while parsing* against its in-memory
-indexes; here the same grammar compiles to a Catalyst plan over the
-(nodes, edges) DataFrames — parse and execution are properly separated,
-and the optimizer plans the joins.
+a single-edge grammar and *executes while parsing* against its in-memory
+indexes; here a strictly larger grammar compiles to a Catalyst plan over
+the (nodes, edges) DataFrames — parse and execution are properly
+separated, and the optimizer plans the joins.
 
-Supported (reference grammar + any-type variable-length extension):
-    MATCH (n:Label {prop: value})                       RETURN …
-    MATCH (a:L1 {…})-[:TYPE]->(b:L2 {…})                RETURN …
-    MATCH (a…)-[:TYPE*min..max]->(b…)                   RETURN …
-    MATCH (a…)-[*min..max]->(b…)                        RETURN …
+Supported (reference grammar + round-2 extensions):
+    MATCH (n:Label {prop: value})                        RETURN …
+    MATCH (a…)-[:TYPE]->(b…)-[:TYPE2]->(c…)- …           chains, any length
+    MATCH (a…)<-[:TYPE]-(b…)                             reverse edges
+    MATCH (a…)-[:TYPE*min..max]->(b…)                    var-length (simple paths)
+    MATCH … MATCH …                                      conjunctive patterns
+    OPTIONAL MATCH (boundvar)-[:TYPE]->(new…)            left-join semantics
     WHERE var.prop OP value        (OP ∈ = <> < > <= >=, AND-combined)
-    RETURN var | var.prop [, …]    (var → its id column)
+    RETURN var | var.prop [, …]
+           [ORDER BY var[.prop] [ASC|DESC], …] [LIMIT n]
 
-Output columns are named ``var`` → `var_id`, ``var.prop`` → `var_prop`.
+Clause order is MATCH+ → WHERE? → RETURN.  Output columns are named
+``var`` → `var_id`, ``var.prop`` → `var_prop`.  RETURN dedups (the
+oracle convention is SELECT DISTINCT); ORDER BY/LIMIT apply after dedup,
+and a LIMIT query must order by a unique key for determinism (registry
+contract).  Each clause's variables must be distinct within the clause;
+a later clause reusing a variable joins on that variable's node id
+(inner for MATCH, left for OPTIONAL MATCH).
 """
 
 from __future__ import annotations
@@ -25,12 +34,21 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_NODE = r"\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{([^}]*)\})?\s*\)"
-_EDGE = r"-\s*\[\s*(?::\s*(\w+))?\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*->"
-_MATCH_RE = re.compile(rf"MATCH\s+{_NODE}(?:\s*{_EDGE}\s*{_NODE})?", re.IGNORECASE)
-_WHERE_RE = re.compile(r"WHERE\s+(.+?)(?:\s+RETURN\s+|$)", re.IGNORECASE | re.DOTALL)
+_NODE_RE = re.compile(r"\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{([^}]*)\})?\s*\)")
+_EDGE_RE = re.compile(
+    r"(<-|-)\s*\[\s*(?::\s*(\w+))?\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*(->|-)"
+)
+_MATCH_RE = re.compile(r"(OPTIONAL\s+)?MATCH\s+", re.IGNORECASE)
+_WHERE_RE = re.compile(
+    r"WHERE\s+(.+?)(?=\s+RETURN\s+|\s+OPTIONAL\s+|\s+MATCH\s+|$)",
+    re.IGNORECASE | re.DOTALL,
+)
 _COND_RE = re.compile(r"(\w+)\.(\w+)\s*(<=|>=|<>|=|<|>)\s*('[^']*'|-?[\d.]+)")
-_RETURN_RE = re.compile(r"RETURN\s+(.+)$", re.IGNORECASE | re.DOTALL)
+_RETURN_RE = re.compile(
+    r"RETURN\s+(.+?)(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ORDER_ITEM_RE = re.compile(r"^(\w+)(?:\.(\w+))?(?:\s+(ASC|DESC))?$", re.IGNORECASE)
 
 
 @dataclass
@@ -38,6 +56,14 @@ class _NodePat:
     var: str
     label: str | None
     props: dict[str, object] = field(default_factory=dict)
+
+
+@dataclass
+class _EdgePat:
+    type: str | None
+    lo: int | None
+    hi: int | None
+    reverse: bool  # True for <-[…]- (pattern read right-to-left)
 
 
 def _parse_props(raw: str | None) -> dict[str, object]:
@@ -70,6 +96,41 @@ _OPS = {
 }
 
 
+def _ws(s: str, pos: int) -> int:
+    while pos < len(s) and s[pos].isspace():
+        pos += 1
+    return pos
+
+
+def _parse_pattern(s: str, pos: int) -> tuple[list[_NodePat], list[_EdgePat], int]:
+    """Parse node (edge node)* starting at `pos`; returns (nodes, edges, end)."""
+    m = _NODE_RE.match(s, _ws(s, pos))
+    if not m:
+        raise ValueError(f"expected node pattern at …{s[pos:pos + 40]!r}")
+    nodes = [_NodePat(m.group(1), m.group(2), _parse_props(m.group(3)))]
+    edges: list[_EdgePat] = []
+    pos = m.end()
+    while True:
+        em = _EDGE_RE.match(s, _ws(s, pos))
+        if not em:
+            return nodes, edges, pos
+        head, etype, lo, hi, tail = em.groups()
+        if head == "<-" and tail == "-":
+            reverse = True
+        elif head == "-" and tail == "->":
+            reverse = False
+        else:
+            raise ValueError(f"undirected edge pattern not supported in {s!r}")
+        nm = _NODE_RE.match(s, _ws(s, em.end()))
+        if not nm:
+            raise ValueError(f"dangling edge pattern at …{s[em.start():em.end() + 40]!r}")
+        edges.append(
+            _EdgePat(etype, int(lo) if lo else None, int(hi) if hi else None, reverse)
+        )
+        nodes.append(_NodePat(nm.group(1), nm.group(2), _parse_props(nm.group(3))))
+        pos = nm.end()
+
+
 def _node_df(nodes: DataFrame, pat: _NodePat) -> DataFrame:
     """Nodes matching the pattern, columns prefixed `{var}_`."""
     df = nodes
@@ -80,51 +141,81 @@ def _node_df(nodes: DataFrame, pat: _NodePat) -> DataFrame:
     return df.select(*[F.col(c).alias(f"{pat.var}_{c}") for c in df.columns])
 
 
-def cypher(nodes: DataFrame, edges: DataFrame, query: str) -> DataFrame:
-    """Compile and run a Cypher-subset query against the graph view."""
-    m = _MATCH_RE.search(query)
-    if not m:
-        raise ValueError(f"unparseable MATCH clause in {query!r}")
-    g = m.groups()
-    left = _NodePat(g[0], g[1], _parse_props(g[2]))
-    edge_type, lo, hi = g[3], g[4], g[5]
-    right = _NodePat(g[6], g[7], _parse_props(g[8])) if g[6] else None
+def _edge_hops(edges: DataFrame, ep: _EdgePat) -> DataFrame:
+    """Distinct (__start, __end) pairs this edge pattern can bind.
 
-    if right is None:
-        bound = _node_df(nodes, left)
-    else:
-        e = edges if edge_type is None else edges.filter(F.col("type") == edge_type)
-        pairs = e.select(F.col("src").alias("__src"), F.col("dst").alias("__dst")).distinct()
-        if lo is not None:
-            lo_i, hi_i = int(lo), int(hi or lo)
-            reach = None
-            frontier = pairs.select(
-                F.col("__src").alias("__start"), F.col("__dst").alias("__end")
-            ).withColumn("__path", F.array("__start", "__end"))
-            for depth in range(1, hi_i + 1):
-                if depth > 1:
-                    frontier = (
-                        frontier.join(pairs, frontier["__end"] == pairs["__src"])
-                        .filter(~F.array_contains(F.col("__path"), F.col("__dst")))
-                        .select(
-                            "__start",
-                            F.col("__dst").alias("__end"),
-                            F.concat(F.col("__path"), F.array(F.col("__dst"))).alias("__path"),
-                        )
-                    )
-                    frontier = frontier.localCheckpoint(eager=False)
-                if depth >= lo_i:
-                    step = frontier.select("__start", "__end").distinct()
-                    reach = step if reach is None else reach.unionByName(step).distinct()
-            hops = reach
-        else:
-            hops = pairs.select(F.col("__src").alias("__start"), F.col("__dst").alias("__end"))
+    Var-length = simple paths of length lo..hi (cycle check on the path),
+    the reference's traversal semantics; lineage is truncated per hop."""
+    e = edges if ep.type is None else edges.filter(F.col("type") == ep.type)
+    s, d = ("dst", "src") if ep.reverse else ("src", "dst")
+    pairs = e.select(F.col(s).alias("__start"), F.col(d).alias("__end")).distinct()
+    if ep.lo is None:
+        return pairs
+    reach: DataFrame | None = None
+    frontier = pairs.withColumn("__path", F.array("__start", "__end"))
+    step = pairs.select(F.col("__start").alias("__s2"), F.col("__end").alias("__e2"))
+    for depth in range(1, ep.hi + 1):
+        if depth > 1:
+            frontier = (
+                frontier.join(step, frontier["__end"] == step["__s2"])
+                .filter(~F.array_contains(F.col("__path"), F.col("__e2")))
+                .select(
+                    "__start",
+                    F.col("__e2").alias("__end"),
+                    F.concat(F.col("__path"), F.array(F.col("__e2"))).alias("__path"),
+                )
+            )
+            frontier = frontier.localCheckpoint(eager=False)
+        if depth >= ep.lo:
+            got = frontier.select("__start", "__end").distinct()
+            reach = got if reach is None else reach.unionByName(got).distinct()
+    assert reach is not None
+    return reach
+
+
+def _chain_df(nodes: DataFrame, edges: DataFrame, npats: list[_NodePat], epats: list[_EdgePat]) -> DataFrame:
+    """One MATCH clause compiled to a join chain; columns `{var}_*`."""
+    seen = {npats[0].var}
+    bound = _node_df(nodes, npats[0])
+    for i, ep in enumerate(epats):
+        nxt = npats[i + 1]
+        if nxt.var in seen:
+            raise ValueError(f"variable {nxt.var!r} repeated within one MATCH clause")
+        seen.add(nxt.var)
         bound = (
-            _node_df(nodes, left)
-            .join(hops, F.col(f"{left.var}_id") == F.col("__start"))
-            .join(_node_df(nodes, right), F.col("__end") == F.col(f"{right.var}_id"))
+            bound.join(_edge_hops(edges, ep), F.col(f"{npats[i].var}_id") == F.col("__start"))
+            .join(_node_df(nodes, nxt), F.col("__end") == F.col(f"{nxt.var}_id"))
             .drop("__start", "__end")
         )
+    return bound
+
+
+def cypher(nodes: DataFrame, edges: DataFrame, query: str) -> DataFrame:
+    """Compile and run a Cypher-subset query against the graph view."""
+    starts = list(_MATCH_RE.finditer(query))
+    if not starts:
+        raise ValueError(f"unparseable MATCH clause in {query!r}")
+
+    bound: DataFrame | None = None
+    bound_vars: set[str] = set()
+    for m in starts:
+        optional = bool(m.group(1))
+        npats, epats, _ = _parse_pattern(query, m.end())
+        clause = _chain_df(nodes, edges, npats, epats)
+        clause_vars = [p.var for p in npats]
+        if bound is None:
+            if optional:
+                raise ValueError("first clause cannot be OPTIONAL MATCH")
+            bound, bound_vars = clause, set(clause_vars)
+            continue
+        shared = [v for v in clause_vars if v in bound_vars]
+        new = [v for v in clause_vars if v not in bound_vars]
+        if not shared:
+            raise ValueError(f"MATCH clause {m.group(0)!r}… shares no variable with earlier clauses")
+        keys = [f"{v}_id" for v in shared]
+        keep = keys + [c for c in clause.columns if c.split("_", 1)[0] in new]
+        bound = bound.join(clause.select(*keep), on=keys, how="left" if optional else "inner")
+        bound_vars |= set(new)
 
     w = _WHERE_RE.search(query)
     if w:
@@ -138,7 +229,7 @@ def cypher(nodes: DataFrame, edges: DataFrame, query: str) -> DataFrame:
     r = _RETURN_RE.search(query)
     if not r:
         raise ValueError(f"missing RETURN clause in {query!r}")
-    out_cols = []
+    out_cols: list[Column] = []
     for item in r.group(1).split(","):
         item = item.strip()
         if "." in item:
@@ -146,4 +237,18 @@ def cypher(nodes: DataFrame, edges: DataFrame, query: str) -> DataFrame:
             out_cols.append(F.col(f"{var}_{prop}").alias(f"{var}_{prop}"))
         else:
             out_cols.append(F.col(f"{item}_id").alias(f"{item}_id"))
-    return bound.select(*out_cols).distinct()
+    out = bound.select(*out_cols).distinct()
+
+    if r.group(2):
+        order: list[Column] = []
+        for item in r.group(2).split(","):
+            om = _ORDER_ITEM_RE.match(item.strip())
+            if not om:
+                raise ValueError(f"unparseable ORDER BY item {item!r}")
+            var, prop, direction = om.groups()
+            c = F.col(f"{var}_{prop}" if prop else f"{var}_id")
+            order.append(c.desc() if direction and direction.upper() == "DESC" else c.asc())
+        out = out.orderBy(*order)
+    if r.group(3):
+        out = out.limit(int(r.group(3)))
+    return out

@@ -42,6 +42,89 @@ def cypher_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("cypher_chain", f"""
+{GRAPH_CTES}
+SELECT DISTINCT c.id AS c_id, e1.dst AS o_id, p.name AS p_name
+FROM nodes c
+JOIN edges e1 ON e1.type = 'PLACED' AND e1.src = c.id
+JOIN edges e2 ON e2.type = 'CONTAINS' AND e2.src = e1.dst
+JOIN nodes p ON p.id = e2.dst AND p.label = 'Part'
+WHERE c.label = 'Customer'
+  AND c.mktsegment IS NOT NULL AND c.mktsegment = 'BUILDING'
+  AND c.acctbal IS NOT NULL AND c.acctbal > 9000
+""")
+def cypher_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-edge chain (≥2 edges in one MATCH) — beyond the reference's
+    single-edge grammar (graph.py:1014-1060)."""
+    nodes, edges = _graph(spark, sf_dir)
+    return cypher(
+        nodes, edges,
+        "MATCH (c:Customer {mktsegment: 'BUILDING'})-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part) "
+        "WHERE c.acctbal > 9000 RETURN c, o, p.name",
+    )
+
+
+@query("cypher_reverse", f"""
+{GRAPH_CTES}
+SELECT DISTINCT s.id AS s_id, s.name AS s_name
+FROM nodes n
+JOIN edges e ON e.type = 'IN_NATION' AND e.dst = n.id
+JOIN nodes s ON s.id = e.src AND s.label = 'Supplier'
+WHERE n.label = 'Nation' AND n.name IS NOT NULL AND n.name = 'NATION_9'
+""")
+def cypher_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-direction edge pattern (<-[:TYPE]-)."""
+    nodes, edges = _graph(spark, sf_dir)
+    return cypher(
+        nodes, edges,
+        "MATCH (n:Nation {name: 'NATION_9'})<-[:IN_NATION]-(s:Supplier) RETURN s, s.name",
+    )
+
+
+@query("cypher_optional", f"""
+{GRAPH_CTES}
+SELECT DISTINCT c.id AS c_id, c.name AS c_name, x.p_id AS p_id
+FROM nodes c
+LEFT JOIN (
+    SELECT DISTINCT e1.src AS c_src, p.id AS p_id
+    FROM edges e1
+    JOIN edges e2 ON e2.type = 'CONTAINS' AND e2.src = e1.dst
+    JOIN nodes p ON p.id = e2.dst AND p.label = 'Part'
+                AND p.size IS NOT NULL AND p.size = 50
+    WHERE e1.type = 'PLACED'
+) x ON x.c_src = c.id
+WHERE c.label = 'Customer'
+  AND c.mktsegment IS NOT NULL AND c.mktsegment = 'AUTOMOBILE'
+  AND c.acctbal IS NOT NULL AND c.acctbal > 9500
+""")
+def cypher_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL MATCH with a chain that can miss: customers kept (NULL
+    p_id) when none of their orders contains a size-50 part."""
+    nodes, edges = _graph(spark, sf_dir)
+    return cypher(
+        nodes, edges,
+        "MATCH (c:Customer {mktsegment: 'AUTOMOBILE'}) "
+        "OPTIONAL MATCH (c)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part {size: 50}) "
+        "WHERE c.acctbal > 9500 RETURN c, c.name, p",
+    )
+
+
+@query("cypher_order_limit", f"""
+{GRAPH_CTES}
+SELECT id AS p_id, size AS p_size FROM nodes
+WHERE label = 'Part' AND size IS NOT NULL AND size >= 40
+ORDER BY size DESC, id LIMIT 20
+""")
+def cypher_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY … DESC with a unique tie-break + LIMIT (registry contract:
+    every limit query totally ordered)."""
+    nodes, edges = _graph(spark, sf_dir)
+    return cypher(
+        nodes, edges,
+        "MATCH (p:Part) WHERE p.size >= 40 RETURN p, p.size ORDER BY p.size DESC, p LIMIT 20",
+    )
+
+
 @query("cypher_varlen", f"""
 {GRAPH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)},
 opairs AS (SELECT DISTINCT src, dst FROM edges),

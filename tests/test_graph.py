@@ -138,3 +138,64 @@ def test_cypher_translator_edge_cases(spark, sf_small):
         nodes, edges, "MATCH (c:Customer {mktsegment: 'MACHINERY'}) RETURN c"
     ).count()
     assert seg > 0
+
+
+def test_cypher_extended_grammar(spark, sf_small):
+    import pytest
+
+    from custom_python_vectordb_spark.plans.cypher import cypher
+    from custom_python_vectordb_spark.sources.graph_view import edges_df, nodes_df
+
+    nodes, edges = nodes_df(spark, sf_small), edges_df(spark, sf_small)
+
+    # multi-edge chain ≡ two single-edge clauses joined on the shared var
+    chain = cypher(
+        nodes, edges,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part) RETURN c, p",
+    )
+    two_clause = cypher(
+        nodes, edges,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "MATCH (o)-[:CONTAINS]->(p:Part) RETURN c, p",
+    )
+    assert sorted(map(tuple, chain.collect())) == sorted(map(tuple, two_clause.collect()))
+    assert chain.count() > 0
+
+    # reverse edge ≡ forward edge with endpoints swapped
+    fwd = cypher(nodes, edges, "MATCH (n:Nation)-[:IN_REGION]->(r:Region) RETURN n, r")
+    rev = cypher(nodes, edges, "MATCH (r:Region)<-[:IN_REGION]-(n:Nation) RETURN n, r")
+    assert sorted(map(tuple, fwd.collect())) == sorted(map(tuple, rev.collect()))
+
+    # OPTIONAL MATCH keeps unmatched left rows with NULL right columns
+    # (every synthetic customer has orders, but few orders hold a size-1 part)
+    opt = cypher(
+        nodes, edges,
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part {size: 1}) RETURN c, p",
+    ).collect()
+    n_customers = nodes.filter(F.array_contains("labels", "Customer")).count()
+    assert len(opt) >= n_customers
+    assert {r["c_id"] for r in opt} and len({r["c_id"] for r in opt}) == n_customers
+    assert any(r["p_id"] is None for r in opt)  # customers with no size-1 part
+    assert any(r["p_id"] is not None for r in opt)
+    # a customer either has only NULL (no match) or only non-NULL rows
+    matched = {r["c_id"] for r in opt if r["p_id"] is not None}
+    assert all(r["p_id"] is not None or r["c_id"] not in matched for r in opt)
+
+    # ORDER BY DESC + unique tie-break + LIMIT is the top-k contract
+    top = cypher(
+        nodes, edges,
+        "MATCH (p:Part) RETURN p, p.size ORDER BY p.size DESC, p LIMIT 5",
+    ).collect()
+    assert len(top) == 5
+    sizes = [r["p_size"] for r in top]
+    assert sizes == sorted(sizes, reverse=True)
+
+    # malformed patterns fail loudly
+    with pytest.raises(ValueError):
+        cypher(nodes, edges, "OPTIONAL MATCH (c:Customer) RETURN c")
+    with pytest.raises(ValueError):
+        cypher(nodes, edges, "MATCH (a:Part) MATCH (b:Region) RETURN a, b")  # no shared var
+    with pytest.raises(ValueError):
+        cypher(nodes, edges, "MATCH (a:Nation)-[:IN_REGION]->(a:Region) RETURN a")  # var reuse
+    with pytest.raises(ValueError):
+        cypher(nodes, edges, "MATCH (a:Nation)-[]-(b) RETURN a, b")  # undirected
