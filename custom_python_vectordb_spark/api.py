@@ -215,11 +215,20 @@ class Collection:
 
 
 class VectorDB:
-    """Multi-collection database over a warehouse directory."""
+    """Multi-collection database over a warehouse directory.
 
-    def __init__(self, spark: SparkSession, root: str):
+    `versioned=True` swaps the dir-rename store for the table-format commit
+    log (`sources/versioned.py`): atomic manifest commits, O(delta) appends,
+    time travel via `db.warehouse.load(name, version=n)`. Same interface."""
+
+    def __init__(self, spark: SparkSession, root: str, versioned: bool = False):
         self.spark = spark
-        self.warehouse = Warehouse(spark, root)
+        if versioned:
+            from custom_python_vectordb_spark.sources.versioned import VersionedWarehouse
+
+            self.warehouse: Warehouse | VersionedWarehouse = VersionedWarehouse(spark, root)
+        else:
+            self.warehouse = Warehouse(spark, root)
         self._dims: dict[str, int] = {}
 
     def create_collection(self, name: str, dimensions: int, overwrite: bool = False) -> Collection:

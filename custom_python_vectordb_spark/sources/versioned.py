@@ -1,0 +1,182 @@
+"""Versioned collection store: a minimal table-format commit protocol.
+
+``Warehouse`` (warehouse.py) swaps a whole directory per rewrite — fine for
+a single writer on a POSIX filesystem, but directory rename is not atomic
+on object stores and two writers can interleave. This module replaces the
+swap with the standard log-structured table-format design (the public
+Delta/Iceberg commit idea, re-implemented from scratch):
+
+    root/<name>/
+        _commits/000000.json     one manifest per version; THE commit is
+        _commits/000001.json     the atomic create of this single file
+        data/v000001-<uuid>/     immutable Spark-written parquet dirs
+
+* A writer stages data under ``data/`` (invisible to readers), then commits
+  by exclusive-create (``open(..., "x")``) of ``_commits/<next>.json``.
+  Losing a race raises ``FileExistsError`` → re-read the new head and retry
+  (optimistic concurrency). On an object store the same protocol is a
+  conditional PUT ("if-none-match"); data files never need atomic semantics
+  because they are invisible until a manifest references them.
+* ``append`` commits a manifest that lists the parent's dirs + one new dir,
+  so appends never rewrite history — O(delta), not O(table).
+* Readers resolve the highest manifest (or a pinned ``version=`` for time
+  travel) and read exactly the dirs it lists: a reader never observes a
+  half-written table, with no reader/writer coordination at all.
+* ``vacuum`` deletes data dirs unreferenced by the kept manifest tail.
+
+Reference parity: the reference persists collections with a hand-rolled
+binary format + full-file rewrite (``binary_persistence.py:39-193``,
+``vectordb_optimized.py:282-331``) and has no versioning; this is the
+scale-correct replacement (SURVEY.md §8 deferred item, landed round 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_WIDTH = 6  # 000000.json … 999999.json keeps lexicographic = numeric
+
+
+class CommitConflict(RuntimeError):
+    """Raised when the optimistic-commit retry budget is exhausted."""
+
+
+class VersionedWarehouse:
+    """Create/load/save/drop collections with versioned atomic commits."""
+
+    def __init__(self, spark: SparkSession, root: str, max_retries: int = 10):
+        self.spark = spark
+        self.root = root
+        self.max_retries = max_retries
+        os.makedirs(root, exist_ok=True)
+
+    # ---------------------------------------------------------- layout
+    def _cdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _commits(self, name: str) -> str:
+        return os.path.join(self._cdir(name), "_commits")
+
+    def _data(self, name: str) -> str:
+        return os.path.join(self._cdir(name), "data")
+
+    def _manifest_path(self, name: str, version: int) -> str:
+        return os.path.join(self._commits(name), f"{version:0{_MANIFEST_WIDTH}d}.json")
+
+    # ---------------------------------------------------------- catalog
+    def list_collections(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d, "_commits"))
+        )
+
+    def exists(self, name: str) -> bool:
+        return self.latest_version(name) is not None
+
+    def drop(self, name: str) -> bool:
+        if not os.path.isdir(self._cdir(name)):
+            return False
+        shutil.rmtree(self._cdir(name))
+        return True
+
+    # ---------------------------------------------------------- versions
+    def latest_version(self, name: str) -> int | None:
+        cdir = self._commits(name)
+        if not os.path.isdir(cdir):
+            return None
+        versions = [
+            int(f[: -len(".json")])
+            for f in os.listdir(cdir)
+            if f.endswith(".json") and f[: -len(".json")].isdigit()
+        ]
+        return max(versions) if versions else None
+
+    def _read_manifest(self, name: str, version: int) -> dict:
+        with open(self._manifest_path(name, version)) as fh:
+            return json.load(fh)
+
+    def history(self, name: str) -> list[dict]:
+        """All manifests, oldest first."""
+        latest = self.latest_version(name)
+        if latest is None:
+            raise FileNotFoundError(f"collection {name!r} does not exist")
+        return [self._read_manifest(name, v) for v in range(latest + 1)]
+
+    # ---------------------------------------------------------- read
+    def load(self, name: str, version: int | None = None) -> DataFrame:
+        """Read the collection at `version` (default: latest). Time travel
+        is just pinning an older manifest — data dirs are immutable."""
+        latest = self.latest_version(name)
+        if latest is None:
+            raise FileNotFoundError(f"collection {name!r} does not exist")
+        v = latest if version is None else version
+        if not 0 <= v <= latest:
+            raise ValueError(f"version {v} out of range 0..{latest}")
+        manifest = self._read_manifest(name, v)
+        dirs = [os.path.join(self._data(name), d) for d in manifest["dirs"]]
+        return self.spark.read.parquet(*dirs)
+
+    # ---------------------------------------------------------- write
+    def save(self, name: str, df: DataFrame, mode: str = "overwrite") -> int:
+        """Stage `df` then commit; returns the committed version.
+
+        `overwrite`: the new version references only the staged dir.
+        `append`: the new version references parent dirs + the staged dir;
+        on a lost race the parent is re-read so concurrent appends all land.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        os.makedirs(self._commits(name), exist_ok=True)
+        os.makedirs(self._data(name), exist_ok=True)
+
+        for attempt in range(self.max_retries):
+            parent = self.latest_version(name)
+            next_v = 0 if parent is None else parent + 1
+            if attempt == 0:
+                # stage once — invisible until a manifest references it
+                staged = f"v{next_v:0{_MANIFEST_WIDTH}d}-{uuid.uuid4().hex[:8]}"
+                df.write.mode("overwrite").parquet(os.path.join(self._data(name), staged))
+            if mode == "append" and parent is not None:
+                dirs = self._read_manifest(name, parent)["dirs"] + [staged]
+            else:
+                dirs = [staged]
+            manifest = {
+                "version": next_v,
+                "parent": parent,
+                "mode": mode,
+                "dirs": dirs,
+                "committed_at": time.time(),
+            }
+            try:
+                # THE commit: atomic exclusive create of one small file
+                with open(self._manifest_path(name, next_v), "x") as fh:
+                    json.dump(manifest, fh)
+                return next_v
+            except FileExistsError:
+                continue  # lost the race — recompute head and retry
+        raise CommitConflict(f"gave up committing {name!r} after {self.max_retries} races")
+
+    # ---------------------------------------------------------- maintenance
+    def vacuum(self, name: str, keep_last: int = 2) -> list[str]:
+        """Delete data dirs unreferenced by the newest `keep_last` manifests
+        (older manifests stay readable only if their dirs are still shared).
+        Returns the deleted dir names."""
+        latest = self.latest_version(name)
+        if latest is None:
+            raise FileNotFoundError(f"collection {name!r} does not exist")
+        keep: set[str] = set()
+        for v in range(max(0, latest - keep_last + 1), latest + 1):
+            keep.update(self._read_manifest(name, v)["dirs"])
+        deleted = []
+        for d in sorted(os.listdir(self._data(name))):
+            if d not in keep:
+                shutil.rmtree(os.path.join(self._data(name), d), ignore_errors=True)
+                deleted.append(d)
+        return deleted

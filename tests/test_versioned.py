@@ -1,0 +1,124 @@
+"""Versioned warehouse: manifest commits, time travel, append, races, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from custom_python_vectordb_spark.sources.versioned import (
+    CommitConflict,
+    VersionedWarehouse,
+)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return VersionedWarehouse(spark, str(tmp_path / "vwh"))
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"doc {i}") for i in ids], "id long, text string")
+
+
+def test_create_overwrite_time_travel(spark, wh):
+    assert wh.save("c", _df(spark, [1, 2, 3])) == 0
+    assert wh.save("c", _df(spark, [4, 5])) == 1  # overwrite = new version
+    assert wh.latest_version("c") == 1
+    assert sorted(r["id"] for r in wh.load("c").collect()) == [4, 5]
+    # time travel: version 0 still fully readable
+    assert sorted(r["id"] for r in wh.load("c", version=0).collect()) == [1, 2, 3]
+    hist = wh.history("c")
+    assert [m["version"] for m in hist] == [0, 1]
+    assert hist[1]["parent"] == 0 and hist[1]["mode"] == "overwrite"
+    with pytest.raises(ValueError):
+        wh.load("c", version=7)
+
+
+def test_append_is_incremental(spark, wh):
+    wh.save("c", _df(spark, [1, 2]))
+    wh.save("c", _df(spark, [3]), mode="append")
+    wh.save("c", _df(spark, [4]), mode="append")
+    assert sorted(r["id"] for r in wh.load("c").collect()) == [1, 2, 3, 4]
+    # appends reference parent dirs instead of rewriting them
+    hist = wh.history("c")
+    assert len(hist[2]["dirs"]) == 3
+    assert hist[1]["dirs"][0] == hist[0]["dirs"][0]
+    # intermediate version readable too
+    assert sorted(r["id"] for r in wh.load("c", version=1).collect()) == [1, 2, 3]
+
+
+def test_commit_race_retries_and_lands(spark, wh):
+    wh.save("c", _df(spark, [1]))
+    # simulate a rival writer stealing version 1 mid-commit
+    rival = wh._manifest_path("c", 1)
+    os.makedirs(os.path.dirname(rival), exist_ok=True)
+    with open(rival, "x") as fh:
+        json.dump({"version": 1, "parent": 0, "mode": "overwrite",
+                   "dirs": wh._read_manifest("c", 0)["dirs"], "committed_at": 0}, fh)
+    v = wh.save("c", _df(spark, [9]), mode="append")
+    assert v == 2  # lost the race for 1, landed on 2
+    # append re-read the NEW head, so the rival's rows are kept
+    assert sorted(r["id"] for r in wh.load("c").collect()) == [1, 9]
+
+
+def test_commit_conflict_exhausts(spark, tmp_path):
+    # a writer whose head lookup is stale (object-store LIST lag) keeps
+    # colliding with the same taken version and must give up loudly
+    class StaleHead(VersionedWarehouse):
+        def latest_version(self, name):
+            v = super().latest_version(name)
+            return None if v is None else 0
+
+    wh = StaleHead(spark, str(tmp_path / "vwh"), max_retries=2)
+    wh.save("c", _df(spark, [1]))
+    with open(wh._manifest_path("c", 1), "x") as fh:  # rival owns v1
+        json.dump({"version": 1, "parent": 0, "mode": "overwrite",
+                   "dirs": wh._read_manifest("c", 0)["dirs"], "committed_at": 0}, fh)
+    with pytest.raises(CommitConflict):
+        wh.save("c", _df(spark, [2]))
+
+
+def test_vacuum_keeps_recent_versions(spark, wh):
+    wh.save("c", _df(spark, [1]))
+    wh.save("c", _df(spark, [2]))
+    wh.save("c", _df(spark, [3]))
+    deleted = wh.vacuum("c", keep_last=2)
+    assert len(deleted) == 1  # only version 0's dir was unreferenced
+    assert sorted(r["id"] for r in wh.load("c").collect()) == [3]
+    assert sorted(r["id"] for r in wh.load("c", version=1).collect()) == [2]
+    # readers of the latest two versions unaffected; v0's data is gone
+    with pytest.raises(Exception):
+        wh.load("c", version=0).collect()
+
+
+def test_vectordb_facade_on_versioned_store(spark, tmp_path):
+    from custom_python_vectordb_spark.api import VectorDB
+
+    db = VectorDB(spark, str(tmp_path / "vdb"), versioned=True)
+    c = db.create_collection("docs", dimensions=64)
+    c.add_texts([("d1", "spark shuffles data"), ("d2", "broadcast joins")])
+    assert c.count() == 2
+    hits = c.query(query_texts=["shuffle data"], n_results=1).collect()
+    assert len(hits) == 1
+    c.delete(ids=["d2"])
+    assert c.count() == 1
+    # every mutation committed a version; pre-delete state is still readable
+    latest = db.warehouse.latest_version("docs")
+    assert latest >= 2
+    prev = db.warehouse.load("docs", version=latest - 1)
+    assert prev.count() == 2
+    assert db.delete_collection("docs") is True
+
+
+def test_catalog_and_drop(spark, wh):
+    wh.save("a", _df(spark, [1]))
+    wh.save("b", _df(spark, [2]))
+    assert wh.list_collections() == ["a", "b"]
+    assert wh.exists("a") and not wh.exists("zz")
+    assert wh.drop("a") is True
+    assert wh.drop("a") is False
+    assert wh.list_collections() == ["b"]
+    with pytest.raises(FileNotFoundError):
+        wh.load("a")
