@@ -10,20 +10,30 @@ Supported (reference grammar + round-2 extensions):
     MATCH (n:Label {prop: value})                        RETURN …
     MATCH (a…)-[:TYPE]->(b…)-[:TYPE2]->(c…)- …           chains, any length
     MATCH (a…)<-[:TYPE]-(b…)                             reverse edges
+    MATCH (a…)-[:TYPE]-(b…)                              undirected edges
     MATCH (a…)-[:TYPE*min..max]->(b…)                    var-length (simple paths)
     MATCH … MATCH …                                      conjunctive patterns
     OPTIONAL MATCH (boundvar)-[:TYPE]->(new…)            left-join semantics
+    [MATCH | OPTIONAL MATCH] … WHERE …                   per-clause WHERE
     WHERE var.prop OP value        (OP ∈ = <> < > <= >=, AND-combined)
     RETURN var | var.prop [, …]
            [ORDER BY var[.prop] [ASC|DESC], …] [LIMIT n]
 
-Clause order is MATCH+ → WHERE? → RETURN.  Output columns are named
+Clause order is (MATCH WHERE?)+ → RETURN.  Output columns are named
 ``var`` → `var_id`, ``var.prop`` → `var_prop`.  RETURN dedups (the
 oracle convention is SELECT DISTINCT); ORDER BY/LIMIT apply after dedup,
 and a LIMIT query must order by a unique key for determinism (registry
 contract).  Each clause's variables must be distinct within the clause;
 a later clause reusing a variable joins on that variable's node id
 (inner for MATCH, left for OPTIONAL MATCH).
+
+WHERE placement semantics: a condition on a variable introduced by an
+OPTIONAL MATCH filters that clause BEFORE the left join (Cypher's
+pattern-predicate semantics — non-qualifying rows become NULL, left rows
+survive); every other condition filters the rows bound so far (for inner
+MATCH chains the two are equivalent, so this matches Cypher for the
+whole supported grammar except bound-var predicates inside an OPTIONAL
+clause, which Cypher also nulls but we filter — documented subset).
 """
 
 from __future__ import annotations
@@ -39,8 +49,8 @@ _EDGE_RE = re.compile(
     r"(<-|-)\s*\[\s*(?::\s*(\w+))?\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*(->|-)"
 )
 _MATCH_RE = re.compile(r"(OPTIONAL\s+)?MATCH\s+", re.IGNORECASE)
-_WHERE_RE = re.compile(
-    r"WHERE\s+(.+?)(?=\s+RETURN\s+|\s+OPTIONAL\s+|\s+MATCH\s+|$)",
+_WHERE_AT_RE = re.compile(
+    r"\s*WHERE\s+(.+?)(?=\s+RETURN\s+|\s+OPTIONAL\s+|\s+MATCH\s+|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
 _COND_RE = re.compile(r"(\w+)\.(\w+)\s*(<=|>=|<>|=|<|>)\s*('[^']*'|-?[\d.]+)")
@@ -64,6 +74,7 @@ class _EdgePat:
     lo: int | None
     hi: int | None
     reverse: bool  # True for <-[…]- (pattern read right-to-left)
+    undirected: bool = False  # -[…]- matches the edge in either direction
 
 
 def _parse_props(raw: str | None) -> dict[str, object]:
@@ -116,16 +127,18 @@ def _parse_pattern(s: str, pos: int) -> tuple[list[_NodePat], list[_EdgePat], in
             return nodes, edges, pos
         head, etype, lo, hi, tail = em.groups()
         if head == "<-" and tail == "-":
-            reverse = True
+            reverse, undirected = True, False
         elif head == "-" and tail == "->":
-            reverse = False
+            reverse, undirected = False, False
+        elif head == "-" and tail == "-":
+            reverse, undirected = False, True
         else:
-            raise ValueError(f"undirected edge pattern not supported in {s!r}")
+            raise ValueError(f"double-headed edge pattern <-…-> not supported in {s!r}")
         nm = _NODE_RE.match(s, _ws(s, em.end()))
         if not nm:
             raise ValueError(f"dangling edge pattern at …{s[em.start():em.end() + 40]!r}")
         edges.append(
-            _EdgePat(etype, int(lo) if lo else None, int(hi) if hi else None, reverse)
+            _EdgePat(etype, int(lo) if lo else None, int(hi) if hi else None, reverse, undirected)
         )
         nodes.append(_NodePat(nm.group(1), nm.group(2), _parse_props(nm.group(3))))
         pos = nm.end()
@@ -147,8 +160,15 @@ def _edge_hops(edges: DataFrame, ep: _EdgePat) -> DataFrame:
     Var-length = simple paths of length lo..hi (cycle check on the path),
     the reference's traversal semantics; lineage is truncated per hop."""
     e = edges if ep.type is None else edges.filter(F.col("type") == ep.type)
-    s, d = ("dst", "src") if ep.reverse else ("src", "dst")
-    pairs = e.select(F.col(s).alias("__start"), F.col(d).alias("__end")).distinct()
+    if ep.undirected:
+        pairs = (
+            e.select(F.col("src").alias("__start"), F.col("dst").alias("__end"))
+            .unionByName(e.select(F.col("dst").alias("__start"), F.col("src").alias("__end")))
+            .distinct()
+        )
+    else:
+        s, d = ("dst", "src") if ep.reverse else ("src", "dst")
+        pairs = e.select(F.col(s).alias("__start"), F.col(d).alias("__end")).distinct()
     if ep.lo is None:
         return pairs
     reach: DataFrame | None = None
@@ -200,29 +220,43 @@ def cypher(nodes: DataFrame, edges: DataFrame, query: str) -> DataFrame:
     bound_vars: set[str] = set()
     for m in starts:
         optional = bool(m.group(1))
-        npats, epats, _ = _parse_pattern(query, m.end())
+        npats, epats, pos = _parse_pattern(query, m.end())
         clause = _chain_df(nodes, edges, npats, epats)
         clause_vars = [p.var for p in npats]
+
+        # per-clause WHERE: conditions on variables this clause introduces
+        # filter the clause pattern itself (pre-join — Cypher's OPTIONAL
+        # MATCH predicate semantics); everything else filters post-join.
+        pre: list[tuple[str, str, str, str]] = []
+        post: list[tuple[str, str, str, str]] = []
+        wm = _WHERE_AT_RE.match(query, pos)
+        if wm:
+            conds = _COND_RE.findall(wm.group(1))
+            if not conds:
+                raise ValueError(f"unparseable WHERE clause in {query!r}")
+            for cond in conds:
+                var = cond[0]
+                new_here = var in clause_vars and var not in bound_vars
+                (pre if optional and new_here else post).append(cond)
+        for var, prop, op, raw in pre:
+            c = F.col(f"{var}_{prop}")
+            clause = clause.filter(c.isNotNull() & _OPS[op](c, F.lit(_parse_value(raw))))
+
         if bound is None:
             if optional:
                 raise ValueError("first clause cannot be OPTIONAL MATCH")
             bound, bound_vars = clause, set(clause_vars)
-            continue
-        shared = [v for v in clause_vars if v in bound_vars]
-        new = [v for v in clause_vars if v not in bound_vars]
-        if not shared:
-            raise ValueError(f"MATCH clause {m.group(0)!r}… shares no variable with earlier clauses")
-        keys = [f"{v}_id" for v in shared]
-        keep = keys + [c for c in clause.columns if c.split("_", 1)[0] in new]
-        bound = bound.join(clause.select(*keep), on=keys, how="left" if optional else "inner")
-        bound_vars |= set(new)
+        else:
+            shared = [v for v in clause_vars if v in bound_vars]
+            new = [v for v in clause_vars if v not in bound_vars]
+            if not shared:
+                raise ValueError(f"MATCH clause {m.group(0)!r}… shares no variable with earlier clauses")
+            keys = [f"{v}_id" for v in shared]
+            keep = keys + [c for c in clause.columns if c.split("_", 1)[0] in new]
+            bound = bound.join(clause.select(*keep), on=keys, how="left" if optional else "inner")
+            bound_vars |= set(new)
 
-    w = _WHERE_RE.search(query)
-    if w:
-        conds = _COND_RE.findall(w.group(1))
-        if not conds:
-            raise ValueError(f"unparseable WHERE clause in {query!r}")
-        for var, prop, op, raw in conds:
+        for var, prop, op, raw in post:
             c = F.col(f"{var}_{prop}")
             bound = bound.filter(c.isNotNull() & _OPS[op](c, F.lit(_parse_value(raw))))
 

@@ -125,6 +125,55 @@ def cypher_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("cypher_undirected", f"""
+{GRAPH_CTES}
+SELECT DISTINCT x.id AS x_id, x.name AS x_name
+FROM nodes n
+JOIN (SELECT src AS a, dst AS b FROM edges WHERE type = 'IN_NATION'
+      UNION SELECT dst, src FROM edges WHERE type = 'IN_NATION') e ON e.a = n.id
+JOIN nodes x ON x.id = e.b
+WHERE n.label = 'Nation' AND n.name IS NOT NULL AND n.name = 'NATION_9'
+""")
+def cypher_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected edge pattern -[:T]- : IN_NATION seen from the Nation side
+    binds the customers AND suppliers of that nation regardless of edge
+    direction."""
+    nodes, edges = _graph(spark, sf_dir)
+    return cypher(
+        nodes, edges,
+        "MATCH (n:Nation {name: 'NATION_9'})-[:IN_NATION]-(x) RETURN x, x.name",
+    )
+
+
+@query("cypher_optional_where", f"""
+{GRAPH_CTES}
+SELECT DISTINCT c.id AS c_id, c.name AS c_name, x.p_id AS p_id
+FROM nodes c
+LEFT JOIN (
+    SELECT DISTINCT e1.src AS c_src, p.id AS p_id
+    FROM edges e1
+    JOIN edges e2 ON e2.type = 'CONTAINS' AND e2.src = e1.dst
+    JOIN nodes p ON p.id = e2.dst AND p.label = 'Part'
+                AND p.size IS NOT NULL AND p.size > 45
+    WHERE e1.type = 'PLACED'
+) x ON x.c_src = c.id
+WHERE c.label = 'Customer'
+  AND c.mktsegment IS NOT NULL AND c.mktsegment = 'AUTOMOBILE'
+  AND c.acctbal IS NOT NULL AND c.acctbal > 9500
+""")
+def cypher_optional_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clause WHERE: the first WHERE binds to the anchor MATCH, the
+    second to the OPTIONAL clause (filtering parts BEFORE the left join, so
+    customers with no size>45 part survive with NULL p_id)."""
+    nodes, edges = _graph(spark, sf_dir)
+    return cypher(
+        nodes, edges,
+        "MATCH (c:Customer {mktsegment: 'AUTOMOBILE'}) WHERE c.acctbal > 9500 "
+        "OPTIONAL MATCH (c)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part) "
+        "WHERE p.size > 45 RETURN c, c.name, p",
+    )
+
+
 @query("cypher_varlen", f"""
 {GRAPH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)},
 opairs AS (SELECT DISTINCT src, dst FROM edges),

@@ -190,6 +190,43 @@ def test_cypher_extended_grammar(spark, sf_small):
     sizes = [r["p_size"] for r in top]
     assert sizes == sorted(sizes, reverse=True)
 
+    # undirected edge ≡ union of the two directed matches
+    und = cypher(nodes, edges, "MATCH (n:Nation)-[:IN_REGION]-(x) RETURN n, x").collect()
+    bwd = cypher(nodes, edges, "MATCH (n:Nation)<-[:IN_REGION]-(x) RETURN n, x").collect()
+    assert sorted(map(tuple, und)) == sorted(
+        set(map(tuple, fwd.selectExpr("n_id", "r_id as x_id").collect())) | set(map(tuple, bwd))
+    )
+
+    # per-clause WHERE on an OPTIONAL MATCH variable filters BEFORE the left
+    # join: every customer row survives, non-qualifying matches become NULL
+    optw = cypher(
+        nodes, edges,
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part) "
+        "WHERE p.size >= 49 RETURN c, p",
+    ).collect()
+    assert len({r["c_id"] for r in optw}) == n_customers  # no customer dropped
+    assert any(r["p_id"] is None for r in optw)
+    # equivalent inline-props form must agree where expressible
+    sizes49 = {r["p_id"] for r in optw if r["p_id"] is not None}
+    inline = cypher(
+        nodes, edges,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part) "
+        "WHERE p.size >= 49 RETURN p",
+    ).collect()
+    assert sizes49 == {r["p_id"] for r in inline}
+
+    # WHERE between clauses binds to the preceding clause; both WHEREs apply
+    two_where = cypher(
+        nodes, edges,
+        "MATCH (c:Customer) WHERE c.acctbal > 9000 "
+        "MATCH (c)-[:PLACED]->(o:Order) RETURN c, o",
+    )
+    merged = cypher(
+        nodes, edges,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal > 9000 RETURN c, o",
+    )
+    assert sorted(map(tuple, two_where.collect())) == sorted(map(tuple, merged.collect()))
+
     # malformed patterns fail loudly
     with pytest.raises(ValueError):
         cypher(nodes, edges, "OPTIONAL MATCH (c:Customer) RETURN c")
@@ -198,4 +235,4 @@ def test_cypher_extended_grammar(spark, sf_small):
     with pytest.raises(ValueError):
         cypher(nodes, edges, "MATCH (a:Nation)-[:IN_REGION]->(a:Region) RETURN a")  # var reuse
     with pytest.raises(ValueError):
-        cypher(nodes, edges, "MATCH (a:Nation)-[]-(b) RETURN a, b")  # undirected
+        cypher(nodes, edges, "MATCH (a)<-[:IN_REGION]->(b) RETURN a, b")  # double-headed
