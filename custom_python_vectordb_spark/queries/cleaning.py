@@ -1,0 +1,195 @@
+"""Data-cleaning / safety queries for a training-data pipeline: PII
+redaction and audit, benchmark-contamination screening, and Gopher-style
+repetition signals.
+
+The synthetic corpus contains no PII or URLs, so the PII queries operate on
+an *augmented* text derived deterministically from ``doc_id`` in BOTH
+engines (same convention as the injected-duplicates corpus in
+``queries/pipeline.py``) — the redaction regexes are exercised on real
+matches, not vacuously.
+
+Scale notes (100 TB): every query here is map-side except one keyed
+shuffle —
+
+- redaction/audit: pure JVM ``regexp_replace`` / ``regexp_extract_all``
+  projections, no shuffle at all (the domain audit shuffles 7 groups);
+- contamination: the benchmark n-gram set is tiny by construction
+  (benchmark suites are ≤ a few thousand items) → broadcast join against
+  the streamed corpus n-grams, then one groupBy(doc_id);
+- repetition: explode + two groupBys keyed by doc_id — partition by
+  doc_id and both collapse map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.functions.text import duck_tokenize, tokenize
+from custom_python_vectordb_spark.queries.pipeline import DUCK_CORPUS, _corpus
+from custom_python_vectordb_spark.queries.spine import ROUND, _t
+from custom_python_vectordb_spark.registry import query
+
+# Java-regex ∩ RE2 subset (no backreferences / lookaround) so Spark and the
+# DuckDB oracle match identically.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+PHONE_RE = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+
+# deterministic PII-bearing text: prefix of the real doc + one email, one
+# IPv4, one phone, all derived from doc_id
+_DUCK_AUG = (
+    "substr(text, 1, 40) || ' contact user' || doc_id || '@mail-' || (doc_id % 7)"
+    " || '.example.com from 10.' || (doc_id % 200) || '.' || ((doc_id * 7) % 256)"
+    " || '.42 call +1-555-' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _aug(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text").substr(1, 40),
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@mail-"), (d % 7).cast("string"),
+            F.lit(".example.com from 10."), (d % 200).cast("string"),
+            F.lit("."), ((d * 7) % 256).cast("string"),
+            F.lit(".42 call +1-555-"),
+            F.lpad(((d * 37) % 10000).cast("string"), 4, "0"),
+        ).alias("aug"),
+    )
+
+
+@query("pii_redact", f"""
+WITH aug AS (SELECT doc_id, {_DUCK_AUG} AS aug FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(aug,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM aug
+""")
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email → <EMAIL>, IPv4 → <IP>, phone → <PHONE>; email first so the
+    dotted domain can never be half-eaten by the IP pattern."""
+    out = _aug(_t(spark, sf_dir, "documents"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return out.select("doc_id", red.alias("redacted"))
+
+
+@query("pii_domain_stats", f"""
+WITH aug AS (SELECT doc_id, {_DUCK_AUG} AS aug FROM documents)
+SELECT regexp_extract(aug, '@([a-z0-9.-]+\\.[a-z]{{2,}})', 1) AS domain,
+       COUNT(*) AS n_docs
+FROM aug GROUP BY domain ORDER BY domain
+""")
+def pii_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit: which mail domains appear, how often — the aggregation a
+    compliance sweep runs before redaction."""
+    out = _aug(_t(spark, sf_dir, "documents"))
+    return (
+        out.select(F.regexp_extract("aug", "@([a-z0-9.-]+\\.[a-z]{2,})", 1).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("domain")
+    )
+
+
+_GRAM8 = (
+    "CASE WHEN size(toks) >= 8 THEN "
+    "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' ')) "
+    "ELSE array() END"
+)
+
+
+@query("contamination_ngram", f"""
+WITH {DUCK_CORPUS.strip()},
+tok AS (SELECT doc_id, {duck_tokenize('text')} AS toks FROM corpus),
+gr AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks) - 6),
+                                    i -> array_to_string(toks[i:i+7], ' '))) AS gram
+       FROM tok),
+grams AS (SELECT DISTINCT doc_id, gram FROM gr),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 5)
+SELECT g.doc_id, COUNT(*) AS n_overlap
+FROM grams g JOIN bench b USING (gram)
+WHERE g.doc_id >= 5
+GROUP BY g.doc_id ORDER BY n_overlap DESC, g.doc_id LIMIT 20
+""")
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: docs ranked by how many distinct
+    word-8-grams they share with a held-out benchmark set (doc_id < 5
+    stands in for the benchmark). Runs on the injected-duplicates corpus so
+    the screen has real positives to find (the re-keyed copies of the
+    benchmark docs). The benchmark gram set is broadcast; the corpus side
+    never shuffles except the final per-doc count."""
+    docs = _corpus(spark, sf_dir).select("doc_id", tokenize("text").alias("toks"))
+    grams = docs.select("doc_id", F.explode(F.expr(_GRAM8)).alias("gram")).distinct()
+    bench = grams.filter(F.col("doc_id") < 5).select("gram").distinct()
+    return (
+        grams.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .orderBy(F.desc("n_overlap"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_GRAM2 = "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"
+
+
+@query("repetition_stats", f"""
+WITH tok AS (SELECT doc_id, {duck_tokenize('text')} AS toks FROM documents),
+t AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 2),
+uni AS (SELECT doc_id,
+               ROUND(len(list_distinct(toks)) * 1.0 / len(toks), {ROUND}) + 0.0 AS frac_unique_words
+        FROM t),
+g2 AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks)),
+                                    i -> array_to_string(toks[i:i+1], ' '))) AS gram
+       FROM t),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+top AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), {ROUND}) + 0.0 AS frac_top_2gram
+        FROM gc GROUP BY doc_id)
+SELECT u.doc_id, u.frac_unique_words, top.frac_top_2gram
+FROM uni u JOIN top USING (doc_id)
+ORDER BY frac_top_2gram DESC, u.doc_id LIMIT 20
+""")
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc: fraction of unique words
+    and the share of the single most frequent word-bigram — the two
+    cheapest 'machine-generated / boilerplate' detectors. Top 20 most
+    repetitive docs."""
+    t = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", tokenize("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    uni = t.select(
+        "doc_id",
+        (F.round(F.size(F.array_distinct("toks")) / F.size("toks"), ROUND) + 0.0).alias(
+            "frac_unique_words"
+        ),
+    )
+    gc = (
+        t.select("doc_id", F.explode(F.expr(_GRAM2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = gc.groupBy("doc_id").agg(
+        (F.round(F.max("c") / F.sum("c"), ROUND) + 0.0).alias("frac_top_2gram")
+    )
+    return (
+        uni.join(top, "doc_id")
+        .select("doc_id", "frac_unique_words", "frac_top_2gram")
+        .orderBy(F.desc("frac_top_2gram"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -90,6 +90,7 @@ def load_all() -> None:
         "streaming",
         "cypher",
         "multimodal",
+        "cleaning",
         "extras",
     ):
         __import__(f"custom_python_vectordb_spark.queries.{mod}")

@@ -50,8 +50,8 @@ def test_contract_size_exact():
     # Pin the full contract: a broken import now raises in load_all, and this
     # guards against a module silently registering fewer queries.  Bump the
     # numbers when adding queries — never let them shrink.
-    assert len(registry.QUERIES) >= 130
-    assert len(registry.ORACLES) >= 123
+    assert len(registry.QUERIES) >= 140
+    assert len(registry.ORACLES) >= 133
 
 
 def test_priority_rotation_applied():
