@@ -14,13 +14,18 @@ runtime), so a reference user's REST workflow ports 1:1:
                                              "n_results", "where"}
     GET    /collections/<name>/events       Server-Sent-Events push stream
            ?types=add,delete&replay=N       (live mutations + ring replay)
+    GET    /collections/<name>/ws           WebSocket push stream (RFC 6455):
+                                            client sends {"action":"subscribe",
+                                            "types":[...],"replay":N}, server
+                                            acks then pushes JSON text frames
 
-The events stream carries the reference's realtime subscription semantics
+Both streams carry the reference's realtime subscription semantics
 (``realtime.py:449-510``: subscribe with event-type filter, receive pushed
-mutation events, replay up to N missed events on connect) over SSE — the
-stdlib-compatible cousin of its WebSocket (same one-directional push; WS
-adds client→server messaging the reference only uses for the subscribe
-handshake, which SSE moves into the query string).
+mutation events, replay up to N missed events on connect). The WS endpoint
+keeps the reference's client→server subscribe message; SSE moves it into
+the query string. The WS framing (handshake SHA-1 accept, masked client
+frames, ping/pong, close) is implemented on the stdlib socket since no WS
+library ships in this runtime.
 
 Serving is driver-side by construction (queries are collect()ed to JSON) —
 the engine behind it is the same cluster-scale plans; a production
@@ -78,6 +83,57 @@ class EventBus:
     def unsubscribe(self, sid: int) -> None:
         with self._lock:
             self._subs.pop(sid, None)
+
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
+
+
+def ws_accept_key(key: str) -> str:
+    import base64
+    import hashlib
+
+    return base64.b64encode(hashlib.sha1((key + _WS_GUID).encode()).digest()).decode()
+
+
+def ws_encode_frame(payload: bytes, opcode: int = 0x1, mask: bool = False) -> bytes:
+    """One unfragmented frame. Servers send unmasked; `mask=True` is for
+    test clients (RFC 6455 §5.1: client frames MUST be masked)."""
+    import os as _os
+
+    head = bytes([0x80 | opcode])
+    n = len(payload)
+    mbit = 0x80 if mask else 0
+    if n < 126:
+        head += bytes([mbit | n])
+    elif n < 1 << 16:
+        head += bytes([mbit | 126]) + n.to_bytes(2, "big")
+    else:
+        head += bytes([mbit | 127]) + n.to_bytes(8, "big")
+    if mask:
+        key = _os.urandom(4)
+        return head + key + bytes(c ^ key[i % 4] for i, c in enumerate(payload))
+    return head + payload
+
+
+def ws_read_frame(rfile) -> tuple[int, bytes] | None:
+    """(opcode, unmasked payload) or None on EOF/short read."""
+    b = rfile.read(2)
+    if len(b) < 2:
+        return None
+    opcode = b[0] & 0x0F
+    masked = bool(b[1] & 0x80)
+    n = b[1] & 0x7F
+    if n == 126:
+        n = int.from_bytes(rfile.read(2), "big")
+    elif n == 127:
+        n = int.from_bytes(rfile.read(8), "big")
+    key = rfile.read(4) if masked else b""
+    data = rfile.read(n)
+    if len(data) < n:
+        return None
+    if masked:
+        data = bytes(c ^ key[i % 4] for i, c in enumerate(data))
+    return opcode, data
 
 
 def _routes(db: VectorDB, bus: EventBus | None = None):
@@ -161,6 +217,10 @@ def make_server(db: VectorDB, port: int = 0) -> ThreadingHTTPServer:
     handle = _routes(db, bus)
 
     class Handler(BaseHTTPRequestHandler):
+        # WS clients reject a "HTTP/1.0 101" status line; every JSON route
+        # sends Content-Length, so 1.1 keep-alive semantics are safe.
+        protocol_version = "HTTP/1.1"
+
         def _reply(self, method):
             try:
                 length = int(self.headers.get("Content-Length") or 0)
@@ -214,6 +274,91 @@ def make_server(db: VectorDB, port: int = 0) -> ThreadingHTTPServer:
             finally:
                 bus.unsubscribe(sid)
 
+        def _ws(self):
+            """GET /collections/<name>/ws — RFC 6455 upgrade, then the
+            reference's subscribe flow (realtime.py:449-510 /
+            server_full.py WS endpoint): the client's first text frame is
+            {"action": "subscribe", "types": [...], "replay": N}; the
+            server acks, replays, then pushes live JSON text frames.
+            Ping frames get pongs; a close frame (or EOF) ends the
+            subscription."""
+            key = self.headers.get("Sec-WebSocket-Key")
+            upgrade = (self.headers.get("Upgrade") or "").lower()
+            if not key or upgrade != "websocket":
+                self.send_response(400)
+                self.end_headers()
+                return
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            name = parts[1]
+
+            self.send_response(101)
+            self.send_header("Upgrade", "websocket")
+            self.send_header("Connection", "Upgrade")
+            self.send_header("Sec-WebSocket-Accept", ws_accept_key(key))
+            self.end_headers()
+            self.wfile.flush()
+
+            wlock = threading.Lock()
+
+            def send(payload: bytes, opcode: int = 0x1):
+                with wlock:
+                    self.wfile.write(ws_encode_frame(payload, opcode))
+                    self.wfile.flush()
+
+            frame = ws_read_frame(self.rfile)
+            if frame is None or frame[0] != 0x1:
+                return
+            try:
+                sub = json.loads(frame[1] or b"{}")
+            except json.JSONDecodeError:
+                sub = {}
+            types = set(sub["types"]) if sub.get("types") else None
+            replay = int(sub.get("replay", 0))
+
+            def wanted(ev):
+                return ev.get("collection") == name and (
+                    types is None or ev.get("event_type") in types
+                )
+
+            sid, q, replayed = bus.subscribe(replay=replay)
+            _close = {"__close__": True}
+
+            def reader():
+                """Drain client frames: pong the pings, turn close/EOF into
+                a queue sentinel so the push loop exits."""
+                try:
+                    while True:
+                        f = ws_read_frame(self.rfile)
+                        if f is None or f[0] == 0x8:  # EOF / close
+                            break
+                        if f[0] == 0x9:  # ping
+                            send(f[1], opcode=0xA)
+                except (OSError, ValueError):
+                    pass
+                q.put(_close)
+
+            threading.Thread(target=reader, daemon=True).start()
+            try:
+                send(json.dumps({"subscribed": name, "replay": len(replayed)}).encode())
+                for ev in replayed:
+                    if wanted(ev):
+                        send(json.dumps({**ev, "replayed": True}).encode())
+                while True:
+                    try:
+                        ev = q.get(timeout=15.0)
+                    except _queue.Empty:
+                        send(b"", opcode=0x9)  # keepalive ping
+                        continue
+                    if ev is _close:
+                        break
+                    if wanted(ev):
+                        send(json.dumps(ev).encode())
+                send(b"", opcode=0x8)  # close handshake reply
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                pass  # client went away
+            finally:
+                bus.unsubscribe(sid)
+
         def _send_event(self, ev: dict, replayed: bool = False):
             payload = {**ev, **({"replayed": True} if replayed else {})}
             self.wfile.write(
@@ -225,6 +370,9 @@ def make_server(db: VectorDB, port: int = 0) -> ThreadingHTTPServer:
             parts = [p for p in self.path.split("?")[0].split("/") if p]
             if len(parts) == 3 and parts[0] == "collections" and parts[2] == "events":
                 self._sse()
+                return
+            if len(parts) == 3 and parts[0] == "collections" and parts[2] == "ws":
+                self._ws()
                 return
             self._reply("GET")
 

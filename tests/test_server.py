@@ -124,6 +124,125 @@ def test_sse_subscribe_insert_receive(served):
     assert events[0]["seq"] < events[1]["seq"]
 
 
+class _WsClient:
+    """Raw-socket RFC 6455 client: handshake, masked sends, frame reads."""
+
+    def __init__(self, port, path):
+        import base64
+        import os
+        import socket
+
+        from custom_python_vectordb_spark.server import ws_accept_key
+
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+        self.rfile = self.sock.makefile("rb")
+        key = base64.b64encode(os.urandom(16)).decode()
+        self.sock.sendall(
+            (
+                f"GET {path} HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
+                f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        status = self.rfile.readline().decode()
+        assert " 101 " in status, status
+        accept = None
+        while True:
+            line = self.rfile.readline().decode().strip()
+            if not line:
+                break
+            if line.lower().startswith("sec-websocket-accept:"):
+                accept = line.split(":", 1)[1].strip()
+        assert accept == ws_accept_key(key)  # server proves it read OUR key
+
+    def send_text(self, obj):
+        from custom_python_vectordb_spark.server import ws_encode_frame
+
+        self.sock.sendall(ws_encode_frame(json.dumps(obj).encode(), 0x1, mask=True))
+
+    def send_frame(self, opcode, payload=b""):
+        from custom_python_vectordb_spark.server import ws_encode_frame
+
+        self.sock.sendall(ws_encode_frame(payload, opcode, mask=True))
+
+    def read_json(self, timeout=60.0):
+        """Next text frame as JSON, transparently skipping server pings."""
+        from custom_python_vectordb_spark.server import ws_read_frame
+
+        self.sock.settimeout(timeout)
+        while True:
+            f = ws_read_frame(self.rfile)
+            assert f is not None, "connection closed"
+            if f[0] == 0x1:
+                return json.loads(f[1])
+            if f[0] == 0x8:
+                return None
+
+    def read_frame(self):
+        from custom_python_vectordb_spark.server import ws_read_frame
+
+        return ws_read_frame(self.rfile)
+
+    def close(self):
+        self.sock.close()
+
+
+def test_ws_subscribe_insert_receive(served):
+    """The reference's WebSocket flow (realtime.py:449-510): upgrade,
+    subscribe message with type filter, then mutation events arrive as
+    text frames."""
+    import threading
+
+    port = served
+    call(port, "POST", "/collections", {"name": "kb", "dimensions": 64})
+
+    ws = _WsClient(port, "/collections/kb/ws")
+    ws.send_text({"action": "subscribe", "types": ["add", "delete"]})
+    ack = ws.read_json()
+    assert ack == {"subscribed": "kb", "replay": 0}
+
+    def mutate():
+        call(port, "POST", "/collections/kb/add", {"ids": ["a"], "documents": ["pushed doc"]})
+        call(port, "POST", "/collections/kb/delete", {"ids": ["a"]})
+
+    t = threading.Thread(target=mutate)
+    t.start()
+    ev1, ev2 = ws.read_json(), ws.read_json()
+    t.join()
+    assert [ev1["event_type"], ev2["event_type"]] == ["add", "delete"]
+    assert ev1["collection"] == "kb" and ev1["ids"] == ["a"]
+    assert ev1["seq"] < ev2["seq"]
+
+    # ping → pong with the same payload; close → close reply
+    ws.send_frame(0x9, b"hi")
+    op, data = ws.read_frame()
+    assert (op, data) == (0xA, b"hi")
+    ws.send_frame(0x8)
+    op, _ = ws.read_frame()
+    assert op == 0x8
+    ws.close()
+
+
+def test_ws_replay_and_type_filter(served):
+    """Replay semantics over WS: missed events re-delivered on subscribe,
+    marked replayed, honoring the type filter."""
+    port = served
+    call(port, "POST", "/collections", {"name": "kb", "dimensions": 64})
+    call(port, "POST", "/collections/kb/add", {"ids": ["a"], "documents": ["one"]})
+    call(port, "POST", "/collections/kb/add", {"ids": ["b"], "documents": ["two"]})
+    call(port, "POST", "/collections/kb/delete", {"ids": ["a"]})
+
+    ws = _WsClient(port, "/collections/kb/ws")
+    ws.send_text({"action": "subscribe", "types": ["add"], "replay": 10})
+    ack = ws.read_json()
+    assert ack["subscribed"] == "kb" and ack["replay"] == 4  # ring: create + 2 adds + delete
+    evs = [ws.read_json(), ws.read_json()]
+    assert [e["event_type"] for e in evs] == ["add", "add"]
+    assert [e["ids"] for e in evs] == [["a"], ["b"]]
+    assert all(e["replayed"] for e in evs)
+    ws.close()
+
+
 def test_sse_replay_and_type_filter(served):
     """R4 replay: events published BEFORE subscribing are delivered from the
     ring buffer, marked replayed, honoring the type filter."""
