@@ -148,7 +148,9 @@ class Collection:
             cents = (
                 corpus.orderBy("id").limit(n_cells)
                 .select(
-                    (F.row_number().over(Window.orderBy("id")) - 1).alias("cluster"),
+                    # bounded input (limit n_cells above) — single partition is
+                    # the intent, not an accident
+                    (F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("id")) - 1).alias("cluster"),
                     F.col("embedding").alias("cvec"),
                 )
             )

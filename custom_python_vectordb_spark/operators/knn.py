@@ -93,9 +93,14 @@ def knn_batch_gemm(
     `dtype`: float64 (default) keeps the arithmetic oracle-reproducible;
     float32 halves memory bandwidth and doubles BLAS throughput for
     benchmark/serving paths where last-ulp tie order doesn't matter.
+
+    The kernel runs over raw Arrow batches (mapInArrow): the list<float>
+    embedding column decodes by reshaping the Arrow values buffer —
+    zero-copy, no per-row Python objects — and the per-batch top-k is one
+    vectorized argpartition along axis 0 (no per-query Python loop).
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     # the closure-shipped query matrix rides every task's serialized state;
     # beyond ~10⁴ queries switch to a broadcast-join plan (operators/knn.knn)
@@ -106,40 +111,45 @@ def knn_batch_gemm(
         )
     qids = queries_pd["qid"].to_numpy()
     qmat = np.asarray([np.asarray(v, dtype=dtype) for v in queries_pd["qvec"]])
-    if metric in ("cosine",):
+    if metric == "cosine":
         qnorm = np.linalg.norm(qmat, axis=1)
+    elif metric == "l2":
+        q2 = (qmat * qmat).sum(1)
 
     def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            mat = np.asarray([np.asarray(v, dtype=dtype) for v in pdf[vec_col]])
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            # flatten() honors the list offsets: one flat values array,
+            # reshaped to (rows, dim) — no per-row conversion
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(n, -1).astype(dtype, copy=False)
             if metric == "cosine":
                 sims = (mat @ qmat.T) / (np.linalg.norm(mat, axis=1)[:, None] * qnorm[None, :])
                 dists = 1.0 - sims
             elif metric == "l2":
                 dists = np.sqrt(
-                    np.maximum(
-                        (mat * mat).sum(1)[:, None] + (qmat * qmat).sum(1)[None, :] - 2.0 * (mat @ qmat.T),
-                        0.0,
-                    )
+                    np.maximum((mat * mat).sum(1)[:, None] + q2[None, :] - 2.0 * (mat @ qmat.T), 0.0)
                 )
             else:  # ip
                 dists = -(mat @ qmat.T)
-            ids = pdf[id_col].to_numpy()
-            out_q, out_i, out_d = [], [], []
-            kk = min(k, len(ids))
-            # local top-k per query inside the batch (argpartition = the
+            kk = min(k, n)
+            # batch-local top-k for ALL queries at once (argpartition = the
             # reference's own O(n) select), merged globally by the window below
-            for j, qid in enumerate(qids):
-                col = dists[:, j]
-                idx = np.argpartition(col, kk - 1)[:kk]
-                out_q.extend([qid] * kk)
-                out_i.extend(ids[idx])
-                out_d.extend(col[idx])
-            yield pd.DataFrame({"qid": out_q, id_col: out_i, dist_col: out_d})
+            idx = np.argpartition(dists, kk - 1, axis=0)[:kk]  # (kk, nq)
+            sel = np.take_along_axis(dists, idx, axis=0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(qids, kk), type=pa.int64()),
+                    pa.array(ids[idx.T.ravel()], type=pa.int64()),
+                    pa.array(sel.T.ravel().astype(np.float64)),
+                ],
+                names=["qid", id_col, dist_col],
+            )
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(
+    partial = corpus.select(id_col, vec_col).mapInArrow(
         score, schema=f"qid long, {id_col} long, {dist_col} double"
     )
     return top_k_per_group(partial, "qid", k, F.col(dist_col).asc(), F.col(id_col).asc()).orderBy(

@@ -155,8 +155,10 @@ def pq_sample_codebook(
     kmeans *quality* is supplied by :func:`pq_train_kmeans` instead.)
     Returns (m, code, centroid array<double>)."""
     dim_df = vectors.orderBy(id_col).limit(num_centroids)
+    # the window only ever sees the limit(num_centroids) rows above (≤256),
+    # so a single partition is the intent — make it explicit
     base = dim_df.select(
-        F.row_number().over(Window.orderBy(id_col)).alias("rk"),
+        F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(id_col)).alias("rk"),
         F.col(vec_col).alias("v"),
     ).withColumn("code", F.col("rk") - 1).drop("rk")
     m_df = base.crossJoin(

@@ -143,6 +143,102 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed 10-token passages (the corpus has no sentence punctuation, so the
+# C4/Gopher "paragraph" analog is a fixed-size token window); only full
+# windows count, so every passage hashes over exactly 10 tokens
+_PASSAGE_N = 10
+_PASSAGES = (
+    f"CASE WHEN size(toks) >= {_PASSAGE_N} THEN "
+    f"transform(sequence(0, size(toks) div {_PASSAGE_N} - 1), "
+    f"i -> array_join(slice(toks, i * {_PASSAGE_N} + 1, {_PASSAGE_N}), ' ')) "
+    "ELSE array() END"
+)
+_DUCK_PASSAGES = (
+    f"list_transform(range(0, len(toks) // {_PASSAGE_N}), "
+    f"i -> array_to_string(toks[i * {_PASSAGE_N} + 1 : i * {_PASSAGE_N} + {_PASSAGE_N}], ' '))"
+)
+
+
+@query("passage_dup_groups", f"""
+WITH {DUCK_CORPUS.strip()},
+tok AS (SELECT doc_id, {duck_tokenize('text')} AS toks FROM corpus),
+ps AS (SELECT doc_id, unnest(range(0, len(toks) // {_PASSAGE_N})) AS pidx,
+              unnest({_DUCK_PASSAGES}) AS passage
+       FROM tok)
+SELECT md5(passage) AS passage_hash, COUNT(*) AS n,
+       MIN(doc_id * 100 + pidx) AS keeper_key
+FROM ps GROUP BY md5(passage) HAVING COUNT(*) > 1
+ORDER BY n DESC, passage_hash LIMIT 50
+""")
+def passage_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup, stage 1: duplicate passage groups across
+    the corpus (count + first occurrence). keeper_key = doc_id·100 + pidx
+    (pidx < 10 always: docs cap at 100 tokens). One shuffle, keyed by the
+    passage hash — uniform by construction."""
+    ps = (
+        _corpus(spark, sf_dir)
+        .select("doc_id", tokenize("text").alias("toks"))
+        .select("doc_id", F.posexplode(F.expr(_PASSAGES)).alias("pidx", "passage"))
+    )
+    return (
+        ps.groupBy(F.md5("passage").alias("passage_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("doc_id") * 100 + F.col("pidx")).alias("keeper_key"),
+        )
+        .filter(F.col("n") > 1)
+        .orderBy(F.desc("n"), "passage_hash")
+        .limit(50)
+    )
+
+
+@query("passage_dedup_rebuild", f"""
+WITH {DUCK_CORPUS.strip()},
+tok AS (SELECT doc_id, {duck_tokenize('text')} AS toks FROM corpus),
+ps AS (SELECT doc_id, unnest(range(0, len(toks) // {_PASSAGE_N})) AS pidx,
+              unnest({_DUCK_PASSAGES}) AS passage
+       FROM tok),
+rk AS (SELECT doc_id, pidx, passage,
+              ROW_NUMBER() OVER (PARTITION BY md5(passage) ORDER BY doc_id, pidx) AS rn
+       FROM ps),
+agg AS (SELECT doc_id, COUNT(*) AS n_passages,
+               SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped,
+               md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pidx), '')) AS rebuilt_hash
+        FROM rk GROUP BY doc_id)
+SELECT doc_id, n_passages, n_dropped, rebuilt_hash
+FROM agg WHERE n_dropped > 0 ORDER BY doc_id
+""")
+def passage_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup, stage 2: first-occurrence-wins (global
+    order = (doc_id, pidx)), then each affected doc is rebuilt from its
+    surviving passages in order. Returns the docs that lost passages with
+    the md5 of their rebuilt text. Two keyed shuffles (passage hash, then
+    doc_id); the rank window partitions by the hash, never globally."""
+    from pyspark.sql import Window
+
+    ps = (
+        _corpus(spark, sf_dir)
+        .select("doc_id", tokenize("text").alias("toks"))
+        .select("doc_id", F.posexplode(F.expr(_PASSAGES)).alias("pidx", "passage"))
+    )
+    w = Window.partitionBy(F.md5("passage")).orderBy("doc_id", "pidx")
+    rk = ps.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("pidx", "passage"))
+    agg = rk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["passage"]
+                ),
+            )
+        ).alias("rebuilt_hash"),
+    )
+    return agg.filter(F.col("n_dropped") > 0).orderBy("doc_id")
+
+
 _GRAM2 = "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"
 
 

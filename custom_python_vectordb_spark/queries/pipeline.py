@@ -568,7 +568,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens")
     )
     key = hash48(F.concat(F.lit("pack|"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(key, F.col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)
+    # single-shard packing (the oracle-checkable form; see scale note above) —
+    # the constant partition key states that intent explicitly instead of
+    # tripping WindowExec's no-partition warning
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(key, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     binned = docs.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
         "bin", F.expr("(cum - 1) div 512")
     )
