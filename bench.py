@@ -98,8 +98,10 @@ def _bench_knn_100k(spark) -> dict[str, float]:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "vec100k_128d")
     _ensure_vec100k(path)
     # the reference's GEMM benchmark scores an in-RAM matrix; persisting the
-    # scanned corpus is the comparable setup (decode parquet once, not per run)
-    corpus = spark.read.parquet(path).persist()
+    # scanned corpus is the comparable setup (decode parquet once, not per
+    # run). 16 partitions: fewer/larger Arrow batches amortize the Python
+    # round-trip better than 32 tiny tasks (measured), still >1 task/2 cores
+    corpus = spark.read.parquet(path).coalesce(16).persist()
     qpd = (
         corpus.filter("vec_id < 1000")
         .selectExpr("vec_id as qid", "embedding as qvec")

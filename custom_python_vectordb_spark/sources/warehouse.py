@@ -61,6 +61,32 @@ class Warehouse:
         if os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
 
+    def save_bucketed(
+        self, name: str, df: DataFrame, key: str = "id", buckets: int = 32
+    ) -> None:
+        """Bucketed save: rows are hash-partitioned by `key` into a fixed
+        bucket count at WRITE time, so every later equi-join or aggregation
+        on `key` between same-bucketed collections skips its shuffle
+        entirely — the 100 TB co-location strategy (pay the shuffle once at
+        ingest, never per query). Files land under the warehouse root; the
+        bucket spec registers in the session catalog as table wh_<name>
+        (on a cluster this is the metastore entry)."""
+        self.spark.sql(f"DROP TABLE IF EXISTS wh_{name}")
+        (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .option("path", self._path(name))
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .saveAsTable(f"wh_{name}")
+        )
+
+    def load_bucketed(self, name: str) -> DataFrame:
+        """Catalog-backed read of a bucketed collection (bucket metadata only
+        exists through the catalog — a raw parquet read of the same files
+        would silently lose the co-location guarantee)."""
+        return self.spark.table(f"wh_{name}")
+
     def drop(self, name: str) -> bool:
         if not self.exists(name):
             return False
