@@ -52,9 +52,17 @@ def knn_partitioned(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dist_col: str = "dist",
+    assume_sharded: bool = False,
 ) -> DataFrame:
     """Approximate top-k via per-partition IVF index. `queries_pd`: pandas
     (qid, qvec). Deterministic: modulo sharding by id + seeded k-means.
+
+    `assume_sharded`: the caller guarantees `corpus` is already partitioned
+    the way a production deployment stores it (bucketed/pre-repartitioned,
+    e.g. via `sources/bucketed.py` or a persisted
+    ``repartition(n, id % n)``) — skips the per-call shuffle, leaving only
+    the probe cost. Partition membership then follows the CALLER's layout,
+    so determinism is the caller's contract.
 
     `assign_r`: each vector is indexed under its `assign_r` nearest cells
     (multi-assignment). Border vectors — the dominant recall loss of plain
@@ -152,10 +160,13 @@ def knn_partitioned(
     # RDD-id-derived seed, so partition membership (and thus the per-shard
     # index) would differ run to run. An explicit modulo shard key hashes
     # identically every run.
-    sharded = (
-        corpus.select(id_col, vec_col)
-        .repartition(num_partitions, F.col(id_col) % num_partitions)
-    )
+    if assume_sharded:
+        sharded = corpus.select(id_col, vec_col)
+    else:
+        sharded = (
+            corpus.select(id_col, vec_col)
+            .repartition(num_partitions, F.col(id_col) % num_partitions)
+        )
     partial = sharded.mapInPandas(build_and_search, schema=f"qid long, {idc} long, {dc} double")
     return top_k_per_group(partial, "qid", k, F.col(dist_col).asc(), F.col(id_col).asc()).orderBy(
         "qid", dist_col, id_col

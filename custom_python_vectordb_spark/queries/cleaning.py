@@ -289,3 +289,55 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("frac_top_2gram"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------- profiling
+
+_PROFILE_COLS = (  # (name, is_string)
+    ("doc_id", False), ("text", True), ("lang", True),
+    ("source", True), ("n_chars", False),
+)
+
+_DUCK_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col, COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_s, CAST(MAX({c}) AS VARCHAR) AS max_s,
+       {f"ROUND(AVG(length({c})), 6) + 0.0" if s else "CAST(NULL AS DOUBLE)"} AS avg_len
+FROM documents"""
+    for c, s in _PROFILE_COLS
+)
+
+
+@query("profile_documents", _DUCK_PROFILE)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiler — the standard first step of any training-data
+    pipeline: per-column null rate, distinct cardinality, min/max, and
+    string length stats, in ONE corpus scan (all metrics fold into a single
+    aggregate; the multi-count-distinct expands rows 5× map-side, which is
+    the documented trade — at 100 TB swap exact distinct for
+    `approx_count_distinct` and the expand disappears)."""
+    docs = _t(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, is_str in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            (F.round(F.avg(F.length(c)), 6) + F.lit(0.0)).alias(f"{c}__avglen")
+            if is_str
+            else F.lit(None).cast("double").alias(f"{c}__avglen"),
+        ]
+    one = docs.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(
+            F.lit(c).alias("col"), F.col("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_s"), F.col(f"{c}__max").alias("max_s"),
+            F.col(f"{c}__avglen").alias("avg_len"),
+        )
+        for c, _ in _PROFILE_COLS
+    ])
+    return one.select(F.explode(per_col).alias("p")).select("p.*")

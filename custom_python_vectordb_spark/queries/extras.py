@@ -35,7 +35,13 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("asof_view_id"),
         F.when(
-            F.col("asof_ts").isNotNull(), F.unix_micros("ts") - F.unix_micros("asof_ts")
+            # parquet `timestamp[us]` (no tz) loads as TIMESTAMP_NTZ, which
+            # unix_micros rejects; session tz is pinned UTC so the cast is a
+            # pure type change (same instant, same micros as the oracle's
+            # epoch_us on naive timestamps)
+            F.col("asof_ts").isNotNull(),
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp")),
         ).alias("gap_us"),
     )
 
@@ -262,3 +268,50 @@ def recall_partitioned_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     return hits.agg(F.round(F.avg("n") / 10.0, 6).alias("avg_recall"))
+
+
+@query("salted_join_type_stats", """
+WITH dim AS (SELECT event_type, AVG(value) AS type_avg FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, ROUND(e.value - d.type_avg, 6) + 0.0 AS deviation
+FROM events e JOIN dim d ON e.event_type = d.event_type
+""")
+def salted_join_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe enrichment join (operators/skew.py): `event_type` is the
+    canonical hot key (5 values over the whole fact table), so a plain
+    shuffle join puts ~1/5 of the table on one reducer. The salted join
+    spreads each type over 16 reducers; the oracle proves the result is
+    row-identical to the plain join. (At this dim size broadcast would win;
+    the salt path is the template for dims too big to broadcast.)"""
+    from custom_python_vectordb_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    out = salted_join(ev, dim, "event_type", salts=16, salt_source="event_id")
+    return out.select(
+        "event_id", "event_type",
+        (F.round(F.col("value") - F.col("type_avg"), 6) + F.lit(0.0)).alias("deviation"),
+    )
+
+
+@query("salted_distinct_users", """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+""")
+def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count under skew via two-phase salted aggregation
+    (operators/skew.py): phase 1 collects per-(type, salt-of-user) partial
+    sets — each reducer sees 1/16 of the hot type — phase 2 merges by type.
+    Salting BY the distinct target keeps each user in exactly one bucket,
+    so the merge is exact (same answer as `distinct_users_per_type`,
+    skew-proof plan)."""
+    from custom_python_vectordb_spark.operators.skew import salted_agg
+
+    return salted_agg(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        partial_aggs={"part_users": F.collect_set("user_id")},
+        final_aggs={
+            "n_users": F.size(F.array_distinct(F.flatten(F.collect_list("part_users")))).cast("long")
+        },
+        salts=16,
+        salt_source="user_id",
+    )

@@ -164,6 +164,72 @@ class VersionedWarehouse:
         raise CommitConflict(f"gave up committing {name!r} after {self.max_retries} races")
 
     # ---------------------------------------------------------- maintenance
+    def optimize(
+        self,
+        name: str,
+        cluster_by: list[str] | None = None,
+        target_file_mb: int = 128,
+    ) -> int:
+        """Compact the current version into few right-sized files, optionally
+        range-clustered, and commit the result as a new version.
+
+        The two operational killers of a 100 TB table are (a) the small-files
+        problem — every append commits its own parquet dir, and a thousand
+        appends make a scan open a thousand footers — and (b) unclustered
+        data, where a selective filter still touches every row group.
+        `optimize` rewrites the CURRENT snapshot into ceil(bytes/target) files
+        (`repartitionByRange` + `sortWithinPartitions` over `cluster_by` when
+        given → globally sorted ⇒ tight per-row-group min/max stats ⇒ scans
+        of `cluster_by` predicates prune to few files), then commits it like
+        any other writer. Time travel to pre-optimize versions still works —
+        old manifests keep referencing the old dirs until `vacuum`.
+
+        Concurrency: compaction is a snapshot rewrite, so if ANY other commit
+        lands between reading the snapshot and committing, this aborts with
+        `CommitConflict` (never silently drops the concurrent write) and the
+        caller simply re-runs. The staged dir is cleaned up on abort.
+        """
+        parent = self.latest_version(name)
+        if parent is None:
+            raise FileNotFoundError(f"collection {name!r} does not exist")
+        manifest = self._read_manifest(name, parent)
+        src_dirs = [os.path.join(self._data(name), d) for d in manifest["dirs"]]
+        total_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for sd in src_dirs
+            for r, _, files in os.walk(sd)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+        df = self.spark.read.parquet(*src_dirs)
+        if cluster_by:
+            df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(*cluster_by)
+        else:
+            df = df.coalesce(n_files)
+
+        next_v = parent + 1
+        staged = f"v{next_v:0{_MANIFEST_WIDTH}d}-{uuid.uuid4().hex[:8]}"
+        staged_path = os.path.join(self._data(name), staged)
+        df.write.mode("overwrite").parquet(staged_path)
+        new_manifest = {
+            "version": next_v,
+            "parent": parent,
+            "mode": "optimize",
+            "dirs": [staged],
+            "cluster_by": cluster_by or [],
+            "committed_at": time.time(),
+        }
+        try:
+            with open(self._manifest_path(name, next_v), "x") as fh:
+                json.dump(new_manifest, fh)
+            return next_v
+        except FileExistsError:
+            shutil.rmtree(staged_path, ignore_errors=True)
+            raise CommitConflict(
+                f"optimize of {name!r} raced a concurrent commit at v{next_v}; re-run"
+            ) from None
+
     def vacuum(self, name: str, keep_last: int = 2) -> list[str]:
         """Delete data dirs unreferenced by the newest `keep_last` manifests
         (older manifests stay readable only if their dirs are still shared).

@@ -122,3 +122,46 @@ def test_catalog_and_drop(spark, wh):
     assert wh.list_collections() == ["b"]
     with pytest.raises(FileNotFoundError):
         wh.load("a")
+
+
+def test_optimize_compacts_and_clusters(spark, wh):
+    import glob
+
+    wh.save("c", _df(spark, [5, 1, 9]))
+    wh.save("c", _df(spark, [2, 8]), mode="append")
+    wh.save("c", _df(spark, [7, 3]), mode="append")
+    pre_files = len(glob.glob(os.path.join(wh._data("c"), "*", "*.parquet")))
+    v = wh.optimize("c", cluster_by=["id"])
+    assert v == 3
+    # contents identical, still time-travelable to pre-optimize
+    assert sorted(r["id"] for r in wh.load("c").collect()) == [1, 2, 3, 5, 7, 8, 9]
+    assert sorted(r["id"] for r in wh.load("c", version=2).collect()) == [1, 2, 3, 5, 7, 8, 9]
+    # compacted to fewer files (tiny table → 1 target file), new dir only
+    m = wh.history("c")[-1]
+    assert m["mode"] == "optimize" and len(m["dirs"]) == 1 and m["cluster_by"] == ["id"]
+    post_files = [
+        f for d in m["dirs"]
+        for f in glob.glob(os.path.join(wh._data("c"), d, "*.parquet"))
+    ]
+    assert len(post_files) == 1 < pre_files
+
+
+def test_optimize_aborts_on_concurrent_commit(spark, wh, monkeypatch):
+    wh.save("c", _df(spark, [1, 2]))
+    # simulate a racing writer landing between snapshot-read and commit
+    orig = VersionedWarehouse._read_manifest
+
+    def hijack(self, name, version):
+        m = orig(self, name, version)
+        if not getattr(hijack, "fired", False):
+            hijack.fired = True
+            wh2 = VersionedWarehouse(spark, self.root)
+            wh2.save(name, _df(spark, [99]), mode="append")
+        return m
+
+    monkeypatch.setattr(VersionedWarehouse, "_read_manifest", hijack)
+    with pytest.raises(CommitConflict):
+        wh.optimize("c")
+    monkeypatch.undo()
+    # the concurrent append is intact; no staged garbage is referenced
+    assert sorted(r["id"] for r in wh.load("c").collect()) == [1, 2, 99]
