@@ -315,3 +315,66 @@ def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         salts=16,
         salt_source="user_id",
     )
+
+
+@query("copurchase_top_pairs", """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT la.l_partkey AS a, lb.l_partkey AS b, COUNT(*) AS cnt
+FROM op la JOIN op lb ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+GROUP BY la.l_partkey, lb.l_partkey
+ORDER BY cnt DESC, a, b LIMIT 20
+""")
+def copurchase_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence (the "customers also bought" primitive):
+    self-join baskets on order key, count part pairs, top 20. Scale note:
+    per-order pair count is quadratic in basket size, but baskets are
+    bounded (≤7 lineitems/order in this schema; real carts are similarly
+    capped) so the explode is linear in orders; the pair aggregation
+    combines map-side before the one shuffle. A pathological hot item pair
+    is exactly what operators/skew.py's salted_agg handles."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    la = op.select("l_orderkey", F.col("l_partkey").alias("a"))
+    lb = op.select("l_orderkey", F.col("l_partkey").alias("b"))
+    return (
+        la.join(lb, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+@query("event_transitions", """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""")
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral funnel: Markov transition counts between
+    consecutive event types (lead() over a per-user time order with a
+    unique event_id tie-break). One shuffle keyed by user_id for the
+    window, one for the 5×5 transition aggregate — both skew-tolerant
+    (user activity is the partition key, type pairs combine map-side)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

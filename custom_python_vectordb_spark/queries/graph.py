@@ -264,3 +264,29 @@ def graph_semantic_search_filtered(spark: SparkSession, sf_dir: str) -> DataFram
         k=10, expand_hops=2, vector_weight=0.7, graph_weight=0.3,
         label_filter=["Order"], round_to=ROUND,
     ).withColumn("graph_distance", F.col("graph_distance").cast("int"))
+
+
+# ------------------------------------------------------------- PageRank
+
+from custom_python_vectordb_spark.operators.centrality import (  # noqa: E402
+    duck_pagerank_sql,
+    pagerank,
+)
+
+
+@query("graph_pagerank", f"""
+{GRAPH_CTES},
+{duck_pagerank_sql(iterations=5)}
+SELECT id, ROUND(pr, {ROUND}) + 0.0 AS pr
+FROM pr5 ORDER BY pr DESC, id LIMIT 20
+""")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration (K=5) PageRank over the property-graph view, fully
+    oracle-checked: the DuckDB side is the SAME five unrolled iterations as
+    chained CTEs (operators/centrality.py). Top-20 ranks surface the hub
+    structure (nations/regions aggregate in-link mass from the whole
+    customer/supplier population)."""
+    nodes, edges = _graph(spark, sf_dir)
+    pr = pagerank(nodes, edges, iterations=5)
+    out = pr.withColumn("pr", F.round("pr", ROUND) + F.lit(0.0))
+    return out.orderBy(F.col("pr").desc(), "id").limit(20)

@@ -31,9 +31,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning + filter pushdown happen at this scan.
 
-    `events.ts` is written as Parquet TIMESTAMP(NANOS), which the Spark
-    vectorized reader rejects; read nanos as long and downcast to
-    microsecond TimestampType (truncation is exact for whole-ms data).
+    `events.ts` has shipped as both Parquet TIMESTAMP(NANOS) (which the
+    vectorized reader rejects → read nanos as long, downcast) and plain
+    TIMESTAMP(MICROS) no-tz (which loads as TIMESTAMP_NTZ). Normalize both
+    to the canonical microsecond TimestampType: event-time streaming
+    (watermarks) requires TIMESTAMP, and the session tz is pinned UTC so
+    the NTZ cast changes type, not instant.
     """
     from pyspark.sql import functions as F
 
@@ -44,6 +47,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer `div`, not `/1000` — int64 nanos overflow a double's
             # 53-bit mantissa and would round every timestamp by ±1µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -24,6 +24,8 @@ equivalents.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -34,29 +36,50 @@ from pyspark.sql.types import (
     StructType,
 )
 
-EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _event_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events directory (nanos → micros timestamp,
-    same convention as sources/catalog.load_table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming scan of the events directory.
+
+    The file source needs an explicit schema, and `events.ts` has shipped
+    as both TIMESTAMP(NANOS) (unreadable by the vectorized reader → read
+    nanos as long, downcast) and plain TIMESTAMP(MICROS); sniff the footer
+    with pyarrow (driver-side, one small read) instead of hard-coding
+    either generation of the file."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType
+
+    arrow_ts = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    if getattr(arrow_ts, "unit", None) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_event_schema(LongType()))
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")  # single-file table; the file source wants a directory
+            .load(sf_dir)
+        )
+        # integer `div`, not `/1000`: int64 nanos overflow a double mantissa
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(_event_schema(TimestampNTZType()))
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")  # single-file table; the file source wants a directory
+        .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # canonical event-time type: watermarks demand TIMESTAMP, and the batch
+    # loader normalizes identically (UTC session → same instant)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def subscription_filter(

@@ -306,7 +306,9 @@ def test_kafka_shaped_payload_parsing(spark, sf_small):
         F.to_json(
             F.struct(
                 "event_id",
-                F.unix_micros("ts").alias("ts_us"),
+                # ts may load as TIMESTAMP_NTZ; session tz is UTC so the
+                # cast is a pure type change before epoch extraction
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
                 "user_id", "event_type", "value", "props",
             )
         ).cast("binary").alias("value"),
