@@ -113,6 +113,47 @@ def bm25_topk(docs: DataFrame, query: str, k: int = 10, **kw) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def tfidf_scores(
+    docs: DataFrame,
+    query: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """Classic TF-IDF ranking (the pre-BM25 baseline every IR stack still
+    exposes): score(q,d) = Σ_t qn(t) · tf(t,d) · ln(N / df(t)). Same plan
+    shape as BM25 — broadcast query terms against postings, one doc-keyed
+    shuffle — so the scale story is identical."""
+    spark = docs.sparkSession
+    terms = tokenize_py(query)
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, {score_col} double")
+    qcounts: dict[str, int] = {}
+    for t in terms:
+        qcounts[t] = qcounts.get(t, 0) + 1
+    q = spark.createDataFrame(list(qcounts.items()), "term string, qn long")
+
+    post = postings(docs, id_col, text_col)
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log(F.col("n_docs") / F.col("df"))
+    return (
+        post.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq.join(F.broadcast(q), "term", "left_semi")), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("qn") * F.col("tf") * idf).alias(score_col))
+    )
+
+
+def tfidf_topk(docs: DataFrame, query: str, k: int = 10, **kw) -> DataFrame:
+    """TF-IDF candidates sorted desc, truncated; id tie-break (K8 contract)."""
+    id_col = kw.get("id_col", "doc_id")
+    scored = tfidf_scores(docs, query, **kw)
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def hybrid_search(
     corpus_vec: DataFrame,
     docs: DataFrame,

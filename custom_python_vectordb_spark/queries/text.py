@@ -316,3 +316,29 @@ def hybrid_no_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     return hybrid_search(emb, docs, qv, "", k=10, alpha=0.5, round_to=ROUND)
+
+
+@query("tfidf_topk", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+post AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+q(term, qn) AS (VALUES {_duck_values(tokenize_py(QUERY_TEXT))}),
+scored AS (
+    SELECT post.doc_id, SUM(q.qn * post.tf * ln(nn.n_docs * 1.0 / dfreq.df)) AS score
+    FROM post JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN nn
+    GROUP BY post.doc_id
+)
+SELECT doc_id, ROUND(score, {ROUND}) + 0.0 AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10
+""")
+def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TF-IDF ranking over the same tokenizer/postings as BM25 —
+    the pre-BM25 IR baseline (operators/bm25.py:tfidf_scores)."""
+    from custom_python_vectordb_spark.operators.bm25 import tfidf_topk
+
+    out = tfidf_topk(_t(spark, sf_dir, "documents"), QUERY_TEXT, k=10)
+    return out.withColumn("score", F.round("score", ROUND) + F.lit(0.0))
