@@ -1,0 +1,115 @@
+"""Incremental search-index maintenance: keep BM25/TF-IDF state fresh as
+documents stream in.
+
+The reference rebuilds its in-RAM BM25 index on every corpus change
+(``hybrid_search.py:49-204`` re-tokenizes on add); at 100 TB a rebuild per
+ingest is impossible. The postings relation `(doc_id, term, tf)` is
+ADDITIVE under append-only ingest — a new document contributes only its own
+rows — so index maintenance is: per micro-batch, tokenize just the batch,
+aggregate its postings, append them to the stored index. Everything else
+BM25 needs derives from postings alone at query time:
+
+    dl(doc)  = Σ_t tf(t, doc)      (token count = sum of term frequencies)
+    df(term) = COUNT(docs per term)
+    N, avgdl = aggregates over dl
+
+so no second state table is required and the maintained index can never
+drift from its corpus (one source of truth).
+
+`bm25_from_postings` scores queries directly off the stored index — the
+serving path never re-reads raw text. Equivalence with the from-scratch
+build is asserted in tests/test_index_maintenance.py (same top-k, same
+scores, after multi-batch ingest).
+
+At scale: the per-batch postings aggregate is map-side combined within the
+micro-batch; the append commits through the warehouse (atomic-rename or
+versioned manifest — `sources/versioned.py` gives OCC + time travel, i.e.
+the index itself is time-travelable alongside its corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from custom_python_vectordb_spark.operators.bm25 import B, K1, postings
+from custom_python_vectordb_spark.functions.text import tokenize_py
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the documents table (file source; a production
+    deployment points the same pipeline at a Kafka/queue source)."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def maintain_postings(doc_stream: DataFrame, warehouse, name: str = "postings"):
+    """foreachBatch writer: tokenize ONLY the micro-batch, aggregate its
+    (doc_id, term, tf) rows, append to the stored index. Append-only corpus
+    ⇒ batches touch disjoint doc_ids ⇒ the union of per-batch postings IS
+    the full rebuild (asserted in tests)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_post = postings(batch_df)
+        warehouse.save(name, batch_post, mode="append")
+
+    return doc_stream.writeStream.foreachBatch(write_batch)
+
+
+def bm25_from_postings(
+    post: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """BM25 top-k served directly from a maintained postings index — no raw
+    text access. Identical formula/constants as operators/bm25.bm25_scores;
+    dl/df/N/avgdl are derived from the index itself."""
+    spark = post.sparkSession
+    terms = tokenize_py(query)
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, {score_col} double")
+    qcounts: dict[str, int] = {}
+    for t in terms:
+        qcounts[t] = qcounts.get(t, 0) + 1
+    q = spark.createDataFrame(list(qcounts.items()), "term string, qn long")
+
+    dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        post.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq.join(F.broadcast(q), "term", "left_semi")), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("qn") * idf * tf_part).alias(score_col))
+    )
+    return scored.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
