@@ -14,6 +14,14 @@ runtime), so a reference user's REST workflow ports 1:1:
                                              "n_results", "where"}
     GET    /collections/<name>/events       Server-Sent-Events push stream
            ?types=add,delete&replay=N       (live mutations + ring replay)
+    GET    /health · /graph/stats · /embeddings/info
+    POST   /graph/nodes · /graph/edges      node/edge CRUD (+ GET/DELETE
+           /graph/nodes/<id>, cascade edge delete)
+    GET    /graph/neighbors/<id>            both-direction neighbor ids
+    POST   /graph/traverse · /graph/shortest-path · /graph/find
+                                            run the batch Spark graph
+                                            operators over the store
+    POST   /embeddings/embed                {"texts": [...]} → mock vectors
     GET    /collections/<name>/ws           WebSocket push stream (RFC 6455):
                                             client sends {"action":"subscribe",
                                             "types":[...],"replay":N}, server
@@ -136,13 +144,95 @@ def ws_read_frame(rfile) -> tuple[int, bytes] | None:
     return opcode, data
 
 
-def _routes(db: VectorDB, bus: EventBus | None = None):
+class GraphStore:
+    """In-memory property graph behind the /graph API — the reference's
+    graph endpoints (``server_full.py:430-620``). Mutations are dict ops
+    under a lock; READ endpoints build DataFrames and run the SAME Spark
+    operators as the batch graph queries (operators/graph.py), so serving
+    and analytics share one implementation. Scale path: swap the dicts for
+    warehouse-backed nodes/edges tables (sources/graph_view.py) — the
+    operator calls don't change."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self._nodes: dict[str, dict] = {}
+        self._edges: list[tuple[str, str, str]] = []
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------- mutations
+    def add_node(self, node_id: str, labels: list[str], props: dict) -> None:
+        with self._lock:
+            self._nodes[node_id] = {"labels": list(labels), "props": dict(props)}
+
+    def get_node(self, node_id: str) -> dict | None:
+        with self._lock:
+            n = self._nodes.get(node_id)
+            return None if n is None else {"id": node_id, **n}
+
+    def delete_node(self, node_id: str) -> bool:
+        """Cascade: incident edges go with the node (graph.py delete_node)."""
+        with self._lock:
+            if node_id not in self._nodes:
+                return False
+            del self._nodes[node_id]
+            self._edges = [e for e in self._edges if node_id not in (e[0], e[1])]
+            return True
+
+    def add_edge(self, src: str, dst: str, edge_type: str) -> bool:
+        with self._lock:
+            if src not in self._nodes or dst not in self._nodes:
+                return False
+            self._edges.append((src, dst, edge_type))
+            return True
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {"nodes": len(self._nodes), "edges": len(self._edges)}
+
+    # ------------------------------------------------------- DataFrame views
+    def dfs(self):
+        with self._lock:
+            nrows = [
+                (nid, n["labels"], json.dumps(n["props"], sort_keys=True))
+                for nid, n in self._nodes.items()
+            ]
+            erows = list(self._edges)
+        nodes = self.spark.createDataFrame(
+            nrows or [(None, None, None)],
+            "id string, labels array<string>, props string",
+        )
+        if not nrows:
+            nodes = nodes.limit(0)
+        edges = self.spark.createDataFrame(
+            erows or [(None, None, None)], "src string, dst string, type string"
+        )
+        if not erows:
+            edges = edges.limit(0)
+        return nodes, edges
+
+
+def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None = None):
     def publish(collection: str, event_type: str, **data):
         if bus is not None:
             bus.publish({"collection": collection, "event_type": event_type, **data})
 
     def handle(method: str, path: str, body: dict):
         parts = [p for p in path.split("/") if p]
+        if parts == ["health"] and method == "GET":
+            return 200, {"status": "ok", "collections": len(db.list_collections())}
+        if parts == ["embeddings", "info"] and method == "GET":
+            return 200, {"provider": "mock", "dimensions": 64}
+        if parts == ["embeddings", "embed"] and method == "POST":
+            from custom_python_vectordb_spark.functions.embeddings import mock_embed_one
+
+            dims = int(body.get("dimensions", 64))
+            return 200, {
+                "embeddings": [
+                    [float(x) for x in mock_embed_one(t, dims)] for t in body["texts"]
+                ]
+            }
+        if graph is not None and parts and parts[0] == "graph":
+            return _graph_routes(graph, method, parts, body)
         if parts == ["collections"]:
             if method == "GET":
                 return 200, {"collections": db.list_collections()}
@@ -210,11 +300,68 @@ def _routes(db: VectorDB, bus: EventBus | None = None):
     return handle
 
 
+def _graph_routes(graph: GraphStore, method: str, parts: list[str], body: dict):
+    """/graph/* — reference parity (``server_full.py:430-620``): node/edge
+    CRUD mutates the store; neighbors/traverse/shortest-path/find run the
+    batch Spark operators over the store's DataFrame view."""
+    from custom_python_vectordb_spark.operators.graph import (
+        find_nodes,
+        neighbors,
+        shortest_path,
+        traverse_paths,
+    )
+    from pyspark.sql import functions as F
+
+    sub = parts[1:]
+    if sub == ["stats"] and method == "GET":
+        return 200, graph.stats()
+    if sub == ["nodes"] and method == "POST":
+        graph.add_node(body["id"], body.get("labels", []), body.get("props", {}))
+        return 201, {"created": body["id"]}
+    if len(sub) == 2 and sub[0] == "nodes" and method == "GET":
+        n = graph.get_node(sub[1])
+        return (200, n) if n else (404, {"error": f"node {sub[1]!r} not found"})
+    if len(sub) == 2 and sub[0] == "nodes" and method == "DELETE":
+        return 200, {"deleted": graph.delete_node(sub[1])}
+    if sub == ["edges"] and method == "POST":
+        ok = graph.add_edge(body["src"], body["dst"], body.get("type", "RELATED"))
+        return (201, {"created": True}) if ok else (404, {"error": "missing endpoint node"})
+    if len(sub) == 2 and sub[0] == "neighbors" and method == "GET":
+        nodes, edges = graph.dfs()
+        rows = neighbors(nodes, edges, sub[1], direction="both").collect()
+        return 200, {"neighbors": sorted(r["id"] for r in rows)}
+    if sub == ["traverse"] and method == "POST":
+        _, edges = graph.dfs()
+        rows = traverse_paths(
+            edges, body["start"],
+            max_depth=int(body.get("max_hops", 3)),
+            direction=body.get("direction", "out"),
+            edge_type=body.get("type"),
+        ).collect()
+        return 200, {"paths": [list(r["path"]) for r in rows]}
+    if sub == ["shortest-path"] and method == "POST":
+        _, edges = graph.dfs()
+        rows = shortest_path(
+            edges, body["src"], body["dst"], direction=body.get("direction", "out")
+        ).collect()
+        return 200, {"path": rows[0]["path_str"].split("->") if rows else None}
+    if sub == ["find"] and method == "POST":
+        nodes, _ = graph.dfs()
+        flt = None
+        for k, v in (body.get("props") or {}).items():
+            cond = F.get_json_object(F.col("props"), f"$.{k}") == str(v)
+            flt = cond if flt is None else (flt & cond)
+        rows = find_nodes(nodes, labels=body.get("labels"), prop_filter=flt).collect()
+        return 200, {"ids": sorted(r["id"] for r in rows)}
+    return 404, {"error": f"no route {method} /" + "/".join(parts)}
+
+
 def make_server(db: VectorDB, port: int = 0) -> ThreadingHTTPServer:
     """Build (not start) the server; port 0 picks a free port. The server
     carries an EventBus (`srv.bus`) publishing every mutation route."""
     bus = EventBus()
-    handle = _routes(db, bus)
+    graph = GraphStore(db.spark)
+    handle = _routes(db, bus, graph)
 
     class Handler(BaseHTTPRequestHandler):
         # WS clients reject a "HTTP/1.0 101" status line; every JSON route
@@ -387,6 +534,7 @@ def make_server(db: VectorDB, port: int = 0) -> ThreadingHTTPServer:
 
     srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
     srv.bus = bus  # exposed for embedding/tests
+    srv.graph = graph
     return srv
 
 

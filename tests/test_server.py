@@ -261,3 +261,51 @@ def test_sse_replay_and_type_filter(served):
     assert [e["event_type"] for e in events] == ["add", "add"]
     assert [e["ids"] for e in events] == [["a"], ["b"]]
     assert all(e.get("replayed") for e in events)
+
+
+def test_health_and_embed(served):
+    port = served
+    status, out = call(port, "GET", "/health")
+    assert status == 200 and out["status"] == "ok"
+    assert call(port, "GET", "/embeddings/info")[1]["provider"] == "mock"
+    status, out = call(port, "POST", "/embeddings/embed", {"texts": ["hello world", "hello world", "other"]})
+    assert status == 200 and len(out["embeddings"]) == 3
+    assert out["embeddings"][0] == out["embeddings"][1]  # deterministic
+    assert out["embeddings"][0] != out["embeddings"][2]
+
+
+def test_graph_api_roundtrip(served):
+    port = served
+    assert call(port, "GET", "/graph/stats")[1] == {"nodes": 0, "edges": 0}
+    for nid, labels, props in [
+        ("a", ["Person"], {"age": 30}),
+        ("b", ["Person"], {"age": 40}),
+        ("c", ["City"], {}),
+        ("d", ["City"], {}),
+    ]:
+        assert call(port, "POST", "/graph/nodes", {"id": nid, "labels": labels, "props": props})[0] == 201
+    for src, dst, t in [("a", "b", "KNOWS"), ("b", "c", "LIVES_IN"), ("c", "d", "NEAR")]:
+        assert call(port, "POST", "/graph/edges", {"src": src, "dst": dst, "type": t})[0] == 201
+    # missing endpoint rejected
+    assert call(port, "POST", "/graph/edges", {"src": "a", "dst": "zzz"})[0] == 404
+    assert call(port, "GET", "/graph/stats")[1] == {"nodes": 4, "edges": 3}
+
+    assert call(port, "GET", "/graph/nodes/a")[1]["props"] == {"age": 30}
+    assert call(port, "GET", "/graph/nodes/zzz")[0] == 404
+
+    # spark-operator-backed reads
+    assert call(port, "GET", "/graph/neighbors/b")[1]["neighbors"] == ["a", "c"]
+    status, out = call(port, "POST", "/graph/traverse", {"start": "a", "max_hops": 3})
+    assert status == 200 and ["a", "b", "c", "d"] in out["paths"]
+    status, out = call(port, "POST", "/graph/shortest-path", {"src": "a", "dst": "d"})
+    assert out["path"] == ["a", "b", "c", "d"]
+    status, out = call(port, "POST", "/graph/find", {"labels": ["Person"], "props": {"age": 30}})
+    assert out["ids"] == ["a"]
+    status, out = call(port, "POST", "/graph/find", {"labels": ["City"]})
+    assert out["ids"] == ["c", "d"]
+
+    # cascade delete: b's incident edges disappear with it
+    assert call(port, "DELETE", "/graph/nodes/b")[1] == {"deleted": True}
+    stats = call(port, "GET", "/graph/stats")[1]
+    assert stats == {"nodes": 3, "edges": 1}
+    assert call(port, "POST", "/graph/shortest-path", {"src": "a", "dst": "d"})[1]["path"] is None
