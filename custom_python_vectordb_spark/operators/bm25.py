@@ -113,6 +113,64 @@ def bm25_topk(docs: DataFrame, query: str, k: int = 10, **kw) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def rrf_fusion(
+    corpus_vec: DataFrame,
+    docs: DataFrame,
+    query_vec: DataFrame,
+    query_text: str,
+    k: int = 10,
+    fetch_k: int = 100,
+    k0: int = 60,
+    *,
+    metric: str = "cosine",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reciprocal-rank fusion — the score-free alternative to weighted-sum
+    hybrid (D9): each side contributes 1/(k0 + rank) for its top `fetch_k`,
+    so no cross-source score normalization is needed (the standard remedy
+    when BM25 and cosine magnitudes aren't comparable).
+
+    Ranks are assigned WITHIN each side's top-fetch_k list (both engines
+    state the same bounded list, so results value-hash-match). The global
+    windows run AFTER a top-k truncation — ≤ fetch_k rows on one partition,
+    never a corpus-wide single-partition sort."""
+    from pyspark.sql import Window
+
+    dist = distance_expr(metric, vec_col, "qvec").alias("dist")
+    vtop = (
+        corpus_vec.crossJoin(F.broadcast(query_vec))
+        .select(F.col(vec_id_col).alias("id"), dist)
+        .orderBy("dist", "id")
+        .limit(fetch_k)
+    )
+    vrank = vtop.withColumn(
+        "vr", F.row_number().over(Window.orderBy(F.col("dist").asc(), F.col("id").asc()))
+    ).select("id", "vr")
+    ktop = (
+        bm25_scores(docs, query_text, id_col=doc_id_col)
+        .orderBy(F.col("score").desc(), F.col(doc_id_col).asc())
+        .limit(fetch_k)
+    )
+    krank = ktop.withColumn(
+        "kr",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(doc_id_col).asc())),
+    ).select(F.col(doc_id_col).alias("id"), "kr")
+    fused = (
+        vrank.join(krank, "id", "full_outer")
+        .select(
+            "id",
+            (
+                F.coalesce(1.0 / (F.lit(k0) + F.col("vr")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k0) + F.col("kr")), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    return fused.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+
+
 def tfidf_scores(
     docs: DataFrame,
     query: str,

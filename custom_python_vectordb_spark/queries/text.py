@@ -342,3 +342,64 @@ def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = tfidf_topk(_t(spark, sf_dir, "documents"), QUERY_TEXT, k=10)
     return out.withColumn("score", F.round("score", ROUND) + F.lit(0.0))
+
+
+@query("hybrid_rrf", f"""
+WITH {_duck_bm25_ctes(QUERY_TEXT)},
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+    SELECT e.vec_id AS id,
+           1.0 - list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.v)
+               / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(qv.v, qv.v))) AS dist
+    FROM embeddings e CROSS JOIN qv
+),
+vrank AS (SELECT id, vr FROM (
+    SELECT id, row_number() OVER (ORDER BY dist, id) AS vr FROM vec_scored
+) WHERE vr <= 100),
+krank AS (SELECT id, kr FROM (
+    SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS kr FROM scored
+) WHERE kr <= 100),
+fused AS (
+    SELECT COALESCE(v.id, w.id) AS id,
+           COALESCE(1.0 / (60 + v.vr), 0.0) + COALESCE(1.0 / (60 + w.kr), 0.0) AS score
+    FROM vrank v FULL OUTER JOIN krank w ON v.id = w.id
+)
+SELECT id, ROUND(score, {ROUND}) + 0.0 AS score FROM fused
+ORDER BY score DESC, id LIMIT 10
+""")
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion hybrid (operators/bm25.py:rrf_fusion): rank-
+    based combination, no cross-source score normalization needed."""
+    from custom_python_vectordb_spark.operators.bm25 import rrf_fusion
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    out = rrf_fusion(emb, docs, qv, QUERY_TEXT, k=10, fetch_k=100)
+    return out.withColumn("score", F.round("score", ROUND) + F.lit(0.0))
+
+
+@query("chunk_documents", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+st AS (
+    SELECT doc_id, toks,
+           CAST(unnest(range(1, greatest(len(toks) - 16, 1) + 1, 48)) AS INTEGER) AS s
+    FROM tok
+),
+ch AS (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx,
+           array_to_string(toks[s : least(s + 63, len(toks))], ' ') AS chunk_text,
+           greatest(least(len(toks) - s + 1, 64), 0) AS n_tokens
+    FROM st
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_text, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM ch
+""")
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (operators/chunking.py): 64-token windows, 16-token
+    overlap, pure JVM projection — every doc yields >= 1 chunk."""
+    from custom_python_vectordb_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16)
