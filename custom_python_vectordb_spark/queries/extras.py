@@ -378,3 +378,38 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query("purchases_with_recent_views", """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+p AS (SELECT event_id, ts, user_id FROM ev WHERE event_type = 'purchase'),
+v AS (SELECT ts, user_id FROM ev WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, COUNT(v.ts) AS n_recent_views
+FROM p LEFT JOIN v
+  ON p.user_id = v.user_id AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+GROUP BY p.event_id, p.user_id
+""")
+def purchases_with_recent_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval join: every view in the hour before each purchase
+    (the as-of join's sibling — ALL matches in the window, not the latest).
+    Batch form of the stream-stream interval join
+    (tests/test_streaming.py::test_stream_stream_interval_join); the join
+    shuffles once on user_id and the time predicate prunes within each key
+    group."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").alias("pts"), "user_id"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("ts").alias("vts"), F.col("user_id").alias("vuser")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("vuser"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("vts") < F.col("pts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("vts").alias("n_recent_views")
+    )

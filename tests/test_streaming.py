@@ -323,3 +323,45 @@ def test_kafka_shaped_payload_parsing(spark, sf_small):
     a = {tuple(r) for r in parsed.collect()}
     b = {tuple(r) for r in ev.select("event_id", "ts", "user_id", "event_type", "value", "props").collect()}
     assert a == b
+
+
+def test_stream_stream_interval_join(spark, sf_small):
+    """Stream-stream inner join with an event-time interval condition and
+    watermarks on both sides: each purchase pairs with that user's views
+    from the preceding hour. Verified against the identical batch join."""
+    ev = read_event_stream(spark, sf_small)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts"), "user_id"
+    ).withWatermark("pts", "2 hours")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("ts").alias("vts"),
+        F.col("user_id").alias("vuser"),
+    ).withWatermark("vts", "2 hours")
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("vuser"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("vts") < F.col("pts")),
+    ).select("pid", "vid")
+    q = run_to_memory(joined, "t_ssj", mode="append")
+    got = rows_set(spark.sql("select * from t_ssj"), ["pid", "vid"])
+
+    bev = load_table(spark, sf_small, "events")
+    bp = bev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts"), "user_id"
+    )
+    bv = bev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("ts").alias("vts"),
+        F.col("user_id").alias("vuser"),
+    )
+    expect = rows_set(
+        bp.join(
+            bv,
+            (F.col("user_id") == F.col("vuser"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("vts") < F.col("pts")),
+        ).select("pid", "vid"),
+        ["pid", "vid"],
+    )
+    assert got == expect and len(got) > 0
+    q.stop()
