@@ -137,3 +137,63 @@ def test_langid_votes_and_tiebreak(spark):
     )
     got = {r["id"]: r["p"] for r in df.select("id", langid_predict("text").alias("p")).collect()}
     assert got[1] == "en" and got[2] == "de" and got[3] == "und" and got[4] == "en"
+
+
+# --------------------------------------------------------------- chunking
+
+chunk_texts = st.lists(
+    st.text(alphabet="abc xyz", min_size=0, max_size=60), min_size=1, max_size=6
+)
+
+
+@SETTINGS
+@given(texts=chunk_texts, chunk=st.integers(2, 8), overlap=st.integers(0, 3))
+def test_chunks_reconstruct_original_tokens(spark, texts, chunk, overlap):
+    """Dropping each chunk's leading `overlap` tokens (except chunk 0) and
+    concatenating must reproduce the document's token stream exactly — no
+    token lost or duplicated by the windowing."""
+    from custom_python_vectordb_spark.operators.chunking import chunk_documents
+    from custom_python_vectordb_spark.functions.text import tokenize_py
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=chunk, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for doc_id, text in enumerate(texts):
+        want = tokenize_py(text)
+        chunks = [c.split() if c else [] for _, c in sorted(by_doc[doc_id])]
+        got = list(chunks[0]) if chunks else []
+        for c in chunks[1:]:
+            got.extend(c[overlap:])
+        # trailing windows may re-cover already-seen tokens only via overlap;
+        # reconstruction must equal the original token list
+        assert got == want, (text, chunk, overlap, chunks)
+
+
+# --------------------------------------------------------------- salted ops
+
+salt_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(-9, 9)),
+    min_size=0, max_size=20,
+)
+
+
+@SETTINGS
+@given(rows=salt_rows, salts=st.integers(1, 5))
+def test_salted_join_equivalence_property(spark, rows, salts):
+    from custom_python_vectordb_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, k, v) for i, (k, _, v) in enumerate(rows)], "rid long, k long, v long"
+    )
+    small = spark.createDataFrame(
+        sorted({(k2, k2 * 10) for _, k2, _ in rows}) or [(99, 990)], "k long, dim long"
+    )
+    plain = sorted(map(tuple, big.join(small, "k").select("rid", "dim").collect()))
+    salted = sorted(
+        map(tuple, salted_join(big, small, "k", salts=salts).select("rid", "dim").collect())
+    )
+    assert plain == salted
