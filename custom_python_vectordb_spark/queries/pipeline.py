@@ -733,3 +733,59 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 50)
         .select("doc_id", doc_fingerprint("text").alias("fingerprint"))
     )
+
+
+# ---------------------------------------------------------------- domain mixing
+
+_MIX_THS = {"src0": 2500, "src1": 1000, "src2": 400}  # rate in thousandths
+_MIX_DEFAULT_THS = 100
+
+
+@query("domain_mix", f"""
+WITH rates(source, ths) AS (VALUES {", ".join(f"('{s}', {t})" for s, t in _MIX_THS.items())}),
+keyed AS (
+    SELECT d.doc_id, d.source, COALESCE(r.ths, {_MIX_DEFAULT_THS}) AS ths,
+           {duck_hash48("'mix|' || CAST(doc_id AS VARCHAR)")} % 1000 AS k
+    FROM documents d LEFT JOIN rates r ON d.source = r.source
+),
+cop AS (
+    SELECT doc_id, source,
+           CAST(ths // 1000 AS BIGINT) + CASE WHEN k < ths % 1000 THEN 1 ELSE 0 END AS copies
+    FROM keyed
+)
+SELECT source, doc_id, CAST(unnest(range(copies)) AS BIGINT) AS copy_idx
+FROM cop WHERE copies > 0
+""")
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining domain mixing: per-source target rates with exact
+    up/downsampling — rate 2.5 emits every doc 2× plus a deterministic 50%
+    hash-selected third copy; rate 0.4 keeps a 40% subset; unlisted sources
+    default to 10%. Integer thousandths end-to-end (no float thresholds),
+    hash-keyed like every sampler here: stable across reruns, partitioning,
+    and engines. Map-side only — a filter + bounded explode, no shuffle."""
+    from custom_python_vectordb_spark.functions.hashing import hash48
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = docs.sparkSession.createDataFrame(
+        list(_MIX_THS.items()), "source string, ths int"
+    )
+    keyed = (
+        docs.join(F.broadcast(rates), "source", "left")
+        .withColumn("ths", F.coalesce("ths", F.lit(_MIX_DEFAULT_THS)))
+        .withColumn(
+            "k", hash48(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))) % 1000
+        )
+        .withColumn(
+            "copies",
+            F.expr("ths div 1000")
+            + F.when(F.col("k") < F.col("ths") % 1000, 1).otherwise(0),
+        )
+    )
+    return (
+        keyed.filter(F.col("copies") > 0)
+        .select(
+            "source", "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("copies") - 1)).alias("copy_idx"),
+        )
+        .withColumn("copy_idx", F.col("copy_idx").cast("long"))
+    )
