@@ -72,6 +72,31 @@ PRIORITY: tuple[str, ...] = (
 )
 
 
+def _already_verified() -> set[str]:
+    """Query names with a green row in ANY recorded CORRECTNESS_r*.json.
+    Used to auto-rotate the driver's fixed-size verification window toward
+    never-verified queries each round; unreadable/absent files mean no
+    rotation information, never an error."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+            for name, row in rows.items():
+                if isinstance(row, dict) and row.get("err") is None and (
+                    row.get("hash_match") or row.get("rows_match")
+                ):
+                    seen.add(name)
+        except Exception:
+            continue
+    return seen
+
+
 def load_all() -> None:
     """Import every query-defining module (idempotent) and apply the
     driver-window rotation order.
@@ -79,6 +104,13 @@ def load_all() -> None:
     A broken query module must fail LOUDLY here: swallowing ImportError would
     silently shrink the contract and turn driver verification into a false
     green (round-1 verdict, fix #5).
+
+    Ordering: the driver samples a fixed-size PREFIX of ``queries()`` each
+    round, so queries without a green CORRECTNESS row from any prior round
+    are moved to the front (PRIORITY names first among them, then module
+    registration order); already-verified queries follow. Each round the
+    window therefore lands on the largest never-verified block
+    automatically.
     """
     for mod in (
         "spine",
@@ -95,8 +127,11 @@ def load_all() -> None:
     ):
         __import__(f"custom_python_vectordb_spark.queries.{mod}")
 
-    front = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
-    rest = {n: f for n, f in QUERIES.items() if n not in front}
+    ordered = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
+    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
+    verified = _already_verified()
+    front = {n: f for n, f in ordered.items() if n not in verified}
+    rest = {n: f for n, f in ordered.items() if n in verified}
     QUERIES.clear()
     QUERIES.update(front)
     QUERIES.update(rest)
