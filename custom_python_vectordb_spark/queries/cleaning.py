@@ -341,3 +341,42 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c, _ in _PROFILE_COLS
     ])
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------- LM scoring
+
+@query("unigram_logprob", f"""
+WITH tok AS (SELECT doc_id, {duck_tokenize('text')} AS toks FROM documents),
+term AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+lm AS (SELECT t, COUNT(*) AS c FROM term GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM lm),
+scored AS (
+    SELECT term.doc_id, AVG(ln(lm.c / tot.n)) AS mean_logprob, COUNT(*) AS n_tokens
+    FROM term JOIN lm USING (t) CROSS JOIN tot
+    GROUP BY term.doc_id
+)
+SELECT doc_id, ROUND(mean_logprob, {ROUND}) + 0.0 AS mean_logprob, n_tokens
+FROM scored
+""")
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, simplest useful form: a unigram LM
+    trained on the corpus itself scores each document's mean token
+    log-probability (the KenLM-perplexity filter's role in public pretraining
+    pipelines, reduced to an oracle-checkable aggregate). Low scores flag
+    rare-token soup; the plan is two token-keyed aggregates plus a broadcast
+    of the LM — the LM table is vocabulary-sized, tiny next to the corpus."""
+    from custom_python_vectordb_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    term = docs.select("doc_id", F.explode(tokenize("text")).alias("t"))
+    lm = term.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.agg(F.sum("c").alias("n"))
+    return (
+        term.join(F.broadcast(lm), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            (F.round(F.avg(F.log(F.col("c") / F.col("n"))), ROUND) + F.lit(0.0)).alias("mean_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
