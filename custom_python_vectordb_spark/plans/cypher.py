@@ -16,8 +16,14 @@ Supported (reference grammar + round-2 extensions):
     OPTIONAL MATCH (boundvar)-[:TYPE]->(new…)            left-join semantics
     [MATCH | OPTIONAL MATCH] … WHERE …                   per-clause WHERE
     WHERE var.prop OP value        (OP ∈ = <> < > <= >=, AND-combined)
-    RETURN var | var.prop [, …]
+    RETURN var | var.prop | count(var) | count(*) [, …]
            [ORDER BY var[.prop] [ASC|DESC], …] [LIMIT n]
+
+Aggregate RETURN uses Cypher's implicit grouping (non-aggregate items are
+the group keys, named as below; counts are `count_{var}` / `count_all`)
+over the translator's SET semantics — identical variable bindings dedup,
+so a count over parallel edges counts distinct bindings, not
+relationships.
 
 Clause order is (MATCH WHERE?)+ → RETURN.  Output columns are named
 ``var`` → `var_id`, ``var.prop`` → `var_prop`.  RETURN dedups (the
@@ -59,6 +65,7 @@ _RETURN_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ORDER_ITEM_RE = re.compile(r"^(\w+)(?:\.(\w+))?(?:\s+(ASC|DESC))?$", re.IGNORECASE)
+_AGG_ITEM_RE = re.compile(r"^count\s*\(\s*(\*|\w+)\s*\)$", re.IGNORECASE)
 
 
 @dataclass
@@ -263,15 +270,40 @@ def cypher(nodes: DataFrame, edges: DataFrame, query: str) -> DataFrame:
     r = _RETURN_RE.search(query)
     if not r:
         raise ValueError(f"missing RETURN clause in {query!r}")
-    out_cols: list[Column] = []
-    for item in r.group(1).split(","):
-        item = item.strip()
-        if "." in item:
-            var, prop = item.split(".", 1)
-            out_cols.append(F.col(f"{var}_{prop}").alias(f"{var}_{prop}"))
-        else:
-            out_cols.append(F.col(f"{item}_id").alias(f"{item}_id"))
-    out = bound.select(*out_cols).distinct()
+    items = [i.strip() for i in r.group(1).split(",")]
+    agg_matches = [_AGG_ITEM_RE.match(i) for i in items]
+    if any(agg_matches):
+        # aggregate RETURN: Cypher's implicit grouping — non-aggregate
+        # items are the group keys, count() counts MATCHED rows (each
+        # relationship binding is a distinct match, so no dedup first)
+        keys: list[str] = []
+        aggs: list[Column] = []
+        for item, m in zip(items, agg_matches):
+            if m:
+                target = m.group(1)
+                if target == "*":
+                    aggs.append(F.count(F.lit(1)).alias("count_all"))
+                else:
+                    aggs.append(F.count(F.col(f"{target}_id")).alias(f"count_{target}"))
+            elif "." in item:
+                var, prop = item.split(".", 1)
+                keys.append(f"{var}_{prop}")
+            else:
+                keys.append(f"{item}_id")
+        out = (
+            bound.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+            if keys
+            else bound.agg(*aggs)
+        )
+    else:
+        out_cols: list[Column] = []
+        for item in items:
+            if "." in item:
+                var, prop = item.split(".", 1)
+                out_cols.append(F.col(f"{var}_{prop}").alias(f"{var}_{prop}"))
+            else:
+                out_cols.append(F.col(f"{item}_id").alias(f"{item}_id"))
+        out = bound.select(*out_cols).distinct()
 
     if r.group(2):
         order: list[Column] = []

@@ -198,3 +198,35 @@ def cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (a:Customer {mktsegment: 'AUTOMOBILE'})-[*1..2]->(b) "
         "WHERE a.acctbal > 4900 RETURN a, b",
     )
+
+
+@query("cypher_count", f"""
+{GRAPH_CTES}
+SELECT c.mktsegment AS c_mktsegment, COUNT(*) AS count_o
+FROM nodes c JOIN edges e ON e.type = 'PLACED' AND e.src = c.id
+WHERE c.label = 'Customer'
+GROUP BY c.mktsegment
+""")
+def cypher_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate RETURN with Cypher's implicit grouping: non-aggregate
+    items become group keys, count(o) counts matched relationships."""
+    nodes, edges = _graph(spark, sf_dir)
+    return cypher(
+        nodes, edges,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN c.mktsegment, count(o)",
+    )
+
+
+@query("cypher_count_all", f"""
+{GRAPH_CTES}
+SELECT COUNT(*) AS count_all
+FROM (SELECT DISTINCT e.src, e.dst FROM edges e WHERE e.type = 'CONTAINS')
+""")
+def cypher_count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global count(*) — no group keys, one row. SET-semantic: the
+    translator's documented contract dedups identical variable bindings
+    (plans/cypher.py header), so parallel CONTAINS edges between the same
+    (order, part) pair count once — unlike reference Cypher's
+    per-relationship matches; the oracle states the same distinct count."""
+    nodes, edges = _graph(spark, sf_dir)
+    return cypher(nodes, edges, "MATCH (o:Order)-[:CONTAINS]->(p:Part) RETURN count(*)")
