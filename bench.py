@@ -146,9 +146,12 @@ def _bench_knn_100k(spark) -> dict[str, float]:
             truth_rows = rows  # exact top-10 per query — recall ground truth
 
     # Partition-local ANN (the HNSW analog) at the same 100K scale: scanned
-    # fraction ≈ nprobe·assign_r/n_cells ≈ 12/64 per shard, so the per-query
-    # cost should beat the exact GEMM while recall@10 stays ≥ 0.9 (the same
-    # quality bar the reference's quantization benchmarks gate on).
+    # fraction ≈ nprobe·assign_r/n_cells ≈ 12/64 per shard. Measured
+    # (BENCH_r02): 4.4 ms/q vs 1.2 ms/q exact GEMM — at 100K rows the
+    # bucket bookkeeping costs more than the pruned arithmetic saves, so
+    # the ANN path is the >>100K-rows play, not a win here; it is timed to
+    # keep that trade visible while recall@10 stays ≥ 0.9 (the quality bar
+    # the reference's quantization benchmarks gate on).
     from pyspark.sql import functions as F
 
     from custom_python_vectordb_spark.operators.partitioned import knn_partitioned

@@ -94,7 +94,15 @@ class Collection:
         self.db.warehouse.save(self.name, mutations.delete_by_filter(self.df(), pred))
 
     def update_metadata(self, changes: DataFrame) -> None:
-        self.db.warehouse.save(self.name, mutations.update_merge(self.df(), changes, "id"))
+        # open metadata schema: a change set may introduce brand-new columns;
+        # materialize them as typed NULLs first so update_merge's
+        # coalesce(new, old) resolves (insert_batch gets this for free from
+        # unionByName(allowMissingColumns=True))
+        existing = self.df()
+        for f in changes.schema.fields:
+            if f.name not in existing.columns:
+                existing = existing.withColumn(f.name, F.lit(None).cast(f.dataType))
+        self.db.warehouse.save(self.name, mutations.update_merge(existing, changes, "id"))
 
     # -- search -----------------------------------------------------------
     def search(

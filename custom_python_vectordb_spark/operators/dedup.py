@@ -288,9 +288,10 @@ def embedding_neardup_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Top-k most cosine-similar distinct pairs (a < b). Brute pairwise —
-    at scale, generate candidates with LSH buckets (operators/similarity)
-    first and verify here."""
+    """Top-k most cosine-similar distinct pairs (a < b). Brute pairwise,
+    O(N²) rows: the TEST-ONLY recall oracle for the candidate-bounded
+    :func:`embedding_neardup_lsh_topk`, which is what production queries
+    register (round-2 verdict: the brute plan is a scale-killer)."""
     from custom_python_vectordb_spark.functions.distances import cosine_similarity
 
     a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
@@ -299,3 +300,39 @@ def embedding_neardup_topk(
         "a", "b", cosine_similarity("va", "vb").alias("sim")
     )
     return pairs.orderBy(F.col("sim").desc(), "a", "b").limit(k)
+
+
+def embedding_neardup_lsh_topk(
+    vectors: DataFrame,
+    plane_tables: list[DataFrame],
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most cosine-similar pairs among LSH CANDIDATES: pairs sharing a
+    hyperplane-sign bucket in any of T independent plane tables, then exact
+    cosine on candidates only.  Work is Σ_buckets |bucket|² instead of N² —
+    the bucket join is the partition key at scale, the corpus never
+    cross-joins.  Returned similarities are exact (verified); the candidate
+    set is approximate with recall rising in T (the standard banding trade,
+    measured against :func:`embedding_neardup_topk` in tests)."""
+    from custom_python_vectordb_spark.functions.distances import cosine_similarity
+    from custom_python_vectordb_spark.operators.similarity import lsh_buckets
+
+    cand = None
+    for t, planes in enumerate(plane_tables):
+        b = lsh_buckets(vectors, planes, id_col, vec_col)
+        p = (
+            b.select(F.col(id_col).alias("a"), "bucket")
+            .join(b.select(F.col(id_col).alias("b"), "bucket"), "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    ea = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    eb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    scored = cand.join(ea, "a").join(eb, "b").select(
+        "a", "b", cosine_similarity("va", "vb").alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), "a", "b").limit(k)

@@ -31,6 +31,15 @@ def mmr_rerank(
     vec_col: str = "embedding",
 ) -> list[tuple]:
     """Returns [(id, relevance_sim, mmr_score), …] in selection order."""
+    # driver-memory gate, same contract as knn_batch_gemm's closure cap
+    # (operators/knn.py): the greedy loop is deliberately driver-side over a
+    # SMALL candidate set — an unbounded fetch_k would silently turn this
+    # into a collect-the-corpus plan
+    if fetch_k > 10_000:
+        raise ValueError(
+            f"fetch_k={fetch_k} exceeds the 10k driver-side candidate cap; "
+            "MMR reranks a bounded top-fetch_k candidate set, not the corpus"
+        )
     spark = corpus.sparkSession
     queries = spark.createDataFrame(
         [(0, [float(x) for x in query_vec])], "qid long, qvec array<float>"

@@ -14,6 +14,10 @@ Supported (reference grammar + round-2 extensions):
     MATCH (a…)-[:TYPE*min..max]->(b…)                    var-length (simple paths)
     MATCH … MATCH …                                      conjunctive patterns
     OPTIONAL MATCH (boundvar)-[:TYPE]->(new…)            left-join semantics
+    … OPTIONAL MATCH … MATCH …                           clauses compose in
+        order: later inner MATCHes join on shared vars; NULL bindings from
+        an earlier OPTIONAL clause survive joins on OTHER variables and
+        (correctly) fail joins on the optional variable itself
     [MATCH | OPTIONAL MATCH] … WHERE …                   per-clause WHERE
     WHERE var.prop OP value        (OP ∈ = <> < > <= >=, AND-combined)
     RETURN var | var.prop | count(var) | count(*) [, …]

@@ -202,18 +202,62 @@ def cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("cypher_count", f"""
 {GRAPH_CTES}
-SELECT c.mktsegment AS c_mktsegment, COUNT(*) AS count_o
-FROM nodes c JOIN edges e ON e.type = 'PLACED' AND e.src = c.id
-WHERE c.label = 'Customer'
-GROUP BY c.mktsegment
+SELECT c_mktsegment, COUNT(*) AS count_o FROM (
+    SELECT DISTINCT c.mktsegment AS c_mktsegment, c.id AS c_id, e.dst AS o_id
+    FROM nodes c
+    JOIN edges e ON e.type = 'PLACED' AND e.src = c.id
+    JOIN nodes o ON o.id = e.dst AND o.label = 'Order'
+    WHERE c.label = 'Customer'
+)
+GROUP BY c_mktsegment
 """)
 def cypher_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate RETURN with Cypher's implicit grouping: non-aggregate
-    items become group keys, count(o) counts matched relationships."""
+    items become group keys, count(o) counts matched bindings.
+
+    The oracle states the translator's documented SET semantics explicitly
+    (round-2 ADVICE): DISTINCT (c, o) bindings with o label-checked as
+    :Order — equivalent on this dataset's unique well-typed edges, but now
+    equivalent by construction, consistent with cypher_count_all."""
     nodes, edges = _graph(spark, sf_dir)
     return cypher(
         nodes, edges,
         "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN c.mktsegment, count(o)",
+    )
+
+
+@query("cypher_optional_chain", f"""
+{GRAPH_CTES}
+SELECT DISTINCT c.id AS c_id, x.p_id AS p_id, n.name AS n_name
+FROM nodes c
+LEFT JOIN (
+    SELECT DISTINCT e1.src AS c_src, p.id AS p_id
+    FROM edges e1
+    JOIN edges e2 ON e2.type = 'CONTAINS' AND e2.src = e1.dst
+    JOIN nodes p ON p.id = e2.dst AND p.label = 'Part'
+                AND p.size IS NOT NULL AND p.size = 50
+    WHERE e1.type = 'PLACED'
+) x ON x.c_src = c.id
+JOIN edges en ON en.type = 'IN_NATION' AND en.src = c.id
+JOIN nodes n ON n.id = en.dst AND n.label = 'Nation'
+WHERE c.label = 'Customer'
+  AND c.mktsegment IS NOT NULL AND c.mktsegment = 'AUTOMOBILE'
+  AND c.acctbal IS NOT NULL AND c.acctbal > 9500
+""")
+def cypher_optional_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL MATCH composed with a SUBSEQUENT MATCH clause (the round-2
+    grammar corner; reference executes it via binding enumeration,
+    graph.py:1008-1038): customers keep NULL p_id when no order contains a
+    size-50 part, while the later inner MATCH still binds their nation —
+    NULL bindings propagate through subsequent clauses joined on other
+    variables."""
+    nodes, edges = _graph(spark, sf_dir)
+    return cypher(
+        nodes, edges,
+        "MATCH (c:Customer {mktsegment: 'AUTOMOBILE'}) WHERE c.acctbal > 9500 "
+        "OPTIONAL MATCH (c)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part {size: 50}) "
+        "MATCH (c)-[:IN_NATION]->(n:Nation) "
+        "RETURN c, p, n.name",
     )
 
 

@@ -27,7 +27,7 @@ from custom_python_vectordb_spark.functions.text import (
 )
 from custom_python_vectordb_spark.operators.dedup import (
     duck_shingles,
-    embedding_neardup_topk,
+    embedding_neardup_lsh_topk,
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -223,18 +223,43 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- dedup: embedding
 
 @query("neardup_embedding", f"""
-WITH pairs AS (
-    SELECT a.vec_id AS a, b.vec_id AS b,
-           list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-           / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-              * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-)
-SELECT a, b, ROUND(sim, {ROUND}) + 0.0 AS sim FROM pairs
+WITH planes AS (
+  SELECT CAST((vec_id - 100) // 6 AS INTEGER) AS t,
+         CAST((vec_id - 100) % 6 AS INTEGER) AS plane_idx,
+         CAST(embedding AS DOUBLE[]) AS hv
+  FROM embeddings WHERE vec_id BETWEEN 100 AND 123),
+cbuck AS (
+  SELECT e.vec_id, p.t,
+         SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.hv) > 0
+                  THEN CAST(power(2, 5 - p.plane_idx) AS BIGINT) ELSE 0 END) AS bucket
+  FROM embeddings e, planes p GROUP BY e.vec_id, p.t),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM cbuck x JOIN cbuck y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+scored AS (
+  SELECT c.a, c.b,
+         list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+         / (sqrt(list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+            * sqrt(list_inner_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) AS sim
+  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a JOIN embeddings eb ON eb.vec_id = c.b)
+SELECT a, b, ROUND(sim, {ROUND}) + 0.0 AS sim FROM scored
 ORDER BY sim DESC, a, b LIMIT 20
 """)
 def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = embedding_neardup_topk(_t(spark, sf_dir, "embeddings"), k=20)
+    """Embedding near-dup, the SCALE plan (round-2 verdict #3): candidate
+    pairs from 4 independent LSH tables × 6 hyperplanes (planes = data rows
+    100..123, deterministic), exact cosine verify on candidates only, top-20.
+    The brute all-pairs path survives as `operators/dedup.embedding_neardup_topk`,
+    the recall oracle in tests/test_properties.py — it never registers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    tables = [
+        emb.filter(F.col("vec_id").between(100 + 6 * t, 105 + 6 * t)).select(
+            (F.col("vec_id") - (100 + 6 * t)).cast("int").alias("plane_idx"),
+            F.col("embedding").alias("hvec"),
+        )
+        for t in range(4)
+    ]
+    out = embedding_neardup_lsh_topk(emb, tables, k=20)
     return out.withColumn("sim", F.round("sim", ROUND) + F.lit(0.0))
 
 

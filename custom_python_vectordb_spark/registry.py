@@ -76,7 +76,13 @@ def _already_verified() -> set[str]:
     """Query names with a green row in ANY recorded CORRECTNESS_r*.json.
     Used to auto-rotate the driver's fixed-size verification window toward
     never-verified queries each round; unreadable/absent files mean no
-    rotation information, never an error."""
+    rotation information, never an error.
+
+    "Green" is strict: ``hash_match is True``.  A row whose count matched but
+    whose value hash mismatched is a FAILING query and must stay at the front
+    of the window until re-checked (round-2 ADVICE).  ``rows_match`` counts
+    only when the driver recorded no hash at all (``hash_match is None``) —
+    the weaker rows-only check for oracle-less queries."""
     import glob
     import json
     import os
@@ -88,9 +94,10 @@ def _already_verified() -> set[str]:
             with open(path) as fh:
                 rows = json.load(fh)
             for name, row in rows.items():
-                if isinstance(row, dict) and row.get("err") is None and (
-                    row.get("hash_match") or row.get("rows_match")
-                ):
+                if not isinstance(row, dict) or row.get("err") is not None:
+                    continue
+                hm = row.get("hash_match")
+                if hm is True or (hm is None and row.get("rows_match") is True):
                     seen.add(name)
         except Exception:
             continue
@@ -111,6 +118,11 @@ def load_all() -> None:
     registration order); already-verified queries follow. Each round the
     window therefore lands on the largest never-verified block
     automatically.
+
+    Within the unverified front, queries WITH an oracle come first: the
+    handful of oracle-less queries can only ever earn a weaker rows-only
+    row, so letting them occupy window slots ahead of hash-checkable
+    queries wastes the round's verification budget (round-2 verdict #2).
     """
     for mod in (
         "spine",
@@ -130,8 +142,11 @@ def load_all() -> None:
     ordered = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
     ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
     verified = _already_verified()
-    front = {n: f for n, f in ordered.items() if n not in verified}
-    rest = {n: f for n, f in ordered.items() if n in verified}
+    unverified = [n for n in ordered if n not in verified]
+    # oracle-able unverified first, then oracle-less unverified, then verified
+    front = [n for n in unverified if n in ORACLES]
+    weak = [n for n in unverified if n not in ORACLES]
+    rest = [n for n in ordered if n in verified]
+    reordered = {n: ordered[n] for n in front + weak + rest}
     QUERIES.clear()
-    QUERIES.update(front)
-    QUERIES.update(rest)
+    QUERIES.update(reordered)

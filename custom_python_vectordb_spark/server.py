@@ -9,7 +9,11 @@ runtime), so a reference user's REST workflow ports 1:1:
     POST   /collections                     {"name", "dimensions"}
     DELETE /collections/<name>
     GET    /collections/<name>/count
-    POST   /collections/<name>/add          {"ids", "documents"}
+    POST   /collections/<name>/add          {"ids", "documents"[, "metadatas"]}
+    POST   /collections/<name>/upsert       same body; replaces same-id rows
+    POST   /collections/<name>/update       {"ids", "metadatas"} metadata merge
+    POST   /collections/<name>/delete_by_filter  {"where": {...}}
+    GET    /collections/<name>/peek?limit=N
     POST   /collections/<name>/query        {"query_texts"|"query_embeddings",
                                              "n_results", "where"}
     GET    /collections/<name>/events       Server-Sent-Events push stream
@@ -211,13 +215,61 @@ class GraphStore:
         return nodes, edges
 
 
+def _meta_type(v) -> str:
+    # bool before int: bool is an int subclass
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    return "string"
+
+
+def _rows_df(db: VectorDB, rows: list[dict]):
+    """list-of-flat-dicts → DataFrame with explicit scalar types (string id
+    first); missing keys become NULL. The schemaless-metadata entry point
+    for the REST routes — mirrors the reference's dict metadata
+    (fastpyvectordb/client.py:97-160) onto real columns."""
+    keys = ["id"] + sorted({k for r in rows for k in r} - {"id"})
+    types = {}
+    for k in keys:
+        first = next((r[k] for r in rows if r.get(k) is not None), None)
+        types[k] = "string" if k == "id" else _meta_type(first)
+    schema = ", ".join(f"`{k}` {types[k]}" for k in keys)
+    data = [tuple(r.get(k) for k in keys) for r in rows]
+    return db.spark.createDataFrame(data, schema)
+
+
+def _texts_df(db: VectorDB, ids: list, documents: list, metadatas: list | None = None, dims: int = 64):
+    """(id, _document, …metadata) rows embedded with the mock provider —
+    the add/upsert payload shape of the reference client."""
+    from custom_python_vectordb_spark.functions.embeddings import embed_column
+
+    if len(ids) != len(documents):
+        raise ValueError("ids and documents must be the same length")
+    metadatas = metadatas or [{} for _ in ids]
+    if len(metadatas) != len(ids):
+        raise ValueError("ids and metadatas must be the same length")
+    rows = [
+        {"id": str(i), "_document": d, **m}
+        for i, d, m in zip(ids, documents, metadatas)
+    ]
+    df = _rows_df(db, rows)
+    return embed_column(df, "_document", "embedding", dims)
+
+
 def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None = None):
     def publish(collection: str, event_type: str, **data):
         if bus is not None:
             bus.publish({"collection": collection, "event_type": event_type, **data})
 
     def handle(method: str, path: str, body: dict):
-        parts = [p for p in path.split("/") if p]
+        from urllib.parse import parse_qs, urlparse
+
+        u = urlparse(path)
+        qs = {k: v[0] for k, v in parse_qs(u.query).items()}
+        parts = [p for p in u.path.split("/") if p]
         if parts == ["health"] and method == "GET":
             return 200, {"status": "ok", "collections": len(db.list_collections())}
         if parts == ["embeddings", "info"] and method == "GET":
@@ -252,10 +304,38 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
             if parts[2:] == ["count"] and method == "GET":
                 return 200, {"count": coll.count()}
             if parts[2:] == ["add"] and method == "POST":
-                pairs = list(zip(body["ids"], body["documents"]))
-                coll.add_texts(pairs)
+                coll.insert_batch(
+                    _texts_df(db, body["ids"], body["documents"], body.get("metadatas"), coll.dimensions)
+                )
                 publish(name, "add", ids=list(body["ids"]))
-                return 201, {"added": len(pairs)}
+                return 201, {"added": len(body["ids"])}
+            if parts[2:] == ["upsert"] and method == "POST":
+                coll.upsert(
+                    _texts_df(db, body["ids"], body["documents"], body.get("metadatas"), coll.dimensions)
+                )
+                publish(name, "upsert", ids=list(body["ids"]))
+                return 200, {"upserted": len(body["ids"])}
+            if parts[2:] == ["update"] and method == "POST":
+                ids, metas = list(body["ids"]), list(body["metadatas"])
+                if len(ids) != len(metas):
+                    raise ValueError("ids and metadatas must be the same length")
+                changes = _rows_df(db, [{"id": i, **m} for i, m in zip(ids, metas)])
+                coll.update_metadata(changes)
+                publish(name, "update", ids=ids)
+                return 200, {"updated": len(ids)}
+            if parts[2:] == ["delete_by_filter"] and method == "POST":
+                from custom_python_vectordb_spark.functions.filters import Filter
+
+                pred = Filter.from_dict(body["where"]).column
+                import pyspark.sql.functions as _F
+
+                matched = coll.df().filter(_F.coalesce(pred, _F.lit(False))).count()
+                coll.delete_by_filter(pred)
+                publish(name, "delete_by_filter", where=body["where"], deleted=matched)
+                return 200, {"deleted": matched}
+            if parts[2:] == ["peek"] and method == "GET":
+                rows = coll.peek(int(qs.get("limit", 10))).drop("embedding").collect()
+                return 200, {"rows": [r.asDict(recursive=True) for r in rows]}
             if parts[2:] == ["query"] and method == "POST":
                 rows = coll.query(
                     query_texts=body.get("query_texts"),
@@ -349,7 +429,14 @@ def _graph_routes(graph: GraphStore, method: str, parts: list[str], body: dict):
         nodes, _ = graph.dfs()
         flt = None
         for k, v in (body.get("props") or {}).items():
-            cond = F.get_json_object(F.col("props"), f"$.{k}") == str(v)
+            # get_json_object returns the JSON TEXT of the value (strings
+            # unquoted) — Python str() diverges for bool (str(True)='True'
+            # vs 'true'), None, and nested objects (round-2 ADVICE), so
+            # serialize the expectation as compact JSON instead. JSON null
+            # is unmatchable by design: get_json_object maps both null and
+            # missing to SQL NULL.
+            want = v if isinstance(v, str) else json.dumps(v, separators=(",", ":"))
+            cond = F.get_json_object(F.col("props"), f"$.{k}") == want
             flt = cond if flt is None else (flt & cond)
         rows = find_nodes(nodes, labels=body.get("labels"), prop_filter=flt).collect()
         return 200, {"ids": sorted(r["id"] for r in rows)}

@@ -61,6 +61,24 @@ class Warehouse:
         if os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
 
+    def save_batch_partition(
+        self, name: str, df: DataFrame, batch_id: int, key: str = "batch_id"
+    ) -> None:
+        """Idempotent micro-batch append for foreachBatch writers: the batch
+        lands in its own ``{key}={batch_id}`` partition under dynamic
+        partition overwrite, so an at-least-once REPLAY of the same batch
+        overwrites its partition instead of appending duplicates —
+        exactly-once effect on the stored table without a commit log."""
+        from pyspark.sql import functions as F
+
+        (
+            df.withColumn(key, F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(key)
+            .parquet(self._path(name))
+        )
+
     def save_bucketed(
         self, name: str, df: DataFrame, key: str = "id", buckets: int = 32
     ) -> None:

@@ -65,15 +65,25 @@ def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def maintain_postings(doc_stream: DataFrame, warehouse, name: str = "postings"):
     """foreachBatch writer: tokenize ONLY the micro-batch, aggregate its
-    (doc_id, term, tf) rows, append to the stored index. Append-only corpus
-    ⇒ batches touch disjoint doc_ids ⇒ the union of per-batch postings IS
-    the full rebuild (asserted in tests)."""
+    (doc_id, term, tf) rows, write them into the stored index keyed by
+    batch_id. Append-only corpus ⇒ batches touch disjoint doc_ids ⇒ the
+    union of per-batch postings IS the full rebuild (asserted in tests).
+
+    foreachBatch is AT-LEAST-ONCE, so the write must be replay-safe
+    (round-2 ADVICE): each batch overwrites its own ``batch_id=<n>``
+    partition (dynamic partition overwrite), making a post-failure replay
+    of the same batch a no-op instead of a silent tf/df/N inflation. The
+    serving reader drops the bookkeeping column."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_post = postings(batch_df)
-        warehouse.save(name, batch_post, mode="append")
+        warehouse.save_batch_partition(name, postings(batch_df), batch_id)
 
     return doc_stream.writeStream.foreachBatch(write_batch)
+
+
+def load_postings(warehouse, name: str = "postings") -> DataFrame:
+    """The maintained postings relation, bookkeeping column stripped."""
+    return warehouse.load(name).drop("batch_id")
 
 
 def bm25_from_postings(

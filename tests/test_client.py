@@ -1,0 +1,96 @@
+"""Python client SDK over a real socket: the full CRUD + query cycle of the
+reference's client test (``/root/reference/tests/test_client.py:258-285``),
+driven through client.Client → HTTP → server.py → the Spark engine."""
+
+from __future__ import annotations
+
+import pytest
+
+from custom_python_vectordb_spark.api import VectorDB
+from custom_python_vectordb_spark.client import Client, ClientError
+from custom_python_vectordb_spark.server import serve_background
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    srv, port = serve_background(VectorDB(spark, str(tmp_path / "wh")))
+    yield Client(f"http://127.0.0.1:{port}")
+    srv.shutdown()
+
+
+def test_full_crud_query_cycle(client):
+    assert client.heartbeat()
+    assert client.list_collections() == []
+
+    coll = client.create_collection("kb", dimensions=64)
+    assert client.list_collections() == ["kb"]
+    assert client.get_or_create_collection("kb").name == "kb"
+
+    # add with metadata → count
+    assert coll.add(
+        ids=["a", "b", "c"],
+        documents=["spark joins data", "brown foxes run", "joins in spark"],
+        metadatas=[{"lang": "en", "stars": 5}, {"lang": "en", "stars": 1}, {"lang": "de", "stars": 3}],
+    ) == 3
+    assert coll.count() == 3
+    assert len(coll) == 3
+
+    # duplicate insert is rejected; upsert is the update path
+    with pytest.raises(ClientError) as e:
+        coll.add(ids=["a"], documents=["dupe"])
+    assert e.value.status == 400
+
+    # query: exact self-match first; where-filter changes the winner
+    hits = coll.query(query_texts=["spark joins data"], n_results=2)
+    assert hits[0][0]["id"] == "a"
+    assert hits[0][0]["dist"] == pytest.approx(0.0, abs=1e-6)
+    hits = coll.query(query_texts=["spark joins data"], n_results=2, where={"lang": "de"})
+    assert [h["id"] for h in hits[0]] == ["c"]
+    # a filter matching nothing still yields a positional (empty) slot
+    assert coll.query(query_texts=["x"], n_results=2, where={"lang": "fr"}) == [[]]
+
+    # get / peek carry the document and metadata
+    got = coll.get("a")
+    assert got["_document"] == "spark joins data" and got["lang"] == "en"
+    assert coll.get("zzz") is None
+    rows = coll.peek(2)
+    assert [r["id"] for r in rows] == ["a", "b"]
+
+    # upsert replaces content; update merges metadata (absent keys kept)
+    coll.upsert(ids=["a"], documents=["completely new text"], metadatas=[{"lang": "en"}])
+    assert coll.count() == 3
+    assert coll.get("a")["_document"] == "completely new text"
+    coll.update(ids=["b"], metadatas=[{"lang": "fr"}])
+    b = coll.get("b")
+    assert b["lang"] == "fr" and b["stars"] == 1  # stars survived the merge
+
+    # keyword + hybrid search answer over the same corpus
+    kw = coll.keyword_search("joins", n_results=5)
+    assert {h["id"] for h in kw} == {"c"}  # 'a' was upserted away from 'joins'
+    hy = coll.hybrid("joins in spark", n_results=3)
+    assert hy[0]["id"] == "c"
+
+    # delete by id and by filter
+    assert coll.delete("a") == 1
+    assert coll.delete_by_filter({"lang": "fr"}) == 1
+    assert coll.count() == 1
+    assert coll.delete_by_filter({"lang": "nope"}) == 0
+
+    assert client.delete_collection("kb") is True
+    assert client.list_collections() == []
+    with pytest.raises(ClientError):
+        client.get_collection("kb")
+
+
+def test_events_replay_over_sse(client):
+    coll = client.create_collection("ev", dimensions=64)
+    coll.add(ids=["1"], documents=["first"])
+    coll.delete("1")
+    seen = []
+    for ev in coll.events(replay=10, timeout=3.0):
+        seen.append(ev)
+        if len(seen) >= 3:
+            break
+    types = [e["event_type"] for e in seen]
+    assert types[:3] == ["create_collection", "add", "delete"]
+    assert seen[1]["ids"] == ["1"]

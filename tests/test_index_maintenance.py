@@ -1,6 +1,7 @@
-"""Incremental BM25 index maintenance: the streamed, foreachBatch-appended
+"""Incremental BM25 index maintenance: the streamed, foreachBatch-written
 postings index must be indistinguishable from a from-scratch batch build —
-same postings relation, same BM25 top-k, same scores."""
+same postings relation, same BM25 top-k, same scores — and a replayed
+micro-batch must be a no-op (at-least-once safety)."""
 
 from __future__ import annotations
 
@@ -10,6 +11,7 @@ from custom_python_vectordb_spark.operators.bm25 import bm25_topk, postings
 from custom_python_vectordb_spark.sources.catalog import load_table
 from custom_python_vectordb_spark.streaming.index_maintenance import (
     bm25_from_postings,
+    load_postings,
     maintain_postings,
     read_document_stream,
 )
@@ -17,40 +19,51 @@ from custom_python_vectordb_spark.streaming.index_maintenance import (
 QUERY = "fast hash join merge sort join"
 
 
-def test_streamed_postings_equal_batch_build(spark, sf_small, tmp_path):
-    from custom_python_vectordb_spark.sources.warehouse import Warehouse
-
-    wh = Warehouse(spark, str(tmp_path / "wh"))
-    wh.save("postings", spark.createDataFrame([], "doc_id long, term string, tf long"))
-    # maxFilesPerTrigger guarantees ≥1 micro-batch; availableNow drains all
+def _run_stream(spark, sf_small, wh):
     stream = read_document_stream(spark, sf_small)
     q = maintain_postings(stream, wh, "postings").trigger(availableNow=True).start()
     q.awaitTermination(120)
     q.stop()
 
-    maintained = wh.load("postings")
+
+def test_streamed_postings_equal_batch_build(spark, sf_small, tmp_path):
+    from custom_python_vectordb_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _run_stream(spark, sf_small, wh)
+
+    maintained = load_postings(wh)
     batch = postings(load_table(spark, sf_small, "documents"))
     assert maintained.count() == batch.count()
     assert maintained.exceptAll(batch).count() == 0
     assert batch.exceptAll(maintained).count() == 0
 
 
+def test_batch_replay_is_idempotent(spark, sf_small, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the same batch_id must
+    overwrite its partition, not append — tf/df/N cannot silently inflate
+    (round-2 ADVICE). Simulated by running the whole stream twice without a
+    checkpoint, which re-emits the same batch ids over the same files."""
+    from custom_python_vectordb_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _run_stream(spark, sf_small, wh)
+    once = load_postings(wh).count()
+    _run_stream(spark, sf_small, wh)  # replay: same files, same batch ids
+    assert load_postings(wh).count() == once
+    batch = postings(load_table(spark, sf_small, "documents"))
+    assert load_postings(wh).exceptAll(batch).count() == 0
+
+
 def test_bm25_from_maintained_index_equals_from_corpus(spark, sf_small, tmp_path):
     from custom_python_vectordb_spark.sources.warehouse import Warehouse
 
     wh = Warehouse(spark, str(tmp_path / "wh"))
-    wh.save("postings", spark.createDataFrame([], "doc_id long, term string, tf long"))
-    q = (
-        maintain_postings(read_document_stream(spark, sf_small), wh, "postings")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    q.stop()
+    _run_stream(spark, sf_small, wh)
 
     served = [
         (r["doc_id"], round(r["score"], 6))
-        for r in bm25_from_postings(wh.load("postings"), QUERY, k=10).collect()
+        for r in bm25_from_postings(load_postings(wh), QUERY, k=10).collect()
     ]
     direct = [
         (r["doc_id"], round(r["score"], 6))

@@ -93,3 +93,9 @@ def test_mmr_rerank_prefers_diversity(spark):
     plain = mmr_rerank(corpus, q, k=2, lam=1.0, fetch_k=4)
     assert [p[0] for p in plain] == [2, 1]
     assert mmr_rerank(corpus.filter("vec_id < 0"), q, k=2) == []
+    # driver-side candidate cap: an unbounded fetch_k must raise, never
+    # silently collect the corpus (round-2 verdict #4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="10k driver-side candidate cap"):
+        mmr_rerank(corpus, q, k=2, fetch_k=10_001)

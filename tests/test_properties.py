@@ -197,3 +197,41 @@ def test_salted_join_equivalence_property(spark, rows, salts):
         map(tuple, salted_join(big, small, "k", salts=salts).select("rid", "dim").collect())
     )
     assert plain == salted
+
+
+# ------------------------------------------------- embedding near-dup (LSH)
+
+
+def test_neardup_lsh_is_exact_on_candidates_and_recall_measured(spark):
+    """The registered `neardup_embedding` is the LSH-candidates plan; the
+    brute all-pairs operator is kept ONLY as this test's recall oracle
+    (round-2 verdict #3).  Properties checked:
+
+    1. exact-verify: every pair the LSH plan returns carries the same cosine
+       similarity the brute plan computes for that pair (candidates are
+       approximate; SCORES are exact);
+    2. subset: the LSH result is a subset of all-pairs (no invented pairs);
+    3. recall floor vs the brute top-20 on the real sf0.001 embeddings —
+       this corpus has no planted near-dups (max pair sim ≈ 0.51) so
+       hyperplane LSH recall is modest by construction; the floor guards
+       against a silently broken bucket join (recall 0), not quality.
+    """
+    from custom_python_vectordb_spark.queries.pipeline import neardup_embedding
+    from custom_python_vectordb_spark.operators.dedup import embedding_neardup_topk
+    from custom_python_vectordb_spark.queries.spine import _t
+
+    sf = "/root/testdata/sf0.001"
+    lsh_rows = {(r.a, r.b): r.sim for r in neardup_embedding(spark, sf).collect()}
+    emb = _t(spark, sf, "embeddings")
+    brute_all = {
+        (r.a, r.b): r.sim
+        for r in embedding_neardup_topk(emb, k=10**9).collect()
+    }
+    brute_top = sorted(brute_all.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    assert lsh_rows, "LSH near-dup returned nothing"
+    for pair, sim in lsh_rows.items():
+        assert pair in brute_all
+        assert abs(sim - round(brute_all[pair], 6)) < 1e-9, pair
+    recall = len(set(lsh_rows) & {p for p, _ in brute_top}) / 20
+    assert recall >= 0.2, f"bucket join broken? recall={recall}"

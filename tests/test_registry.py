@@ -54,9 +54,43 @@ def test_contract_size_exact():
     assert len(registry.ORACLES) >= 133
 
 
-def test_priority_rotation_applied():
+def test_rotation_puts_unverified_oracleable_first():
+    """The driver checks a fixed-size PREFIX of the registry each round, so
+    the prefix must be: unverified+oracle-able queries first, then unverified
+    oracle-less, then everything already verified.  Derived from the recorded
+    CORRECTNESS files so the test stays true as rounds accumulate."""
     names = list(registry.QUERIES)
-    expected_front = [n for n in registry.PRIORITY if n in registry.QUERIES]
-    assert names[: len(expected_front)] == expected_front
-    # the driver-checked window (first 50) should be exactly the rotation block
-    assert len(expected_front) == 50
+    verified = registry._already_verified()
+    unverified_oracleable = [
+        n for n in names if n not in verified and n in registry.ORACLES
+    ]
+    unverified_weak = [
+        n for n in names if n not in verified and n not in registry.ORACLES
+    ]
+    k = len(unverified_oracleable)
+    assert names[:k] == unverified_oracleable
+    assert names[k : k + len(unverified_weak)] == unverified_weak
+    # every remaining name is verified
+    assert all(n in verified for n in names[k + len(unverified_weak) :])
+
+
+def test_already_verified_requires_hash_green(tmp_path, monkeypatch):
+    """A hash MISMATCH row must never count as verified (it is a failing
+    query that needs to stay in the window); rows_match alone counts only
+    when no hash was recorded."""
+    import json
+
+    rows = {
+        "hash_green": {"err": None, "rows_match": True, "hash_match": True},
+        "hash_red": {"err": None, "rows_match": True, "hash_match": False},
+        "rows_only": {"err": None, "rows_match": True, "hash_match": None},
+        "no_oracle": {"err": "no_oracle", "rows_match": None, "hash_match": None},
+        "errored": {"err": "boom", "rows_match": True, "hash_match": True},
+    }
+    pkg = tmp_path / "custom_python_vectordb_spark"
+    pkg.mkdir()
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
+    monkeypatch.setattr(
+        registry, "__file__", str(pkg / "registry.py"), raising=False
+    )
+    assert registry._already_verified() == {"hash_green", "rows_only"}
