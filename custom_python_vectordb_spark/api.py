@@ -24,6 +24,7 @@ from custom_python_vectordb_spark.operators import mutations
 from custom_python_vectordb_spark.operators.bm25 import bm25_topk, hybrid_search
 from custom_python_vectordb_spark.operators.knn import knn
 from custom_python_vectordb_spark.sources.warehouse import Warehouse
+from custom_python_vectordb_spark.functions.local_relation import local_df
 
 
 class Collection:
@@ -52,7 +53,7 @@ class Collection:
         return d
 
     def get_batch(self, ids: list[str], include_vectors: bool = False) -> list[dict]:
-        ids_df = self.db.spark.createDataFrame([(i,) for i in ids], "id string")
+        ids_df = local_df(self.db.spark, list(ids), "id string")
         rows = self.df().join(F.broadcast(ids_df), "id", "left_semi").collect()
         out = []
         for r in rows:
@@ -136,8 +137,8 @@ class Collection:
             cond = where.column
         elif where is not None:
             cond = where
-        queries = self.db.spark.createDataFrame(
-            [(0, [float(x) for x in vector])], "qid long, qvec array<float>"
+        queries = local_df(
+            self.db.spark, [(0, [float(x) for x in vector])], "qid long, qvec array<float>"
         )
         payload = [c for c in self.df().columns if c not in ("id", "embedding")]
         if include_vector:
@@ -189,7 +190,8 @@ class Collection:
             query_embeddings = [
                 mock_embed_one(t, self.dimensions).tolist() for t in query_texts
             ]
-        queries = self.db.spark.createDataFrame(
+        queries = local_df(
+            self.db.spark,
             [(i, [float(x) for x in v]) for i, v in enumerate(query_embeddings)],
             "qid long, qvec array<float>",
         )
@@ -204,7 +206,8 @@ class Collection:
         return bm25_topk(self.df(), query, k=k, id_col="id", text_col="_document")
 
     def hybrid(self, query_text: str, k: int = 10, alpha: float = 0.5) -> DataFrame:
-        qv = self.db.spark.createDataFrame(
+        qv = local_df(
+            self.db.spark,
             [(mock_embed_one(query_text, self.dimensions).tolist(),)], "qvec array<float>"
         )
         return hybrid_search(

@@ -128,12 +128,164 @@ def sentence_transformer_udf(model_name: str = "all-MiniLM-L6-v2", batch_size: i
     return embed
 
 
+def http_json_transport(url: str, headers: dict, payload: dict) -> dict:
+    """Default provider transport: one JSON POST, stdlib-only. Kept as a
+    separate injectable callable so tests exercise the full batch/retry
+    pipeline against a fake transport without network access."""
+    import json as _json
+    import urllib.request as _rq
+
+    req = _rq.Request(
+        url,
+        data=_json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json", **headers},
+        method="POST",
+    )
+    with _rq.urlopen(req, timeout=60) as resp:
+        return _json.loads(resp.read())
+
+
+class RetryableProviderError(RuntimeError):
+    """Transport signal for retry-worthy failures (429 / 5xx / timeouts)."""
+
+
+def _hosted_embedder_udf(build_request, parse_response, batch_size: int, max_retries: int, transport):
+    """Shared hosted-provider loop (the reference's ``embed_batch`` shape,
+    ``embeddings.py:158-176`` / ``:323-334``): chunk the Arrow batch into
+    provider-sized requests, POST each with exponential backoff on
+    retryable failures, reassemble in input order. The pandas-UDF contract
+    means Spark already delivers texts in vectorized batches — the chunk
+    loop only adapts batch sizes to the provider's request cap."""
+    tport = transport or http_json_transport
+
+    @pandas_udf("array<float>")
+    def embed(texts: pd.Series) -> pd.Series:
+        import time as _time
+
+        import pandas as _pd
+
+        out: list = []
+        items = list(texts)
+        for lo in range(0, len(items), batch_size):
+            chunk = ["" if t is None else t for t in items[lo : lo + batch_size]]
+            url, headers, payload = build_request(chunk)
+            for attempt in range(max_retries + 1):
+                try:
+                    resp = tport(url, headers, payload)
+                    break
+                except RetryableProviderError:
+                    if attempt == max_retries:
+                        raise
+                    # exponential backoff with cap — the reference retries
+                    # via its client library; this is the same policy inline
+                    _time.sleep(min(2.0**attempt * 0.5, 8.0))
+            out.extend(parse_response(resp))
+        return _pd.Series(out)
+
+    return embed
+
+
+def openai_embedder_udf(
+    model: str = "text-embedding-3-small",
+    api_key: str | None = None,
+    dimensions: int | None = None,
+    batch_size: int = 100,
+    max_retries: int = 4,
+    transport=None,
+):
+    """OpenAI embeddings provider (reference ``embeddings.py:95-198``) as a
+    pandas UDF over the public REST API (stdlib HTTP — the openai package
+    is not in this runtime). Gated at FACTORY time: without a key (or an
+    injected test transport) this raises immediately driver-side rather
+    than failing per-executor. `dimensions` forwards the v3 models'
+    dimension-reduction parameter."""
+    import os
+
+    key = api_key or os.environ.get("OPENAI_API_KEY")
+    if key is None and transport is None:
+        raise NotImplementedError(
+            "OPENAI_API_KEY is not set and no transport was injected; use "
+            "provider='mock' in this runtime"
+        )
+
+    def build_request(chunk):
+        payload = {"input": chunk, "model": model}
+        if dimensions and "3-" in model:
+            payload["dimensions"] = dimensions
+        return (
+            "https://api.openai.com/v1/embeddings",
+            {"Authorization": f"Bearer {key}"},
+            payload,
+        )
+
+    def parse_response(resp):
+        data = sorted(resp["data"], key=lambda d: d["index"])
+        return [[float(x) for x in d["embedding"]] for d in data]
+
+    return _hosted_embedder_udf(build_request, parse_response, batch_size, max_retries, transport)
+
+
+def cohere_embedder_udf(
+    model: str = "embed-english-v3.0",
+    api_key: str | None = None,
+    input_type: str = "search_document",
+    batch_size: int = 96,
+    max_retries: int = 4,
+    transport=None,
+):
+    """Cohere embeddings provider (reference ``embeddings.py:263-341``) as a
+    pandas UDF over the public REST API; same factory-time gating and
+    batch/retry shape as the OpenAI provider. `input_type` distinguishes
+    document vs query embeddings (v3 models)."""
+    import os
+
+    key = api_key or os.environ.get("COHERE_API_KEY")
+    if key is None and transport is None:
+        raise NotImplementedError(
+            "COHERE_API_KEY is not set and no transport was injected; use "
+            "provider='mock' in this runtime"
+        )
+
+    def build_request(chunk):
+        return (
+            "https://api.cohere.com/v1/embed",
+            {"Authorization": f"Bearer {key}"},
+            {"texts": chunk, "model": model, "input_type": input_type},
+        )
+
+    def parse_response(resp):
+        return [[float(x) for x in v] for v in resp["embeddings"]]
+
+    return _hosted_embedder_udf(build_request, parse_response, batch_size, max_retries, transport)
+
+
 def embedder_udf(provider: str = "mock", dimensions: int = 64, **kwargs):
-    """Provider dispatch mirroring the reference's embedder registry
-    (``embeddings.py:425-459``): 'mock' (deterministic, always available)
-    or 'sentence-transformers' (real, gated on the library)."""
+    """Provider dispatch mirroring the reference's ``get_embedder`` factory
+    (``embeddings.py:455-519``): 'mock' (deterministic, always available),
+    'openai' / 'cohere' (hosted REST, gated on keys), 'sentence-transformers'
+    (local model, gated on the library), or 'auto' (the reference's
+    preference order: OpenAI key → sentence-transformers → mock)."""
+    if provider == "auto":
+        import os
+
+        if os.environ.get("OPENAI_API_KEY") or kwargs.get("api_key"):
+            provider = "openai"
+        else:
+            try:
+                import sentence_transformers  # noqa: F401
+
+                provider = "sentence-transformers"
+            except ImportError:
+                provider = "mock"
     if provider == "mock":
         return mock_embedder_udf(dimensions)
+    if provider == "openai":
+        return openai_embedder_udf(**kwargs)
+    if provider == "cohere":
+        return cohere_embedder_udf(**kwargs)
     if provider in ("sentence-transformers", "st"):
         return sentence_transformer_udf(**kwargs)
-    raise ValueError(f"unknown embedding provider {provider!r}; one of mock|sentence-transformers")
+    raise ValueError(
+        f"unknown embedding provider {provider!r}; "
+        "one of mock|openai|cohere|sentence-transformers|auto"
+    )

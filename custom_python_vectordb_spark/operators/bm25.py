@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from custom_python_vectordb_spark.functions.distances import distance_expr
 from custom_python_vectordb_spark.functions.text import tokenize, tokenize_py
+from custom_python_vectordb_spark.functions.local_relation import local_df
 
 K1 = 1.5
 B = 0.75
@@ -74,11 +75,11 @@ def bm25_scores(
     spark = docs.sparkSession
     terms = tokenize_py(query)
     if not terms:
-        return spark.createDataFrame([], f"{id_col} long, {score_col} double")
+        return local_df(spark, [], f"{id_col} long, {score_col} double")
     qcounts: dict[str, int] = {}
     for t in terms:
         qcounts[t] = qcounts.get(t, 0) + 1
-    q = spark.createDataFrame(list(qcounts.items()), "term string, qn long")
+    q = local_df(spark, list(qcounts.items()), "term string, qn long")
 
     # tokenize once; postings/df/dl/stats all derive from this materialization
     toks = tokens_df(docs, id_col, text_col).persist()
@@ -186,11 +187,11 @@ def tfidf_scores(
     spark = docs.sparkSession
     terms = tokenize_py(query)
     if not terms:
-        return spark.createDataFrame([], f"{id_col} long, {score_col} double")
+        return local_df(spark, [], f"{id_col} long, {score_col} double")
     qcounts: dict[str, int] = {}
     for t in terms:
         qcounts[t] = qcounts.get(t, 0) + 1
-    q = spark.createDataFrame(list(qcounts.items()), "term string, qn long")
+    q = local_df(spark, list(qcounts.items()), "term string, qn long")
 
     post = postings(docs, id_col, text_col)
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

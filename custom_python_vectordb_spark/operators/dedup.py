@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from custom_python_vectordb_spark.functions.text import tokenize
+from custom_python_vectordb_spark.functions.local_relation import local_df
 
 
 def shingles_expr(text: Column, n: int = 3) -> Column:
@@ -104,7 +105,7 @@ def minhash_signatures(
 
     sh = shingles if shingles is not None else doc_shingles(docs, shingle_n, id_col, text_col)
     spark = sh.sparkSession
-    seeds = spark.createDataFrame(minhash_seeds(num_hashes), "h int, a long, b long")
+    seeds = local_df(spark, minhash_seeds(num_hashes), "h int, a long, b long")
     hashed = sh.withColumn("hv", hash48(F.col("shingle")))
     mixed = hashed.join(F.broadcast(seeds)).select(
         F.col(id_col), "h",

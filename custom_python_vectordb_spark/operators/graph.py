@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from custom_python_vectordb_spark.functions.distances import distance_expr
+from custom_python_vectordb_spark.functions.local_relation import local_df
 
 
 def _directed(edges: DataFrame, direction: str, edge_type: str | None) -> DataFrame:
@@ -160,7 +161,7 @@ def traverse_paths(
     Returns (path array<string>, depth, path_str)."""
     pairs = _directed(edges, direction, edge_type).distinct()
     spark = edges.sparkSession
-    frontier = spark.createDataFrame([([start],)], "path array<string>")
+    frontier = local_df(spark, [([start],)], "path array<string>")
     out = None
     for _ in range(max_depth):
         ext = (
@@ -174,7 +175,7 @@ def traverse_paths(
         out = ext if out is None else out.unionByName(ext)
         frontier = ext
     if out is None:
-        return spark.createDataFrame([], "path array<string>, depth int, path_str string")
+        return local_df(spark, [], "path array<string>, depth int, path_str string")
     return out.select(
         "path",
         (F.size("path") - 1).alias("depth"),
@@ -197,9 +198,9 @@ def shortest_path(
     pairs = _directed(edges, direction, edge_type).distinct()
     spark = edges.sparkSession
     if from_node == to_node:
-        return spark.createDataFrame([(from_node, 0)], "path_str string, length int")
-    frontier = spark.createDataFrame([([from_node],)], "path array<string>")
-    visited = spark.createDataFrame([(from_node,)], "id string")
+        return local_df(spark, [(from_node, 0)], "path_str string, length int")
+    frontier = local_df(spark, [([from_node],)], "path array<string>")
+    visited = local_df(spark, [(from_node,)], "id string")
     for depth in range(1, max_depth + 1):
         ext = (
             pairs.join(frontier.withColumn("frm", F.element_at("path", -1)), "frm")
@@ -210,7 +211,7 @@ def shortest_path(
         hits = ext.filter(F.element_at("path", -1) == to_node)
         hit_rows = hits.select(F.array_join("path", "->").alias("path_str")).orderBy("path_str").limit(1).collect()
         if hit_rows:
-            return spark.createDataFrame([(hit_rows[0]["path_str"], depth)], "path_str string, length int")
+            return local_df(spark, [(hit_rows[0]["path_str"], depth)], "path_str string, length int")
         new_ids = ext.select(F.element_at("path", -1).alias("id")).distinct()
         # keep ONE representative path per new node (min path_str) — enough
         # for shortest-path reconstruction, keeps the frontier linear in |V|
@@ -224,20 +225,20 @@ def shortest_path(
         visited = visited.unionByName(new_ids.join(visited, "id", "left_anti")).localCheckpoint(eager=True)
         if frontier.isEmpty():
             break
-    return spark.createDataFrame([], "path_str string, length int")
+    return local_df(spark, [], "path_str string, length int")
 
 
 def hyperedges_with_any(membership: DataFrame, node_ids: list[str]) -> DataFrame:
     """J7 any — hyperedges touching any of node_ids (semi-join)."""
     spark = membership.sparkSession
-    wanted = spark.createDataFrame([(n,) for n in node_ids], "node_id string")
+    wanted = local_df(spark, [(n,) for n in node_ids], "node_id string")
     return membership.join(F.broadcast(wanted), "node_id", "left_semi").select("hyperedge_id").distinct()
 
 
 def hyperedges_with_all(membership: DataFrame, node_ids: list[str]) -> DataFrame:
     """J7 all — hyperedges containing every node_id (count==n after semi-join)."""
     spark = membership.sparkSession
-    wanted = spark.createDataFrame([(n,) for n in set(node_ids)], "node_id string")
+    wanted = local_df(spark, [(n,) for n in set(node_ids)], "node_id string")
     return (
         membership.join(F.broadcast(wanted), "node_id")
         .groupBy("hyperedge_id")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from custom_python_vectordb_spark.operators.knn import knn
+from custom_python_vectordb_spark.functions.local_relation import local_df
 
 
 def mmr_rerank(
@@ -41,8 +42,8 @@ def mmr_rerank(
             "MMR reranks a bounded top-fetch_k candidate set, not the corpus"
         )
     spark = corpus.sparkSession
-    queries = spark.createDataFrame(
-        [(0, [float(x) for x in query_vec])], "qid long, qvec array<float>"
+    queries = local_df(
+        spark, [(0, [float(x) for x in query_vec])], "qid long, qvec array<float>"
     )
     cands = knn(
         corpus, queries, k=fetch_k, metric="cosine",

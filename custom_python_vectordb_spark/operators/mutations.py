@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from custom_python_vectordb_spark.functions.local_relation import local_df
 
 
 class DuplicateIdError(ValueError):
@@ -51,8 +52,8 @@ def upsert(existing: DataFrame, batch: DataFrame, id_col: str = "id") -> DataFra
 def delete_ids(existing: DataFrame, ids: DataFrame | list, id_col: str = "id") -> DataFrame:
     """M4 — anti-join rewrite."""
     if isinstance(ids, list):
-        ids = existing.sparkSession.createDataFrame(
-            [(i,) for i in ids], f"{id_col} {dict(existing.dtypes)[id_col]}"
+        ids = local_df(
+            existing.sparkSession, list(ids), f"{id_col} {dict(existing.dtypes)[id_col]}"
         )
     return existing.join(F.broadcast(ids.select(id_col)), id_col, "left_anti")
 
@@ -90,7 +91,7 @@ def cascade_delete_nodes(
     """M7 — drop nodes and every edge touching them (graph.py:620-658's
     index maintenance collapses to two anti-joins)."""
     spark = nodes.sparkSession
-    ids = spark.createDataFrame([(i,) for i in node_ids], "id string")
+    ids = local_df(spark, list(node_ids), "id string")
     new_nodes = nodes.join(F.broadcast(ids), "id", "left_anti")
     new_edges = (
         edges.join(F.broadcast(ids.select(F.col("id").alias("src"))), "src", "left_anti")

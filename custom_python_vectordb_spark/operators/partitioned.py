@@ -59,7 +59,7 @@ def knn_partitioned(
 
     `assume_sharded`: the caller guarantees `corpus` is already partitioned
     the way a production deployment stores it (bucketed/pre-repartitioned,
-    e.g. via `sources/bucketed.py` or a persisted
+    e.g. via `sources/warehouse.py:save_bucketed` or a persisted
     ``repartition(n, id % n)``) — skips the per-call shuffle, leaving only
     the probe cost. Partition membership then follows the CALLER's layout,
     so determinism is the caller's contract.

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from custom_python_vectordb_spark.functions.distances import distance_expr
 from custom_python_vectordb_spark.operators.topk import top_k_per_group
+from custom_python_vectordb_spark.functions.local_relation import local_df
 
 # ------------------------------------------------------------------ SQ
 
@@ -247,7 +248,7 @@ def pq_train_kmeans(
         km = KMeans(k=num_centroids, seed=seed, maxIter=max_iter).fit(sliced)
         for code, center in enumerate(km.clusterCenters()):
             out.append((m, code, [float(x) for x in center]))
-    return spark.createDataFrame(out, "m int, code int, centroid array<double>")
+    return local_df(spark, out, "m int, code int, centroid array<double>")
 
 
 # ------------------------------------------------------------------ K5 rerank

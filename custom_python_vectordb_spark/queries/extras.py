@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from custom_python_vectordb_spark.operators.asof import asof_join_backward
 from custom_python_vectordb_spark.queries.spine import _t
 from custom_python_vectordb_spark.registry import query
+from custom_python_vectordb_spark.functions.local_relation import local_df
 
 
 @query("asof_join_purchase_view", """
@@ -218,7 +219,8 @@ GROUP BY b.lbl
 def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (interval) join against a tiny bucket dimension —
     BroadcastNestedLoopJoin with the bucket side broadcast."""
-    buckets = spark.createDataFrame(
+    buckets = local_df(
+        spark,
         [("low", 0.0, 25.0), ("mid", 25.0, 75.0), ("high", 75.0, 1e12)],
         "lbl string, lo double, hi double",
     )

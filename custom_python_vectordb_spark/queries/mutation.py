@@ -19,6 +19,7 @@ from custom_python_vectordb_spark.operators.mutations import (
 from custom_python_vectordb_spark.queries.spine import _t
 from custom_python_vectordb_spark.registry import query
 from custom_python_vectordb_spark.sources.graph_view import DUCK_EDGES, DUCK_NODES, edges_df, nodes_df
+from custom_python_vectordb_spark.functions.local_relation import local_df
 
 
 @query("mutation_upsert", """
@@ -106,36 +107,141 @@ def mutation_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("type").agg(F.count(F.lit(1)).alias("n"))
 
 
-@query("semantic_text_search")  # E8+K1 composed: UDF embeddings → rows-only check
+def _semantic_search_oracle() -> str | None:
+    """Oracle for the embed→kNN pipeline (round-2 verdict #10). The mock
+    embedder (sha256-seeded RandomState) is not SQL-expressible, but it IS
+    deterministic — so the embedding stage is SNAPSHOTTED: at import time
+    the sf0.01 document texts are embedded with the same provider twin and
+    inlined as a VALUES table; DuckDB then independently recomputes the
+    cosine top-10 from those vectors. Scoped to the driver's gate scale
+    (sf0.01): at any other sf the comparison fails LOUDLY rather than
+    passing vacuously. Returns None (→ rows-only check) if the snapshot
+    inputs are unavailable."""
+    import os
+
+    p = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(p):
+        return None
+    try:
+        import duckdb
+
+        from custom_python_vectordb_spark.functions.embeddings import mock_embed_one
+
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM '{p}' WHERE doc_id < 200 ORDER BY doc_id"
+        ).fetchall()
+    except Exception:
+        return None
+    vals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            did, ", ".join(repr(float(x)) for x in mock_embed_one(t, 64))
+        )
+        for did, t in rows
+    )
+    qv = ", ".join(repr(float(x)) for x in mock_embed_one("fast hash join merge sort", 64))
+    return f"""
+WITH emb(doc_id, v) AS (VALUES {vals}),
+q AS (SELECT [{qv}]::DOUBLE[] AS qv),
+scored AS (
+    SELECT e.doc_id,
+           1 - list_inner_product(e.v, q.qv)
+               / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS dist
+    FROM emb e, q)
+SELECT doc_id, ROUND(dist, 6) + 0.0 AS dist FROM scored
+ORDER BY dist, doc_id LIMIT 10
+"""
+
+
+@query("semantic_text_search", _semantic_search_oracle())
 def semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text pipeline in one plan: embed raw documents with the
     deterministic provider, embed a query string, exact cosine top-10.
-    Deterministic end-to-end (bit-identical embeddings) but the RandomState
-    generation is not SQL-expressible — rows-only driver check; embedding
-    parity is pinned in tests/test_embeddings.py."""
+    RandomState generation is not SQL-expressible, so the oracle inlines a
+    deterministic embedding snapshot (see _semantic_search_oracle) and
+    recomputes the ranking independently; embedding bit-parity with the
+    reference's MockEmbedder is separately pinned in tests/test_embeddings.py."""
     from custom_python_vectordb_spark.functions.embeddings import mock_embed_one
     from custom_python_vectordb_spark.operators.knn import knn
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id", "text")
     corpus = embed_column(docs, "text", "embedding", dimensions=64)
     qv = mock_embed_one("fast hash join merge sort", 64).tolist()
-    queries = spark.createDataFrame([(0, qv)], "qid long, qvec array<float>")
+    queries = local_df(spark, [(0, qv)], "qid long, qvec array<float>")
     return knn(
         corpus, queries, k=10, id_col="doc_id", round_to=6
     ).select("doc_id", "dist")
 
 
-@query("mmr_rerank")  # iterative greedy argmax — rows-only check; behavior pinned in tests
+def _mmr_oracle_sql(k: int = 5, fetch_k: int = 30) -> str:
+    """DuckDB twin of the MMR greedy loop, UNROLLED: k is small and fixed,
+    so the 'iterative' argmax is k chained CTEs, each selecting
+    argmax(λ·rel − (1−λ)·max_sim_to_selected) over the not-yet-selected
+    candidates (score DESC, id ASC tie-break = the operator's contract).
+    (1 - 0.7) is written as the SQL expression, not 0.3, so both engines
+    use the same IEEE double 0.30000000000000004."""
+    stages, prev = [], []
+    for t in range(1, k + 1):
+        if prev:
+            red = "GREATEST(" + ", ".join(
+                f"(SELECT list_inner_product(n.u, s.u) FROM s{j} s)" for j in prev
+            ) + ")"
+            score = f"0.7 * n.rel - (1 - 0.7) * {red}"
+            excl = "WHERE n.vec_id NOT IN (" + " UNION ALL ".join(
+                f"SELECT vec_id FROM s{j}" for j in prev
+            ) + ")"
+        else:
+            score = "0.7 * n.rel"
+            excl = ""
+        stages.append(
+            f"s{t} AS (SELECT n.vec_id, n.rel, n.u, {score} AS score FROM nrm n {excl} "
+            f"ORDER BY score DESC, n.vec_id ASC LIMIT 1)"
+        )
+        prev.append(t)
+    finals = " UNION ALL ".join(
+        f'SELECT {t - 1} AS "rank", vec_id, ROUND(rel, 6) + 0.0 AS relevance, '
+        f"ROUND(score, 6) + 0.0 AS mmr_score FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT list_transform(qv, x -> x / CASE WHEN sqrt(list_inner_product(qv, qv)) = 0
+                                          THEN 1 ELSE sqrt(list_inner_product(qv, qv)) END) AS u FROM q),
+cand AS (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+           1 - list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(q.qv, q.qv))) AS dist
+    FROM embeddings e, q ORDER BY dist ASC, e.vec_id ASC LIMIT {fetch_k}),
+nrm AS (
+    SELECT c.vec_id,
+           list_transform(c.v, x -> x / CASE WHEN sqrt(list_inner_product(c.v, c.v)) = 0
+                                        THEN 1 ELSE sqrt(list_inner_product(c.v, c.v)) END) AS u
+           , list_inner_product(
+               list_transform(c.v, x -> x / CASE WHEN sqrt(list_inner_product(c.v, c.v)) = 0
+                                            THEN 1 ELSE sqrt(list_inner_product(c.v, c.v)) END),
+               (SELECT u FROM qn)) AS rel
+    FROM cand c),
+{", ".join(stages)}
+SELECT "rank", vec_id, relevance, mmr_score FROM ({finals})
+"""
+
+
+@query("mmr_rerank", _mmr_oracle_sql())
 def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diversity-aware top-5 for query vector 0 (λ=0.7 over 30 candidates)."""
+    """Diversity-aware top-5 for query vector 0 (λ=0.7 over 30 candidates).
+    The greedy argmax is inherently sequential, but k=5 is FIXED — so the
+    oracle unrolls it into 5 chained CTEs (round-2 verdict #10): one fewer
+    rows-only query."""
     from custom_python_vectordb_spark.operators.mmr import mmr_rerank
     from custom_python_vectordb_spark.sources.catalog import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     picks = mmr_rerank(emb, list(qv), k=5, lam=0.7, fetch_k=30)
-    return spark.createDataFrame(
-        [(i, int(p[0]), round(p[1], 6), round(p[2], 6)) for i, p in enumerate(picks)],
+    return local_df(
+        spark,
+        # + 0.0 canonicalizes IEEE −0.0, same as the oracle's ROUND(x,6)+0.0
+        [(i, int(p[0]), round(p[1], 6) + 0.0, round(p[2], 6) + 0.0) for i, p in enumerate(picks)],
         "rank int, vec_id long, relevance double, mmr_score double",
     )
 

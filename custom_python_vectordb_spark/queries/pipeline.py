@@ -38,6 +38,7 @@ from custom_python_vectordb_spark.operators.dedup import (
 from custom_python_vectordb_spark.operators.similarity import ivf_assign, knn_ivf, knn_lsh
 from custom_python_vectordb_spark.queries.spine import ROUND, _query_vectors, _t
 from custom_python_vectordb_spark.registry import query
+from custom_python_vectordb_spark.functions.local_relation import local_df
 
 TOKS = duck_tokenize("text")
 _SEED_VALUES = ", ".join(f"({h}, {a}, {b})" for h, a, b in minhash_seeds(16))
@@ -791,8 +792,8 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_python_vectordb_spark.functions.hashing import hash48
 
     docs = _t(spark, sf_dir, "documents")
-    rates = docs.sparkSession.createDataFrame(
-        list(_MIX_THS.items()), "source string, ths int"
+    rates = local_df(
+        docs.sparkSession, list(_MIX_THS.items()), "source string, ths int"
     )
     keyed = (
         docs.join(F.broadcast(rates), "source", "left")

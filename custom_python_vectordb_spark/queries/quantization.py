@@ -25,6 +25,7 @@ from custom_python_vectordb_spark.operators.quantization import (
 from custom_python_vectordb_spark.operators.topk import top_k_per_group
 from custom_python_vectordb_spark.queries.spine import ROUND, _query_vectors, _t
 from custom_python_vectordb_spark.registry import query
+from custom_python_vectordb_spark.functions.local_relation import local_df
 
 DIM = 64
 M = 8          # PQ subspaces
@@ -409,4 +410,4 @@ def pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = knn(emb, queries, k=10, metric="l2").select("vec_id")
     n_hit = truth.join(approx, "vec_id").count()
-    return spark.createDataFrame([(float(n_hit) / 10.0,)], "recall double")
+    return local_df(spark, [(float(n_hit) / 10.0,)], "recall double")

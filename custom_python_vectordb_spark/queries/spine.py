@@ -17,6 +17,7 @@ from custom_python_vectordb_spark.operators.knn import knn
 from custom_python_vectordb_spark.registry import query
 from custom_python_vectordb_spark.session import tune_session
 from custom_python_vectordb_spark.sources.catalog import load_table
+from custom_python_vectordb_spark.functions.local_relation import local_df
 
 ROUND = 6  # float score precision for cross-engine value hashing
 
@@ -135,7 +136,7 @@ ORDER BY vec_id
 def batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 — multi-id get as a broadcast left-semi join (not an IN literal,
     so the id side can itself be a 10⁹-row table at scale)."""
-    spark_ids = spark.createDataFrame([(i,) for i in (1, 5, 10, 20, 50, 99)], "vec_id long")
+    spark_ids = local_df(spark, [1, 5, 10, 20, 50, 99], "vec_id long")
     emb = _t(spark, sf_dir, "embeddings")
     return emb.join(F.broadcast(spark_ids), "vec_id", "left_semi").select("vec_id", "label").orderBy("vec_id")
 

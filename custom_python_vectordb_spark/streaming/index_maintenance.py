@@ -40,6 +40,7 @@ from pyspark.sql.types import (
 
 from custom_python_vectordb_spark.operators.bm25 import B, K1, postings
 from custom_python_vectordb_spark.functions.text import tokenize_py
+from custom_python_vectordb_spark.functions.local_relation import local_df
 
 DOC_SCHEMA = StructType(
     [
@@ -100,11 +101,11 @@ def bm25_from_postings(
     spark = post.sparkSession
     terms = tokenize_py(query)
     if not terms:
-        return spark.createDataFrame([], f"{id_col} long, {score_col} double")
+        return local_df(spark, [], f"{id_col} long, {score_col} double")
     qcounts: dict[str, int] = {}
     for t in terms:
         qcounts[t] = qcounts.get(t, 0) + 1
-    q = spark.createDataFrame(list(qcounts.items()), "term string, qn long")
+    q = local_df(spark, list(qcounts.items()), "term string, qn long")
 
     dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

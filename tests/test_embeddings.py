@@ -71,3 +71,92 @@ def test_provider_dispatch_and_gating(spark):
         embedder_udf("sentence-transformers")
     with _pytest.raises(ValueError, match="unknown embedding provider"):
         embedder_udf("nope")
+
+
+def test_hosted_providers_gate_cleanly_without_keys(monkeypatch):
+    """No keys, no transport → a clear driver-side NotImplementedError
+    (never an executor-side failure storm)."""
+    import pytest as _pytest
+
+    from custom_python_vectordb_spark.functions.embeddings import (
+        cohere_embedder_udf,
+        embedder_udf,
+        openai_embedder_udf,
+    )
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    monkeypatch.delenv("COHERE_API_KEY", raising=False)
+    with _pytest.raises(NotImplementedError, match="OPENAI_API_KEY"):
+        openai_embedder_udf()
+    with _pytest.raises(NotImplementedError, match="OPENAI_API_KEY"):
+        embedder_udf("openai")
+    with _pytest.raises(NotImplementedError, match="COHERE_API_KEY"):
+        cohere_embedder_udf()
+    # auto falls back to mock when no key and no st library
+    udf = embedder_udf("auto", dimensions=4)
+    assert udf is not None
+
+
+def test_openai_provider_batches_retries_and_orders(spark, monkeypatch):
+    """Fake-transport run through the full Spark plan: requests are chunked
+    at batch_size, a retryable failure is retried with backoff, and
+    embeddings reassemble in input order even when the provider returns
+    data out of order (the reference sorts by index, embeddings.py:171)."""
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.functions.embeddings import (
+        RetryableProviderError,
+        openai_embedder_udf,
+    )
+
+    calls = {"sizes": [], "fails_left": 1}
+
+    def fake_transport(url, headers, payload):
+        assert url.endswith("/v1/embeddings")
+        assert headers["Authorization"] == "Bearer test-key"
+        assert payload["dimensions"] == 4
+        if calls["fails_left"] > 0:
+            calls["fails_left"] -= 1
+            raise RetryableProviderError("simulated 429")
+        texts = payload["input"]
+        calls["sizes"].append(len(texts))
+        # return data OUT of order; vector encodes (len(text), position)
+        data = [
+            {"index": i, "embedding": [float(len(t)), float(i), 0.0, 0.0]}
+            for i, t in enumerate(texts)
+        ]
+        return {"data": list(reversed(data))}
+
+    # (the one simulated 429 costs a single 0.5 s worker-side backoff sleep)
+    udf = openai_embedder_udf(
+        api_key="test-key", dimensions=4, batch_size=3, transport=fake_transport
+    )
+    rows = [(i, "x" * (i + 1)) for i in range(7)]
+    df = spark.createDataFrame(rows, "id long, text string").coalesce(1)
+    out = {r["id"]: r["e"] for r in df.select("id", udf("text").alias("e")).collect()}
+    # Position proofs (closure state lives in the WORKER's pickled copy, so
+    # assertions must ride the returned vectors, not driver-side counters):
+    # out[i][0] == len(text_i) proves input order survived the reversed
+    # provider response; out[i][1] == i%3 proves chunking at batch_size=3
+    # (a single un-chunked request would give positions 0..6). The job
+    # completing at all proves the simulated-429 retry: the first transport
+    # call in the task raised RetryableProviderError.
+    for i in range(7):
+        assert out[i][0] == float(i + 1), (i, out[i])
+        assert out[i][1] == float(i % 3)
+
+
+def test_cohere_provider_shape(spark):
+    from custom_python_vectordb_spark.functions.embeddings import cohere_embedder_udf
+
+    def fake_transport(url, headers, payload):
+        assert url.endswith("/v1/embed")
+        assert payload["input_type"] == "search_query"
+        return {"embeddings": [[1.0, 2.0] for _ in payload["texts"]]}
+
+    udf = cohere_embedder_udf(
+        api_key="k", input_type="search_query", transport=fake_transport
+    )
+    df = spark.createDataFrame([("a",), ("b",)], "text string")
+    got = [r["e"] for r in df.select(udf("text").alias("e")).collect()]
+    assert got == [[1.0, 2.0], [1.0, 2.0]]

@@ -73,6 +73,29 @@ def test_gemm_path_equals_expression_path(spark, corpus, queries_df):
         assert a["dist"] == pytest.approx(b["dist"], rel=1e-9, abs=1e-12)
 
 
+@pytest.mark.parametrize("metric", ["cosine", "l2", "ip"])
+def test_shard_serve_path_equals_expression_path(spark, queries_df, metric, sf_small):
+    """knn_shard_gemm_serve (shard-resident, driver-merge serving) must be
+    EXACT: same ids and distances as the expression path over the same
+    parquet shard, for every metric, warm (cached) and cold."""
+    from custom_python_vectordb_spark.operators.knn import knn_shard_gemm_serve
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    df = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    shard = f"{sf_small}/embeddings.parquet"
+    expr = knn(df, queries_df, k=7, metric=metric).collect()
+    qpd = queries_df.toPandas()
+    for _run in range(2):  # second run exercises the resident cache
+        serve = knn_shard_gemm_serve(spark, [shard], qpd, k=7, metric=metric)
+        assert [(r["qid"], r["vec_id"]) for r in expr] == list(
+            zip(serve["qid"].astype(int), serve["vec_id"].astype(int))
+        )
+        # abs=1e-6: the GEMM expansion ‖a‖²+‖b‖²−2ab cancels catastrophically
+        # on self-matches (exact 0 vs ~1e-8) — same trade knn_batch_gemm makes
+        for a, b in zip(expr, serve["dist"]):
+            assert a["dist"] == pytest.approx(b, rel=1e-6, abs=1e-6)
+
+
 def test_mmr_rerank_prefers_diversity(spark):
     """With a near-duplicate of the best hit in the corpus, plain top-2
     returns both copies; MMR's second pick is the diverse document."""

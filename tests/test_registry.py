@@ -35,12 +35,12 @@ def test_oracle_sql_is_nonempty_and_selects():
 
 def test_weak_queries_are_the_documented_set():
     weak = set(registry.QUERIES) - set(registry.ORACLES)
+    # round 3 closed semantic_text_search (embedding-snapshot oracle) and
+    # mmr_rerank (unrolled greedy CTE chain) — 5 genuinely non-SQL ops left
     assert weak == {
         "embed_mock",            # RandomState embeddings not SQL-expressible
         "pq_kmeans_recall",      # MLlib KMeans model metric
         "media_features",        # embedding-based feature stub
-        "semantic_text_search",  # UDF embeddings end-to-end
-        "mmr_rerank",            # iterative greedy argmax
         "knn_partitioned",       # approximate, partition-shaped result
         "recall_partitioned_vs_exact",  # model-quality metric
     }, weak
@@ -50,8 +50,8 @@ def test_contract_size_exact():
     # Pin the full contract: a broken import now raises in load_all, and this
     # guards against a module silently registering fewer queries.  Bump the
     # numbers when adding queries — never let them shrink.
-    assert len(registry.QUERIES) >= 140
-    assert len(registry.ORACLES) >= 133
+    assert len(registry.QUERIES) >= 157
+    assert len(registry.ORACLES) >= 152
 
 
 def test_rotation_puts_unverified_oracleable_first():
