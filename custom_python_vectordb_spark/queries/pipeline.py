@@ -124,15 +124,18 @@ WHERE j.jaccard >= 0.5
 """)
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash→band→bucket-join→verify pipeline: LSH candidates
-    (4 bands × 4 rows over 16 min-hashes) verified with exact Jaccard."""
-    from custom_python_vectordb_spark.operators.dedup import doc_shingles
+    (4 bands × 4 rows over 16 min-hashes) verified with exact Jaccard.
+    Wide-signature path: the 16 min-hashes are 16 min-aggregates over ONE
+    pass of the shingle table (no 16× explode), and banding is a pure
+    projection — two shuffles fewer than the long-format plan."""
+    from custom_python_vectordb_spark.operators.dedup import doc_shingles, minhash_signatures_wide
 
     corpus = _corpus(spark, sf_dir)
     # shingling is the expensive stage — compute once, share between the
     # signature build and the Jaccard verification
     sh = doc_shingles(corpus).persist()
-    sigs = minhash_signatures(corpus, num_hashes=16, shingles=sh)
-    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    sigs = minhash_signatures_wide(corpus, num_hashes=16, shingles=sh)
+    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, wide=True)
     verified = jaccard_pairs(corpus, threshold=0.5, restrict_pairs=cands, shingles=sh)
     return verified.withColumn("jaccard", F.round("jaccard", ROUND))
 
@@ -169,12 +172,12 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation) → (cluster, size, keeper). The complete dedup
     decision: everything but `keeper` in each cluster is droppable."""
     from custom_python_vectordb_spark.operators.components import dedup_clusters
-    from custom_python_vectordb_spark.operators.dedup import doc_shingles
+    from custom_python_vectordb_spark.operators.dedup import doc_shingles, minhash_signatures_wide
 
     corpus = _corpus(spark, sf_dir)
     sh = doc_shingles(corpus).persist()
-    sigs = minhash_signatures(corpus, num_hashes=16, shingles=sh)
-    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    sigs = minhash_signatures_wide(corpus, num_hashes=16, shingles=sh)
+    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, wide=True)
     verified = jaccard_pairs(corpus, threshold=0.5, restrict_pairs=cands, shingles=sh).select("a", "b")
     return dedup_clusters(verified)
 
