@@ -82,6 +82,26 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def read_document_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming read over a documents directory (same columns as the batch
+    `documents` table). `max_files_per_trigger` splits a backlog into
+    multiple micro-batches — the way to exercise cross-batch state
+    (dedup, counters) against a static fixture."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
 def subscription_filter(
     collections: list[str] | None = None,
     event_types: list[str] | None = None,

@@ -22,6 +22,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 STATE_SCHEMA = "count long, total double, last_ts timestamp"
 OUTPUT_SCHEMA = "user_id long, count long, total double, avg_value double"
 
+DEDUP_STATE_SCHEMA = "first_doc_id long, dup_count long"
+DEDUP_OUTPUT_SCHEMA = (
+    "content_hash string, first_doc_id long, dup_count long, is_first boolean"
+)
+
 
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Streaming per-user running (count, total, avg) with explicit state.
@@ -57,6 +62,68 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             update_user_totals,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def dedup_stream_stateful(docs: DataFrame, hash_col: str = "content_hash") -> DataFrame:
+    """Streaming content-dedup WITH duplicate accounting — the stateful
+    operator the built-ins can't express: ``dropDuplicates`` can suppress
+    repeats but cannot report how often each document recurs, and a
+    training-data ingest wants both (emit first-seen docs downstream, track
+    dup_count for the quality/repetition signal).
+
+    `docs` must be a streaming DataFrame with (`hash_col`, doc_id). Keyed
+    by content hash; GroupState holds (first_doc_id, dup_count). Per
+    micro-batch each touched key emits one row: `is_first` marks the batch
+    where the key was born (route that row's doc downstream), `dup_count`
+    is the running number of EXTRA copies seen. Within a batch the lowest
+    doc_id wins first-seen, so results are deterministic under input
+    reordering.
+
+    Scale: state is one (long, long) per distinct document in the state
+    store (RocksDB at production scale), partitioned by hash — bounded by
+    corpus cardinality, not stream length. On an unbounded/expiring corpus
+    add a ProcessingTimeTimeout eviction; kept timeout-free here because
+    the dedup contract is corpus-lifetime.
+    """
+
+    def update_dedup(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (content_hash,) = key
+        n = 0
+        min_doc = None
+        for pdf in pdfs:
+            n += len(pdf)
+            bmin = int(pdf["doc_id"].min())
+            min_doc = bmin if min_doc is None else min(min_doc, bmin)
+        if state.exists:
+            first_doc_id, dup_count = state.get
+            is_first = False
+            dup_count += n
+        else:
+            first_doc_id, dup_count, is_first = min_doc, n - 1, True
+        state.update((first_doc_id, dup_count))
+        yield pd.DataFrame(
+            {
+                "content_hash": [content_hash],
+                "first_doc_id": [first_doc_id],
+                "dup_count": [dup_count],
+                "is_first": [is_first],
+            }
+        )
+
+    return (
+        docs.select(hash_col, "doc_id")
+        .withColumnRenamed(hash_col, "content_hash")
+        .groupBy("content_hash")
+        .applyInPandasWithState(
+            update_dedup,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

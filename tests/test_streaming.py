@@ -148,6 +148,44 @@ def test_stream_dedup_within_watermark(spark, sf_small):
     q.stop()
 
 
+def test_stateful_stream_dedup_counts_duplicates(spark, sf_small, tmp_path):
+    """dedup_stream_stateful across TWO micro-batches (maxFilesPerTrigger=1
+    over two parquet files whose texts overlap): exactly one is_first row
+    per content hash, a stable first_doc_id, and a final dup_count equal to
+    occurrences-1 — the accounting dropDuplicates cannot produce."""
+    from custom_python_vectordb_spark.streaming.events import read_document_stream
+    from custom_python_vectordb_spark.streaming.stateful import dedup_stream_stateful
+
+    docs = load_table(spark, sf_small, "documents").limit(40).select("doc_id", "text", "lang", "source", "n_chars")
+    src = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(src)  # batch 1: originals
+    docs.withColumn("doc_id", F.col("doc_id") + 100000).coalesce(1).write.mode("append").parquet(src)  # batch 2: same texts, new ids
+
+    stream = read_document_stream(spark, src, max_files_per_trigger=1).withColumn(
+        "content_hash", F.md5("text")
+    )
+    q = run_to_memory(dedup_stream_stateful(stream), "t_sdedup", mode="update")
+    out = spark.table("t_sdedup").collect()
+    q.stop()
+
+    occurrences = {
+        r["content_hash"]: r["n"]
+        for r in spark.read.parquet(src)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(out) >= 2 * len(set(occurrences)) - len(occurrences)  # ≥1 row/key, 2 for cross-batch keys
+    first_rows = [r for r in out if r["is_first"]]
+    assert len(first_rows) == len(occurrences)  # exactly one birth per hash
+    by_hash: dict = {}
+    for r in out:
+        by_hash.setdefault(r["content_hash"], []).append(r)
+    for h, rows in by_hash.items():
+        assert len({r["first_doc_id"] for r in rows}) == 1  # stable winner
+        assert max(r["dup_count"] for r in rows) == occurrences[h] - 1
+
+
 def test_foreachbatch_ingest_to_warehouse(spark, sf_small, tmp_path):
     """R1 — continuous ingest into a Parquet collection via foreachBatch."""
     from custom_python_vectordb_spark.sources.warehouse import Warehouse
