@@ -174,3 +174,78 @@ def knn_lsh_multitable(
     return top_k_per_group(scored, "qid", k, F.col("dist").asc(), F.col(id_col).asc()).orderBy(
         "qid", "dist", id_col
     )
+
+
+def write_ivf_layout(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus AS the IVF index: one directory partition per
+    cell (``cluster=<n>/``). This is the 100 TB shape of IVF — the index
+    is not a sidecar structure but the table layout itself, so probing
+    nprobe of n_cells cells prunes (n_cells - nprobe)/n_cells of the FILES
+    at the Parquet scan (Hive-style partition pruning, before any I/O),
+    exactly how a warehouse prunes date partitions. Assignment is the
+    map-only argmin of :func:`with_ivf_cluster`; the one shuffle is the
+    partitioned write's file clustering."""
+    with_ivf_cluster(corpus, centroids, id_col, vec_col).repartition("cluster").write.partitionBy(
+        "cluster"
+    ).mode("overwrite").parquet(path)
+
+
+def knn_ivf_pruned(
+    spark,
+    layout_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over a :func:`write_ivf_layout` table with STATIC
+    partition pruning: the probe set is resolved driver-side from the
+    (tiny) centroid table, so the scan filter is a literal ``cluster IN
+    (...)`` and the physical plan shows the pruned cells in
+    ``PartitionFilters`` — unprobed cells are never listed, opened, or
+    read. Per-query results are identical to :func:`knn_ivf` on the same
+    centroids (asserted in tests).
+
+    Driver-side probe resolution is the right trade here: centroids are
+    O(cells) rows (thousands at most — they broadcast everywhere anyway),
+    while resolving probes inside the plan would make the scan filter
+    dynamic and forfeit static pruning. For a probe set per THOUSANDS of
+    queries the union of probed cells saturates anyway; this path is for
+    selective serving reads."""
+    import numpy as np
+
+    crows = centroids.collect()
+    cvecs = np.array([r["cvec"] for r in crows], dtype="float64")
+    cids = np.array([r["cluster"] for r in crows])
+    order = np.argsort(cids)
+    cids, cvecs = cids[order], cvecs[order]
+    qrows = queries.collect()
+    probed: set[int] = set()
+    probes = []
+    for r in qrows:
+        qv = np.asarray(r["qvec"], dtype="float64")
+        d2 = ((cvecs - qv) ** 2).sum(1)
+        cells = cids[np.lexsort((cids, d2))][:nprobe]
+        probes.append((r["qid"], [int(c) for c in cells]))
+        probed.update(int(c) for c in cells)
+
+    layout = spark.read.parquet(layout_path).filter(
+        F.col("cluster").isin(sorted(probed))
+    )
+    qprobe = spark.createDataFrame(
+        [(qid, c) for qid, cells in probes for c in cells], "qid long, cluster int"
+    )
+    cands = layout.join(F.broadcast(qprobe), "cluster").join(F.broadcast(queries), "qid")
+    scored = cands.select("qid", id_col, distance_expr(metric, vec_col, "qvec").alias("dist"))
+    return top_k_per_group(scored, "qid", k, F.col("dist").asc(), F.col(id_col).asc()).orderBy(
+        "qid", "dist", id_col
+    )

@@ -100,3 +100,33 @@ def test_pagerank_iteration_joins_on_src(spark, sf_small):
     nodes, edges = nodes_df(spark, sf_small), edges_df(spark, sf_small)
     pr = pagerank(nodes, edges, iterations=1)
     assert pr.count() > 0  # ran: persisted inputs + checkpointed result
+
+
+def test_ivf_layout_partition_pruning(spark, sf_small, tmp_path):
+    """The IVF layout IS the index: writing the corpus partitioned by cell
+    and probing with a literal IN-list must (a) show the probed cells in
+    PartitionFilters — unprobed cells never listed or read — and (b)
+    return exactly knn_ivf's results on the same centroids."""
+    from custom_python_vectordb_spark.operators.similarity import (
+        knn_ivf,
+        knn_ivf_pruned,
+        write_ivf_layout,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id").between(200, 207)).select(
+        (F.col("vec_id") - 200).cast("int").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    layout = str(tmp_path / "ivf")
+    write_ivf_layout(emb, cents, layout)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pruned = knn_ivf_pruned(spark, layout, queries, cents, k=10, nprobe=2)
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+    expect = knn_ivf(emb, queries, cents, k=10, nprobe=2).collect()
+    got = pruned.collect()
+    assert [(r["qid"], r["vec_id"]) for r in expect] == [(r["qid"], r["vec_id"]) for r in got]
+    for a, b in zip(expect, got):
+        assert abs(a["dist"] - b["dist"]) < 1e-9
