@@ -380,3 +380,59 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+@query("boilerplate_ngrams", f"""
+WITH tok AS (SELECT doc_id, {duck_tokenize('text')} AS toks FROM documents),
+gr AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+       FROM tok)
+SELECT gram, COUNT(*) AS n_docs FROM gr
+GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 30
+""")
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detection (the CCNet/C4 common-phrase
+    signal): word trigrams ranked by DOCUMENT frequency — a gram carried
+    by a large fraction of documents is template/boilerplate text, the
+    removal candidate before training. Document frequency (distinct per
+    doc), not raw term frequency, so a single spammy doc can't promote its
+    own phrase. Plan: one corpus scan → distinct (doc, gram) explode → one
+    count shuffle keyed by gram → global top-30; at 100 TB the gram
+    aggregate partial-combines map-side and only the per-gram counts move."""
+    from custom_python_vectordb_spark.operators.dedup import doc_shingles
+
+    grams = doc_shingles(_t(spark, sf_dir, "documents"), n=3)
+    return (
+        grams.groupBy(F.col("shingle").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(30)
+    )
+
+
+@query("dedup_accounting", f"""
+WITH {DUCK_CORPUS.strip()}
+SELECT md5(text) AS content_hash, MIN(doc_id) AS first_doc_id,
+       COUNT(*) - 1 AS dup_count
+FROM corpus
+GROUP BY md5(text) HAVING COUNT(*) > 1
+ORDER BY content_hash
+""")
+def dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/stateful.dedup_stream_stateful, hash-checked:
+    per duplicated content hash, the deterministic first-seen winner (min
+    doc_id) and the count of extra copies — the repetition-frequency signal
+    the quality filters consume. Runs on the injected-duplicates corpus so
+    there are real positives. One hash-keyed aggregate; the streaming
+    operator converges to exactly these rows (same winner rule)."""
+    return (
+        _corpus(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("first_doc_id"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 0)
+        .orderBy("content_hash")
+    )
