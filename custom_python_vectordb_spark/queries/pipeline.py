@@ -818,3 +818,65 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("copy_idx", F.col("copy_idx").cast("long"))
     )
+
+
+# ------------------------------------------------------- end-to-end final cut
+
+@query("corpus_final_cut", f"""
+WITH {DUCK_CORPUS.strip()},
+keeper AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+tok AS (SELECT doc_id, text, {TOKS} AS toks FROM corpus),
+scored AS (SELECT doc_id,
+       ROUND(
+         least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+         + least(CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, t -> list_contains({STOPWORDS['en']}, t))) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END * 3.0, 1.0) * 0.3
+         + (CASE WHEN length(text) > 0
+                 THEN 1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9_\\s]', '', 'g')) AS DOUBLE) / length(text)
+                 ELSE 1.0 END) * 0.3,
+         {ROUND}) AS quality,
+       len(list_filter(toks, t -> list_contains({STOPWORDS['de']}, t))) AS v_de,
+       len(list_filter(toks, t -> list_contains({STOPWORDS['en']}, t))) AS v_en,
+       len(list_filter(toks, t -> list_contains({STOPWORDS['es']}, t))) AS v_es,
+       len(list_filter(toks, t -> list_contains({STOPWORDS['fr']}, t))) AS v_fr
+       FROM tok),
+lang AS (SELECT doc_id, quality,
+       CASE WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr AND v_de > 0 THEN 'de'
+            WHEN v_en >= v_es AND v_en >= v_fr AND v_en > 0 THEN 'en'
+            WHEN v_es >= v_fr AND v_es > 0 THEN 'es'
+            WHEN v_fr > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang
+       FROM scored)
+SELECT l.doc_id, l.quality FROM lang l JOIN keeper k ON k.doc_id = l.doc_id
+WHERE l.quality >= 0.55 AND l.pred_lang = 'en'
+ORDER BY l.doc_id
+""")
+def corpus_final_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style END-TO-END cut as ONE declarative plan: exact-dedup
+    keeper selection ∘ quality threshold ∘ language id, composed from the
+    same primitives the individual oracle-checked queries use
+    (`dedup_exact`, `text_quality`, `langid_heuristic`) — the query a
+    training-data pipeline actually ships, not just its parts. Runs on
+    the injected-duplicates corpus so the dedup stage has real work.
+
+    Scale shape: ONE corpus scan feeds both the hash aggregate (keeper
+    set, partial-combines map-side) and the scoring projection (pure
+    map-side expressions); the only joins are doc_id-keyed. Catalyst
+    fuses the filters into the scan side, so rejected docs never reach
+    the join."""
+    from custom_python_vectordb_spark.functions.text import langid_predict, quality_score
+
+    docs = _corpus(spark, sf_dir)
+    keeper = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score("text"), ROUND).alias("quality"),
+        langid_predict("text").alias("pred_lang"),
+    )
+    return (
+        scored.join(keeper.select("doc_id"), "doc_id")
+        .filter((F.col("quality") >= 0.55) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )

@@ -403,3 +403,55 @@ def test_stream_stream_interval_join(spark, sf_small):
     )
     assert got == expect and len(got) > 0
     q.stop()
+
+
+def test_streaming_ivf_layout_maintenance(spark, sf_small, tmp_path):
+    """The IVF layout stays correct under streaming ingest: two micro-batches
+    of vectors land in cluster=<c>/batch_id=<n> partitions; the pruned
+    search over the maintained layout equals knn_ivf over the full batch
+    table, and replaying a batch is a no-op (idempotence)."""
+    from custom_python_vectordb_spark.operators.similarity import knn_ivf, knn_ivf_pruned
+    from custom_python_vectordb_spark.streaming.vector_index import (
+        load_ivf_layout,
+        maintain_ivf_layout,
+        write_ivf_batch,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id").between(200, 207)).select(
+        (F.col("vec_id") - 200).cast("int").alias("cluster"), F.col("embedding").alias("cvec")
+    ).cache()
+    src = str(tmp_path / "vecs")
+    half = emb.count() // 2
+    emb.filter(F.col("vec_id") < half).coalesce(1).write.parquet(src)
+    emb.filter(F.col("vec_id") >= half).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    layout = str(tmp_path / "ivf")
+    q = (
+        maintain_ivf_layout(stream, cents, layout)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    stored = load_ivf_layout(spark, layout)
+    assert stored.count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    expect = knn_ivf(emb, queries, cents, k=10, nprobe=2).collect()
+    got = knn_ivf_pruned(spark, layout, queries, cents, k=10, nprobe=2).collect()
+    assert [(r["qid"], r["vec_id"]) for r in expect] == [(r["qid"], r["vec_id"]) for r in got]
+
+    # at-least-once replay of batch 0 must overwrite, not duplicate
+    batch0 = spark.read.parquet(src).filter(F.col("vec_id") < half)
+    write_ivf_batch(batch0, 0, cents, layout)
+    assert load_ivf_layout(spark, layout).count() == emb.count()
