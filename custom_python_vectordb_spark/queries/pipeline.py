@@ -880,3 +880,56 @@ def corpus_final_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality")
         .orderBy("doc_id")
     )
+
+
+@query("knn_ivf_pruned", f"""
+WITH {_DUCK_IVF.strip()},
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+qprobe AS (SELECT qid, cluster FROM (
+    SELECT q.qid, c.cluster,
+           row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cluster) AS rn
+    FROM q, cents c
+) WHERE rn <= 2),
+cand AS (SELECT p.qid, a.vec_id FROM asgn a JOIN qprobe p ON a.cluster = p.cluster),
+scored AS (
+    SELECT cand.qid, cand.vec_id,
+           1.0 - list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(q.qv, q.qv))) AS dist
+    FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id JOIN q ON q.qid = cand.qid
+)
+SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
+    SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 10 ORDER BY qid, dist, vec_id
+""")
+def knn_ivf_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the LAYOUT-AS-INDEX (cell-partitioned corpus +
+    static partition pruning, operators/similarity.knn_ivf_pruned):
+    identical results to knn_ivf — the oracle is the same SQL — but the
+    physical plan prunes unprobed cells at the file level
+    (PartitionFilters; asserted in tests/test_plans.py). The layout is
+    (re)built under .bench/ keyed by scale factor; rebuild is overwrite-
+    idempotent."""
+    import os as _os
+
+    from custom_python_vectordb_spark.operators.similarity import (
+        knn_ivf_pruned,
+        write_ivf_layout,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(200, 207)).select(
+        (F.col("vec_id") - 200).cast("int").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    layout = _os.path.join("/root/repo", ".bench", f"ivf_layout{tag}")
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    marker = _os.path.join(layout, "_SRC_MTIME")
+    src_m = str(_os.stat(src).st_mtime_ns)
+    if not (_os.path.exists(marker) and open(marker).read() == src_m):
+        write_ivf_layout(emb, cents, layout)
+        with open(marker, "w") as fh:
+            fh.write(src_m)
+    out = knn_ivf_pruned(spark, layout, _query_vectors(spark, sf_dir, 3), cents, k=10, nprobe=2)
+    return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
