@@ -202,6 +202,51 @@ class Collection:
             filter_cond=cond, payload_cols=payload,
         )
 
+    def query_serve(
+        self,
+        query_texts: list[str] | None = None,
+        query_embeddings: list[list[float]] | None = None,
+        n_results: int = 10,
+        metric: str = "cosine",
+        max_bytes: int = 2 << 30,
+    ) -> list[list[dict]]:
+        """Serving twin of :meth:`query`: same (texts XOR embeddings, k,
+        metric) contract and IDENTICAL results (asserted in tests), but
+        answered by the in-process shard replica
+        (``operators/knn.knn_replica_serve``) instead of a scheduled plan —
+        milliseconds instead of a job round-trip, for collections whose
+        decoded vectors fit ``max_bytes``. No ``where`` support: filters
+        need the declarative plan (use :meth:`query`). Returns the server's
+        positional shape directly: ``results[i]`` = list of {id, dist} for
+        input query i. The replica re-decodes automatically when a mutation
+        rewrites the table (cache keyed on shard path+mtime+size)."""
+        import pandas as pd
+
+        from custom_python_vectordb_spark.operators.knn import knn_replica_serve
+
+        if (query_texts is None) == (query_embeddings is None):
+            raise ValueError("provide exactly one of query_texts / query_embeddings")
+        if query_embeddings is None:
+            query_embeddings = [
+                mock_embed_one(t, self.dimensions).tolist() for t in query_texts
+            ]
+        qpd = pd.DataFrame(
+            {
+                "qid": range(len(query_embeddings)),
+                "qvec": [[float(x) for x in v] for v in query_embeddings],
+            }
+        )
+        paths = self.db.warehouse.shard_paths(self.name)
+        if not paths:  # created-but-empty collection
+            return [[] for _ in query_embeddings]
+        res = knn_replica_serve(
+            paths, qpd, k=n_results, metric=metric, id_col="id", max_bytes=max_bytes
+        )
+        out: list[list[dict]] = [[] for _ in query_embeddings]
+        for qid, vid, dist in zip(res["qid"], res["id"], res["dist"]):
+            out[int(qid)].append({"id": vid, "dist": float(dist)})
+        return out
+
     def keyword_search(self, query: str, k: int = 10) -> DataFrame:
         return bm25_topk(self.df(), query, k=k, id_col="id", text_col="_document")
 

@@ -365,13 +365,20 @@ def knn_replica_serve(
     if entry is None or entry[0] != stat_key:
         ids_parts, mat_parts = [], []
         for p in paths:
-            tbl = _pq.read_table(p)
-            vec_field = "embedding" if "embedding" in tbl.column_names else tbl.column_names[1]
+            names = _pq.read_schema(p).names
+            vec_field = "embedding" if "embedding" in names else names[1]
+            # prune to the two needed columns: a metadata-bearing table
+            # decodes only ids + vectors, not its payload
+            tbl = _pq.read_table(p, columns=[id_col, vec_field])
+            if tbl.num_rows == 0:  # Spark writes empty part files
+                continue
             ids_parts.append(tbl.column(id_col).to_numpy(zero_copy_only=False))
             flat = np.concatenate(
                 [c.flatten().to_numpy(zero_copy_only=False) for c in tbl.column(vec_field).chunks]
             )
             mat_parts.append(flat.reshape(len(ids_parts[-1]), -1).astype(dtype, copy=False))
+        if not ids_parts:
+            return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
         ids = np.concatenate(ids_parts)
         mat = np.concatenate(mat_parts)
         if mat.nbytes > max_bytes:

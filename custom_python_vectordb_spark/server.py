@@ -337,6 +337,17 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                 rows = coll.peek(int(qs.get("limit", 10))).drop("embedding").collect()
                 return 200, {"rows": [r.asDict(recursive=True) for r in rows]}
             if parts[2:] == ["query"] and method == "POST":
+                if body.get("where") is None:
+                    # unfiltered queries take the in-process replica path
+                    # (api.query_serve) — same results, no job round-trip;
+                    # filters need the declarative plan below
+                    return 200, {
+                        "results": coll.query_serve(
+                            query_texts=body.get("query_texts"),
+                            query_embeddings=body.get("query_embeddings"),
+                            n_results=int(body.get("n_results", 10)),
+                        )
+                    }
                 rows = coll.query(
                     query_texts=body.get("query_texts"),
                     query_embeddings=body.get("query_embeddings"),

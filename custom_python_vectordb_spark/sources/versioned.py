@@ -123,6 +123,24 @@ class VersionedWarehouse:
         dirs = [os.path.join(self._data(name), d) for d in manifest["dirs"]]
         return self.spark.read.parquet(*dirs)
 
+    def shard_paths(self, name: str, version: int | None = None) -> list[str]:
+        """Parquet shard files of the snapshot at `version` (default:
+        latest) — the manifest's dirs expanded to files, so superseded
+        versions' files are excluded (for direct shard access, e.g. the
+        serving replica)."""
+        import glob
+
+        latest = self.latest_version(name)
+        if latest is None:
+            raise FileNotFoundError(f"collection {name!r} does not exist")
+        v = latest if version is None else version
+        manifest = self._read_manifest(name, v)
+        return sorted(
+            p
+            for d in manifest["dirs"]
+            for p in glob.glob(os.path.join(self._data(name), d, "*.parquet"))
+        )
+
     # ---------------------------------------------------------- write
     def save(self, name: str, df: DataFrame, mode: str = "overwrite") -> int:
         """Stage `df` then commit; returns the committed version.

@@ -32,6 +32,15 @@ class Warehouse:
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def shard_paths(self, name: str) -> list[str]:
+        """Parquet shard files of a collection's CURRENT data (for direct
+        shard access, e.g. the serving replica)."""
+        import glob
+
+        if not self.exists(name):
+            raise FileNotFoundError(f"collection {name!r} does not exist")
+        return sorted(glob.glob(os.path.join(self._path(name), "*.parquet")))
+
     def list_collections(self) -> list[str]:
         return sorted(
             d for d in os.listdir(self.root) if os.path.isdir(self._path(d)) and not d.startswith("_")

@@ -168,3 +168,25 @@ def test_delete_empty_and_missing_ids(coll):
 
 def test_warehouse_drop_missing(db):
     assert db.delete_collection("ghost") is False
+
+
+def test_query_serve_equals_plan_query(coll):
+    """The replica serving path must return exactly the declarative plan's
+    results (ids, order, distances) for a text batch, and stay correct
+    after a mutation rewrites the table (cache re-keys on file stats)."""
+    texts = ["shuffle strategies", "fox"]
+    plan_rows = coll.query(query_texts=texts, n_results=3).collect()
+    plan: dict[int, list] = {}
+    for r in plan_rows:
+        plan.setdefault(int(r["qid"]), []).append((r["id"], r["dist"]))
+    served = coll.query_serve(query_texts=texts, n_results=3)
+    assert len(served) == 2
+    for qid, hits in enumerate(served):
+        assert [h["id"] for h in hits] == [i for i, _ in plan[qid]]
+        for h, (_, d) in zip(hits, plan[qid]):
+            assert h["dist"] == pytest.approx(d, abs=1e-6)
+
+    coll.delete(["d1"])  # rewrite → different shard files
+    served2 = coll.query_serve(query_texts=["shuffle strategies"], n_results=4)
+    assert "d1" not in {h["id"] for h in served2[0]}
+    assert len(served2[0]) == 3  # only 3 docs remain

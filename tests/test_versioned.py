@@ -165,3 +165,21 @@ def test_optimize_aborts_on_concurrent_commit(spark, wh, monkeypatch):
     monkeypatch.undo()
     # the concurrent append is intact; no staged garbage is referenced
     assert sorted(r["id"] for r in wh.load("c").collect()) == [1, 2, 99]
+
+
+def test_shard_paths_track_snapshot(spark, wh):
+    """shard_paths must expand exactly the pinned manifest's files: the
+    latest snapshot excludes superseded versions' files, and time travel
+    returns the old set."""
+    df1 = spark.range(5).selectExpr("cast(id as string) id", "id * 1.0 v")
+    v0 = wh.save("t", df1)
+    p0 = wh.shard_paths("t")
+    assert p0 and all(f.endswith(".parquet") for f in p0)
+    df2 = spark.range(8).selectExpr("cast(id as string) id", "id * 2.0 v")
+    v1 = wh.save("t", df2, mode="overwrite")
+    p1 = wh.shard_paths("t")
+    assert set(p1).isdisjoint(p0)  # overwrite = all-new dirs
+    assert wh.shard_paths("t", version=v0) == p0
+    import pyarrow.parquet as pq
+    rows = sum(pq.read_table(p).num_rows for p in p1)
+    assert rows == 8
