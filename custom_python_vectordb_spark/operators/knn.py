@@ -281,22 +281,30 @@ def knn_shard_gemm_serve(
             if n == 0:
                 out.append([])
                 continue
+            # same shape discipline as knn_replica_serve: (Q, n) keeps each
+            # query's row contiguous for the partition; one matmul result
+            # mutated in place, no n×Q temporaries
+            dists = qmat @ mat.T
             if metric == "cosine":
-                dists = 1.0 - (mat @ qmat.T) / (norms[:, None] * qn[None, :])
+                dists /= qn[:, None]
+                dists /= norms[None, :]
+                _np.subtract(1.0, dists, out=dists)
             elif metric == "l2":
-                dists = _np.sqrt(
-                    _np.maximum(sq[:, None] + q2[None, :] - 2.0 * (mat @ qmat.T), 0.0)
-                )
+                dists *= -2.0
+                dists += q2[:, None]
+                dists += sq[None, :]
+                _np.maximum(dists, 0.0, out=dists)
+                _np.sqrt(dists, out=dists)
             else:  # ip
-                dists = -(mat @ qmat.T)
+                _np.negative(dists, out=dists)
             kk = min(k, n)
-            sidx = _np.argpartition(dists, kk - 1, axis=0)[:kk]
-            sel = _np.take_along_axis(dists, sidx, axis=0)
+            sidx = _np.argpartition(dists, kk - 1, axis=1)[:, :kk]
+            sel = _np.take_along_axis(dists, sidx, axis=1)
             out.append(
                 [
                     {"qid": int(q), id_col: int(v), dist_col: float(d)}
                     for q, v, d in zip(
-                        _np.repeat(qids, kk), ids[sidx.T.ravel()], sel.T.ravel()
+                        _np.repeat(qids, kk), ids[sidx.ravel()], sel.ravel()
                     )
                 ]
             )
