@@ -129,25 +129,32 @@ def knn_batch_gemm(
             # reshaped to (rows, dim) — no per-row conversion
             flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
             mat = flat.reshape(n, -1).astype(dtype, copy=False)
+            # (Q, n): each query's distance row contiguous for the top-k
+            # partition; single matmul result mutated in place (no n×Q
+            # temporaries) — same measured wins as knn_replica_serve
+            dists = qmat @ mat.T
             if metric == "cosine":
-                sims = (mat @ qmat.T) / (np.linalg.norm(mat, axis=1)[:, None] * qnorm[None, :])
-                dists = 1.0 - sims
+                dists /= qnorm[:, None]
+                dists /= np.linalg.norm(mat, axis=1)[None, :]
+                np.subtract(1.0, dists, out=dists)
             elif metric == "l2":
-                dists = np.sqrt(
-                    np.maximum((mat * mat).sum(1)[:, None] + q2[None, :] - 2.0 * (mat @ qmat.T), 0.0)
-                )
+                dists *= -2.0
+                dists += q2[:, None]
+                dists += (mat * mat).sum(1)[None, :]
+                np.maximum(dists, 0.0, out=dists)
+                np.sqrt(dists, out=dists)
             else:  # ip
-                dists = -(mat @ qmat.T)
+                np.negative(dists, out=dists)
             kk = min(k, n)
             # batch-local top-k for ALL queries at once (argpartition = the
             # reference's own O(n) select), merged globally by the window below
-            idx = np.argpartition(dists, kk - 1, axis=0)[:kk]  # (kk, nq)
-            sel = np.take_along_axis(dists, idx, axis=0)
+            idx = np.argpartition(dists, kk - 1, axis=1)[:, :kk]  # (nq, kk)
+            sel = np.take_along_axis(dists, idx, axis=1)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.repeat(qids, kk), type=pa.int64()),
-                    pa.array(ids[idx.T.ravel()], type=pa.int64()),
-                    pa.array(sel.T.ravel().astype(np.float64)),
+                    pa.array(ids[idx.ravel()], type=pa.int64()),
+                    pa.array(sel.ravel().astype(np.float64)),
                 ],
                 names=["qid", id_col, dist_col],
             )
