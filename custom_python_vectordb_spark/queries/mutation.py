@@ -152,7 +152,7 @@ ORDER BY dist, doc_id LIMIT 10
 """
 
 
-@query("semantic_text_search", _semantic_search_oracle())
+@query("semantic_text_search", _semantic_search_oracle(), oracle_sf="sf0.01")
 def semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text pipeline in one plan: embed raw documents with the
     deterministic provider, embed a query string, exact cosine top-10.

@@ -21,11 +21,17 @@ from typing import Any
 
 QUERIES: dict[str, Callable[[Any, str], Any]] = {}
 ORACLES: dict[str, str] = {}
+ORACLE_SF: dict[str, str] = {}  # oracle pinned to one scale (data snapshot)
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | None = None, oracle_sf: str | None = None):
     """Register a named query; `oracle` is the DuckDB-SQL equivalent (omit
-    for genuinely non-SQL-expressible ops → driver does a rows-only check)."""
+    for genuinely non-SQL-expressible ops → driver does a rows-only check).
+    `oracle_sf`: scale-factor dir suffix (e.g. 'sf0.01') the oracle is
+    pinned to — for oracles built from a data SNAPSHOT at one scale (the
+    embedding-snapshot trick): at any other scale the comparison is a
+    deliberate mismatch, and local sweeps should report 'scoped' rather
+    than treating the documented loudness as a correctness failure."""
 
     def deco(fn):
         if name in QUERIES and QUERIES[name] is not fn:
@@ -33,6 +39,8 @@ def query(name: str, oracle: str | None = None):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if oracle_sf is not None:
+            ORACLE_SF[name] = oracle_sf
         return fn
 
     return deco

@@ -455,3 +455,66 @@ def test_streaming_ivf_layout_maintenance(spark, sf_small, tmp_path):
     batch0 = spark.read.parquet(src).filter(F.col("vec_id") < half)
     write_ivf_batch(batch0, 0, cents, layout)
     assert load_ivf_layout(spark, layout).count() == emb.count()
+
+
+def test_incremental_neardup_equals_batch(spark, sf_small, tmp_path):
+    """The incremental near-dup index (signatures + band keys maintained
+    per micro-batch, new-vs-history bucket probe, Jaccard verify) must
+    converge to EXACTLY the batch path's verified pair set over the union
+    of all batches — including pairs that span batches — and a batch
+    replay must not duplicate pairs."""
+    from custom_python_vectordb_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures_wide,
+    )
+    from custom_python_vectordb_spark.streaming.neardup_maintenance import (
+        load_neardup_pairs,
+        maintain_neardup_index,
+        process_neardup_batch,
+    )
+
+    base = load_table(spark, sf_small, "documents").select("doc_id", "text").limit(30)
+    # batch 1: originals; batch 2: near-copies of batch-1 docs (new ids) +
+    # fresh docs -> cross-batch pairs exist by construction
+    b2 = base.limit(10).select((F.col("doc_id") + 50000).alias("doc_id"), "text").unionByName(
+        load_table(spark, sf_small, "documents").select("doc_id", "text")
+        .filter(F.col("doc_id").between(30, 39))
+    )
+    src = str(tmp_path / "docs_stream")
+    base.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    idx = str(tmp_path / "ndidx")
+    q = (
+        maintain_neardup_index(stream, idx)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    got = {(r["a"], r["b"]) for r in load_neardup_pairs(spark, idx).collect()}
+
+    corpus = spark.read.parquet(src)
+    wide = minhash_signatures_wide(corpus)
+    cand = lsh_candidate_pairs(wide, wide=True)
+    expect = {
+        (r["a"], r["b"])
+        for r in jaccard_pairs(corpus, restrict_pairs=cand).collect()
+    }
+    assert expect, "fixture must produce at least one near-dup pair"
+    assert any(a < 30000 < b for a, b in expect), "need a cross-batch pair"
+    assert got == expect
+
+    # replay batch 0 (at-least-once): same pair set afterwards
+    batch0 = spark.read.parquet(src).filter(F.col("doc_id") < 40)
+    process_neardup_batch(batch0, 0, idx)
+    got2 = {(r["a"], r["b"]) for r in load_neardup_pairs(spark, idx).collect()}
+    assert got2 == expect

@@ -39,6 +39,7 @@ def main() -> int:
     import duckdb
 
     from __spark_entry__ import oracle_sql, queries
+    from custom_python_vectordb_spark import registry
     from custom_python_vectordb_spark.session import get_spark
     from custom_python_vectordb_spark.sources.catalog import TABLES
 
@@ -67,6 +68,14 @@ def main() -> int:
         if name not in oracles:
             weak += 1
             print(f"weak  {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            continue
+        pinned = registry.ORACLE_SF.get(name)
+        if pinned and not sf_dir.rstrip("/").endswith(pinned):
+            # snapshot-built oracle pinned to another scale: a mismatch here
+            # is the documented loudness, not a correctness failure — the
+            # driver's gate runs at the pinned scale, where it is strict
+            weak += 1
+            print(f"weak  {name}: oracle pinned to {pinned}, rows={len(srows)} ({time.time()-t0:.1f}s)")
             continue
         try:
             rel = con.sql(oracles[name])
