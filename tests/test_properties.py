@@ -235,3 +235,60 @@ def test_neardup_lsh_is_exact_on_candidates_and_recall_measured(spark):
         assert abs(sim - round(brute_all[pair], 6)) < 1e-9, pair
     recall = len(set(lsh_rows) & {p for p, _ in brute_top}) / 20
     assert recall >= 0.2, f"bucket join broken? recall={recall}"
+
+
+@SETTINGS
+@given(
+    data=st.data(),
+    metric=st.sampled_from(["cosine", "l2", "ip"]),
+    k=st.integers(1, 6),
+)
+def test_replica_serve_matches_numpy_brute_force(tmp_path_factory, data, metric, k):
+    """knn_replica_serve == an independent numpy brute force for arbitrary
+    corpora/queries (no Spark involved — the replica is pure driver code,
+    so the property drives it directly through parquet shards)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.operators.knn import knn_replica_serve
+
+    dim = data.draw(st.integers(2, 8))
+    n = data.draw(st.integers(1, 40))
+    nq = data.draw(st.integers(1, 5))
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    mat = rng.standard_normal((n, dim)).astype("float64")
+    mat[rng.random(n) < 0.1] *= 100  # some outlier magnitudes
+    qmat = rng.standard_normal((nq, dim))
+
+    root = tmp_path_factory.mktemp("replica")
+    n_shards = data.draw(st.integers(1, 3))
+    bounds = sorted(rng.integers(0, n + 1, n_shards - 1).tolist()) + [n]
+    lo, paths = 0, []
+    for i, hi in enumerate(bounds):
+        p = str(root / f"s{i}.parquet")
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array(range(lo, hi), type=pa.int64()),
+                "embedding": pa.array([mat[j].tolist() for j in range(lo, hi)],
+                                      type=pa.list_(pa.float64())),
+            }), p,
+        )
+        paths.append(p)
+        lo = hi
+
+    got = knn_replica_serve(
+        paths, pd.DataFrame({"qid": range(nq), "qvec": list(qmat)}), k=k, metric=metric
+    )
+    for qi in range(nq):
+        if metric == "cosine":
+            d = 1 - (mat @ qmat[qi]) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qmat[qi]))
+        elif metric == "l2":
+            d = np.linalg.norm(mat - qmat[qi], axis=1)
+        else:
+            d = -(mat @ qmat[qi])
+        order = np.lexsort((np.arange(n), d))[: min(k, n)]
+        sub = got[got["qid"] == qi]
+        assert list(sub["vec_id"]) == [int(i) for i in order]
+        for a, b in zip(sub["dist"], d[order]):
+            assert a == pytest.approx(b, rel=1e-9, abs=1e-9)
