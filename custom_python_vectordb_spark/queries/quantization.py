@@ -358,12 +358,14 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, codes table 16× smaller than vectors, LUT broadcast."""
     from custom_python_vectordb_spark.operators.similarity import with_ivf_cluster
 
+    from custom_python_vectordb_spark.queries.pipeline import _emb_rows_local, _ivf_cents_local
+
     emb = _t(spark, sf_dir, "embeddings")
-    # tiny pruned scans, each reused by ≥2 subtrees → persist once
-    cents = emb.filter(F.col("vec_id").between(200, 207)).select(
-        (F.col("vec_id") - 200).cast("int").alias("cluster"), F.col("embedding").alias("cvec")
-    ).persist()
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec")).persist()
+    # centroids + query vector as VALUES local relations (collected once,
+    # memoized per sf) — a persisted table subtree still costs a broadcast
+    # materialization job per reuse; the codebook subtree stays persisted
+    cents = _ivf_cents_local(spark, sf_dir)
+    qv = _emb_rows_local(spark, sf_dir, 0, 0, "qid", "qvec").select("qvec")
     cb = pq_sample_codebook(emb, M, KCENT).persist()
 
     qprobe = (

@@ -27,9 +27,17 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (session id, sf_dir, table) -> DataFrame. The catalog tables are immutable
+# test fixtures, and `spark.read.parquet` costs a JVM schema-inference round
+# trip (~90 ms) — with query builders calling load_table 2-3× per plan, the
+# memo removes the dominant share of per-invocation plan-build latency.
+# DataFrames are immutable, so sharing one instance across plans is safe.
+_TABLE_MEMO: dict = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Column pruning + filter pushdown happen at this scan.
+    """Scan one table (memoized per session+path). Column pruning + filter
+    pushdown happen at this scan.
 
     `events.ts` has shipped as both Parquet TIMESTAMP(NANOS) (which the
     vectorized reader rejects → read nanos as long, downcast) and plain
@@ -40,6 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # applicationId (one cheap py4j call), not id(spark): CPython can reuse
+    # a freed object's id for a NEW session, which would serve stale plans
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_MEMO.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -49,8 +63,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif dict(df.dtypes).get("ts") == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _TABLE_MEMO[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
