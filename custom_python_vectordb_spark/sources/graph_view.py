@@ -36,7 +36,28 @@ def _id(prefix: str, col) -> F.Column:
     return F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))
 
 
+# (applicationId, sf_dir, which) -> DataFrame: the 6-branch unions cost
+# hundreds of py4j calls to BUILD per invocation; the underlying fixture
+# tables are immutable (and load_table is itself memoized), so the derived
+# view DataFrames are safely shared across plans — same rationale as
+# catalog._TABLE_MEMO.
+_VIEW_MEMO: dict = {}
+
+
+def _memoized(spark: SparkSession, sf_dir: str, which: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, which)
+    df = _VIEW_MEMO.get(key)
+    if df is None:
+        df = build()
+        _VIEW_MEMO[key] = df
+    return df
+
+
 def nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(spark, sf_dir, "nodes", lambda: _nodes_df(spark, sf_dir))
+
+
+def _nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified node table: (id, labels, name, mktsegment, acctbal, size).
     Absent properties are NULL → the missing-field filter semantics of
     ``functions.filters`` apply unchanged (graph.py:677-686)."""
@@ -96,6 +117,10 @@ def nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(spark, sf_dir, "edges", lambda: _edges_df(spark, sf_dir))
+
+
+def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified edge table: (src, dst, type, qty). Multi-edges allowed
     (one CONTAINS/SUPPLIED_BY edge per lineitem), as in the reference."""
     null_d = F.lit(None).cast("double")
@@ -128,6 +153,10 @@ def edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hyperedge_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(spark, sf_dir, "hyper", lambda: _hyperedge_membership(spark, sf_dir))
+
+
+def _hyperedge_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(hyperedge_id, node_id): order groups its customer + its parts
     (hyperedges exploded to a membership table, SURVEY.md §1.1)."""
     orders = load_table(spark, sf_dir, "orders").select(
