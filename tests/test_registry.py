@@ -94,3 +94,17 @@ def test_already_verified_requires_hash_green(tmp_path, monkeypatch):
         registry, "__file__", str(pkg / "registry.py"), raising=False
     )
     assert registry._already_verified() == {"hash_green", "rows_only"}
+
+
+def test_catalog_and_view_memoization(spark, sf_small):
+    """load_table and the graph views return the SAME DataFrame object for
+    the same (session, sf_dir, table) — the plan-build latency fix — and
+    distinct objects for distinct scale dirs."""
+    from custom_python_vectordb_spark.sources.catalog import load_table
+    from custom_python_vectordb_spark.sources.graph_view import edges_df, nodes_df
+
+    assert load_table(spark, sf_small, "orders") is load_table(spark, sf_small, "orders")
+    assert nodes_df(spark, sf_small) is nodes_df(spark, sf_small)
+    assert edges_df(spark, sf_small) is edges_df(spark, sf_small)
+    other = "/root/testdata/sf0.01"
+    assert load_table(spark, other, "orders") is not load_table(spark, sf_small, "orders")
