@@ -415,3 +415,90 @@ def purchases_with_recent_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "user_id").agg(
         F.count("vts").alias("n_recent_views")
     )
+
+
+@query("bloom_filtered_join", """
+WITH hi AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 489000)
+SELECT hi.o_orderpriority, COUNT(*) AS n_items,
+       ROUND(SUM(l.l_extendedprice), 2) + 0.0 AS revenue
+FROM lineitem l JOIN hi ON l.l_orderkey = hi.o_orderkey
+GROUP BY hi.o_orderpriority
+""")
+def bloom_filtered_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom pruning (operators/bloom.py): the top-price orders are
+    ~2 % of the dim, so ~98 % of lineitem rows can be dropped map-side —
+    BEFORE any exchange — by probing a broadcast-literal bitmask built from
+    the small side's keys. Result is row-identical to the plain join (no
+    false negatives), which is exactly what the oracle states. At 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the ~2 % that can match."""
+    from custom_python_vectordb_spark.operators.bloom import bloom_filtered_join
+
+    orders = _t(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 489000).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    joined = bloom_filtered_join(li, hi, "l_orderkey", m_bits=1 << 17, k=5)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.round(F.sum("l_extendedprice"), 2) + F.lit(0.0)).alias("revenue"),
+    )
+
+
+@query("approx_distinct_users", """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+FROM events GROUP BY event_type
+""")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch cardinality vs exact. approx_count_distinct is
+    the 100 TB path (fixed-size sketch, map-side combinable, one shuffle of
+    sketches instead of a distinct-shuffle of values); the exact count here
+    certifies the estimate: `within_5pct` must be literally TRUE for every
+    group or the value hash fails. The oracle states exact counts + TRUE,
+    so the sketch's error bound is itself hash-checked."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
+@query("zorder_values", """
+WITH b AS (SELECT event_id, (user_id & 63) AS ub,
+                  (CAST(FLOOR(value) AS BIGINT) & 63) AS vb FROM events)
+SELECT event_id, ub, vb,
+       (((ub >> 0) & 1) << 0) | (((vb >> 0) & 1) << 1)
+     | (((ub >> 1) & 1) << 2) | (((vb >> 1) & 1) << 3)
+     | (((ub >> 2) & 1) << 4) | (((vb >> 2) & 1) << 5)
+     | (((ub >> 3) & 1) << 6) | (((vb >> 3) & 1) << 7)
+     | (((ub >> 4) & 1) << 8) | (((vb >> 4) & 1) << 9)
+     | (((ub >> 5) & 1) << 10) | (((vb >> 5) & 1) << 11) AS zval
+FROM b
+""")
+def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values (operators/zorder.py) over (user bucket, value
+    bucket): the multi-column clustering key behind OPTIMIZE ZORDER BY.
+    The interleave is pure integer bit arithmetic, so DuckDB recomputes it
+    independently and the hash check is bit-exact. The layout win it buys
+    (per-file [min,max] tight on BOTH dimensions) is measured in
+    tests/test_zorder.py via file_minmax."""
+    from custom_python_vectordb_spark.operators.zorder import zvalue
+
+    ev = _t(spark, sf_dir, "events")
+    ub = F.col("user_id").bitwiseAND(F.lit(63))
+    vb = F.floor("value").cast("long").bitwiseAND(F.lit(63))
+    return ev.select(
+        "event_id",
+        ub.alias("ub"),
+        vb.alias("vb"),
+        zvalue([ub, vb], bits=6).alias("zval"),
+    )
