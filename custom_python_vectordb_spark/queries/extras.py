@@ -502,3 +502,36 @@ def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         vb.alias("vb"),
         zvalue([ub, vb], bits=6).alias("zval"),
     )
+
+
+@query("copurchase_triangles", """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT la.l_partkey AS a, lb.l_partkey AS b
+      FROM op la JOIN op lb
+      ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+""")
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-purchase graph (operators/triangles.py):
+    parts are adjacent when some order contains both; triangles measure
+    basket-community cohesion. The Spark plan is the degree-ordered
+    node-iterator++ algorithm (orient edges low-rank→high-rank, wedge join
+    on the O(√m)-bounded out-neighborhoods, closing-edge join) — same
+    count as the oracle's naive a<b<c three-way self-join, but no hub node
+    can ever contribute a quadratic wedge set, which is what makes the
+    plan survive a power-law degree distribution at 100 TB."""
+    from custom_python_vectordb_spark.operators.triangles import triangle_count
+
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    la = op.select("l_orderkey", F.col("l_partkey").alias("a"))
+    lb = op.select("l_orderkey", F.col("l_partkey").alias("b"))
+    edges = (
+        la.join(lb, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_count(edges)
