@@ -535,3 +535,39 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+@query("trending_decayed", """
+WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS tm FROM events),
+t AS (SELECT user_id,
+             (epoch_us(m.tm) - epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000 AS k
+      FROM events, m)
+SELECT user_id, ROUND(SUM(POWER(0.5, k)), 6) + 0.0 AS score
+FROM t GROUP BY user_id ORDER BY score DESC, user_id LIMIT 20
+""")
+def trending_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity ranking (the reference's
+    'trending entities', K7, upgraded with recency weighting): each event
+    contributes 0.5^(whole days before the corpus max ts), so yesterday
+    counts half of today. Day buckets are computed in exact integer
+    microsecond arithmetic and 0.5^k is dyadic, so every addend is
+    bit-identical in Spark and DuckDB — the decay math itself is
+    hash-verified, not just the ranking. Plan: one 1-row max-ts broadcast,
+    one map-side-combined aggregation, TakeOrdered 20; the streaming twin
+    (streaming/stateful.trending_decayed_stream) carries (score, last day)
+    per key in the state store."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    tm = ev.agg(F.max("ts").alias("tm"))
+    day_us = F.lit(86_400_000_000)
+    delta = F.unix_micros(F.col("tm").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    k = ((delta - F.pmod(delta, day_us)) / day_us).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(tm))
+        .select("user_id", F.pow(F.lit(0.5), k).alias("term"))
+        .groupBy("user_id")
+        .agg((F.round(F.sum("term"), 6) + F.lit(0.0)).alias("score"))
+        .orderBy(F.col("score").desc(), "user_id")
+        .limit(20)
+    )

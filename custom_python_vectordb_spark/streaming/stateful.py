@@ -17,6 +17,7 @@ keys × state size, not stream length.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_SCHEMA = "count long, total double, last_ts timestamp"
@@ -124,6 +125,65 @@ def dedup_stream_stateful(docs: DataFrame, hash_col: str = "content_hash") -> Da
             update_dedup,
             outputStructType=DEDUP_OUTPUT_SCHEMA,
             stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+TREND_STATE_SCHEMA = "score double, last_day long, n_events long"
+TREND_OUTPUT_SCHEMA = "user_id long, score double, as_of_day long, n_events long"
+
+
+def trending_decayed_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Streaming exponentially-decayed activity score — the stateful twin of
+    the batch `trending_decayed` query: each event contributes 0.5^(days
+    old), so the state store never holds more than one (score, last_day,
+    n_events) triple per key no matter how long the stream runs.
+
+    Decay identity that makes this incrementally maintainable: a score
+    valid as of day D re-validates to any later day D' by multiplying
+    0.5^(D'-D) — so each micro-batch decays the stored score to the
+    batch's newest day and adds its own events' (already-decayed)
+    contributions. Day indices are absolute (floor of epoch days), unlike
+    the batch query's corpus-max-relative buckets — equivalent decay
+    semantics, streaming-friendly anchor.
+
+    `n_events` is cumulative and therefore identifies each key's final
+    emission (update-mode sinks see one row per touched key per batch).
+    """
+
+    def update_trend(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key_tuple
+        score, last_day, n_events = state.get if state.exists else (0.0, None, 0)
+        days = []
+        for pdf in pdfs:
+            d = (pdf["ts"] - pd.Timestamp(0)) // pd.Timedelta(days=1)
+            days.extend(int(x) for x in d)
+        n_events += len(days)
+        d_new = max(days) if last_day is None else max(max(days), last_day)
+        if last_day is not None:
+            score *= 0.5 ** (d_new - last_day)
+        score += sum(0.5 ** (d_new - k) for k in days)
+        state.update((score, d_new, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "score": [score],
+                "as_of_day": [d_new],
+                "n_events": [n_events],
+            }
+        )
+
+    return (
+        events.select(F.col(key).alias("user_id"), "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_trend,
+            outputStructType=TREND_OUTPUT_SCHEMA,
+            stateStructType=TREND_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

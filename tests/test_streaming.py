@@ -518,3 +518,46 @@ def test_incremental_neardup_equals_batch(spark, sf_small, tmp_path):
     process_neardup_batch(batch0, 0, idx)
     got2 = {(r["a"], r["b"]) for r in load_neardup_pairs(spark, idx).collect()}
     assert got2 == expect
+
+
+def test_trending_decayed_stream_matches_batch_formula(spark, sf_small, tmp_path):
+    """trending_decayed_stream across two micro-batches converges to the
+    batch decay formula: score(u) = sum over u's events of 0.5^(last_day(u)
+    - event_day). The second batch holds OLDER events for half the users,
+    exercising the re-decay of stored state in both directions."""
+    from custom_python_vectordb_spark.streaming.stateful import trending_decayed_stream
+
+    ev = load_table(spark, sf_small, "events").select("user_id", "ts")
+    src = str(tmp_path / "ev")
+    newer = ev.filter(F.dayofmonth("ts") > 10)
+    older = ev.filter(F.dayofmonth("ts") <= 10)
+    newer.coalesce(1).write.parquet(src)
+    older.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = run_to_memory(trending_decayed_stream(stream), "t_trend", mode="update")
+    out = spark.table("t_trend").collect()
+    q.stop()
+
+    # final emission per key = the row with the cumulative max n_events
+    final = {}
+    for r in out:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+            final[r["user_id"]] = r
+
+    import pandas as pd
+
+    pdf = ev.toPandas()
+    pdf["day"] = (pdf["ts"] - pd.Timestamp(0)) // pd.Timedelta(days=1)
+    for uid, grp in pdf.groupby("user_id"):
+        d_last = int(grp["day"].max())
+        want = sum(0.5 ** (d_last - int(k)) for k in grp["day"])
+        got = final[int(uid)]
+        assert got["as_of_day"] == d_last
+        assert abs(got["score"] - want) < 1e-9, (uid, got["score"], want)
+        assert got["n_events"] == len(grp)
+    assert set(final) == set(int(u) for u in pdf["user_id"].unique())
