@@ -79,10 +79,17 @@ def knn_ivf(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: per query probe the `nprobe` nearest cells, exact-score
-    only vectors in probed cells. Scanned fraction ≈ nprobe/n_cells."""
-    assigned = with_ivf_cluster(corpus, centroids, id_col, vec_col)
+    only vectors in probed cells. Scanned fraction ≈ nprobe/n_cells.
+
+    `assigned`: optionally pass a prebuilt assignment (the corpus with its
+    `cluster` column, e.g. persisted once per session or read from the
+    cluster-partitioned layout) — assignment is INDEX BUILD, not search,
+    and at serving time it is never recomputed per query."""
+    if assigned is None:
+        assigned = with_ivf_cluster(corpus, centroids, id_col, vec_col)
     qprobe = top_k_per_group(
         queries.join(F.broadcast(centroids)).select(
             "qid", "cluster", sq_l2_distance("qvec", "cvec").alias("d2")
