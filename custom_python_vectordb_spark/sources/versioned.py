@@ -186,7 +186,8 @@ class VersionedWarehouse:
         self,
         name: str,
         cluster_by: list[str] | None = None,
-        target_file_mb: int = 128,
+        target_file_mb: float = 128,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Compact the current version into few right-sized files, optionally
         range-clustered, and commit the result as a new version.
@@ -206,7 +207,17 @@ class VersionedWarehouse:
         lands between reading the snapshot and committing, this aborts with
         `CommitConflict` (never silently drops the concurrent write) and the
         caller simply re-runs. The staged dir is cleaned up on abort.
+
+        `zorder_by` (mutually exclusive with `cluster_by`): cluster on the
+        Morton interleave of ≥2 numeric columns instead of a lexicographic
+        sort — every listed column gets tight per-file [min,max], so
+        selective predicates on ANY of them prune files, not just the
+        leading sort column (operators/zorder.py; Delta/Iceberg's OPTIMIZE
+        ZORDER BY). Columns are min-max bucketed to 8 bits each (one cheap
+        aggregate), so up to 7 columns fit a signed long.
         """
+        if cluster_by and zorder_by:
+            raise ValueError("pass either cluster_by or zorder_by, not both")
         parent = self.latest_version(name)
         if parent is None:
             raise FileNotFoundError(f"collection {name!r} does not exist")
@@ -219,10 +230,40 @@ class VersionedWarehouse:
             for f in files
             if f.endswith(".parquet")
         )
-        n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+        n_files = max(1, int(-(-total_bytes // int(target_file_mb * 1024 * 1024))))
         df = self.spark.read.parquet(*src_dirs)
         if cluster_by:
             df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(*cluster_by)
+        elif zorder_by:
+            from pyspark.sql import functions as F
+
+            from custom_python_vectordb_spark.operators.zorder import zvalue
+
+            bits = 8
+            mm = df.agg(
+                *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+            ).collect()[0]
+            buckets = []
+            for c in zorder_by:
+                mn, mx = float(mm[f"mn_{c}"]), float(mm[f"mx_{c}"])
+                span = mx - mn
+                if span <= 0:  # constant column: every row in bucket 0
+                    buckets.append(F.lit(0).cast("long"))
+                else:
+                    scaled = (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+                    buckets.append(
+                        F.least(
+                            F.floor(scaled * F.lit(1 << bits)).cast("long"),
+                            F.lit((1 << bits) - 1),
+                        )
+                    )
+            df = (
+                df.withColumn("__z", zvalue(buckets, bits=bits))
+                .repartitionByRange(n_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         else:
             df = df.coalesce(n_files)
 
@@ -236,6 +277,7 @@ class VersionedWarehouse:
             "mode": "optimize",
             "dirs": [staged],
             "cluster_by": cluster_by or [],
+            "zorder_by": zorder_by or [],
             "committed_at": time.time(),
         }
         try:

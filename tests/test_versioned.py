@@ -183,3 +183,41 @@ def test_shard_paths_track_snapshot(spark, wh):
     import pyarrow.parquet as pq
     rows = sum(pq.read_table(p).num_rows for p in p1)
     assert rows == 8
+
+
+def test_optimize_zorder_clusters_both_columns(spark, wh):
+    """OPTIMIZE ZORDER BY: after rewriting on the Morton interleave of two
+    independent columns, per-file [min,max] is narrow on BOTH (a
+    lexicographic sort would leave the second full-width), data and time
+    travel are untouched, and the manifest records the clustering."""
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.operators.zorder import file_minmax
+
+    df = spark.range(4096).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        F.floor(F.col("id") / 64).cast("long").alias("y"),
+    )
+    wh.save("z", df.orderBy(F.xxhash64("id")))  # shuffled layout
+    v = wh.optimize("z", zorder_by=["x", "y"], target_file_mb=0.001)
+    assert v == 1
+    m = wh.history("z")[-1]
+    assert m["mode"] == "optimize" and m["zorder_by"] == ["x", "y"]
+
+    data_dir = os.path.join(wh._data("z"), m["dirs"][0])
+    mm = file_minmax(spark, data_dir, ["x", "y"]).collect()
+    assert len(mm) >= 4
+    for col in ("x", "y"):
+        avg_span = sum(r[f"max_{col}"] - r[f"min_{col}"] + 1 for r in mm) / len(mm)
+        assert avg_span < 0.5 * 64, (col, avg_span)
+
+    assert wh.load("z").count() == 4096
+    assert sorted(r["id"] for r in wh.load("z").collect()) == list(range(4096))
+    assert wh.load("z", version=0).count() == 4096
+
+
+def test_optimize_rejects_both_cluster_specs(spark, wh):
+    wh.save("c2", _df(spark, [1, 2]))
+    with pytest.raises(ValueError, match="not both"):
+        wh.optimize("c2", cluster_by=["id"], zorder_by=["id", "id"])
