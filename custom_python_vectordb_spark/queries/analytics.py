@@ -1,0 +1,173 @@
+"""Behavioral / corpus analytics additions: substring-span dedup, funnel,
+retention cohorts, sketch-quantile certification, grouped top-k.
+
+All beyond the reference's surface (its analytics are the degree/sentiment
+counts of ``query_news_db.py``) but squarely inside the training-data and
+event-pipeline mandate; every query here is DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.functions.text import duck_tokenize
+from custom_python_vectordb_spark.operators.spans import shared_span_pairs
+from custom_python_vectordb_spark.queries.spine import _t
+from custom_python_vectordb_spark.registry import query
+
+
+_DUCK_TOKS = duck_tokenize("text")
+
+@query("dedup_span_pairs", f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 5
+),
+keep AS (
+  SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY gram)
+  WHERE df BETWEEN 2 AND 16
+),
+g AS (SELECT grams.* FROM grams JOIN keep USING (gram)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, a.pos - b.pos AS diag
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+  FROM pairs
+),
+spans AS (
+  SELECT doc_a, doc_b, COUNT(*) + 4 AS span_tokens
+  FROM runs GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b, MAX(span_tokens) AS max_span_tokens, COUNT(*) AS n_spans
+FROM spans WHERE span_tokens >= 8 GROUP BY doc_a, doc_b
+""")
+def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (operators/spans.py): pairs sharing an exact
+    run of >= 8 tokens via positional 5-gram diagonal matching — catches
+    the long-quoted-passage case whole-document MinHash misses. The Spark
+    side joins on 64-bit gram hashes (strings never shuffle); the oracle
+    joins on gram strings, so a hash collision fails loudly."""
+    return shared_span_pairs(
+        _t(spark, sf_dir, "documents"), n=5, min_df=2, max_df=16, min_span=8
+    )
+
+
+@query("event_funnel", """
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+""")
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts at
+    stage k only with an event strictly after their stage-k-1 entry time.
+    Every stage is a min-aggregate + equi-join on user_id — the stages
+    reuse one hash partitioning end-to-end, and each stage's survivor set
+    only shrinks, so the plan's total shuffle is one pass of events plus
+    per-stage user-keyed minima."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def entered(stage_type: str, prev: DataFrame | None) -> DataFrame:
+        s = ev.filter(F.col("event_type") == stage_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col("t_prev"))
+        return s.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    v = entered("view", None)
+    c = entered("click", v)
+    p = entered("purchase", c)
+
+    def stage_row(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_users"
+        )
+
+    return stage_row(v, 1, "view").unionByName(stage_row(c, 2, "click")).unionByName(
+        stage_row(p, 3, "purchase")
+    )
+
+
+@query("retention_cohorts", """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events),
+f AS (SELECT user_id, MIN(active_day) AS cohort_day FROM act GROUP BY user_id)
+SELECT cohort_day, datediff('day', cohort_day, active_day) AS day_offset,
+       COUNT(*) AS n_active
+FROM act JOIN f USING (user_id)
+WHERE datediff('day', cohort_day, active_day) <= 7
+GROUP BY cohort_day, day_offset
+""")
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day, counted
+    on each of their next 7 active days. One distinct on (user, day), then
+    a user-keyed min + self-join — the join key equals the upstream groupBy
+    key, so the activity table shuffles once and is reused co-partitioned."""
+    act = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("active_day"))
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("active_day", "cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query("approx_median_value", """
+SELECT event_type, ROUND(MEDIAN(value), 4) AS exact_p50, TRUE AS within_5pct
+FROM events GROUP BY event_type
+""")
+def approx_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-style sketch quantile certified against the exact median, the
+    quantile twin of `approx_distinct_users`: percentile_approx is the
+    100 TB path (bounded-size mergeable sketch, map-side combinable), and
+    `within_5pct` must be literally TRUE per group for the hash to pass,
+    so the sketch's accuracy is itself value-hash-verified."""
+    agg = _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.median("value").alias("exact_p50"),
+        F.percentile_approx("value", 0.5, 1000).alias("approx_p50"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("exact_p50", 4).alias("exact_p50"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.05 * F.abs(F.col("exact_p50"))
+        ).alias("within_5pct"),
+    )
+
+
+@query("top_docs_per_lang", """
+SELECT lang, doc_id, n_chars, rn FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 3
+""")
+def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (largest 3 documents per language, doc_id tie-break):
+    the rank window carries a k<=3 limit Spark pushes below the exchange as
+    WindowGroupLimit — each partition forwards at most 3 rows per group, so
+    the shuffle moves O(groups·k), not the corpus (asserted in
+    tests/test_analytics.py)."""
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )

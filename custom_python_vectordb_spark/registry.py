@@ -144,6 +144,7 @@ def load_all() -> None:
         "multimodal",
         "cleaning",
         "extras",
+        "analytics",
     ):
         __import__(f"custom_python_vectordb_spark.queries.{mod}")
 

@@ -1,0 +1,111 @@
+"""Analytics additions: substring-span dedup, funnel, retention, grouped
+top-k plan shape."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.operators.spans import shared_span_pairs
+from custom_python_vectordb_spark.queries.analytics import (
+    event_funnel,
+    retention_cohorts,
+    top_docs_per_lang,
+)
+
+
+def _longest_common_run(a: list[str], b: list[str]) -> int:
+    """O(len(a)*len(b)) exact longest common token run (oracle)."""
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, start=1):
+            if x == y:
+                cur[j] = prev[j - 1] + 1
+                best = max(best, cur[j])
+        prev = cur
+    return best
+
+
+def test_span_pairs_finds_planted_span(spark):
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+
+    def noise(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    rows = [
+        (0, noise(20) + " " + span + " " + noise(20)),
+        (1, noise(25) + " " + span + " " + noise(15)),
+        (2, noise(60)),
+        (3, noise(60)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shared_span_pairs(docs, n=5, min_df=2, max_df=16, min_span=10).collect()
+    got = {(r.doc_a, r.doc_b): r.max_span_tokens for r in out}
+    assert (0, 1) in got
+    # the planted run is exactly 10 tokens; noise may extend it only if the
+    # neighbouring random words also match, which the exact LCS oracle covers
+    a, b = rows[0][1].split(), rows[1][1].split()
+    assert got[(0, 1)] == _longest_common_run(a, b)
+
+
+def test_span_pairs_matches_python_oracle(spark):
+    """Random corpus with copied segments: every reported max span equals
+    the exact longest-common-run; every pair with a run >= threshold that
+    survives the df cutoff is reported."""
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(200)]
+    texts = {}
+    for d in range(12):
+        texts[d] = [rng.choice(vocab) for _ in range(40)]
+    # plant copies: doc 1 gets tokens 5..20 of doc 0; doc 3 gets 10..28 of doc 2
+    texts[1][8:24] = texts[0][5:21]
+    texts[3][2:20] = texts[2][10:28]
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in texts.items()], "doc_id long, text string"
+    )
+    n, min_span = 5, 8
+    out = {
+        (r.doc_a, r.doc_b): r.max_span_tokens
+        for r in shared_span_pairs(docs, n=n, min_df=2, max_df=16, min_span=min_span).collect()
+    }
+    for (a, b), got in out.items():
+        assert got == _longest_common_run(texts[a], texts[b])
+    for a in range(12):
+        for b in range(a + 1, 12):
+            true_run = _longest_common_run(texts[a], texts[b])
+            if true_run >= min_span + n:  # comfortably above threshold
+                assert (a, b) in out, (a, b, true_run)
+
+
+def test_funnel_stage_counts_monotone(spark, sf_med):
+    rows = event_funnel(spark, sf_med).orderBy("stage_idx").collect()
+    assert [r.stage for r in rows] == ["view", "click", "purchase"]
+    ns = [r.n_users for r in rows]
+    assert ns[0] >= ns[1] >= ns[2] > 0
+
+
+def test_retention_day0_equals_cohort_size(spark, sf_med):
+    """Offset-0 count per cohort == number of users whose first day is that
+    day (everyone is active on their own first day)."""
+    out = retention_cohorts(spark, sf_med)
+    day0 = {r.cohort_day: r.n_active for r in out.filter(F.col("day_offset") == 0).collect()}
+    ev = spark.read.parquet(f"{sf_med}/events.parquet")
+    first = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"))
+        .groupBy("cohort_day")
+        .count()
+    )
+    truth = {r.cohort_day: r["count"] for r in first.collect()}
+    assert day0 == truth
+
+
+def test_grouped_topk_plan_has_window_group_limit(spark, sf_med):
+    plan = top_docs_per_lang(spark, sf_med)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
