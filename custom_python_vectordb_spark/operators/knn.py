@@ -32,7 +32,11 @@ import pandas as pd  # module-level: pandas_udf type hints ('pd.Series'
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from custom_python_vectordb_spark.functions.distances import distance_expr
+from custom_python_vectordb_spark.functions.distances import (
+    cosine_distance_prenormed,
+    distance_expr,
+    l2_norm,
+)
 from custom_python_vectordb_spark.operators.topk import top_k_per_group
 
 
@@ -63,9 +67,18 @@ def knn(
     cols = [F.col(query_id_col), F.col(id_col)]
     if payload_cols:
         cols += [F.col(c) for c in payload_cols]
-    scored = corpus.join(F.broadcast(queries)).select(
-        *cols, distance_expr(metric, vec_col, query_vec_col).alias(dist_col)
-    )
+    if metric == "cosine":
+        # project row norms BELOW the join: per-pair work drops from 3
+        # array aggregations (dot + both norms) to 1, with bit-identical
+        # arithmetic (same ops, same order — see cosine_distance_prenormed)
+        corpus = corpus.withColumn("_cnorm", l2_norm(vec_col))
+        queries = queries.withColumn("_qnorm", l2_norm(query_vec_col))
+        dist = cosine_distance_prenormed(
+            vec_col, query_vec_col, F.col("_cnorm"), F.col("_qnorm")
+        )
+    else:
+        dist = distance_expr(metric, vec_col, query_vec_col)
+    scored = corpus.join(F.broadcast(queries)).select(*cols, dist.alias(dist_col))
     result = top_k_per_group(
         scored, query_id_col, k, F.col(dist_col).asc(), F.col(id_col).asc()
     )
