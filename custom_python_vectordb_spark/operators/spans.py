@@ -68,6 +68,26 @@ def positional_gram_hashes(
     )
 
 
+def spans_from_matches(matches: DataFrame, n: int, min_span: int) -> DataFrame:
+    """Collapse per-gram matches (doc_a, doc_b, pos_a, diag) into maximal
+    shared runs and aggregate per pair. `matches` must be duplicate-free
+    per (doc_a, doc_b, pos_a, diag) — duplicates would break the
+    consecutive-position row_number trick."""
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = matches.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        (F.count(F.lit(1)) + (n - 1)).alias("span_tokens")
+    )
+    return (
+        spans.filter(F.col("span_tokens") >= min_span)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_tokens").alias("max_span_tokens"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+
+
 def shared_span_pairs(
     docs: DataFrame,
     n: int = 5,
@@ -95,16 +115,4 @@ def shared_span_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
     )
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    runs = pairs.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
-    spans = runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
-        (F.count(F.lit(1)) + (n - 1)).alias("span_tokens")
-    )
-    return (
-        spans.filter(F.col("span_tokens") >= min_span)
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.max("span_tokens").alias("max_span_tokens"),
-            F.count(F.lit(1)).alias("n_spans"),
-        )
-    )
+    return spans_from_matches(pairs, n, min_span)

@@ -561,3 +561,76 @@ def test_trending_decayed_stream_matches_batch_formula(spark, sf_small, tmp_path
         assert abs(got["score"] - want) < 1e-9, (uid, got["score"], want)
         assert got["n_events"] == len(grp)
     assert set(final) == set(int(u) for u in pdf["user_id"].unique())
+
+
+def test_span_index_converges_to_batch_and_replays(spark, tmp_path):
+    """Incremental substring-span index over two micro-batches converges to
+    the batch operator's exact pair set (within-batch AND cross-batch
+    planted spans), and an at-least-once replay of batch 0 leaves the pair
+    set unchanged."""
+    import random
+
+    from custom_python_vectordb_spark.operators.spans import shared_span_pairs
+    from custom_python_vectordb_spark.streaming.span_maintenance import (
+        load_span_pairs,
+        maintain_span_index,
+        process_span_batch,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"v{i}" for i in range(300)]
+
+    def toks(n):
+        return [rng.choice(vocab) for _ in range(n)]
+
+    texts = {d: toks(40) for d in range(10)}
+    texts[1][5:20] = texts[0][10:25]            # within batch 0
+    texts2 = {d: toks(40) for d in range(100, 105)}
+    texts2[100][0:15] = texts[2][20:35]         # cross-batch (2, 100)
+    texts2[104][10:28] = texts2[103][4:22]      # within batch 1
+
+    b0 = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in texts.items()], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in texts2.items()], "doc_id long, text string"
+    )
+    src = str(tmp_path / "docs_stream")
+    b0.coalesce(1).write.parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    idx = str(tmp_path / "spanidx")
+    q = (
+        maintain_span_index(stream, idx, n=5, max_df=16, min_span=10)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    got = {
+        (r.doc_a, r.doc_b): (r.max_span_tokens, r.n_spans)
+        for r in load_span_pairs(spark, idx).collect()
+    }
+    union = b0.unionByName(b1)
+    expect = {
+        (r.doc_a, r.doc_b): (r.max_span_tokens, r.n_spans)
+        for r in shared_span_pairs(union, n=5, min_df=2, max_df=16, min_span=10).collect()
+    }
+    assert expect, "fixture must produce span pairs"
+    assert (0, 1) in expect and (2, 100) in expect and (103, 104) in expect
+    assert got == expect
+
+    # at-least-once replay of batch 0: same pair set afterwards
+    process_span_batch(b0, 0, idx, n=5, max_df=16, min_span=10)
+    got2 = {
+        (r.doc_a, r.doc_b): (r.max_span_tokens, r.n_spans)
+        for r in load_span_pairs(spark, idx).collect()
+    }
+    assert got2 == expect
