@@ -60,6 +60,103 @@ def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _final_cut_spans_oracle() -> str:
+    from custom_python_vectordb_spark.functions.text import STOPWORDS
+    from custom_python_vectordb_spark.queries.pipeline import DUCK_CORPUS, TOKS
+    from custom_python_vectordb_spark.queries.spine import ROUND
+
+    return f"""
+WITH {DUCK_CORPUS.strip()},
+keeper AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+tok AS (SELECT doc_id, text, {TOKS} AS toks FROM corpus),
+scored AS (SELECT doc_id,
+       ROUND(
+         least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+         + least(CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, t -> list_contains({STOPWORDS['en']}, t))) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END * 3.0, 1.0) * 0.3
+         + (CASE WHEN length(text) > 0
+                 THEN 1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9_\\s]', '', 'g')) AS DOUBLE) / length(text)
+                 ELSE 1.0 END) * 0.3,
+         {ROUND}) AS quality,
+       len(list_filter(toks, t -> list_contains({STOPWORDS['de']}, t))) AS v_de,
+       len(list_filter(toks, t -> list_contains({STOPWORDS['en']}, t))) AS v_en,
+       len(list_filter(toks, t -> list_contains({STOPWORDS['es']}, t))) AS v_es,
+       len(list_filter(toks, t -> list_contains({STOPWORDS['fr']}, t))) AS v_fr
+       FROM tok),
+lang AS (SELECT doc_id, quality,
+       CASE WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr AND v_de > 0 THEN 'de'
+            WHEN v_en >= v_es AND v_en >= v_fr AND v_en > 0 THEN 'en'
+            WHEN v_es >= v_fr AND v_es > 0 THEN 'es'
+            WHEN v_fr > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang
+       FROM scored),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+  FROM tok, UNNEST(range(1, len(toks) - 3)) AS u(i)
+  WHERE len(toks) >= 5
+),
+keepg AS (
+  SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY gram)
+  WHERE df BETWEEN 2 AND 16
+),
+g AS (SELECT grams.* FROM grams JOIN keepg USING (gram)),
+gpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, a.pos - b.pos AS diag
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+  FROM gpairs
+),
+spans AS (
+  SELECT doc_a, doc_b, COUNT(*) + 4 AS span_tokens
+  FROM runs GROUP BY doc_a, doc_b, diag, grp
+),
+losers AS (SELECT DISTINCT doc_b AS doc_id FROM spans WHERE span_tokens >= 8)
+SELECT l.doc_id, l.quality FROM lang l JOIN keeper k ON k.doc_id = l.doc_id
+WHERE l.quality >= 0.55 AND l.pred_lang = 'en'
+  AND l.doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY l.doc_id
+"""
+
+
+@query("corpus_final_cut_spans", _final_cut_spans_oracle())
+def corpus_final_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`corpus_final_cut` with the substring stage composed in — the full
+    modern recipe (exact dedup ∘ substring-span dedup ∘ quality ∘ langid)
+    as ONE declarative plan over the injected-duplicates corpus. Span
+    losers (the higher-id member of every >=8-token shared run) are
+    removed by a doc_id-keyed left-anti join; everything upstream keeps
+    `corpus_final_cut`'s one-scan shape, and the span subplan is the
+    df-capped gram join of `dedup_span_pairs` — no stage is quadratic in
+    the corpus."""
+    from custom_python_vectordb_spark.functions.text import langid_predict, quality_score
+    from custom_python_vectordb_spark.queries.pipeline import _corpus
+    from custom_python_vectordb_spark.queries.spine import ROUND
+
+    docs = _corpus(spark, sf_dir)
+    keeper = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    losers = (
+        shared_span_pairs(docs, n=5, min_df=2, max_df=16, min_span=8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score("text"), ROUND).alias("quality"),
+        langid_predict("text").alias("pred_lang"),
+    )
+    return (
+        scored.join(keeper.select("doc_id"), "doc_id")
+        .filter((F.col("quality") >= 0.55) & (F.col("pred_lang") == "en"))
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
 @query("event_funnel", """
 WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
 c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)

@@ -246,11 +246,49 @@ def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embed_mock")  # E8: numpy RandomState is not SQL-expressible → rows-only check
+def _embed_mock_oracle() -> str | None:
+    """Snapshot oracle for the embedding provider (same trick as
+    `_semantic_search_oracle`): RandomState generation is not
+    SQL-expressible but IS deterministic, so the sf0.01 vectors are inlined
+    as VALUES and DuckDB independently recomputes the query's derived
+    columns (dim + L2 norm) from them — verifying the Spark-side
+    cast-to-double fold bit-for-bit. Scale-pinned to sf0.01."""
+    import os
+
+    p = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(p):
+        return None
+    try:
+        import duckdb
+
+        from custom_python_vectordb_spark.functions.embeddings import mock_embed_one
+
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM '{p}' WHERE doc_id < 20 ORDER BY doc_id"
+        ).fetchall()
+    except Exception:
+        return None
+    vals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            did, ", ".join(repr(float(x)) for x in mock_embed_one(t, 64))
+        )
+        for did, t in rows
+    )
+    return f"""
+WITH emb(doc_id, v) AS (VALUES {vals})
+SELECT doc_id, CAST(len(v) AS INTEGER) AS dim,
+       ROUND(sqrt(list_inner_product(v, v)), 4) AS norm
+FROM emb
+"""
+
+
+@query("embed_mock", _embed_mock_oracle(), oracle_sf="sf0.01")
 def embed_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mock embeddings for the first 20 docs: verifies the
     pandas-UDF provider path end-to-end; exact parity with the reference's
-    MockEmbedder is asserted bit-for-bit in tests/test_embeddings.py."""
+    MockEmbedder is asserted bit-for-bit in tests/test_embeddings.py. The
+    oracle recomputes dim + norm from a snapshot of the same deterministic
+    vectors (see _embed_mock_oracle)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select("doc_id", "text")
     out = embed_column(docs, "text", "embedding", dimensions=64)
     return out.select(
