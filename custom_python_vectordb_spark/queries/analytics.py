@@ -249,6 +249,97 @@ def approx_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_daily_gapfilled", """
+WITH f AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events WHERE value > 200),
+b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM f),
+days AS (SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+t AS (SELECT DISTINCT event_type FROM f),
+c AS (SELECT event_type, day, COUNT(*) AS n FROM f GROUP BY event_type, day)
+SELECT t.event_type, days.day, COALESCE(c.n, 0) AS n
+FROM t CROSS JOIN days LEFT JOIN c ON c.event_type = t.event_type AND c.day = days.day
+""")
+def events_daily_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series for a sparse event slice: days with no
+    qualifying events emit explicit zero rows (time-series consumers —
+    charting, anomaly baselines, decay models — need the dense grid).
+    The calendar is generated with sequence() from a 1-row bounds
+    aggregate (broadcast), crossed with the distinct dimension values, and
+    left-joined to the real counts — grid size is days x types, never a
+    function of the event volume."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") > 200)
+        .select("event_type", F.to_date("ts").alias("day"))
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        types.crossJoin(F.broadcast(days))
+        .join(counts, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+@query("late_interaction_maxsim", """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT CAST(vec_id // 4 AS INTEGER) AS qid, vec_id AS qt_id, v AS qv
+      FROM e WHERE vec_id < 8),
+sims AS (
+  SELECT q.qid, q.qt_id, e.label,
+         list_inner_product(e.v, q.qv)
+         / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS sim
+  FROM e, q
+),
+per_qt AS (
+  SELECT qid, qt_id, label, ROUND(MAX(sim), 8) AS m
+  FROM sims GROUP BY qid, qt_id, label
+),
+scores AS (
+  SELECT qid, label, ROUND(SUM(m), 6) AS score FROM per_qt GROUP BY qid, label
+)
+SELECT qid, label, score FROM (
+  SELECT qid, label, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rn
+  FROM scores
+) WHERE rn <= 3 ORDER BY qid, score DESC, label
+""")
+def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval over multi-vector
+    documents: score(q, d) = Σ_{query token} max_{doc token} cos(qt, dt).
+    Documents are the embedding table's label groups (each label = one doc,
+    its vectors = token embeddings); queries are two 4-token bundles.
+
+    Plan shape — the multi-vector twin of exact kNN: broadcast the query
+    tokens, score every (corpus token, query token) pair map-side, then two
+    hash aggregates (max per (query token, doc), sum per (query, doc)).
+    Both aggregates partial-combine before their exchange, so the shuffle
+    carries O(docs · query tokens), never the corpus. Per-token maxima are
+    rounded to 8 decimals before the sum so the cross-engine hash is stable
+    under double addition reordering."""
+    from custom_python_vectordb_spark.functions.distances import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.floor(F.col("vec_id") / 4).cast("int").alias("qid"),
+        F.col("vec_id").alias("qt_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    sims = emb.join(F.broadcast(q)).select(
+        "qid", "qt_id", "label", cosine_similarity("embedding", "qvec").alias("sim")
+    )
+    per_qt = sims.groupBy("qid", "qt_id", "label").agg(F.round(F.max("sim"), 8).alias("m"))
+    scores = per_qt.groupBy("qid", "label").agg(F.round(F.sum("m"), 6).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("label"))
+    return (
+        scores.select("qid", "label", "score", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "label", "score")
+        .orderBy("qid", F.col("score").desc(), "label")
+    )
+
+
 @query("top_docs_per_lang", """
 SELECT lang, doc_id, n_chars, rn FROM (
   SELECT lang, doc_id, n_chars,
