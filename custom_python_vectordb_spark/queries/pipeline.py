@@ -427,6 +427,47 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
 
 
+@query("knn_ivf_filtered", f"""
+WITH {_DUCK_IVF.strip()},
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+qprobe AS (SELECT qid, cluster FROM (
+    SELECT q.qid, c.cluster,
+           row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cluster) AS rn
+    FROM q, cents c
+) WHERE rn <= 2),
+cand AS (SELECT p.qid, a.vec_id FROM asgn a JOIN qprobe p ON a.cluster = p.cluster),
+scored AS (
+    SELECT cand.qid, cand.vec_id,
+           1.0 - list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(q.qv, q.qv))) AS dist
+    FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id AND e.label IN (1, 2, 3)
+    JOIN q ON q.qid = cand.qid
+)
+SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
+    SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 10 ORDER BY qid, dist, vec_id
+""")
+def knn_ivf_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN — the production vector-search shape (every real vector
+    store takes a metadata predicate alongside the query vector). The
+    filter is applied to the assigned corpus BEFORE probe-join and scoring
+    (filter-then-rank inside the cells, the IVF analog of `knn_filtered`'s
+    pushdown); on the cell-partitioned layout the same predicate lands in
+    the pruned Parquet scan. Unlike the reference's fetch_k=k*10 over-fetch
+    (``vectordb_optimized.py:531-532``) this cannot return < k survivors
+    while k exist in the probed cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_cents_local(spark, sf_dir)
+    assigned = _ivf_assigned(spark, sf_dir).filter(F.col("label").isin(1, 2, 3))
+    out = knn_ivf(
+        emb, _query_vectors(spark, sf_dir, 3), cents, k=10, nprobe=2,
+        assigned=assigned,
+    )
+    return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
+
+
 # ---------------------------------------------------------------- ANN: LSH
 
 _DUCK_LSH = """
