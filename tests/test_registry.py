@@ -35,10 +35,9 @@ def test_oracle_sql_is_nonempty_and_selects():
 
 def test_weak_queries_are_the_documented_set():
     weak = set(registry.QUERIES) - set(registry.ORACLES)
-    # round 3 closed semantic_text_search (embedding-snapshot oracle) and
-    # mmr_rerank (unrolled greedy CTE chain) — 5 genuinely non-SQL ops left
+    # round 3 closed semantic_text_search, mmr_rerank, and embed_mock
+    # (snapshot-pinned oracles) — 4 genuinely non-SQL ops left
     assert weak == {
-        "embed_mock",            # RandomState embeddings not SQL-expressible
         "pq_kmeans_recall",      # MLlib KMeans model metric
         "media_features",        # embedding-based feature stub
         "knn_partitioned",       # approximate, partition-shaped result
@@ -50,8 +49,8 @@ def test_contract_size_exact():
     # Pin the full contract: a broken import now raises in load_all, and this
     # guards against a module silently registering fewer queries.  Bump the
     # numbers when adding queries — never let them shrink.
-    assert len(registry.QUERIES) >= 166
-    assert len(registry.ORACLES) >= 161
+    assert len(registry.QUERIES) >= 175
+    assert len(registry.ORACLES) >= 171
 
 
 def test_rotation_puts_unverified_oracleable_first():
