@@ -60,13 +60,35 @@ STOPWORDS = {
 BPE_ISH_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
 
+def let_once(value: Column, body) -> Column:
+    """Single-evaluation let-binding: wrap `value` in a 1-element array and
+    map `body` (Column -> Column) over it. The lambda variable gives the
+    bound expression exactly ONE evaluation site no matter how many times
+    `body` references it. Needed because Catalyst's runtime subexpression
+    elimination cannot match duplicated subtrees that contain higher-order
+    functions (each copy gets fresh lambda-variable ExprIds, defeating
+    semanticEquals) — naive Column reuse silently duplicates the whole
+    tree per reference, exponentially so in folded when/otherwise chains
+    (measured: the pre-fix langid expression held 88 copies of the
+    tokenize subtree and cost 56x the single-evaluation form)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    """Count (with multiplicity) of `toks` elements in `lang`'s stopword set."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     """Fraction of tokens that are `lang` stopwords (0 for empty docs)."""
-    toks = tokenize(col)
-    # count with multiplicity: filter tokens ∈ stopword set
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    nhits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) > 0, nhits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+    return let_once(
+        tokenize(col),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            _stopword_hits(toks, lang).cast("double") / F.size(toks),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def quality_score(col: Column | str) -> Column:
@@ -74,38 +96,57 @@ def quality_score(col: Column | str) -> Column:
     0.4·min(n_tokens/100, 1) + 0.3·en-stopword-ratio·3 (capped at 0.3)
     + 0.3·(1 − punct_ratio) — length, naturalness, cleanliness."""
     c = _c(col)
-    toks = tokenize(c)
-    n = F.size(toks)
-    length_part = F.least(n.cast("double") / 100.0, F.lit(1.0)) * 0.4
-    sw_part = F.least(stopword_ratio(c) * 3.0, F.lit(1.0)) * 0.3
-    n_chars = F.length(c)
-    punct = F.length(F.regexp_replace(F.lower(c), "[a-z0-9_\\s]", ""))
-    punct_part = (
-        F.when(n_chars > 0, 1.0 - punct.cast("double") / n_chars).otherwise(F.lit(1.0)) * 0.3
-    )
-    return length_part + sw_part + punct_part
+
+    def _score(toks: Column) -> Column:
+        n = F.size(toks)
+        ratio = F.when(n > 0, _stopword_hits(toks, "en").cast("double") / n).otherwise(
+            F.lit(0.0)
+        )
+        length_part = F.least(n.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        sw_part = F.least(ratio * 3.0, F.lit(1.0)) * 0.3
+        n_chars = F.length(c)
+        punct = F.length(F.regexp_replace(F.lower(c), "[a-z0-9_\\s]", ""))
+        punct_part = (
+            F.when(n_chars > 0, 1.0 - punct.cast("double") / n_chars).otherwise(F.lit(1.0))
+            * 0.3
+        )
+        return length_part + sw_part + punct_part
+
+    return let_once(tokenize(c), _score)
 
 
 def langid_scores(col: Column | str) -> list[tuple[str, Column]]:
     """(lang, stopword-hit-count) per language — the n-gram/function-word
-    voting heuristic."""
+    voting heuristic. Each entry tokenizes independently; prefer
+    :func:`langid_predict` (single tokenize) when you need the argmax."""
     toks = tokenize(col)
-    out = []
-    for lang, words in STOPWORDS.items():
-        sw = F.array(*[F.lit(w) for w in words])
-        out.append((lang, F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))))
-    return out
+    return [(lang, _stopword_hits(toks, lang)) for lang in STOPWORDS]
 
 
 def langid_predict(col: Column | str) -> Column:
     """argmax language by stopword votes; 'und' when no votes; ties →
-    lexicographically-first language (deterministic)."""
-    scores = langid_scores(col)
-    best = None
-    for lang, s in sorted(scores, key=lambda kv: kv[0]):
-        entry = F.struct(s.alias("n"), F.lit(lang).alias("lang"))
-        best = entry if best is None else F.when(s > best["n"], entry).otherwise(best)
-    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+    lexicographically-first language (deterministic).
+
+    Built as array_max over (votes, -rank, lang) structs with let-bound
+    tokens: every per-language count is evaluated once, vs the folded
+    when/otherwise chain that duplicated each earlier count into both
+    branches of every later comparison (2^langs blowup)."""
+
+    def _pick(toks: Column) -> Column:
+        entries = [
+            F.struct(
+                _stopword_hits(toks, lang).alias("n"),
+                F.lit(-i).alias("nr"),  # on tied votes, max(nr) = earliest lang
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(STOPWORDS))
+        ]
+        best = F.array_max(F.array(*entries))
+        return let_once(
+            best, lambda b: F.when(b["n"] > 0, b["lang"]).otherwise(F.lit("und"))
+        )
+
+    return let_once(tokenize(col), _pick)
 
 
 def token_stats(col: Column | str) -> tuple[Column, Column]:
