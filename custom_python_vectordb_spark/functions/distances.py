@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from custom_python_vectordb_spark.functions.expr import let_once
+
 ColumnOrName = Column | str
 
 
@@ -50,10 +52,12 @@ def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
     when a 100 TB corpus inevitably contains a zero vector.
 
     Single-pass struct accumulator: (a·b, a·a, b·b) in ONE array traversal
-    instead of three separate aggregates — measured ~25 % faster on a
-    50k×20 pair scoring job. Each component is the same sequential
-    left-fold of doubles as the three-pass form, so results (and the
-    DuckDB oracle hash) are bit-identical."""
+    instead of three separate aggregates. Each component is the same
+    sequential left-fold of doubles as the three-pass form, so results
+    (and the DuckDB oracle hash) are bit-identical. The accumulator is
+    let-bound: HOF-bearing expressions evaluate interpreted (no CSE), so
+    referencing `s` three times without the binding would re-run the whole
+    fold three times per row."""
     zipped = F.zip_with(
         _dbl(_c(a)), _dbl(_c(b)), lambda x, y: F.struct(x.alias("x"), y.alias("y"))
     )
@@ -69,8 +73,12 @@ def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
             (acc["bb"] + p["y"] * p["y"]).alias("bb"),
         ),
     )
-    denom = F.sqrt(s["aa"]) * F.sqrt(s["bb"])
-    return F.when(denom > 0.0, s["ab"] / denom).otherwise(F.lit(0.0))
+
+    def _sim(sb: Column) -> Column:
+        denom = F.sqrt(sb["aa"]) * F.sqrt(sb["bb"])
+        return F.when(denom > 0.0, sb["ab"] / denom).otherwise(F.lit(0.0))
+
+    return let_once(s, _sim)
 
 
 def cosine_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
@@ -113,10 +121,22 @@ def dot_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
 
 def l2_normalize(a: ColumnOrName) -> Column:
     """v / ‖v‖ (pervasive pre-processing in the reference, e.g.
-    ``parallel_search.py:270-276``). Zero vectors pass through unchanged."""
-    vec = _dbl(_c(a))
-    norm = F.sqrt(F.aggregate(F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
-    return F.when(norm == 0.0, vec).otherwise(F.transform(vec, lambda x: x / norm))
+    ``parallel_search.py:270-276``). Zero vectors pass through unchanged.
+
+    Both the vector cast and the norm are let-bound: un-bound, the norm
+    subtree (itself a full array fold) sits inside the divide lambda and
+    interpreted HOF evaluation recomputes it PER ELEMENT — O(D²) per row."""
+
+    def _norm_then(vec: Column) -> Column:
+        norm = F.sqrt(
+            F.aggregate(F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+        )
+        return let_once(
+            norm,
+            lambda n: F.when(n == 0.0, vec).otherwise(F.transform(vec, lambda x: x / n)),
+        )
+
+    return let_once(_dbl(_c(a)), _norm_then)
 
 
 def hamming_distance(a: ColumnOrName, b: ColumnOrName) -> Column:

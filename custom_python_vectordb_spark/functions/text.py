@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from custom_python_vectordb_spark.functions.expr import let_once
+
 TOKEN_SPLIT = "[^a-z0-9_]+"
 
 
@@ -58,20 +60,6 @@ STOPWORDS = {
 }
 
 BPE_ISH_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
-
-
-def let_once(value: Column, body) -> Column:
-    """Single-evaluation let-binding: wrap `value` in a 1-element array and
-    map `body` (Column -> Column) over it. The lambda variable gives the
-    bound expression exactly ONE evaluation site no matter how many times
-    `body` references it. Needed because Catalyst's runtime subexpression
-    elimination cannot match duplicated subtrees that contain higher-order
-    functions (each copy gets fresh lambda-variable ExprIds, defeating
-    semanticEquals) — naive Column reuse silently duplicates the whole
-    tree per reference, exponentially so in folded when/otherwise chains
-    (measured: the pre-fix langid expression held 88 copies of the
-    tokenize subtree and cost 56x the single-evaluation form)."""
-    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def _stopword_hits(toks: Column, lang: str) -> Column:
