@@ -110,9 +110,17 @@ class VersionedWarehouse:
         return [self._read_manifest(name, v) for v in range(latest + 1)]
 
     # ---------------------------------------------------------- read
+    def _resolve_dirs(self, name: str, entries: list[str]) -> list[str]:
+        # entries are data-dir names relative to this collection's data/
+        # root; clone manifests list ABSOLUTE source paths (os.path.join
+        # passes absolute second args through untouched)
+        return [os.path.join(self._data(name), d) for d in entries]
+
     def load(self, name: str, version: int | None = None) -> DataFrame:
         """Read the collection at `version` (default: latest). Time travel
-        is just pinning an older manifest — data dirs are immutable."""
+        is just pinning an older manifest — data dirs are immutable. If the
+        manifest carries deletion vectors (`delete_where`), the deleted
+        keys are anti-joined out at read time."""
         latest = self.latest_version(name)
         if latest is None:
             raise FileNotFoundError(f"collection {name!r} does not exist")
@@ -120,8 +128,12 @@ class VersionedWarehouse:
         if not 0 <= v <= latest:
             raise ValueError(f"version {v} out of range 0..{latest}")
         manifest = self._read_manifest(name, v)
-        dirs = [os.path.join(self._data(name), d) for d in manifest["dirs"]]
-        return self.spark.read.parquet(*dirs)
+        df = self.spark.read.parquet(*self._resolve_dirs(name, manifest["dirs"]))
+        del_dirs = manifest.get("deletes") or []
+        if del_dirs:
+            keys = self.spark.read.parquet(*self._resolve_dirs(name, del_dirs))
+            df = df.join(keys, manifest["delete_key"], "left_anti")
+        return df
 
     def shard_paths(self, name: str, version: int | None = None) -> list[str]:
         """Parquet shard files of the snapshot at `version` (default:
@@ -135,10 +147,17 @@ class VersionedWarehouse:
             raise FileNotFoundError(f"collection {name!r} does not exist")
         v = latest if version is None else version
         manifest = self._read_manifest(name, v)
+        if manifest.get("deletes"):
+            # raw shard files cannot see read-time deletion vectors — serving
+            # them would resurrect deleted rows. Materialize first.
+            raise RuntimeError(
+                f"snapshot {name!r}@v{v} carries deletion vectors; run "
+                "optimize() to materialize them before shard-level serving"
+            )
         return sorted(
             p
-            for d in manifest["dirs"]
-            for p in glob.glob(os.path.join(self._data(name), d, "*.parquet"))
+            for d in self._resolve_dirs(name, manifest["dirs"])
+            for p in glob.glob(os.path.join(d, "*.parquet"))
         )
 
     # ---------------------------------------------------------- write
@@ -161,8 +180,15 @@ class VersionedWarehouse:
                 # stage once — invisible until a manifest references it
                 staged = f"v{next_v:0{_MANIFEST_WIDTH}d}-{uuid.uuid4().hex[:8]}"
                 df.write.mode("overwrite").parquet(os.path.join(self._data(name), staged))
+            deletes: list[str] = []
+            delete_key = None
             if mode == "append" and parent is not None:
-                dirs = self._read_manifest(name, parent)["dirs"] + [staged]
+                pm = self._read_manifest(name, parent)
+                dirs = pm["dirs"] + [staged]
+                # appends inherit the parent's deletion vectors (note the
+                # key-based caveat in delete_where's docstring)
+                deletes = pm.get("deletes") or []
+                delete_key = pm.get("delete_key")
             else:
                 dirs = [staged]
             manifest = {
@@ -170,6 +196,8 @@ class VersionedWarehouse:
                 "parent": parent,
                 "mode": mode,
                 "dirs": dirs,
+                "deletes": deletes,
+                "delete_key": delete_key,
                 "committed_at": time.time(),
             }
             try:
@@ -180,6 +208,86 @@ class VersionedWarehouse:
             except FileExistsError:
                 continue  # lost the race — recompute head and retry
         raise CommitConflict(f"gave up committing {name!r} after {self.max_retries} races")
+
+    def delete_where(self, name: str, cond, key_col: str) -> int:
+        """Row-level delete WITHOUT rewriting data: stage only the matching
+        keys and commit a manifest whose `deletes` list references them —
+        the write is O(deleted rows), reads anti-join the keys out, and
+        time travel to pre-delete versions still sees the rows (the
+        deletion-vector idea of modern table formats, key-based here).
+
+        Key-based caveat, stated plainly: the vector stores KEY VALUES, not
+        file positions (Spark exposes no stable row position), so an append
+        that re-inserts a deleted key is also masked until `optimize()`
+        materializes the deletes. `optimize` applies and clears them;
+        `shard_paths` refuses to serve raw files while deletes are active.
+
+        Concurrency: like `optimize`, the staged keys are derived from the
+        head snapshot, so ANY concurrent commit aborts with
+        `CommitConflict` (never silently mis-scopes the delete); re-run.
+        """
+        parent = self.latest_version(name)
+        if parent is None:
+            raise FileNotFoundError(f"collection {name!r} does not exist")
+        pm = self._read_manifest(name, parent)
+        if pm.get("delete_key") not in (None, key_col):
+            raise ValueError(
+                f"existing deletion vectors key on {pm['delete_key']!r}; "
+                "materialize with optimize() before deleting on a new key"
+            )
+        next_v = parent + 1
+        staged = f"del{next_v:0{_MANIFEST_WIDTH}d}-{uuid.uuid4().hex[:8]}"
+        keys = self.load(name).filter(cond).select(key_col).distinct()
+        keys.write.mode("overwrite").parquet(os.path.join(self._data(name), staged))
+        manifest = {
+            "version": next_v,
+            "parent": parent,
+            "mode": "delete",
+            "dirs": pm["dirs"],
+            "deletes": (pm.get("deletes") or []) + [staged],
+            "delete_key": key_col,
+            "committed_at": time.time(),
+        }
+        try:
+            with open(self._manifest_path(name, next_v), "x") as fh:
+                json.dump(manifest, fh)
+            return next_v
+        except FileExistsError:
+            shutil.rmtree(os.path.join(self._data(name), staged), ignore_errors=True)
+            raise CommitConflict(
+                f"delete on {name!r} raced a concurrent commit at v{next_v}; re-run"
+            ) from None
+
+    def clone(self, src: str, dst: str, version: int | None = None) -> int:
+        """Shallow (zero-copy) clone: `dst`'s v0 manifest references `src`'s
+        immutable data dirs by ABSOLUTE path — no data moves, the clone is
+        one small JSON write, and subsequent commits to either collection
+        never affect the other (new dirs land under their own data/ root).
+        Same hazard as Delta/Iceberg shallow clones, stated plainly:
+        `vacuum(src)` can delete dirs a clone still references — vacuum
+        only collections you know are unreferenced, or deep-copy first."""
+        latest = self.latest_version(src)
+        if latest is None:
+            raise FileNotFoundError(f"collection {src!r} does not exist")
+        if self.exists(dst):
+            raise FileExistsError(f"collection {dst!r} already exists")
+        v = latest if version is None else version
+        sm = self._read_manifest(src, v)
+        os.makedirs(self._commits(dst), exist_ok=True)
+        os.makedirs(self._data(dst), exist_ok=True)
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "mode": "clone",
+            "clone_of": {"collection": src, "version": v},
+            "dirs": self._resolve_dirs(src, sm["dirs"]),
+            "deletes": self._resolve_dirs(src, sm.get("deletes") or []),
+            "delete_key": sm.get("delete_key"),
+            "committed_at": time.time(),
+        }
+        with open(self._manifest_path(dst, 0), "x") as fh:
+            json.dump(manifest, fh)
+        return 0
 
     # ---------------------------------------------------------- maintenance
     def optimize(
@@ -222,7 +330,7 @@ class VersionedWarehouse:
         if parent is None:
             raise FileNotFoundError(f"collection {name!r} does not exist")
         manifest = self._read_manifest(name, parent)
-        src_dirs = [os.path.join(self._data(name), d) for d in manifest["dirs"]]
+        src_dirs = self._resolve_dirs(name, manifest["dirs"])
         total_bytes = sum(
             os.path.getsize(os.path.join(r, f))
             for sd in src_dirs
@@ -231,7 +339,9 @@ class VersionedWarehouse:
             if f.endswith(".parquet")
         )
         n_files = max(1, int(-(-total_bytes // int(target_file_mb * 1024 * 1024))))
-        df = self.spark.read.parquet(*src_dirs)
+        # load() (not a raw read) so active deletion vectors are MATERIALIZED
+        # by the rewrite; the new manifest clears them
+        df = self.load(name)
         if cluster_by:
             df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(*cluster_by)
         elif zorder_by:
@@ -276,6 +386,8 @@ class VersionedWarehouse:
             "parent": parent,
             "mode": "optimize",
             "dirs": [staged],
+            "deletes": [],  # materialized by the rewrite
+            "delete_key": None,
             "cluster_by": cluster_by or [],
             "zorder_by": zorder_by or [],
             "committed_at": time.time(),
@@ -299,7 +411,9 @@ class VersionedWarehouse:
             raise FileNotFoundError(f"collection {name!r} does not exist")
         keep: set[str] = set()
         for v in range(max(0, latest - keep_last + 1), latest + 1):
-            keep.update(self._read_manifest(name, v)["dirs"])
+            m = self._read_manifest(name, v)
+            keep.update(m["dirs"])
+            keep.update(m.get("deletes") or [])
         deleted = []
         for d in sorted(os.listdir(self._data(name))):
             if d not in keep:

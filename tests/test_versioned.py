@@ -221,3 +221,93 @@ def test_optimize_rejects_both_cluster_specs(spark, wh):
     wh.save("c2", _df(spark, [1, 2]))
     with pytest.raises(ValueError, match="not both"):
         wh.optimize("c2", cluster_by=["id"], zorder_by=["id", "id"])
+
+
+def test_delete_where_is_o_delta_and_time_travels(spark, wh):
+    from pyspark.sql import functions as F
+
+    wh.save("c", _df(spark, range(10)))
+    v1 = wh.delete_where("c", F.col("id") >= 7, key_col="id")
+    assert v1 == 1
+    assert sorted(r["id"] for r in wh.load("c").collect()) == list(range(7))
+    # time travel: pre-delete version still sees every row
+    assert sorted(r["id"] for r in wh.load("c", version=0).collect()) == list(range(10))
+    # the delete commit staged only keys, not a data rewrite
+    m = wh.history("c")[-1]
+    assert m["mode"] == "delete" and len(m["deletes"]) == 1 and m["delete_key"] == "id"
+    assert m["dirs"] == wh.history("c")[0]["dirs"]
+
+    # appends inherit the deletion vector
+    wh.save("c", _df(spark, [20, 21]), mode="append")
+    assert sorted(r["id"] for r in wh.load("c").collect()) == list(range(7)) + [20, 21]
+
+    # raw shard serving refuses while deletes are active
+    with pytest.raises(RuntimeError, match="deletion vectors"):
+        wh.shard_paths("c")
+
+    # optimize materializes: same rows, deletes cleared, shards servable
+    before = sorted(r["id"] for r in wh.load("c").collect())
+    wh.optimize("c")
+    assert sorted(r["id"] for r in wh.load("c").collect()) == before
+    assert wh.history("c")[-1]["deletes"] == []
+    assert wh.shard_paths("c")
+
+
+def test_delete_where_aborts_on_race(spark, wh, monkeypatch):
+    from pyspark.sql import functions as F
+
+    wh.save("c", _df(spark, range(5)))
+    # simulate a racing writer landing between snapshot-read and commit
+    orig = VersionedWarehouse._read_manifest
+
+    def hijack(self, name, version):
+        m = orig(self, name, version)
+        if not getattr(hijack, "fired", False):
+            hijack.fired = True
+            wh2 = VersionedWarehouse(spark, self.root)
+            wh2.save(name, _df(spark, [99]), mode="append")
+        return m
+
+    monkeypatch.setattr(VersionedWarehouse, "_read_manifest", hijack)
+    with pytest.raises(CommitConflict):
+        wh.delete_where("c", F.col("id") >= 3, key_col="id")
+    monkeypatch.undo()
+    # the concurrent append is intact and no delete was applied
+    assert sorted(r["id"] for r in wh.load("c").collect()) == [0, 1, 2, 3, 4, 99]
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, wh):
+    from pyspark.sql import functions as F
+
+    wh.save("src", _df(spark, range(6)))
+    wh.save("src", _df(spark, [10, 11]), mode="append")
+    assert wh.clone("src", "dst") == 0
+    assert sorted(r["id"] for r in wh.load("dst").collect()) == [0, 1, 2, 3, 4, 5, 10, 11]
+    # zero-copy: dst's own data dir holds nothing
+    assert os.listdir(wh._data("dst")) == []
+
+    # independent evolution: writes to one never show in the other
+    wh.save("dst", _df(spark, [99]), mode="append")
+    wh.delete_where("dst", F.col("id") == 0, key_col="id")
+    assert sorted(r["id"] for r in wh.load("dst").collect()) == [1, 2, 3, 4, 5, 10, 11, 99]
+    assert sorted(r["id"] for r in wh.load("src").collect()) == [0, 1, 2, 3, 4, 5, 10, 11]
+
+    # cloning at a pinned version
+    wh.clone("src", "dst0", version=0)
+    assert sorted(r["id"] for r in wh.load("dst0").collect()) == [0, 1, 2, 3, 4, 5]
+    with pytest.raises(FileExistsError):
+        wh.clone("src", "dst")
+
+
+def test_clone_carries_deletion_vectors(spark, wh):
+    from pyspark.sql import functions as F
+
+    wh.save("src", _df(spark, range(6)))
+    wh.delete_where("src", F.col("id") < 2, key_col="id")
+    wh.clone("src", "d2")
+    assert sorted(r["id"] for r in wh.load("d2").collect()) == [2, 3, 4, 5]
+    # materializing in the clone stays local to the clone
+    wh.optimize("d2")
+    assert sorted(r["id"] for r in wh.load("d2").collect()) == [2, 3, 4, 5]
+    assert sorted(r["id"] for r in wh.load("src").collect()) == [2, 3, 4, 5]
+    assert sorted(r["id"] for r in wh.load("src", version=0).collect()) == list(range(6))
