@@ -340,6 +340,119 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _maxsim_pruned_oracle() -> str:
+    from custom_python_vectordb_spark.queries.pipeline import _DUCK_IVF
+
+    return f"""
+WITH {_DUCK_IVF.strip()},
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT CAST(vec_id // 4 AS INTEGER) AS qid, vec_id AS qt_id, v AS qv
+      FROM e WHERE vec_id < 8),
+qprobe AS (SELECT qid, qt_id, cluster FROM (
+    SELECT q.qid, q.qt_id, c.cluster,
+           row_number() OVER (PARTITION BY q.qt_id ORDER BY list_distance(q.qv, c.cv), c.cluster) AS rn
+    FROM q, cents c
+) WHERE rn <= 2),
+cand AS (SELECT p.qid, p.qt_id, a.vec_id FROM asgn a JOIN qprobe p ON a.cluster = p.cluster),
+sims AS (
+  SELECT cand.qid, cand.qt_id, e.label,
+         list_inner_product(e.v, q.qv)
+         / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS sim
+  FROM cand JOIN e ON e.vec_id = cand.vec_id JOIN q ON q.qt_id = cand.qt_id
+),
+per_qt AS (
+  SELECT qid, qt_id, label, ROUND(MAX(sim), 8) AS m
+  FROM sims GROUP BY qid, qt_id, label
+),
+scores AS (
+  SELECT qid, label, ROUND(SUM(m), 6) AS score FROM per_qt GROUP BY qid, label
+)
+SELECT qid, label, score FROM (
+  SELECT qid, label, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rn
+  FROM scores
+) WHERE rn <= 3 ORDER BY qid, score DESC, label
+"""
+
+
+@query("maxsim_ivf_pruned", _maxsim_pruned_oracle())
+def maxsim_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim with IVF pruning — the 100 TB shape of
+    multi-vector retrieval: doc TOKENS are IVF-assigned once (index build);
+    each query token probes its nprobe nearest cells and scores only the
+    tokens living there, so per-query work is O(probed tokens), not
+    O(corpus tokens). A document's missing maxima contribute nothing to
+    the sum (the standard pruned-MaxSim semantics); the oracle states the
+    SAME pruned computation, and recall vs the exact `late_interaction_maxsim`
+    is asserted in tests."""
+    from custom_python_vectordb_spark.functions.distances import (
+        cosine_similarity,
+        sq_l2_distance,
+    )
+    from custom_python_vectordb_spark.operators.topk import top_k_per_group
+    from custom_python_vectordb_spark.queries.pipeline import (
+        _ivf_assigned,
+        _ivf_cents_local,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.floor(F.col("vec_id") / 4).cast("int").alias("qid"),
+        F.col("vec_id").alias("qt_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    cents = _ivf_cents_local(spark, sf_dir)
+    qprobe = top_k_per_group(
+        q.join(F.broadcast(cents)).select(
+            "qid", "qt_id", "cluster", sq_l2_distance("qvec", "cvec").alias("d2")
+        ),
+        "qt_id", 2, F.col("d2").asc(), F.col("cluster").asc(),
+    ).select("qid", "qt_id", "cluster")
+    assigned = _ivf_assigned(spark, sf_dir)
+    sims = (
+        assigned.join(F.broadcast(qprobe), "cluster")
+        .join(F.broadcast(q.select("qt_id", "qvec")), "qt_id")
+        .select("qid", "qt_id", "label", cosine_similarity("embedding", "qvec").alias("sim"))
+    )
+    per_qt = sims.groupBy("qid", "qt_id", "label").agg(F.round(F.max("sim"), 8).alias("m"))
+    scores = per_qt.groupBy("qid", "label").agg(F.round(F.sum("m"), 6).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("label"))
+    return (
+        scores.select("qid", "label", "score", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "label", "score")
+        .orderBy("qid", F.col("score").desc(), "label")
+    )
+
+
+@query("order_priority_check", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""")
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: correlated EXISTS as a left-semi hash join with an
+    extra non-equi condition (late-shipped lineitem), date-window filter
+    pushed to the orders scan. The semi join stops probing an order on its
+    first late lineitem — no lineitem aggregation, no duplicate orders."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 @query("top_docs_per_lang", """
 SELECT lang, doc_id, n_chars, rn FROM (
   SELECT lang, doc_id, n_chars,

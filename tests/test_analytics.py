@@ -109,3 +109,38 @@ def test_retention_day0_equals_cohort_size(spark, sf_med):
 def test_grouped_topk_plan_has_window_group_limit(spark, sf_med):
     plan = top_docs_per_lang(spark, sf_med)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_maxsim_pruned_recall_vs_exact(spark, sf_med):
+    from custom_python_vectordb_spark.queries.analytics import (
+        late_interaction_maxsim,
+        maxsim_ivf_pruned,
+    )
+
+    exact = late_interaction_maxsim(spark, sf_med).collect()
+    pruned = maxsim_ivf_pruned(spark, sf_med).collect()
+    by_q_exact: dict[int, list[int]] = {}
+    by_q_pruned: dict[int, list[int]] = {}
+    for r in exact:
+        by_q_exact.setdefault(r.qid, []).append(r.label)
+    for r in pruned:
+        by_q_pruned.setdefault(r.qid, []).append(r.label)
+    assert set(by_q_exact) == set(by_q_pruned)
+    for qid, want in by_q_exact.items():
+        got = by_q_pruned[qid]
+        overlap = len(set(want) & set(got)) / len(want)
+        assert overlap >= 2 / 3, (qid, want, got)
+
+
+def test_gapfilled_series_has_real_zero_gaps(spark, sf_med):
+    from custom_python_vectordb_spark.queries.analytics import events_daily_gapfilled
+
+    rows = events_daily_gapfilled(spark, sf_med).collect()
+    # dense grid: every (type, day) cell present, and the slice is sparse
+    # enough that true zero-gap rows exist
+    assert any(r.n == 0 for r in rows)
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, set()).add(r.day)
+    spans = {len(days) for days in per_type.values()}
+    assert len(spans) == 1  # every type covers the identical calendar
