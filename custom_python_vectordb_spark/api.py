@@ -88,11 +88,22 @@ class Collection:
         self.db.warehouse.save(self.name, merged)
 
     def delete(self, ids: list[str]) -> None:
-        self.db.warehouse.save(self.name, mutations.delete_ids(self.df(), ids, "id"))
+        self._delete_where(F.col("id").isin(ids), lambda df: mutations.delete_ids(df, ids, "id"))
 
     def delete_by_filter(self, predicate: Column | Filter) -> None:
         pred = predicate.column if isinstance(predicate, Filter) else predicate
-        self.db.warehouse.save(self.name, mutations.delete_by_filter(self.df(), pred))
+        self._delete_where(pred, lambda df: mutations.delete_by_filter(df, pred))
+
+    def _delete_where(self, pred: Column, rewrite) -> None:
+        wh = self.db.warehouse
+        if hasattr(wh, "delete_where"):
+            # versioned store: O(deleted-keys) deletion-vector commit instead
+            # of a table rewrite; the next overwrite (insert/upsert) or
+            # optimize() materializes it. query_serve transparently falls
+            # back to the declarative plan while vectors are active.
+            wh.delete_where(self.name, pred, key_col="id")
+        else:
+            wh.save(self.name, rewrite(self.df()))
 
     def update_metadata(self, changes: DataFrame) -> None:
         # open metadata schema: a change set may introduce brand-new columns;
@@ -236,7 +247,23 @@ class Collection:
                 "qvec": [[float(x) for x in v] for v in query_embeddings],
             }
         )
-        paths = self.db.warehouse.shard_paths(self.name)
+        try:
+            paths = self.db.warehouse.shard_paths(self.name)
+        except RuntimeError:
+            # active deletion vectors: raw shard files would resurrect the
+            # deleted rows, so serve this batch from the declarative exact
+            # plan (correct, one scheduled job) until a write materializes
+            rows = (
+                self.query(
+                    query_embeddings=query_embeddings, n_results=n_results, metric=metric
+                )
+                .select("qid", "id", "dist")
+                .collect()
+            )
+            out = [[] for _ in query_embeddings]
+            for r in rows:
+                out[int(r["qid"])].append({"id": r["id"], "dist": float(r["dist"])})
+            return out
         if not paths:  # created-but-empty collection
             return [[] for _ in query_embeddings]
         res = knn_replica_serve(

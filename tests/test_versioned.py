@@ -311,3 +311,42 @@ def test_clone_carries_deletion_vectors(spark, wh):
     assert sorted(r["id"] for r in wh.load("d2").collect()) == [2, 3, 4, 5]
     assert sorted(r["id"] for r in wh.load("src").collect()) == [2, 3, 4, 5]
     assert sorted(r["id"] for r in wh.load("src", version=0).collect()) == list(range(6))
+
+
+def test_facade_delete_uses_deletion_vectors_and_serving_falls_back(spark, tmp_path):
+    from custom_python_vectordb_spark.api import VectorDB
+
+    db = VectorDB(spark, str(tmp_path / "vdb2"), versioned=True)
+    c = db.create_collection("docs", dimensions=64)
+    c.add_texts([(f"d{i}", f"document number {i} about spark") for i in range(8)])
+    v_before = db.warehouse.latest_version("docs")
+    c.delete(ids=["d3", "d5"])
+    # O(delta): the delete committed a deletion vector, not a rewrite
+    m = db.warehouse.history("docs")[-1]
+    assert m["mode"] == "delete" and m["delete_key"] == "id"
+    assert db.warehouse.latest_version("docs") == v_before + 1
+    assert c.count() == 6
+
+    # serving falls back to the declarative plan while vectors are active
+    served = c.query_serve(query_texts=["document about spark"], n_results=8)
+    ids = {h["id"] for h in served[0]}
+    assert ids == {f"d{i}" for i in range(8)} - {"d3", "d5"}
+    planned = c.query(query_texts=["document about spark"], n_results=8).collect()
+    assert [h["id"] for h in served[0]] == [r["id"] for r in planned]
+
+    # an insert materializes the deletes; the replica fast path resumes
+    c.insert_batch(
+        spark.createDataFrame(
+            [("d9", [0.1] * 64, "late doc")], "id string, embedding array<float>, _document string"
+        )
+    )
+    assert db.warehouse.history("docs")[-1]["deletes"] == []
+    served2 = c.query_serve(query_texts=["document about spark"], n_results=9)
+    assert {h["id"] for h in served2[0]} == ({f"d{i}" for i in range(8)} - {"d3", "d5"}) | {"d9"}
+
+    # delete_by_filter goes through the same vector path
+    from pyspark.sql import functions as F
+
+    c.delete_by_filter(F.col("id") == "d9")
+    assert db.warehouse.history("docs")[-1]["mode"] == "delete"
+    assert c.count() == 6
