@@ -153,6 +153,32 @@ class Collection:
             {"query": query, "n_results": n_results, "alpha": alpha},
         )["results"]
 
+    # -- versioned-store admin (400 unless the server store is versioned) --
+    def history(self) -> list[dict]:
+        """Commit log of this collection (versioned stores only)."""
+        return self._client._request("GET", f"/collections/{self.name}/history")["versions"]
+
+    def optimize(
+        self,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        target_file_mb: float = 128,
+    ) -> int:
+        """Compact (optionally cluster / Z-order) the collection; returns
+        the committed version."""
+        return self._client._request(
+            "POST",
+            f"/collections/{self.name}/optimize",
+            {"cluster_by": cluster_by, "zorder_by": zorder_by, "target_file_mb": target_file_mb},
+        )["version"]
+
+    def clone(self, dst: str, version: int | None = None) -> "Collection":
+        """Zero-copy shallow clone into a new collection `dst`."""
+        self._client._request(
+            "POST", f"/collections/{self.name}/clone", {"dst": dst, "version": version}
+        )
+        return Collection(self._client, dst)
+
     # -- realtime ---------------------------------------------------------
     def events(
         self,

@@ -303,6 +303,43 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
             coll = db.get_collection(name)
             if parts[2:] == ["count"] and method == "GET":
                 return 200, {"count": coll.count()}
+            versioned = hasattr(db.warehouse, "history")
+            if parts[2:] == ["history"] and method == "GET":
+                if not versioned:
+                    return 400, {"error": "collection store is not versioned"}
+                return 200, {
+                    "versions": [
+                        {
+                            "version": m.get("version"),
+                            "parent": m.get("parent"),
+                            "mode": m.get("mode"),
+                            "committed_at": m.get("committed_at"),
+                            "n_dirs": len(m["dirs"]),
+                            "n_deletes": len(m.get("deletes") or []),
+                        }
+                        for m in db.warehouse.history(name)
+                    ]
+                }
+            if parts[2:] == ["optimize"] and method == "POST":
+                if not versioned:
+                    return 400, {"error": "collection store is not versioned"}
+                v = db.warehouse.optimize(
+                    name,
+                    cluster_by=body.get("cluster_by"),
+                    zorder_by=body.get("zorder_by"),
+                    target_file_mb=float(body.get("target_file_mb", 128)),
+                )
+                publish(name, "optimize", version=v)
+                return 200, {"optimized": name, "version": v}
+            if parts[2:] == ["clone"] and method == "POST":
+                if not versioned:
+                    return 400, {"error": "collection store is not versioned"}
+                ver = body.get("version")
+                v = db.warehouse.clone(
+                    name, body["dst"], version=None if ver is None else int(ver)
+                )
+                publish(body["dst"], "clone", source=name, version=v)
+                return 201, {"cloned": body["dst"], "version": v}
             if parts[2:] == ["add"] and method == "POST":
                 coll.insert_batch(
                     _texts_df(db, body["ids"], body["documents"], body.get("metadatas"), coll.dimensions)

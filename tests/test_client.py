@@ -94,3 +94,46 @@ def test_events_replay_over_sse(client):
     types = [e["event_type"] for e in seen]
     assert types[:3] == ["create_collection", "add", "delete"]
     assert seen[1]["ids"] == ["1"]
+
+
+@pytest.fixture()
+def vclient(spark, tmp_path):
+    srv, port = serve_background(VectorDB(spark, str(tmp_path / "vwh"), versioned=True))
+    yield Client(f"http://127.0.0.1:{port}")
+    srv.shutdown()
+
+
+def test_versioned_admin_over_http(vclient):
+    c = vclient.create_collection("docs", dimensions=64)
+    c.add(ids=["a", "b", "c"], documents=["spark rows", "hash joins", "sort merge"])
+    c.delete(["c"])
+
+    hist = c.history()
+    assert [m["version"] for m in hist] == list(range(len(hist)))
+    assert hist[-1]["mode"] == "delete" and hist[-1]["n_deletes"] == 1
+
+    # query while deletion vectors are active: served via the declarative
+    # fallback, deleted id absent
+    res = c.query(query_texts=["hash joins"], n_results=5)
+    assert {h["id"] for h in res[0]} == {"a", "b"}
+
+    v = c.optimize()
+    assert v == len(hist)  # optimize committed the next version
+    assert c.history()[-1]["mode"] == "optimize"
+    assert c.history()[-1]["n_deletes"] == 0
+
+    d = c.clone("docs2")
+    assert d.count() == 2
+    assert "docs2" in vclient.list_collections()
+    # clones evolve independently
+    d.delete(["a"])
+    assert d.count() == 1 and c.count() == 2
+
+
+def test_admin_routes_reject_unversioned(client):
+    client.create_collection("plain", dimensions=64)
+    col = client.get_collection("plain")
+    with pytest.raises(ClientError):
+        col.history()
+    with pytest.raises(ClientError):
+        col.optimize()
