@@ -144,3 +144,36 @@ def test_gapfilled_series_has_real_zero_gaps(spark, sf_med):
         per_type.setdefault(r.event_type, set()).add(r.day)
     spans = {len(days) for days in per_type.values()}
     assert len(spans) == 1  # every type covers the identical calendar
+
+
+def test_let_once_value_semantics(spark):
+    """let_once(value, body) must equal body(value) for pure expressions —
+    the binding changes evaluation count, never the result."""
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.functions.expr import let_once
+
+    df = spark.range(50).select(
+        F.col("id"),
+        F.transform(F.sequence(F.lit(0), F.lit(9)), lambda i: (F.col("id") * i).cast("double")).alias("v")
+    )
+    raw = F.aggregate("v", F.lit(0.0), lambda a, x: a + x)
+    bound = let_once(raw, lambda s: s * s + s)
+    unbound = raw * raw + raw
+    rows = df.select((bound - unbound).alias("d")).collect()
+    assert all(r.d == 0.0 for r in rows)
+
+
+def test_langid_expression_stays_deduplicated(spark, sf_med):
+    """Regression guard for the 2^langs blowup: the analyzed langid plan
+    must contain exactly ONE tokenize subtree (the let-bound one), not one
+    per vote-count reference."""
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.functions.text import langid_predict
+
+    df = spark.read.parquet(f"{sf_med}/documents.parquet").select(
+        langid_predict("text").alias("lang")
+    )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("split(lower") == 1, plan.count("split(lower")
