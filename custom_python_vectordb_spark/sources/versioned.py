@@ -161,18 +161,52 @@ class VersionedWarehouse:
         )
 
     # ---------------------------------------------------------- write
-    def save(self, name: str, df: DataFrame, mode: str = "overwrite") -> int:
+    def _dir_stats(self, name: str, staged: str, stats_cols: list[str]) -> dict:
+        """(rows, per-column [min,max]) of one staged dir — the manifest-level
+        statistics that let `scan_pruned` skip whole dirs at PLANNING time,
+        before any parquet footer is opened (the Iceberg manifest-pruning
+        idea at dir granularity). Numeric columns only; others are skipped
+        (a reader treats a missing column as 'no stats' and keeps the dir)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        sdf = self.spark.read.parquet(os.path.join(self._data(name), staged))
+        numeric = [
+            f.name
+            for f in sdf.schema.fields
+            if f.name in stats_cols and isinstance(f.dataType, T.NumericType)
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in numeric:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        row = sdf.agg(*aggs).collect()[0]
+        return {
+            "rows": row["__rows"],
+            "cols": {c: [row[f"mn_{c}"], row[f"mx_{c}"]] for c in numeric},
+        }
+
+    def save(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """Stage `df` then commit; returns the committed version.
 
         `overwrite`: the new version references only the staged dir.
         `append`: the new version references parent dirs + the staged dir;
         on a lost race the parent is re-read so concurrent appends all land.
+        `stats_cols`: record per-dir (rows, min, max) for these numeric
+        columns in the manifest — `scan_pruned` then skips non-matching
+        dirs at planning time. Appends keep the parent's per-dir stats.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         os.makedirs(self._commits(name), exist_ok=True)
         os.makedirs(self._data(name), exist_ok=True)
 
+        staged_stats: dict | None = None
         for attempt in range(self.max_retries):
             parent = self.latest_version(name)
             next_v = 0 if parent is None else parent + 1
@@ -180,8 +214,11 @@ class VersionedWarehouse:
                 # stage once — invisible until a manifest references it
                 staged = f"v{next_v:0{_MANIFEST_WIDTH}d}-{uuid.uuid4().hex[:8]}"
                 df.write.mode("overwrite").parquet(os.path.join(self._data(name), staged))
+                if stats_cols:
+                    staged_stats = self._dir_stats(name, staged, stats_cols)
             deletes: list[str] = []
             delete_key = None
+            stats: dict = {}
             if mode == "append" and parent is not None:
                 pm = self._read_manifest(name, parent)
                 dirs = pm["dirs"] + [staged]
@@ -189,8 +226,11 @@ class VersionedWarehouse:
                 # key-based caveat in delete_where's docstring)
                 deletes = pm.get("deletes") or []
                 delete_key = pm.get("delete_key")
+                stats = dict(pm.get("stats") or {})
             else:
                 dirs = [staged]
+            if staged_stats is not None:
+                stats[staged] = staged_stats
             manifest = {
                 "version": next_v,
                 "parent": parent,
@@ -198,6 +238,7 @@ class VersionedWarehouse:
                 "dirs": dirs,
                 "deletes": deletes,
                 "delete_key": delete_key,
+                "stats": stats,
                 "committed_at": time.time(),
             }
             try:
@@ -208,6 +249,43 @@ class VersionedWarehouse:
             except FileExistsError:
                 continue  # lost the race — recompute head and retry
         raise CommitConflict(f"gave up committing {name!r} after {self.max_retries} races")
+
+    def scan_pruned(
+        self, name: str, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Read the snapshot restricted to `lo <= col <= hi`, skipping every
+        data dir whose manifest [min,max] for `col` cannot intersect the
+        range — the dirs are never listed, opened, or footer-read, so at
+        100 TB a selective range query plans against the manifest alone.
+        The win is biggest on range-disjoint appends (time-ordered ingest:
+        each batch's ids/timestamps occupy a fresh range); after OPTIMIZE
+        compacts to one dir, pruning falls back to parquet row-group
+        min/max, which the optimize-time clustering keeps tight.
+        Dirs without recorded stats for `col` are conservatively kept. The
+        residual filter still applies (stats prune dirs, not rows), and
+        active deletion vectors are honored."""
+        from pyspark.sql import functions as F
+
+        latest = self.latest_version(name)
+        if latest is None:
+            raise FileNotFoundError(f"collection {name!r} does not exist")
+        v = latest if version is None else version
+        manifest = self._read_manifest(name, v)
+        stats = manifest.get("stats") or {}
+        kept = []
+        for d in manifest["dirs"]:
+            s = (stats.get(d) or {}).get("cols", {}).get(col)
+            if s is None or s[0] is None or (s[0] <= hi and s[1] >= lo):
+                kept.append(d)
+        if not kept:  # nothing can match: empty frame with the right schema
+            df = self.spark.read.parquet(*self._resolve_dirs(name, manifest["dirs"]))
+            return df.filter(F.lit(False))
+        df = self.spark.read.parquet(*self._resolve_dirs(name, kept))
+        del_dirs = manifest.get("deletes") or []
+        if del_dirs:
+            keys = self.spark.read.parquet(*self._resolve_dirs(name, del_dirs))
+            df = df.join(keys, manifest["delete_key"], "left_anti")
+        return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
     def delete_where(self, name: str, cond, key_col: str) -> int:
         """Row-level delete WITHOUT rewriting data: stage only the matching
@@ -246,6 +324,7 @@ class VersionedWarehouse:
             "dirs": pm["dirs"],
             "deletes": (pm.get("deletes") or []) + [staged],
             "delete_key": key_col,
+            "stats": pm.get("stats") or {},
             "committed_at": time.time(),
         }
         try:
@@ -283,6 +362,11 @@ class VersionedWarehouse:
             "dirs": self._resolve_dirs(src, sm["dirs"]),
             "deletes": self._resolve_dirs(src, sm.get("deletes") or []),
             "delete_key": sm.get("delete_key"),
+            # stats keys must match the (now absolute) dir entries
+            "stats": {
+                self._resolve_dirs(src, [d])[0]: s
+                for d, s in (sm.get("stats") or {}).items()
+            },
             "committed_at": time.time(),
         }
         with open(self._manifest_path(dst, 0), "x") as fh:
@@ -381,6 +465,12 @@ class VersionedWarehouse:
         staged = f"v{next_v:0{_MANIFEST_WIDTH}d}-{uuid.uuid4().hex[:8]}"
         staged_path = os.path.join(self._data(name), staged)
         df.write.mode("overwrite").parquet(staged_path)
+        # re-derive manifest stats for the compacted dir (same columns the
+        # parent tracked) so pruning keeps working after OPTIMIZE
+        tracked = sorted(
+            {c for s in (manifest.get("stats") or {}).values() for c in s.get("cols", {})}
+        )
+        new_stats = {staged: self._dir_stats(name, staged, tracked)} if tracked else {}
         new_manifest = {
             "version": next_v,
             "parent": parent,
@@ -388,6 +478,7 @@ class VersionedWarehouse:
             "dirs": [staged],
             "deletes": [],  # materialized by the rewrite
             "delete_key": None,
+            "stats": new_stats,
             "cluster_by": cluster_by or [],
             "zorder_by": zorder_by or [],
             "committed_at": time.time(),

@@ -350,3 +350,57 @@ def test_facade_delete_uses_deletion_vectors_and_serving_falls_back(spark, tmp_p
     c.delete_by_filter(F.col("id") == "d9")
     assert db.warehouse.history("docs")[-1]["mode"] == "delete"
     assert c.count() == 6
+
+
+def test_manifest_stats_prune_dirs(spark, wh):
+    """Range-disjoint appends with stats_cols: scan_pruned must plan only
+    the dirs whose manifest [min,max] intersects the range — verified via
+    inputFiles(), with row-identical results to a full-scan filter."""
+    from pyspark.sql import functions as F
+
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(lo + i, f"r{lo + i}") for i in range(50)], "id long, text string"
+        )
+        wh.save("t", df, mode="append" if lo else "overwrite", stats_cols=["id"])
+
+    m = wh.history("t")[-1]
+    assert len(m["dirs"]) == 3 and set(m["stats"]) == set(m["dirs"])
+    assert all(s["rows"] == 50 for s in m["stats"].values())
+
+    pruned = wh.scan_pruned("t", "id", 120, 140)
+    full = wh.load("t").filter(F.col("id").between(120, 140))
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+    # exactly one dir's files were planned
+    pruned_dirs = {p.rsplit("/", 2)[-2] for p in pruned.inputFiles()}
+    assert len(pruned_dirs) == 1
+    assert len({p.rsplit("/", 2)[-2] for p in wh.load("t").inputFiles()}) == 3
+
+    # out-of-range: empty result, empty file plan
+    none = wh.scan_pruned("t", "id", 900, 999)
+    assert none.count() == 0
+
+    # deletes are honored through the pruned path
+    wh.delete_where("t", F.col("id") == 125, key_col="id")
+    got = sorted(r["id"] for r in wh.scan_pruned("t", "id", 120, 140).collect())
+    assert got == [i for i in range(120, 141) if i != 125]
+
+    # optimize recomputes stats for the compacted dir on the tracked column
+    wh.optimize("t", cluster_by=["id"])
+    m2 = wh.history("t")[-1]
+    assert list(m2["stats"].values())[0]["cols"]["id"] == [0, 249]
+
+
+def test_clone_carries_manifest_stats(spark, wh):
+    from pyspark.sql import functions as F
+
+    wh.save("s", spark.createDataFrame([(i, "x") for i in range(20)], "id long, t string"),
+            stats_cols=["id"])
+    wh.save("s", spark.createDataFrame([(100 + i, "y") for i in range(20)], "id long, t string"),
+            mode="append", stats_cols=["id"])
+    wh.clone("s", "sc")
+    pruned = wh.scan_pruned("sc", "id", 0, 50)
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(20))
+    assert len({p.rsplit("/", 2)[-2] for p in pruned.inputFiles()}) == 1
