@@ -188,3 +188,65 @@ def trending_decayed_stream(events: DataFrame, key: str = "user_id") -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_STATE_SCHEMA = "t1 timestamp, t2 timestamp, t3 timestamp"
+FUNNEL_OUTPUT_SCHEMA = "user_id long, stage int, t1 timestamp, t2 timestamp, t3 timestamp"
+
+
+def funnel_stream(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming conversion funnel — the stateful twin of the batch
+    `event_funnel` query: per user, the entry times of the ordered stages
+    (t1 = first stage-1 event; t_k = first stage-k event strictly after
+    t_{k-1}). State is three timestamps per user regardless of stream
+    length.
+
+    Exactness contract, stated plainly: with per-user EVENT-TIME-ORDERED
+    delivery (each micro-batch's rows sorted here; batches arriving in
+    time order) the single-pass state machine equals the batch query
+    exactly — under in-order delivery the first qualifying event IS the
+    minimum the batch computes (asserted against `event_funnel`'s logic in
+    tests). An out-of-order earlier stage-1 event can lower t1
+    retroactively in batch semantics but not here; that divergence is the
+    price of O(1) state, the same trade Kafka-Streams-style one-pass
+    funnels make.
+
+    Update-mode emission: one row per touched user per batch with the
+    highest stage reached; the final emission per user is the answer
+    (`stage` is monotone)."""
+    s1, s2, s3 = stages
+
+    def update_funnel(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key_tuple
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        for ts, etype in zip(rows["ts"], rows["event_type"]):
+            if etype == s1 and t1 is None:
+                t1 = ts
+            elif etype == s2 and t2 is None and t1 is not None and ts > t1:
+                t2 = ts
+            elif etype == s3 and t3 is None and t2 is not None and ts > t2:
+                t3 = ts
+        state.update((t1, t2, t3))
+        stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        yield pd.DataFrame(
+            {"user_id": [user_id], "stage": [stage], "t1": [t1], "t2": [t2], "t3": [t3]}
+        )
+
+    return (
+        events.select("user_id", "ts", "event_type")
+        .filter(F.col("event_type").isin(*stages))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_funnel,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -634,3 +634,72 @@ def test_span_index_converges_to_batch_and_replays(spark, tmp_path):
         for r in load_span_pairs(spark, idx).collect()
     }
     assert got2 == expect
+
+
+def test_funnel_stream_matches_batch_funnel(spark, sf_small, tmp_path):
+    """funnel_stream across two event-time-ordered micro-batches converges
+    to the batch event_funnel minima (in-order delivery => the first
+    qualifying event IS the batch minimum)."""
+    from custom_python_vectordb_spark.streaming.stateful import funnel_stream
+
+    ev = load_table(spark, sf_small, "events").select("user_id", "ts", "event_type")
+    src = str(tmp_path / "ev_funnel")
+    early = ev.filter(F.dayofmonth("ts") <= 15)
+    late = ev.filter(F.dayofmonth("ts") > 15)
+    early.coalesce(1).write.parquet(src)
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = run_to_memory(funnel_stream(stream), "t_funnel", mode="update")
+    out = spark.table("t_funnel").collect()
+    q.stop()
+
+    final = {}
+    for r in out:  # stage is monotone: keep the highest per user
+        if r.user_id not in final or r.stage > final[r.user_id].stage:
+            final[r.user_id] = r
+
+    # batch truth: sequential minima per user (the event_funnel stage logic)
+    import pandas as pd
+
+    pdf = ev.toPandas().sort_values("ts")
+    want_stage = {}
+    want_t = {}
+    for uid, grp in pdf.groupby("user_id"):
+        t1 = t2 = t3 = None
+        for ts, et in zip(grp["ts"], grp["event_type"]):
+            if et == "view" and t1 is None:
+                t1 = ts
+            elif et == "click" and t2 is None and t1 is not None and ts > t1:
+                t2 = ts
+            elif et == "purchase" and t3 is None and t2 is not None and ts > t2:
+                t3 = ts
+        want_stage[int(uid)] = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        want_t[int(uid)] = (t1, t2, t3)
+
+    touched = {u for u, s in want_stage.items() if s > 0}
+    assert {u for u in final if final[u].stage > 0} == touched
+    for uid in touched:
+        got = final[uid]
+        assert got.stage == want_stage[uid], uid
+        t1, t2, t3 = want_t[uid]
+        assert (got.t1, got.t2, got.t3) == (
+            None if t1 is None else t1.to_pydatetime(),
+            None if t2 is None else t2.to_pydatetime(),
+            None if t3 is None else t3.to_pydatetime(),
+        ), uid
+
+    # per-stage counts equal the oracle-checked batch query's
+    from custom_python_vectordb_spark.queries.analytics import event_funnel
+
+    batch = {r.stage_idx: r.n_users for r in event_funnel(spark, sf_small).collect()}
+    got_counts = {
+        1: sum(1 for u in final if final[u].stage >= 1),
+        2: sum(1 for u in final if final[u].stage >= 2),
+        3: sum(1 for u in final if final[u].stage >= 3),
+    }
+    assert got_counts == batch
