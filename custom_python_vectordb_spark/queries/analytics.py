@@ -425,6 +425,48 @@ def maxsim_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("token_budget_sample", f"""
+WITH t AS (
+  SELECT doc_id, source, len({_DUCK_TOKS}) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum_tok
+  FROM t
+)
+SELECT doc_id, source, n_tok, cum_tok FROM r WHERE cum_tok <= 1000
+""")
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling — the trainer-facing cut: from each source,
+    take documents in a deterministic pseudo-random order (md5 of the id —
+    stable across runs and engines, no RNG state) until the source's token
+    budget is filled. One running-sum window per source; at scale the
+    window's partition key is the source, so each source's cumulative sum
+    is a single partition-local pass after one shuffle — and the order
+    being hash-of-id means the sample is unbiased w.r.t. document
+    position/recency."""
+    from custom_python_vectordb_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= 1000)
+        .select("doc_id", "source", "n_tok", "cum_tok")
+    )
+
+
 @query("order_priority_check", """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
