@@ -425,6 +425,64 @@ def maxsim_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_vstore(spark: SparkSession, sf_dir: str):
+    """Versioned events table under .bench/, ingested as three id-range-
+    disjoint appends with manifest stats on event_id (the time-ordered-
+    ingest shape where manifest pruning pays). Rebuild is mtime-marked and
+    overwrite-idempotent, same discipline as the IVF layout build."""
+    import os
+
+    from custom_python_vectordb_spark.sources.versioned import VersionedWarehouse
+
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    root = os.path.join("/root/repo", ".bench", f"vstore{tag}")
+    src = os.path.join(sf_dir, "events.parquet")
+    marker = os.path.join(root, "_SRC_MTIME")
+    src_m = str(os.stat(src).st_mtime_ns)
+    wh = VersionedWarehouse(spark, root)
+    if not (os.path.exists(marker) and open(marker).read() == src_m):
+        ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+        n = ev.count()
+        bounds = [0, n // 3, 2 * n // 3, n + 1]
+        wh.drop("events")
+        for i in range(3):
+            part = ev.filter(
+                (F.col("event_id") >= bounds[i]) & (F.col("event_id") < bounds[i + 1])
+            )
+            wh.save(
+                "events", part,
+                mode="overwrite" if i == 0 else "append",
+                stats_cols=["event_id"],
+            )
+        with open(marker, "w") as fh:
+            fh.write(src_m)
+    return wh
+
+
+@query("events_range_pruned", """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) + 0.0 AS total
+FROM events WHERE event_id BETWEEN 2000 AND 2999 GROUP BY event_type
+""")
+def events_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective range aggregate over the versioned store's MANIFEST-PRUNED
+    scan (`VersionedWarehouse.scan_pruned`): the store was ingested as
+    id-range-disjoint appends with per-dir (min, max) stats in the
+    manifest, so this query plans only the dir(s) whose range can contain
+    [2000, 2999] — skipped dirs are never listed or footer-read. The
+    oracle states the plain range filter over the raw events table, so
+    pruning is proven row-identical to not pruning; the dir-skip itself is
+    asserted via inputFiles() in tests/test_versioned.py."""
+    wh = _events_vstore(spark, sf_dir)
+    return (
+        wh.scan_pruned("events", "event_id", 2000, 2999)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("total"),
+        )
+    )
+
+
 @query("token_budget_sample", f"""
 WITH t AS (
   SELECT doc_id, source, len({_DUCK_TOKS}) AS n_tok,

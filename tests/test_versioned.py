@@ -404,3 +404,20 @@ def test_clone_carries_manifest_stats(spark, wh):
     pruned = wh.scan_pruned("sc", "id", 0, 50)
     assert sorted(r["id"] for r in pruned.collect()) == list(range(20))
     assert len({p.rsplit("/", 2)[-2] for p in pruned.inputFiles()}) == 1
+
+
+def test_events_range_pruned_query_skips_dirs(spark):
+    """The registered events_range_pruned query must actually prune: its
+    manifest-pruned scan plans a strict subset of the full snapshot's
+    dirs for the [2000, 2999] id range."""
+    from custom_python_vectordb_spark.queries.analytics import _events_vstore
+
+    sf = "/root/testdata/sf0.01"
+    wh = _events_vstore(spark, sf)
+    pruned_dirs = {
+        p.rsplit("/", 2)[-2]
+        for p in wh.scan_pruned("events", "event_id", 2000, 2999).inputFiles()
+    }
+    all_dirs = {p.rsplit("/", 2)[-2] for p in wh.load("events").inputFiles()}
+    assert len(all_dirs) == 3
+    assert pruned_dirs < all_dirs and len(pruned_dirs) == 1
