@@ -103,3 +103,60 @@ def duck_pagerank_sql(
 )"""
         )
     return ",\n".join(parts)
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    source: str,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "qty",
+) -> DataFrame:
+    """(id, dist): exact cheapest-path distance from `source` over paths of
+    at most `iterations` edges — bounded Bellman-Ford as K synchronous
+    relaxation rounds (the weighted upgrade of J8's unweighted BFS;
+    `graph.py:871-902` is hop-count-only). NULL edge weights count as 1.
+
+    Each round is one (frontier ⋈ edges) join + a min-aggregate; like
+    `pagerank`, an eager localCheckpoint per round keeps lineage one step
+    deep. Distances are sums of doubles accumulated in the same order the
+    oracle's unrolled CTEs use, so values hash bit-exactly."""
+    from custom_python_vectordb_spark.functions.local_relation import local_df
+
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("id"),
+        F.coalesce(F.col(weight_col), F.lit(1.0)).alias("w"),
+    ).persist()
+    d = local_df(edges.sparkSession, [(source, 0.0)], "id string, dist double")
+    for _ in range(iterations):
+        relax = e.join(
+            d.select(F.col("id").alias("src"), F.col("dist").alias("sd")), "src"
+        ).select("id", (F.col("sd") + F.col("w")).alias("dist"))
+        d = (
+            d.unionByName(relax)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return d
+
+
+def duck_bellman_sql(source: str, iterations: int = 4) -> str:
+    """The SAME K unrolled relaxation rounds as chained DuckDB CTEs over an
+    `edges` (src, dst, qty) CTE; yields CTE text defining `d{iterations}`."""
+    parts = [f"d0 AS (SELECT '{source}' AS id, 0.0 AS dist)"]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"""d{k} AS (
+    SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst, p.dist + COALESCE(e.qty, 1.0)
+        FROM d{k - 1} p JOIN edges e ON e.src = p.id
+    ) GROUP BY id
+)"""
+        )
+    return ",\n".join(parts)

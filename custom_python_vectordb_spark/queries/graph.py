@@ -290,3 +290,32 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(nodes, edges, iterations=5)
     out = pr.withColumn("pr", F.round("pr", ROUND) + F.lit(0.0))
     return out.orderBy(F.col("pr").desc(), "id").limit(20)
+
+
+from custom_python_vectordb_spark.operators.centrality import (  # noqa: E402
+    duck_bellman_sql,
+    weighted_shortest_paths,
+)
+
+
+@query("graph_weighted_shortest", f"""
+{GRAPH_CTES},
+{duck_bellman_sql('c:1', 4)}
+SELECT id, ROUND(dist, {ROUND}) + 0.0 AS dist
+FROM d4 ORDER BY dist, id LIMIT 25
+""")
+def graph_weighted_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted cheapest paths from customer c:1 over <= 4 edges (quantity-
+    weighted CONTAINS edges, unit weight elsewhere) — bounded Bellman-Ford
+    whose oracle is the SAME four relaxation rounds as unrolled CTEs, so
+    even the iterative weighted algorithm is value-hash-verified (the
+    pagerank discipline applied to path costs). The reference's shortest
+    path is hop-count BFS only (``graph.py:871-902``); edge-weighted
+    routing is additive surface."""
+    _, edges = _graph(spark, sf_dir)
+    d = weighted_shortest_paths(edges, "c:1", iterations=4)
+    return (
+        d.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
+        .orderBy("dist", "id")
+        .limit(25)
+    )
