@@ -62,9 +62,14 @@ class Collection:
                 return None
             raise
 
-    def peek(self, limit: int = 10) -> list[dict]:
+    def peek(self, limit: int = 10, version: int | None = None) -> list[dict]:
+        """First rows; `version` pins a past snapshot (time travel —
+        versioned stores only, 400 otherwise)."""
+        q = f"limit={int(limit)}"
+        if version is not None:
+            q += f"&version={int(version)}"
         return self._client._request(
-            "GET", f"/collections/{self.name}/peek?limit={int(limit)}"
+            "GET", f"/collections/{self.name}/peek?{q}"
         )["rows"]
 
     # -- writes -----------------------------------------------------------

@@ -371,6 +371,16 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                 publish(name, "delete_by_filter", where=body["where"], deleted=matched)
                 return 200, {"deleted": matched}
             if parts[2:] == ["peek"] and method == "GET":
+                if qs.get("version") is not None:
+                    # time-travel read (versioned stores only): pin the
+                    # manifest instead of the head snapshot
+                    if not versioned:
+                        return 400, {"error": "collection store is not versioned"}
+                    df = db.warehouse.load(name, version=int(qs["version"]))
+                    rows = (
+                        df.drop("embedding").limit(int(qs.get("limit", 10))).collect()
+                    )
+                    return 200, {"rows": [r.asDict(recursive=True) for r in rows]}
                 rows = coll.peek(int(qs.get("limit", 10))).drop("embedding").collect()
                 return 200, {"rows": [r.asDict(recursive=True) for r in rows]}
             if parts[2:] == ["query"] and method == "POST":

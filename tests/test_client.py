@@ -137,3 +137,17 @@ def test_admin_routes_reject_unversioned(client):
         col.history()
     with pytest.raises(ClientError):
         col.optimize()
+
+
+def test_time_travel_peek_over_http(vclient):
+    c = vclient.create_collection("tt", dimensions=64)
+    c.add(ids=["a"], documents=["first doc"])
+    c.add(ids=["b"], documents=["second doc"])
+    hist = c.history()
+    cur = {r["id"] for r in c.peek()}
+    assert cur == {"a", "b"}
+    # pin the version committed by the FIRST add: only "a" exists there
+    past = {r["id"] for r in c.peek(version=hist[-2]["version"])}
+    assert past == {"a"}
+    with pytest.raises(ClientError):
+        c.peek(version=999)
