@@ -191,6 +191,7 @@ class VersionedWarehouse:
         df: DataFrame,
         mode: str = "overwrite",
         stats_cols: list[str] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Stage `df` then commit; returns the committed version.
 
@@ -200,6 +201,9 @@ class VersionedWarehouse:
         `stats_cols`: record per-dir (rows, min, max) for these numeric
         columns in the manifest — `scan_pruned` then skips non-matching
         dirs at planning time. Appends keep the parent's per-dir stats.
+        `extra`: caller metadata merged into the manifest (e.g. the
+        streaming sink's batch id — the commit doubles as the
+        exactly-once marker).
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -240,6 +244,7 @@ class VersionedWarehouse:
                 "delete_key": delete_key,
                 "stats": stats,
                 "committed_at": time.time(),
+                **(extra or {}),
             }
             try:
                 # THE commit: atomic exclusive create of one small file

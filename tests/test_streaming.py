@@ -703,3 +703,54 @@ def test_funnel_stream_matches_batch_funnel(spark, sf_small, tmp_path):
         3: sum(1 for u in final if final[u].stage >= 3),
     }
     assert got_counts == batch
+
+
+def test_versioned_sink_exactly_once_append(spark, sf_small, tmp_path):
+    """Streaming appends into the commit-log store: each micro-batch is one
+    time-travelable version carrying its batch id, and an at-least-once
+    replay is a no-op (no duplicate rows, no new version)."""
+    from custom_python_vectordb_spark.sources.versioned import VersionedWarehouse
+    from custom_python_vectordb_spark.streaming.versioned_sink import (
+        load_stream_table,
+        process_versioned_append,
+        versioned_append_sink,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "event_type", "value")
+    src = str(tmp_path / "ev_sink")
+    ev.filter(F.col("event_id") < 500).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") >= 500).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    root = str(tmp_path / "vroot")
+    q = (
+        versioned_append_sink(stream, root, "events", stats_cols=["event_id"])
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    wh = VersionedWarehouse(spark, root)
+    assert load_stream_table(spark, root, "events").count() == ev.count()
+    hist = wh.history("events")
+    assert [m["stream_batch_id"] for m in hist] == [0, 1]
+    # manifest stats recorded per streamed dir -> pruning works on the sink
+    pruned = wh.scan_pruned("events", "event_id", 0, 10)
+    assert pruned.count() == 11
+    assert len({p.rsplit("/", 2)[-2] for p in pruned.inputFiles()}) == 1
+
+    # at-least-once replay of batch 0: refused, nothing changes
+    b0 = spark.read.parquet(src).filter(F.col("event_id") < 500)
+    assert process_versioned_append(b0, 0, root, "events") is False
+    assert wh.latest_version("events") == 1
+    assert load_stream_table(spark, root, "events").count() == ev.count()
+    # a genuinely new batch still lands
+    extra = spark.createDataFrame([(99999, "view", 1.0)], "event_id long, event_type string, value double")
+    assert process_versioned_append(extra, 2, root, "events") is True
+    assert load_stream_table(spark, root, "events").count() == ev.count() + 1
