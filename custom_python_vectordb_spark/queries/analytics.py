@@ -1,5 +1,8 @@
-"""Behavioral / corpus analytics additions: substring-span dedup, funnel,
-retention cohorts, sketch-quantile certification, grouped top-k.
+"""Behavioral / corpus analytics additions: substring-span dedup (plus the
+span-aware C4 final cut), funnel, retention cohorts, sketch-quantile
+certification, grouped top-k, late-interaction MaxSim (exact and
+IVF-token-pruned), gap-filled time series, token-budget sampling, and the
+manifest-pruned range scan over the versioned store.
 
 All beyond the reference's surface (its analytics are the degree/sentiment
 counts of ``query_news_db.py``) but squarely inside the training-data and
