@@ -161,6 +161,17 @@ class VersionedWarehouse:
         )
 
     # ---------------------------------------------------------- write
+    @staticmethod
+    def _carried(parent_manifest: dict) -> dict:
+        """Caller metadata that must SURVIVE maintenance commits: dropping
+        `stream_batch_id` on optimize/delete would make the head look
+        stream-virgin and re-open the exactly-once sink's replay window
+        (`streaming/versioned_sink.py`)."""
+        out = {}
+        if "stream_batch_id" in parent_manifest:
+            out["stream_batch_id"] = parent_manifest["stream_batch_id"]
+        return out
+
     def _dir_stats(self, name: str, staged: str, stats_cols: list[str]) -> dict:
         """(rows, per-column [min,max]) of one staged dir — the manifest-level
         statistics that let `scan_pruned` skip whole dirs at PLANNING time,
@@ -223,6 +234,7 @@ class VersionedWarehouse:
             deletes: list[str] = []
             delete_key = None
             stats: dict = {}
+            carried: dict = {}
             if mode == "append" and parent is not None:
                 pm = self._read_manifest(name, parent)
                 dirs = pm["dirs"] + [staged]
@@ -231,6 +243,7 @@ class VersionedWarehouse:
                 deletes = pm.get("deletes") or []
                 delete_key = pm.get("delete_key")
                 stats = dict(pm.get("stats") or {})
+                carried = self._carried(pm)
             else:
                 dirs = [staged]
             if staged_stats is not None:
@@ -244,7 +257,8 @@ class VersionedWarehouse:
                 "delete_key": delete_key,
                 "stats": stats,
                 "committed_at": time.time(),
-                **(extra or {}),
+                **carried,
+                **(extra or {}),  # caller metadata wins over carried values
             }
             try:
                 # THE commit: atomic exclusive create of one small file
@@ -331,6 +345,7 @@ class VersionedWarehouse:
             "delete_key": key_col,
             "stats": pm.get("stats") or {},
             "committed_at": time.time(),
+            **self._carried(pm),
         }
         try:
             with open(self._manifest_path(name, next_v), "x") as fh:
@@ -487,6 +502,7 @@ class VersionedWarehouse:
             "cluster_by": cluster_by or [],
             "zorder_by": zorder_by or [],
             "committed_at": time.time(),
+            **self._carried(manifest),
         }
         try:
             with open(self._manifest_path(name, next_v), "x") as fh:

@@ -754,3 +754,30 @@ def test_versioned_sink_exactly_once_append(spark, sf_small, tmp_path):
     extra = spark.createDataFrame([(99999, "view", 1.0)], "event_id long, event_type string, value double")
     assert process_versioned_append(extra, 2, root, "events") is True
     assert load_stream_table(spark, root, "events").count() == ev.count() + 1
+
+
+def test_versioned_sink_replay_refused_after_maintenance(spark, tmp_path):
+    """OPTIMIZE / delete_where / plain appends must not re-open the
+    exactly-once replay window: stream_batch_id is carried through
+    maintenance commits."""
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.sources.versioned import VersionedWarehouse
+    from custom_python_vectordb_spark.streaming.versioned_sink import (
+        process_versioned_append,
+    )
+
+    root = str(tmp_path / "vroot2")
+    b = spark.createDataFrame([(i, float(i)) for i in range(20)], "id long, v double")
+    assert process_versioned_append(b, 0, root, "t") is True
+    wh = VersionedWarehouse(spark, root)
+    wh.delete_where("t", F.col("id") >= 18, key_col="id")
+    wh.optimize("t")
+    wh.save("t", spark.createDataFrame([(100, 1.0)], "id long, v double"), mode="append")
+    # the head is three maintenance commits past the sink write — batch 0
+    # must still be refused
+    assert process_versioned_append(b, 0, root, "t") is False
+    assert wh.load("t").count() == 19
+    # and the next stream batch still lands
+    b1 = spark.createDataFrame([(200, 2.0)], "id long, v double")
+    assert process_versioned_append(b1, 1, root, "t") is True
