@@ -537,6 +537,59 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+@query("copurchase_clustering", """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT la.l_partkey AS a, lb.l_partkey AS b
+      FROM op la JOIN op lb
+      ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey),
+deg AS (SELECT v, COUNT(*) AS d FROM
+        (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+w AS (SELECT SUM(d * (d - 1)) // 2 AS n_wedges FROM deg),
+t AS (SELECT COUNT(*) AS n_triangles FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT t.n_triangles, w.n_wedges,
+       ROUND(3.0 * t.n_triangles / w.n_wedges, 6) + 0.0 AS clustering
+FROM t, w
+""")
+def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the co-purchase graph:
+    3·triangles / wedges, where wedges = Σ_v d(v)(d(v)−1)/2 — how often
+    two parts bought with a common third are also bought together. The
+    triangle term reuses the degree-ordered hub-safe counter
+    (operators/triangles.py); the wedge term is one degree aggregate —
+    both map-side-combinable, so the whole metric is two bounded shuffles
+    beyond the edge derivation."""
+    from custom_python_vectordb_spark.operators.triangles import triangle_count
+
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    la = op.select("l_orderkey", F.col("l_partkey").alias("a"))
+    lb = op.select("l_orderkey", F.col("l_partkey").alias("b"))
+    edges = (
+        la.join(lb, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    tri = triangle_count(edges).select("n_triangles")
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(wed).select(
+        "n_triangles",
+        "n_wedges",
+        (F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6) + F.lit(0.0)).alias(
+            "clustering"
+        ),
+    )
+
+
 @query("trending_decayed", """
 WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS tm FROM events),
 t AS (SELECT user_id,
