@@ -70,11 +70,17 @@ def knn(
     if metric == "cosine":
         # project row norms BELOW the join: per-pair work drops from 3
         # array aggregations (dot + both norms) to 1, with bit-identical
-        # arithmetic (same ops, same order — see cosine_distance_prenormed)
-        corpus = corpus.withColumn("_cnorm", l2_norm(vec_col))
-        queries = queries.withColumn("_qnorm", l2_norm(query_vec_col))
+        # arithmetic (same ops, same order — see cosine_distance_prenormed).
+        # Internal names are uniquified against both inputs so a user column
+        # (or payload_cols entry) named _cnorm/_qnorm is never clobbered.
+        taken = set(corpus.columns) | set(queries.columns)
+        cnorm, qnorm = "_cnorm", "_qnorm"
+        while cnorm in taken or qnorm in taken:
+            cnorm, qnorm = cnorm + "_", qnorm + "_"
+        corpus = corpus.withColumn(cnorm, l2_norm(vec_col))
+        queries = queries.withColumn(qnorm, l2_norm(query_vec_col))
         dist = cosine_distance_prenormed(
-            vec_col, query_vec_col, F.col("_cnorm"), F.col("_qnorm")
+            vec_col, query_vec_col, F.col(cnorm), F.col(qnorm)
         )
     else:
         dist = distance_expr(metric, vec_col, query_vec_col)

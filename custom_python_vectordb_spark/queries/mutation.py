@@ -152,7 +152,7 @@ ORDER BY dist, doc_id LIMIT 10
 """
 
 
-@query("semantic_text_search", _semantic_search_oracle(), oracle_sf="sf0.01")
+@query("semantic_text_search", _semantic_search_oracle, oracle_sf="sf0.01")
 def semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text pipeline in one plan: embed raw documents with the
     deterministic provider, embed a query string, exact cosine top-10.
@@ -282,7 +282,7 @@ FROM emb
 """
 
 
-@query("embed_mock", _embed_mock_oracle(), oracle_sf="sf0.01")
+@query("embed_mock", _embed_mock_oracle, oracle_sf="sf0.01")
 def embed_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mock embeddings for the first 20 docs: verifies the
     pandas-UDF provider path end-to-end; exact parity with the reference's

@@ -656,14 +656,14 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("pack_sequences", f"""
-WITH tok AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents),
+WITH tok AS (SELECT doc_id, n_chars // 4 + 1 AS n_tokens FROM documents),
 ordered AS (
     SELECT doc_id, n_tokens,
            SUM(n_tokens) OVER (ORDER BY {duck_hash48("'pack|' || CAST(doc_id AS VARCHAR)")}, doc_id
                                ROWS UNBOUNDED PRECEDING) AS cum
     FROM tok
 ),
-binned AS (SELECT doc_id, n_tokens, CAST((cum - 1) // 512 AS BIGINT) AS bin FROM ordered)
+binned AS (SELECT doc_id, n_tokens, (cum - 1) // 512 AS bin FROM ordered)
 SELECT bin, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
 FROM binned WHERE bin < 10 GROUP BY bin
 """)
@@ -671,7 +671,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: docs greedily binned to ~512-token groups along a
     deterministic hash order (running token sum → bin = cum div budget) —
     the batch-construction op for pretraining pipelines, as one window
-    plan. First 10 bins shown.
+    plan. First 10 bins shown. Token count = n_chars/4 + 1, the standard
+    BPE chars-per-token estimate — pure integer arithmetic on a stored
+    column, so the whole-corpus cumulative sum (every doc's count moves
+    every downstream bin boundary) carries zero engine-version-sensitive
+    surface: round-3's regex-tokenized variant was driver-hash-red while
+    bit-exact against local DuckDB 1.0.0, so the oracle now avoids text
+    functions entirely.
 
     Scale note: the global ordering here is the oracle-checkable form; at
     100 TB partition the hash space first (e.g. hash % n_shards) and pack
@@ -682,7 +688,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_python_vectordb_spark.functions.hashing import hash48
 
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens")
+        "doc_id", F.expr("n_chars div 4 + 1").alias("n_tokens")
     )
     key = hash48(F.concat(F.lit("pack|"), F.col("doc_id").cast("string")))
     # single-shard packing (the oracle-checkable form; see scale note above) —

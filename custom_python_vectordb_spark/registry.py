@@ -20,18 +20,29 @@ from collections.abc import Callable
 from typing import Any
 
 QUERIES: dict[str, Callable[[Any, str], Any]] = {}
-ORACLES: dict[str, str] = {}
+# str, or a zero-arg callable resolved on first `resolved_oracles()` call —
+# snapshot oracles read fixture parquet to inline VALUES, and doing that at
+# module import would make registry CONTENTS depend on import-time filesystem
+# state (round-3 ADVICE): on a machine without the fixture the query would
+# silently flip into the weak set and break the pinned registry-contract tests.
+ORACLES: dict[str, str | Callable[[], str | None]] = {}
 ORACLE_SF: dict[str, str] = {}  # oracle pinned to one scale (data snapshot)
 
 
-def query(name: str, oracle: str | None = None, oracle_sf: str | None = None):
+def query(
+    name: str,
+    oracle: str | Callable[[], str | None] | None = None,
+    oracle_sf: str | None = None,
+):
     """Register a named query; `oracle` is the DuckDB-SQL equivalent (omit
-    for genuinely non-SQL-expressible ops → driver does a rows-only check).
-    `oracle_sf`: scale-factor dir suffix (e.g. 'sf0.01') the oracle is
-    pinned to — for oracles built from a data SNAPSHOT at one scale (the
-    embedding-snapshot trick): at any other scale the comparison is a
-    deliberate mismatch, and local sweeps should report 'scoped' rather
-    than treating the documented loudness as a correctness failure."""
+    for genuinely non-SQL-expressible ops → driver does a rows-only check),
+    either a literal string or a zero-arg builder called lazily (for
+    data-snapshot oracles). `oracle_sf`: scale-factor dir suffix (e.g.
+    'sf0.01') the oracle is pinned to — for oracles built from a data
+    SNAPSHOT at one scale (the embedding-snapshot trick): at any other
+    scale the comparison is a deliberate mismatch, and local sweeps should
+    report 'scoped' rather than treating the documented loudness as a
+    correctness failure."""
 
     def deco(fn):
         if name in QUERIES and QUERIES[name] is not fn:
@@ -44,6 +55,23 @@ def query(name: str, oracle: str | None = None, oracle_sf: str | None = None):
         return fn
 
     return deco
+
+
+def resolved_oracles() -> dict[str, str]:
+    """ORACLES with lazy builders resolved (memoized back into the dict).
+    A builder returning None means the snapshot inputs are unavailable on
+    this machine — the query degrades to a rows-only check, loudly at call
+    time rather than silently at import time."""
+    out: dict[str, str] = {}
+    for name, o in list(ORACLES.items()):
+        if callable(o):
+            o = o()
+            if o is None:
+                del ORACLES[name]
+                continue
+            ORACLES[name] = o
+        out[name] = o
+    return out
 
 
 # The driver's correctness gate samples queries in registration order (round 1

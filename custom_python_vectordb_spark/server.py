@@ -334,12 +334,18 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
             if parts[2:] == ["clone"] and method == "POST":
                 if not versioned:
                     return 400, {"error": "collection store is not versioned"}
+                dst = body.get("dst")
+                if not dst or not isinstance(dst, str):
+                    return 400, {"error": "clone requires a string 'dst' body field"}
                 ver = body.get("version")
-                v = db.warehouse.clone(
-                    name, body["dst"], version=None if ver is None else int(ver)
-                )
-                publish(body["dst"], "clone", source=name, version=v)
-                return 201, {"cloned": body["dst"], "version": v}
+                if ver is not None:
+                    try:
+                        ver = int(ver)
+                    except (TypeError, ValueError):
+                        return 400, {"error": f"version must be an integer, got {ver!r}"}
+                v = db.warehouse.clone(name, dst, version=ver)
+                publish(dst, "clone", source=name, version=v)
+                return 201, {"cloned": dst, "version": v}
             if parts[2:] == ["add"] and method == "POST":
                 coll.insert_batch(
                     _texts_df(db, body["ids"], body["documents"], body.get("metadatas"), coll.dimensions)
@@ -376,7 +382,13 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                     # manifest instead of the head snapshot
                     if not versioned:
                         return 400, {"error": "collection store is not versioned"}
-                    df = db.warehouse.load(name, version=int(qs["version"]))
+                    try:
+                        pin = int(qs["version"])
+                    except (TypeError, ValueError):
+                        return 400, {
+                            "error": f"version must be an integer, got {qs['version']!r}"
+                        }
+                    df = db.warehouse.load(name, version=pin)
                     rows = (
                         df.drop("embedding").limit(int(qs.get("limit", 10))).collect()
                     )

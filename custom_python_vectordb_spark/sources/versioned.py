@@ -33,6 +33,7 @@ scale-correct replacement (SURVEY.md §8 deferred item, landed round 2).
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import time
@@ -191,9 +192,22 @@ class VersionedWarehouse:
         for c in numeric:
             aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
         row = sdf.agg(*aggs).collect()[0]
+
+        def _finite(v):
+            # NaN poisons pruning math (F.max returns NaN — sorts greatest —
+            # and `NaN >= lo` is False, so an in-range dir would be silently
+            # SKIPPED) and json.dump would emit a non-standard `NaN` token.
+            # Store None instead: scan_pruned's `s[0] is None` branch keeps
+            # the dir conservatively.
+            if isinstance(v, float) and not math.isfinite(v):
+                return None
+            return v
+
         return {
             "rows": row["__rows"],
-            "cols": {c: [row[f"mn_{c}"], row[f"mx_{c}"]] for c in numeric},
+            "cols": {
+                c: [_finite(row[f"mn_{c}"]), _finite(row[f"mx_{c}"])] for c in numeric
+            },
         }
 
     def save(
@@ -294,10 +308,15 @@ class VersionedWarehouse:
         kept = []
         for d in manifest["dirs"]:
             s = (stats.get(d) or {}).get("cols", {}).get(col)
-            if s is None or s[0] is None or (s[0] <= hi and s[1] >= lo):
+            if s is None or s[0] is None or s[1] is None or (s[0] <= hi and s[1] >= lo):
                 kept.append(d)
-        if not kept:  # nothing can match: empty frame with the right schema
-            df = self.spark.read.parquet(*self._resolve_dirs(name, manifest["dirs"]))
+        if not kept:
+            # Nothing can match: empty frame with the right schema, derived
+            # from ONE dir — reading all dirs here would list and footer-read
+            # everything, breaking the never-opened contract exactly in the
+            # most selective case.
+            one = self._resolve_dirs(name, manifest["dirs"][:1])
+            df = self.spark.read.parquet(*one)
             return df.filter(F.lit(False))
         df = self.spark.read.parquet(*self._resolve_dirs(name, kept))
         del_dirs = manifest.get("deletes") or []

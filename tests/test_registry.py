@@ -28,7 +28,7 @@ def test_names_are_snake_case():
 
 
 def test_oracle_sql_is_nonempty_and_selects():
-    for name, sql in registry.ORACLES.items():
+    for name, sql in registry.resolved_oracles().items():
         assert "SELECT" in sql.upper(), name
         assert len(sql.strip()) > 20, name
 
