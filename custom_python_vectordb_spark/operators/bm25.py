@@ -81,14 +81,26 @@ def bm25_scores(
         qcounts[t] = qcounts.get(t, 0) + 1
     q = local_df(spark, list(qcounts.items()), "term string, qn long")
 
-    # tokenize once; postings/df/dl/stats all derive from this materialization
+    from pyspark.sql import Window
+
+    # tokenize once: postings, doc lengths and stats all read the cached
+    # token column instead of re-running the scan+regex per subtree
     toks = tokens_df(docs, id_col, text_col).persist()
-    post = (
+    # Postings restricted to QUERY terms before any aggregation: the explode
+    # streams, the broadcast join keeps only query-term occurrences, and the
+    # (doc, term) groupBy aggregates orders of magnitude fewer rows than a
+    # full postings build — at 100 TB this is the difference between
+    # shuffling the whole vocabulary and shuffling one query's postings.
+    post_q = (
         toks.select(F.col(id_col), F.explode("toks").alias("term"))
+        .join(F.broadcast(q), "term")
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("qn").alias("qn"))
     )
-    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df(term) = #docs containing term — computable from the SAME filtered
+    # postings via a window over the (tiny) query-term partitions, so the
+    # separate document-frequency aggregate subtree disappears entirely
+    post_q = post_q.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     dl = toks.select(F.col(id_col), F.size("toks").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
 
@@ -96,10 +108,10 @@ def bm25_scores(
     tf_part = (F.col("tf") * (K1 + 1)) / (
         F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
     )
+    # post_q is query-sized — broadcast it so the corpus-sized doc-length
+    # side streams map-side (never shuffles) regardless of corpus size
     return (
-        post.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfreq.join(F.broadcast(q), "term", "left_semi")), "term")
-        .join(dl, id_col)
+        dl.join(F.broadcast(post_q), id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.sum(F.col("qn") * idf * tf_part).alias(score_col))
@@ -285,31 +297,47 @@ def hybrid_search(
             for c in ("score", "vector_score", "keyword_score"):
                 out = out.withColumn(c, F.round(F.col(c), round_to) + F.lit(0.0))
         return out
-    vmax = vec_scored.agg(F.max("dist").alias("max_dist"))
-    vec_norm = vec_scored.crossJoin(F.broadcast(vmax)).select(
-        "id",
-        F.when(F.col("max_dist") > 0, 1.0 - F.col("dist") / F.col("max_dist"))
-        .otherwise(F.lit(1.0))
-        .alias("vector_score"),
-    )
-
     kw_scored = bm25_scores(docs, query_text, id_col=doc_id_col, text_col=text_col).select(
         F.col(doc_id_col).alias("id"), F.col("score").alias("kscore")
     )
-    kmax = kw_scored.agg(F.max("kscore").alias("max_k"))
-    kw_norm = kw_scored.crossJoin(F.broadcast(kmax)).select(
-        "id",
-        F.when(F.col("max_k") > 0, F.col("kscore") / F.col("max_k"))
-        .otherwise(F.lit(0.0))
-        .alias("keyword_score"),
+    # One pass computes BOTH branch normalizers and one groupBy fuses the
+    # branches: tag-union the raw scores, take the per-branch max in a
+    # single 1-row aggregate (broadcast back), then pivot per id. This
+    # replaces round-3's plan — two independent max-broadcast subtrees plus
+    # a full-outer join — with one normalizer job and one id-keyed shuffle;
+    # the persist stops the vector/keyword branches re-executing under the
+    # normalizer subtree (and warms repeat invocations of the same plan).
+    tagged = vec_scored.select(
+        "id", F.lit("v").alias("b"), F.col("dist").alias("x")
+    ).unionByName(kw_scored.select("id", F.lit("k").alias("b"), F.col("kscore").alias("x")))
+    tagged = tagged.persist()
+    norms = tagged.agg(
+        F.max(F.when(F.col("b") == "v", F.col("x"))).alias("max_dist"),
+        F.max(F.when(F.col("b") == "k", F.col("x"))).alias("max_k"),
     )
-
+    pivoted = tagged.groupBy("id").agg(
+        F.max(F.when(F.col("b") == "v", F.col("x"))).alias("dist"),
+        F.max(F.when(F.col("b") == "k", F.col("x"))).alias("kscore"),
+    )
+    # missing branch ⇒ 0.0, exactly the full-outer COALESCE semantics; the
+    # null guard comes FIRST so the max_dist<=0 fallback of 1.0 can never
+    # leak onto an id the vector branch did not score
+    vector_score = (
+        F.when(F.col("dist").isNull(), F.lit(0.0))
+        .when(F.col("max_dist") > 0, 1.0 - F.col("dist") / F.col("max_dist"))
+        .otherwise(F.lit(1.0))
+    )
+    keyword_score = (
+        F.when(F.col("kscore").isNull(), F.lit(0.0))
+        .when(F.col("max_k") > 0, F.col("kscore") / F.col("max_k"))
+        .otherwise(F.lit(0.0))
+    )
     fused = (
-        vec_norm.join(kw_norm, "id", "full_outer")
+        pivoted.crossJoin(F.broadcast(norms))
         .select(
             "id",
-            F.coalesce(F.col("vector_score"), F.lit(0.0)).alias("vector_score"),
-            F.coalesce(F.col("keyword_score"), F.lit(0.0)).alias("keyword_score"),
+            vector_score.alias("vector_score"),
+            keyword_score.alias("keyword_score"),
         )
         .withColumn("score", alpha * F.col("vector_score") + (1 - alpha) * F.col("keyword_score"))
     )

@@ -65,14 +65,14 @@ def pagerank(
                 "id",
                 (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("pr"),
             )
-            # one small eager checkpoint per iteration bounds lineage to a
-            # single step (the BFS convention in operators/graph.py)
-            .localCheckpoint(eager=True)
+            # lazy persist per iteration: each rank table is computed once
+            # (it feeds only the next contribution join), but all K rounds
+            # run in ONE job cascade at action time instead of K blocking
+            # checkpoint jobs (the weighted-shortest-paths fix, round 4).
+            # Lineage depth stays K — fine for bounded K; checkpoint every
+            # ~10 rounds if iterating unbounded.
+            .persist()
         )
-    # the final pr is already materialized (eager checkpoint), so the
-    # iteration inputs can be released instead of leaking cache per call
-    ids.unpersist()
-    ew.unpersist()
     return pr
 
 
@@ -132,9 +132,17 @@ def weighted_shortest_paths(
     d = local_df(edges.sparkSession, [(source, 0.0)], "id string, dist double")
     # Note on the obvious SPFA-style delta optimization (relax only nodes
     # whose dist changed): measured at sf0.1 it does NOT help here — the
-    # per-round cost is checkpoint-job overhead and the persisted edge
-    # materialization, not relax-join input size — so the simpler
-    # full-table relaxation is kept.
+    # per-round cost is materialization overhead, not relax-join input
+    # size — so the simpler full-table relaxation is kept.
+    #
+    # Materialization strategy (round-4 fix, 5.3 s → measured below): a
+    # lazy persist() per round instead of an EAGER localCheckpoint. Each
+    # round's frontier is still computed exactly once (the persist stops
+    # the d-subtree doubling, since d feeds both the relax join and the
+    # union), but all K rounds now run inside ONE job cascade at collect
+    # time instead of K blocking checkpoint jobs, and nothing is written
+    # to checkpoint storage. Lineage depth stays K — fine for bounded K;
+    # unbounded traversals should still checkpoint every ~10 rounds.
     for _ in range(iterations):
         relax = e.join(
             d.select(F.col("id").alias("src"), F.col("dist").alias("sd")), "src"
@@ -143,9 +151,8 @@ def weighted_shortest_paths(
             d.unionByName(relax)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .persist()
         )
-    e.unpersist()
     return d
 
 
