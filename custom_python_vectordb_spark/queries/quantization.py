@@ -394,11 +394,67 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pq_kmeans_recall")  # A6: k-means codebook — model-metric check (no SQL oracle)
+def _pq_kmeans_recall_oracle() -> str:
+    """Snapshot oracle for A6 (the embed_mock trick applied to k-means):
+    MLlib training is not SQL-expressible but IS bit-deterministic across
+    session configs (verified: local[4]/7 shuffle partitions vs
+    local[32]/32 produce identical centroids), so the trained sf0.01
+    codebook is FROZEN as literals (`_pq_snapshot.py`) and DuckDB
+    independently recomputes everything downstream of training — per-
+    subspace argmin encoding (squared L2, lowest code wins ties), the
+    query LUT, ADC distances, the exact-L2 top-10, and the recall@10
+    intersection. A pytest retrains and asserts snapshot equality, so
+    codebook drift fails locally and loudly, never at the driver gate."""
+    from custom_python_vectordb_spark.queries._pq_snapshot import PQ_CENTROIDS_SF001
+
+    vals = ", ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(m, code, ", ".join(repr(x) for x in c))
+        for m, code, c in PQ_CENTROIDS_SF001
+    )
+    return f"""
+WITH cb(m, code, c) AS (VALUES {vals}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ms AS (SELECT CAST(unnest(range(0, {M})) AS INTEGER) AS m),
+sub AS (SELECT e.vec_id, ms.m, e.v[ms.m * 8 + 1 : ms.m * 8 + 8] AS sv FROM e, ms),
+asgn AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, cb.code,
+           ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY list_sum(list_transform(range(1, 9),
+                                 i -> (s.sv[i] - cb.c[i]) * (s.sv[i] - cb.c[i]))),
+                        cb.code) AS rn
+    FROM sub s JOIN cb ON cb.m = s.m
+  ) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qsub AS (SELECT ms.m, q.qv[ms.m * 8 + 1 : ms.m * 8 + 8] AS sv FROM q, ms),
+lut AS (
+  SELECT qs.m, cb.code,
+         list_sum(list_transform(range(1, 9),
+                  i -> (qs.sv[i] - cb.c[i]) * (qs.sv[i] - cb.c[i]))) AS d2
+  FROM qsub qs JOIN cb ON cb.m = qs.m
+),
+adc AS (
+  SELECT a.vec_id, sqrt(SUM(l.d2)) AS dist
+  FROM asgn a JOIN lut l USING (m, code) GROUP BY a.vec_id
+),
+approx AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT 10),
+truth AS (
+  SELECT vec_id FROM (SELECT e.vec_id, list_distance(e.v, q.qv) AS d FROM e, q)
+  ORDER BY d, vec_id LIMIT 10
+)
+SELECT ROUND(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) + 0.0 AS recall
+FROM truth JOIN approx USING (vec_id)
+"""
+
+
+@query("pq_kmeans_recall", _pq_kmeans_recall_oracle, oracle_sf="sf0.01")
 def pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib-KMeans-trained PQ (seeded): recall@10 of ADC ranking vs exact
-    L2 for one query. Weaker rows-only driver check; the quality bar
-    (recall ≥ 0.5 at M=8×K=16 on 64d) is asserted in tests."""
+    L2 for one query, fully oracle-checked via the frozen-codebook
+    snapshot (see `_pq_kmeans_recall_oracle`); the quality bar
+    (recall ≥ 0.5 at M=8×K=16 on 64d) is additionally asserted in tests."""
     from custom_python_vectordb_spark.operators.knn import knn
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -412,4 +468,4 @@ def pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = knn(emb, queries, k=10, metric="l2").select("vec_id")
     n_hit = truth.join(approx, "vec_id").count()
-    return local_df(spark, [(float(n_hit) / 10.0,)], "recall double")
+    return local_df(spark, [(round(float(n_hit) / 10.0, 6) + 0.0,)], "recall double")

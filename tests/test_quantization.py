@@ -123,3 +123,18 @@ def test_pq_kmeans_recall_quality(spark, emb):
     # near-uniform random 64-d vectors are PQ's worst case (no cluster
     # structure); 8x16 codes give modest recall there — floor, not target
     assert len(truth & approx) / 10.0 >= 0.2
+
+
+def test_pq_snapshot_matches_retrained_codebook(spark, sf_med):
+    """The `pq_kmeans_recall` oracle pins the sf0.01 codebook as literals
+    (`queries/_pq_snapshot.py`). Retrain with the same seed/params and
+    assert bit-equality, so snapshot drift (Spark/MLlib version change,
+    fixture regeneration) fails HERE, loudly, instead of surfacing as a
+    mysterious driver-gate hash mismatch."""
+    from custom_python_vectordb_spark.queries._pq_snapshot import PQ_CENTROIDS_SF001
+
+    emb01 = load_table(spark, sf_med, "embeddings")
+    cb = pq_train_kmeans(emb01, 8, 16, seed=42, max_iter=10)
+    got = sorted((r["m"], r["code"], tuple(r["centroid"])) for r in cb.collect())
+    want = sorted((m, code, tuple(c)) for m, code, c in PQ_CENTROIDS_SF001)
+    assert got == want

@@ -35,10 +35,9 @@ def test_oracle_sql_is_nonempty_and_selects():
 
 def test_weak_queries_are_the_documented_set():
     weak = set(registry.QUERIES) - set(registry.ORACLES)
-    # round 3 closed semantic_text_search, mmr_rerank, and embed_mock
-    # (snapshot-pinned oracles) — 4 genuinely non-SQL ops left
+    # round 4 closed pq_kmeans_recall (frozen-codebook snapshot oracle) —
+    # only the partition-shaped ANN internals remain genuinely non-SQL
     assert weak == {
-        "pq_kmeans_recall",      # MLlib KMeans model metric
         "media_features",        # embedding-based feature stub
         "knn_partitioned",       # approximate, partition-shaped result
         "recall_partitioned_vs_exact",  # model-quality metric
