@@ -161,6 +161,24 @@ def _bench_knn_100k(spark) -> dict[str, float]:
             )
             assert len(pdf) == nq * 10
             out[label] = round(dt * 1000 / nq, 3)
+
+            # filtered serving at the same batch size: metadata predicate as
+            # a NumPy mask over replica-resident columns (the reference's P5
+            # filtered-search path, vectordb_optimized.py:531-575) — the
+            # mask is built once from the loaded replica (index-build
+            # analog), the per-batch cost is the masked GEMM top-k
+            from custom_python_vectordb_spark.functions.filters import Filter
+            from custom_python_vectordb_spark.operators.knn import replica_metadata
+
+            filt = Filter.where("vec_id", "gte", 50_000)
+            cols = replica_metadata(shards, ["vec_id"], dtype="float32")
+            mask = filt.mask(cols, len(cols["vec_id"]))
+            knn_replica_serve(shards, sub, k=10, dtype="float32", mask=mask)  # warm
+            dt, pdf = _best_of(
+                lambda: knn_replica_serve(shards, sub, k=10, dtype="float32", mask=mask)
+            )
+            assert len(pdf) == nq * 10 and int(pdf["vec_id"].min()) >= 50_000
+            out["knn_batch20_100k_filtered_ms_per_query"] = round(dt * 1000 / nq, 3)
             for _ in range(6):  # let every reused worker cache its shards
                 knn_shard_gemm_serve(spark, shards, sub, k=10, dtype="float32", tasks=5)
             dt, pdf = _best_of(
@@ -211,6 +229,54 @@ def _bench_knn_100k(spark) -> dict[str, float]:
     return out
 
 
+def _bench_versioned(spark, sf_dir: str) -> dict[str, float]:
+    """Lakehouse lifecycle at bench scale — 4 range-disjoint appends with
+    manifest stats → deletion-vector delete → OPTIMIZE compaction → pruned
+    range scan — so regressions in the commit path show up in BENCH, not
+    only in race tests. Timed cold (write paths have no warm steady state);
+    the pruned scan runs BEFORE optimize so dir-level manifest pruning (3
+    of 4 dirs skipped at planning time) is what gets measured."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.sources.catalog import load_table
+    from custom_python_vectordb_spark.sources.versioned import VersionedWarehouse
+
+    root = tempfile.mkdtemp(prefix="bench_versioned_")
+    out: dict[str, float] = {}
+    try:
+        wh = VersionedWarehouse(spark, root)
+        ev = load_table(spark, sf_dir, "events")
+        n_ev = ev.count()
+        quarter = max(n_ev // 4, 1)
+        t0 = time.perf_counter()
+        for i in range(4):  # time-ordered ingest: each batch owns an id range
+            batch = ev.filter(
+                (F.col("event_id") >= i * quarter)
+                & (F.col("event_id") < (i + 1) * quarter if i < 3 else F.lit(True))
+            )
+            wh.save("events", batch, mode="append" if i else "overwrite",
+                    stats_cols=["event_id"])
+        t1 = time.perf_counter()
+        rows = wh.scan_pruned("events", "event_id", quarter // 2, quarter // 2 + 999).count()
+        assert rows > 0
+        t2 = time.perf_counter()
+        wh.delete_where("events", F.col("user_id") % 97 == 0, key_col="event_id")
+        t3 = time.perf_counter()
+        wh.optimize("events", cluster_by=["event_id"])
+        t4 = time.perf_counter()
+        out["versioned_ingest4_s"] = round(t1 - t0, 4)
+        out["versioned_scan_pruned_s"] = round(t2 - t1, 4)
+        out["versioned_delete_s"] = round(t3 - t2, 4)
+        out["versioned_optimize_s"] = round(t4 - t3, 4)
+        out["versioned_lifecycle_s"] = round(t4 - t0, 4)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     # one BLAS thread per Python worker: 32 concurrent tasks × multi-threaded
     # OpenBLAS oversubscribes the box and *slows* the GEMM; workers inherit
@@ -236,15 +302,24 @@ def main() -> None:
     if names:
         registry.QUERIES[names[0]](spark, sf_dir).collect()
     timings: dict[str, float] = {}
+    build_exec: dict[str, dict[str, float]] = {}
     for name in names:
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).collect()  # warm-up: JIT, codegen cache, file listing
         best = float("inf")
+        bb = be = 0.0
         for _ in range(2):  # best-of-2: damps co-tenant noise between runs
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            df = fn(spark, sf_dir)  # plan BUILD: py4j DataFrame-API calls
+            t1 = time.perf_counter()
+            df.collect()            # plan EXEC: analysis + jobs + fetch
+            t2 = time.perf_counter()
+            if t2 - t0 < best:
+                best, bb, be = t2 - t0, t1 - t0, t2 - t1
         timings[name] = round(best, 4)
+        # split recorded so a regression is attributable in one read —
+        # round 3's biggest win came from diagnosing build-vs-exec 10-20×
+        build_exec[name] = {"build_s": round(bb, 4), "exec_s": round(be, 4)}
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -252,6 +327,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "build_exec": build_exec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if "knn_batch" in timings:
@@ -261,6 +337,8 @@ def main() -> None:
         out["knn_batch_1k_amortized_ms_per_query"] = round(timings["knn_batch_1k"], 3)  # 1000 q
     # reference-scale gate: 100K×128d corpus, vs BASELINE batch GEMM 1.66 ms/q
     out.update(_bench_knn_100k(spark))
+    # lakehouse commit-path lifecycle (ingest/prune/delete/optimize)
+    out.update(_bench_versioned(spark, sf_dir))
     print(json.dumps(out))
 
 

@@ -189,7 +189,7 @@ class Collection:
         query_texts: list[str] | None = None,
         query_embeddings: list[list[float]] | None = None,
         n_results: int = 10,
-        where: dict[str, Any] | None = None,
+        where: dict[str, Any] | Filter | None = None,
         metric: str = "cosine",
     ) -> DataFrame:
         """ChromaDB-style batch entry point (``fastpyvectordb/client.py:
@@ -206,7 +206,10 @@ class Collection:
             [(i, [float(x) for x in v]) for i, v in enumerate(query_embeddings)],
             "qid long, qvec array<float>",
         )
-        cond = Filter.from_dict(where).column if where else None
+        if isinstance(where, Filter):
+            cond = where.column
+        else:
+            cond = Filter.from_dict(where).column if where else None
         payload = [c for c in self.df().columns if c not in ("id", "embedding")]
         return knn(
             self.df(), queries, k=n_results, metric=metric, id_col="id",
@@ -220,20 +223,29 @@ class Collection:
         n_results: int = 10,
         metric: str = "cosine",
         max_bytes: int = 2 << 30,
+        where: dict[str, Any] | Filter | None = None,
     ) -> list[list[dict]]:
         """Serving twin of :meth:`query`: same (texts XOR embeddings, k,
-        metric) contract and IDENTICAL results (asserted in tests), but
-        answered by the in-process shard replica
+        metric, where) contract and IDENTICAL results (asserted in tests),
+        but answered by the in-process shard replica
         (``operators/knn.knn_replica_serve``) instead of a scheduled plan —
         milliseconds instead of a job round-trip, for collections whose
-        decoded vectors fit ``max_bytes``. No ``where`` support: filters
-        need the declarative plan (use :meth:`query`). Returns the server's
-        positional shape directly: ``results[i]`` = list of {id, dist} for
-        input query i. The replica re-decodes automatically when a mutation
-        rewrites the table (cache keyed on shard path+mtime+size)."""
+        decoded vectors fit ``max_bytes``. ``where`` (a dict or a
+        spec-carrying :class:`Filter`) is applied as a NumPy boolean mask
+        over replica-resident metadata columns — the reference's vectorized
+        filter-mask serving path (P5, ``parallel_search.py:212-217``,
+        filtered search ``vectordb_optimized.py:531-575``); a Filter built
+        around a raw Column has no spec and raises (use :meth:`query`).
+        Returns the server's positional shape directly: ``results[i]`` =
+        list of {id, dist} for input query i. The replica re-decodes
+        automatically when a mutation rewrites the table (cache keyed on
+        shard path+mtime+size)."""
         import pandas as pd
 
-        from custom_python_vectordb_spark.operators.knn import knn_replica_serve
+        from custom_python_vectordb_spark.operators.knn import (
+            knn_replica_serve,
+            replica_metadata,
+        )
 
         if (query_texts is None) == (query_embeddings is None):
             raise ValueError("provide exactly one of query_texts / query_embeddings")
@@ -241,6 +253,14 @@ class Collection:
             query_embeddings = [
                 mock_embed_one(t, self.dimensions).tolist() for t in query_texts
             ]
+        filt: Filter | None = None
+        if where is not None:
+            filt = where if isinstance(where, Filter) else Filter.from_dict(where)
+            if filt.spec is None:
+                raise ValueError(
+                    "query_serve needs a spec-carrying Filter (Filter.where / "
+                    "from_dict / combinators); raw-Column filters need query()"
+                )
         qpd = pd.DataFrame(
             {
                 "qid": range(len(query_embeddings)),
@@ -255,7 +275,8 @@ class Collection:
             # plan (correct, one scheduled job) until a write materializes
             rows = (
                 self.query(
-                    query_embeddings=query_embeddings, n_results=n_results, metric=metric
+                    query_embeddings=query_embeddings, n_results=n_results,
+                    metric=metric, where=where,
                 )
                 .select("qid", "id", "dist")
                 .collect()
@@ -266,8 +287,23 @@ class Collection:
             return out
         if not paths:  # created-but-empty collection
             return [[] for _ in query_embeddings]
+        mask = None
+        if filt is not None:
+            from custom_python_vectordb_spark.operators.knn import _REPLICA_CACHE
+
+            # ensure the replica block exists before asking for aligned
+            # metadata (first call decodes; mutation invalidates both)
+            knn_replica_serve(
+                paths, qpd.iloc[:0], k=1, metric=metric, id_col="id", max_bytes=max_bytes
+            )
+            n_rows = len(_REPLICA_CACHE[(tuple(sorted(paths)), "float64")][1])
+            cols = replica_metadata(paths, sorted(filt.fields()), id_col="id")
+            # absent columns map to None → dropped → leaf sees missing ⇒ False
+            cols = {c: v for c, v in cols.items() if v is not None}
+            mask = filt.mask(cols, n_rows)
         res = knn_replica_serve(
-            paths, qpd, k=n_results, metric=metric, id_col="id", max_bytes=max_bytes
+            paths, qpd, k=n_results, metric=metric, id_col="id", max_bytes=max_bytes,
+            mask=mask,
         )
         out: list[list[dict]] = [[] for _ in query_embeddings]
         for qid, vid, dist in zip(res["qid"], res["id"], res["dist"]):

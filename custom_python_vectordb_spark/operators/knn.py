@@ -407,6 +407,43 @@ class _blas_threads:
         return False
 
 
+def replica_metadata(
+    shard_paths: list[str], cols: list[str], *, id_col: str = "vec_id", dtype: str = "float64"
+):
+    """Decode metadata columns into the serving replica, aligned row-for-row
+    with the cached (ids, matrix) block (same sorted path order, same
+    in-file row order). Used by the filtered serving path: the predicate
+    becomes a NumPy boolean mask over these arrays — the reference's P5
+    vectorized-filter-mask pattern (``parallel_search.py:212-217``) applied
+    to the replica. Columns are memoized per (paths, dtype) cache entry and
+    invalidated with it on any shard mutation. A requested column absent
+    from the table maps to None (missing ⇒ False at the leaf)."""
+    import pyarrow.parquet as _pq
+
+    paths = tuple(sorted(shard_paths))
+    entry = _REPLICA_CACHE.get((paths, dtype))
+    if entry is None:
+        raise KeyError("replica not loaded; call knn_replica_serve first")
+    meta = entry[5]
+    missing = [c for c in cols if c not in meta]
+    if missing:
+        import numpy as np
+
+        schema_names = _pq.read_schema(paths[0]).names if paths else []
+        present = [c for c in missing if c in schema_names]
+        parts: dict[str, list] = {c: [] for c in present}
+        for p in paths:
+            if present:
+                tbl = _pq.read_table(p, columns=present)
+                if tbl.num_rows == 0:
+                    continue
+                for c in present:
+                    parts[c].append(tbl.column(c).to_numpy(zero_copy_only=False))
+        for c in missing:
+            meta[c] = np.concatenate(parts[c]) if c in parts and parts[c] else None
+    return {c: meta[c] for c in cols}
+
+
 def knn_replica_serve(
     shard_paths: list[str],
     queries_pd,
@@ -417,6 +454,7 @@ def knn_replica_serve(
     dist_col: str = "dist",
     dtype: str = "float64",
     max_bytes: int = 2 << 30,
+    mask=None,
 ):
     """SERVING-NODE REPLICA — the lowest-latency exact path for a corpus
     that fits one node's memory, which is exactly the reference's own
@@ -441,6 +479,14 @@ def knn_replica_serve(
     of silently OOM-ing the serving node. Results are asserted identical
     to :func:`knn` / :func:`knn_shard_gemm_serve` in tests for all
     metrics.
+
+    `mask`: optional boolean array aligned with the replica rows (build it
+    from :func:`replica_metadata` + ``Filter.mask``). Masked-out rows get
+    distance +inf AFTER the GEMM — the reference's own filtered-search
+    shape (``brute_force_search`` ``vectordb_optimized.py:686-692``): the
+    full GEMM plus a masked top-k beats gathering a filtered copy of the
+    matrix for anything but needle-selective predicates, and the arithmetic
+    stays identical to the unfiltered path.
     """
     import os as _os
 
@@ -481,9 +527,12 @@ def knn_replica_serve(
                 f"{max_bytes >> 20} MiB: this corpus belongs on the "
                 "shard-resident path (knn_shard_gemm_serve)"
             )
-        entry = (stat_key, ids, mat, np.linalg.norm(mat, axis=1), (mat * mat).sum(1))
+        entry = (stat_key, ids, mat, np.linalg.norm(mat, axis=1), (mat * mat).sum(1), {})
         _REPLICA_CACHE[cache_key] = entry
-    _, ids, mat, norms, sq = entry
+    _, ids, mat, norms, sq, _meta = entry
+
+    if len(queries_pd) == 0:  # cache-warm call (e.g. before replica_metadata)
+        return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
 
     qids = queries_pd["qid"].to_numpy()
     qmat = np.asarray([np.asarray(v, dtype=dtype) for v in queries_pd["qvec"]])
@@ -513,7 +562,15 @@ def knn_replica_serve(
         np.negative(dists, out=dists)
     else:
         raise ValueError(f"unknown metric {metric!r}")
-    kk = min(k, len(ids))
+    n_live = len(ids)
+    if mask is not None:
+        if len(mask) != len(ids):
+            raise ValueError(f"mask length {len(mask)} != replica rows {len(ids)}")
+        n_live = int(mask.sum())
+        if n_live == 0:
+            return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
+        dists[:, ~mask] = np.inf
+    kk = min(k, n_live)
     sidx = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
     sel = np.take_along_axis(dists, sidx, axis=1)
     parts = pd.DataFrame(

@@ -396,32 +396,19 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                 rows = coll.peek(int(qs.get("limit", 10))).drop("embedding").collect()
                 return 200, {"rows": [r.asDict(recursive=True) for r in rows]}
             if parts[2:] == ["query"] and method == "POST":
-                if body.get("where") is None:
-                    # unfiltered queries take the in-process replica path
-                    # (api.query_serve) — same results, no job round-trip;
-                    # filters need the declarative plan below
-                    return 200, {
-                        "results": coll.query_serve(
-                            query_texts=body.get("query_texts"),
-                            query_embeddings=body.get("query_embeddings"),
-                            n_results=int(body.get("n_results", 10)),
-                        )
-                    }
-                rows = coll.query(
-                    query_texts=body.get("query_texts"),
-                    query_embeddings=body.get("query_embeddings"),
-                    n_results=int(body.get("n_results", 10)),
-                    where=body.get("where"),
-                ).collect()
-                out: dict[int, list] = {}
-                for r in rows:
-                    out.setdefault(int(r["qid"]), []).append(
-                        {"id": r["id"], "dist": float(r["dist"])}
+                # both unfiltered and dict-filtered queries take the
+                # in-process replica path (api.query_serve) — same results
+                # as the declarative plan (asserted in tests), no job
+                # round-trip; the dict filter becomes a NumPy mask over
+                # replica-resident metadata (the reference's P5 pattern)
+                return 200, {
+                    "results": coll.query_serve(
+                        query_texts=body.get("query_texts"),
+                        query_embeddings=body.get("query_embeddings"),
+                        n_results=int(body.get("n_results", 10)),
+                        where=body.get("where"),
                     )
-                # positional contract: results[i] ↔ input query i, so a query
-                # whose filter matches nothing still gets an (empty) slot
-                n_queries = len(body.get("query_texts") or body.get("query_embeddings") or [])
-                return 200, {"results": [out.get(i, []) for i in range(n_queries)]}
+                }
             if len(parts) == 4 and parts[2] == "get" and method == "GET":
                 doc = coll.get(parts[3])
                 return (200, doc) if doc is not None else (404, {"error": f"id {parts[3]!r} not found"})

@@ -190,3 +190,42 @@ def test_query_serve_equals_plan_query(coll):
     served2 = coll.query_serve(query_texts=["shuffle strategies"], n_results=4)
     assert "d1" not in {h["id"] for h in served2[0]}
     assert len(served2[0]) == 3  # only 3 docs remain
+
+
+def test_query_serve_filtered_equals_plan_query(coll):
+    """Filtered serving (NumPy mask over replica-resident metadata — the
+    reference's P5 pattern) must return exactly the declarative filtered
+    plan's results, for dict shorthand AND composed Filter specs, and
+    missing-field predicates must behave as missing⇒False."""
+    texts = ["shuffle strategies", "fox"]
+    for where in (
+        {"category": "eng"},
+        Filter.where("category", "ne", "eng"),
+        Filter.where("category", "eq", "eng") | Filter.where("category", "eq", "animals"),
+        ~Filter.where("category", "eq", "eng"),
+        Filter.where("category", "in", ["animals"]),
+        Filter.where("_document", "contains", "join"),
+        Filter.where("_document", "regex", "jo.n"),
+    ):
+        plan_rows = coll.query(query_texts=texts, n_results=3, where=where).collect()
+        plan: dict[int, list] = {}
+        for r in plan_rows:
+            plan.setdefault(int(r["qid"]), []).append((r["id"], r["dist"]))
+        served = coll.query_serve(query_texts=texts, n_results=3, where=where)
+        assert len(served) == 2
+        for qid, hits in enumerate(served):
+            assert [h["id"] for h in hits] == [i for i, _ in plan.get(qid, [])], where
+            for h, (_, d) in zip(hits, plan.get(qid, [])):
+                assert h["dist"] == pytest.approx(d, abs=1e-6)
+
+    # missing field ⇒ False everywhere ⇒ empty result slots
+    assert coll.query_serve(query_texts=texts, n_results=3, where={"nope": 1}) == [[], []]
+    # ...but NOT(missing) ⇒ True (two-state logic, matching the Column twin)
+    served = coll.query_serve(
+        query_texts=texts, n_results=10, where=~Filter.where("nope", "eq", 1)
+    )
+    assert {h["id"] for h in served[0]} == {"d1", "d2", "d3", "d4"}
+
+    # raw-Column filters cannot be masked: loud error, not silent wrong data
+    with pytest.raises(ValueError, match="spec"):
+        coll.query_serve(query_texts=texts, where=Filter(F.col("category") == "eng"))

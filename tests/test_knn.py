@@ -146,3 +146,39 @@ def test_mmr_rerank_prefers_diversity(spark):
 
     with _pytest.raises(ValueError, match="10k driver-side candidate cap"):
         mmr_rerank(corpus, q, k=2, fetch_k=10_001)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2", "ip"])
+def test_replica_serve_masked_equals_filtered_expression_path(
+    spark, queries_df, metric, sf_small
+):
+    """Filtered serving: the NumPy mask over replica-resident metadata must
+    produce exactly knn(filter_cond=...) — ids, order, distances — for
+    every metric; an all-False mask yields zero rows."""
+    import numpy as np
+
+    from custom_python_vectordb_spark.functions.filters import Filter
+    from custom_python_vectordb_spark.operators.knn import (
+        knn_replica_serve,
+        replica_metadata,
+    )
+
+    df = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    shard = f"{sf_small}/embeddings.parquet"
+    filt = Filter.where("vec_id", "gte", 40) & Filter.where("vec_id", "lte", 170)
+    expr = knn(df, queries_df, k=7, metric=metric, filter_cond=filt.column).collect()
+    qpd = queries_df.toPandas()
+    knn_replica_serve([shard], qpd.iloc[:0], k=1, metric=metric)  # warm cache
+    cols = replica_metadata([shard], sorted(filt.fields()))
+    n = len(cols["vec_id"])
+    mask = filt.mask(cols, n)
+    serve = knn_replica_serve([shard], qpd, k=7, metric=metric, mask=mask)
+    assert [(r["qid"], r["vec_id"]) for r in expr] == list(
+        zip(serve["qid"].astype(int), serve["vec_id"].astype(int))
+    )
+    for a, b in zip(expr, serve["dist"]):
+        assert a["dist"] == pytest.approx(b, rel=1e-6, abs=1e-6)
+    empty = knn_replica_serve(
+        [shard], qpd, k=7, metric=metric, mask=np.zeros(n, dtype=bool)
+    )
+    assert len(empty) == 0
