@@ -158,28 +158,46 @@ def bfs_hops(
 def traverse_paths(
     edges: DataFrame,
     start: str,
-    max_depth: int = 3,
+    max_depth: int | None = 3,
     direction: str = "out",
     edge_type: str | None = None,
+    max_paths: int = 1_000_000,
 ) -> DataFrame:
-    """J6 — all simple paths of length ≥1 from `start` up to max_depth
-    (graph.py:844-869: DFS appending every current_path with >1 node).
-    Path carried as array<string>; the `not in path` cycle check is
-    array_contains. Exponential in general — reference usage caps depth ≤3.
-    Returns (path array<string>, depth, path_str)."""
+    """J6 — all simple paths of length ≥1 from `start` (graph.py:844-869:
+    DFS appending every current_path with >1 node). Path carried as
+    array<string>; the `not in path` cycle check is array_contains.
+    Returns (path array<string>, depth, path_str).
+
+    `max_depth=None` matches the reference's UNBOUNDED enumeration: the
+    frontier loop runs until no simple path extends (the cycle check
+    guarantees termination at ≤ |V| hops). All-simple-paths is exponential
+    in general, so the blow-up guard is explicit rather than implicit:
+    total enumerated paths beyond `max_paths` raise instead of silently
+    grinding — the reference (graph.py:844-869) has no such guard and
+    simply hangs on dense graphs; bound depth for interactive use."""
     pairs = _directed(edges, direction, edge_type).distinct()
     spark = edges.sparkSession
     frontier = local_df(spark, [([start],)], "path array<string>")
     out = None
-    for _ in range(max_depth):
+    total = 0
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        depth += 1
         ext = (
             pairs.join(frontier.withColumn("frm", F.element_at("path", -1)), "frm")
             .filter(~F.array_contains(F.col("path"), F.col("to")))
             .select(F.concat(F.col("path"), F.array(F.col("to"))).alias("path"))
         )
         ext = ext.localCheckpoint(eager=True)
-        if ext.isEmpty():
+        n = ext.count()
+        if n == 0:
             break
+        total += n
+        if total > max_paths:
+            raise ValueError(
+                f"traverse exceeded max_paths={max_paths} at depth {depth}; "
+                "bound max_depth or raise max_paths explicitly"
+            )
         out = ext if out is None else out.unionByName(ext)
         frontier = ext
     if out is None:

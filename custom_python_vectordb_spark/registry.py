@@ -118,7 +118,11 @@ def _already_verified() -> set[str]:
     whose value hash mismatched is a FAILING query and must stay at the front
     of the window until re-checked (round-2 ADVICE).  ``rows_match`` counts
     only when the driver recorded no hash at all (``hash_match is None``) —
-    the weaker rows-only check for oracle-less queries."""
+    the weaker rows-only check for oracle-less queries — and only while the
+    query is STILL oracle-less: once it gains an oracle (e.g. a snapshot
+    oracle closing a formerly rows-only query), the old weak row no longer
+    certifies the strength now claimable, so the query rejoins the
+    unverified front for a hash-checked driver row."""
     import glob
     import json
     import os
@@ -133,7 +137,9 @@ def _already_verified() -> set[str]:
                 if not isinstance(row, dict) or row.get("err") is not None:
                     continue
                 hm = row.get("hash_match")
-                if hm is True or (hm is None and row.get("rows_match") is True):
+                if hm is True or (
+                    hm is None and row.get("rows_match") is True and name not in ORACLES
+                ):
                     seen.add(name)
         except Exception:
             continue

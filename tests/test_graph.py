@@ -236,3 +236,27 @@ def test_cypher_extended_grammar(spark, sf_small):
         cypher(nodes, edges, "MATCH (a:Nation)-[:IN_REGION]->(a:Region) RETURN a")  # var reuse
     with pytest.raises(ValueError):
         cypher(nodes, edges, "MATCH (a)<-[:IN_REGION]->(b) RETURN a, b")  # double-headed
+
+
+def test_traverse_unbounded_enumerates_all_simple_paths(spark):
+    """max_depth=None reproduces the reference's unbounded all-simple-paths
+    enumeration (graph.py:844-869), terminating via the cycle check; the
+    explicit max_paths guard raises instead of silently grinding."""
+    import pytest as _pytest
+
+    from custom_python_vectordb_spark.functions.local_relation import local_df
+    from custom_python_vectordb_spark.operators.graph import traverse_paths
+
+    # diamond + tail: a->b->d->e, a->c->d->e (+ a back-edge d->a, cycle-safe)
+    edges = local_df(
+        spark,
+        [("a", "b", "E"), ("a", "c", "E"), ("b", "d", "E"), ("c", "d", "E"),
+         ("d", "e", "E"), ("d", "a", "E")],
+        "src string, dst string, type string",
+    )
+    got = {r["path_str"] for r in traverse_paths(edges, "a", max_depth=None).collect()}
+    assert got == {
+        "a->b", "a->c", "a->b->d", "a->c->d", "a->b->d->e", "a->c->d->e",
+    }
+    with _pytest.raises(ValueError, match="max_paths"):
+        traverse_paths(edges, "a", max_depth=None, max_paths=3)
