@@ -303,8 +303,16 @@ def main() -> None:
         registry.QUERIES[names[0]](spark, sf_dir).collect()
     timings: dict[str, float] = {}
     build_exec: dict[str, dict[str, float]] = {}
+    serving_warm: dict[str, float] = {}
     for name in names:
-        fn = registry.QUERIES[name]
+        memo_fn = registry.QUERIES[name]
+        # PRIMARY series (comparable to BENCH_r1-r3): build a FRESH plan per
+        # run, bypassing the registry's plan memo. A memoized DataFrame also
+        # keeps its RDD lineage, so re-collecting it lets the DAGScheduler
+        # skip every completed shuffle stage — real Spark behavior, but it
+        # measures re-serving an already-executed plan, not re-running the
+        # query; that number is reported separately below as serving_warm.
+        fn = getattr(memo_fn, "__wrapped__", memo_fn)
         fn(spark, sf_dir).collect()  # warm-up: JIT, codegen cache, file listing
         best = float("inf")
         bb = be = 0.0
@@ -320,6 +328,16 @@ def main() -> None:
         # split recorded so a regression is attributable in one read —
         # round 3's biggest win came from diagnosing build-vs-exec 10-20×
         build_exec[name] = {"build_s": round(bb, 4), "exec_s": round(be, 4)}
+        # SERVING series: the memoized plan re-collected (prepared-statement
+        # reuse + persisted intermediates + shuffle-stage reuse) — what a
+        # repeat caller of the same registered query actually pays
+        memo_fn(spark, sf_dir).collect()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            memo_fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        serving_warm[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -328,6 +346,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "build_exec": build_exec,
+        "serving_warm": serving_warm,
+        "serving_warm_total": round(sum(serving_warm.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if "knn_batch" in timings:
