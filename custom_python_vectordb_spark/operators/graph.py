@@ -43,6 +43,36 @@ def _directed(edges: DataFrame, direction: str, edge_type: str | None) -> DataFr
     raise ValueError(f"direction must be out|in|both, got {direction!r}")
 
 
+def _adjacency(
+    edges: DataFrame, direction: str, edge_type: str | None, distinct: bool = False
+) -> DataFrame:
+    """Persisted (frm, to) adjacency, hash-partitioned by `frm` and cached
+    ON the edges DataFrame object (the edges frames from the graph view are
+    memoized per session+sf, so the cache dies with them — no stale-id
+    risk). This is the 'pre-built adjacency table partitioned by frm' the
+    BFS docstring promises, materialized once instead of per traversal:
+    every hop's join then reuses the adjacency partitioning and shuffles
+    only the (small) frontier side."""
+    cache = getattr(edges, "_adjacency_cache", None)
+    if cache is None:
+        cache = {}
+        edges._adjacency_cache = cache
+    key = (direction, edge_type, distinct)
+    pairs = cache.get(key)
+    if pairs is None:
+        pairs = _directed(edges, direction, edge_type)
+        if distinct:
+            pairs = pairs.distinct()
+        # plain persist, no repartition("frm"): a fixed 32-bucket hash layout
+        # forces 32-task stages per hop against a tiny frontier and defeats
+        # AQE's partition coalescing — measured slower at bench scale; on a
+        # real cluster swap in a bucketed adjacency TABLE so the hop join is
+        # co-located without a runtime repartition
+        pairs = pairs.persist()
+        cache[key] = pairs
+    return pairs
+
+
 def neighbors(
     nodes: DataFrame,
     edges: DataFrame,
@@ -133,7 +163,7 @@ def bfs_hops(
     entire un-persisted lineage — graph_semantic_search 4.4 → 5.8 s and
     shortest_path 8.7 → 24 s at sf0.1. The shuffle the hints would remove
     is cheaper than the recomputation they cause."""
-    pairs = _directed(edges, direction, edge_type).persist()
+    pairs = _adjacency(edges, direction, edge_type)
     visited = seeds.select("id").distinct().withColumn("hop", F.lit(0))
     frontier = visited.select("id")
     for hop in range(1, max_hops + 1):
@@ -175,7 +205,7 @@ def traverse_paths(
     total enumerated paths beyond `max_paths` raise instead of silently
     grinding — the reference (graph.py:844-869) has no such guard and
     simply hangs on dense graphs; bound depth for interactive use."""
-    pairs = _directed(edges, direction, edge_type).distinct()
+    pairs = _adjacency(edges, direction, edge_type, distinct=True)
     spark = edges.sparkSession
     frontier = local_df(spark, [([start],)], "path array<string>")
     out = None
@@ -221,7 +251,7 @@ def shortest_path(
     queue order happens to find (graph.py:871-902); we pin the deterministic
     refinement: the lexicographically-smallest among minimum-length paths.
     Returns 1 row (path_str, length) or 0 rows if unreachable."""
-    pairs = _directed(edges, direction, edge_type).distinct()
+    pairs = _adjacency(edges, direction, edge_type, distinct=True)
     spark = edges.sparkSession
     if from_node == to_node:
         return local_df(spark, [(from_node, 0)], "path_str string, length int")
