@@ -199,7 +199,7 @@ tok AS (SELECT doc_id, {duck_tokenize('text')} AS toks FROM corpus),
 px AS (SELECT doc_id, {_DUCK_PASSAGES} AS ps_list,
               unnest(range(0, len(toks) // {_PASSAGE_N})) AS pidx
        FROM tok),
-ps AS (SELECT doc_id, pidx, ps_list[pidx + 1] AS passage FROM px),
+ps AS (SELECT doc_id, pidx, list_extract(ps_list, pidx + 1) AS passage FROM px),
 rk AS (SELECT doc_id, pidx, passage,
               ROW_NUMBER() OVER (PARTITION BY md5(passage) ORDER BY doc_id, pidx) AS rn
        FROM ps),

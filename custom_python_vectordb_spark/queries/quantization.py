@@ -422,7 +422,7 @@ asgn AS (
            ROW_NUMBER() OVER (
                PARTITION BY s.vec_id, s.m
                ORDER BY list_sum(list_transform(range(1, 9),
-                                 i -> (s.sv[i] - cb.c[i]) * (s.sv[i] - cb.c[i]))),
+                                 i -> (list_extract(s.sv, i) - list_extract(cb.c, i)) * (list_extract(s.sv, i) - list_extract(cb.c, i)))),
                         cb.code) AS rn
     FROM sub s JOIN cb ON cb.m = s.m
   ) WHERE rn = 1
@@ -432,7 +432,7 @@ qsub AS (SELECT ms.m, q.qv[ms.m * 8 + 1 : ms.m * 8 + 8] AS sv FROM q, ms),
 lut AS (
   SELECT qs.m, cb.code,
          list_sum(list_transform(range(1, 9),
-                  i -> (qs.sv[i] - cb.c[i]) * (qs.sv[i] - cb.c[i]))) AS d2
+                  i -> (list_extract(qs.sv, i) - list_extract(cb.c, i)) * (list_extract(qs.sv, i) - list_extract(cb.c, i)))) AS d2
   FROM qsub qs JOIN cb ON cb.m = qs.m
 ),
 adc AS (
