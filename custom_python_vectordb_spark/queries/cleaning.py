@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from custom_python_vectordb_spark.functions.hashing import duck_hash48
-from custom_python_vectordb_spark.functions.text import duck_tokenize, tokenize
+from custom_python_vectordb_spark.functions.text import STOPWORDS, duck_tokenize, tokenize
 from custom_python_vectordb_spark.queries.pipeline import DUCK_CORPUS, _corpus
 from custom_python_vectordb_spark.queries.spine import ROUND, _t
 from custom_python_vectordb_spark.registry import query
@@ -453,3 +453,94 @@ def dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dup_count") > 0)
         .orderBy("content_hash")
     )
+
+
+# --------------------------------------------------- model-based quality
+
+def _quality_features():
+    """The 4 classifier features as Columns — length, en-stopword ratio,
+    punctuation ratio, unique-word ratio. Mirrored text-for-text by
+    `_DUCK_QFEATS`; both sides must keep the exact same ops and order so
+    the scored probabilities hash identically."""
+    from custom_python_vectordb_spark.functions.text import STOPWORDS, tokenize
+
+    toks = tokenize("text")
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    punct = F.length(F.regexp_replace(F.lower(F.col("text")), "[a-z0-9_\\s]", ""))
+    return [
+        F.least(n.cast("double") / 100.0, F.lit(1.0)),
+        F.when(n > 0, sw.cast("double") / n).otherwise(0.0),
+        F.when(F.length("text") > 0, punct.cast("double") / F.length("text")).otherwise(1.0),
+        F.when(n > 0, F.size(F.array_distinct(toks)).cast("double") / n).otherwise(0.0),
+    ]
+
+
+def train_quality_lr(docs: DataFrame) -> list[float]:
+    """Distill the heuristic quality label (quality >= 0.55) into an MLlib
+    LogisticRegression over `_quality_features` — the model-based quality
+    filtering stage of modern pretraining pipelines (FineWeb/DCLM-style:
+    heuristic teacher → learned scorer applied corpus-wide). Returns
+    [intercept, w1..w4]. regParam=0.1 keeps the near-separable weak-label
+    problem bounded; training is bit-deterministic across session configs
+    (verified), which the snapshot oracle depends on."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from custom_python_vectordb_spark.functions.text import quality_score
+
+    f1, f2, f3, f4 = _quality_features()
+    y = (quality_score("text") >= 0.55).cast("double")
+    d = docs.select(
+        f1.alias("f1"), f2.alias("f2"), f3.alias("f3"), f4.alias("f4"), y.alias("label")
+    )
+    va = VectorAssembler(inputCols=["f1", "f2", "f3", "f4"], outputCol="features")
+    m = LogisticRegression(maxIter=25, regParam=0.1).fit(va.transform(d))
+    return [float(m.intercept)] + [float(x) for x in m.coefficients]
+
+
+def _duck_qfeats() -> tuple[str, str, str, str]:
+    sw_list = STOPWORDS["en"]
+    return (
+        "least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)",
+        f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains({sw_list}, t))) AS DOUBLE) / len(toks) ELSE 0.0 END",
+        "CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[a-z0-9_\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 1.0 END",
+        "CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END",
+    )
+
+
+def _quality_model_oracle() -> str:
+    """Snapshot oracle (the pq_kmeans_recall pattern applied to logistic
+    regression): training is bit-deterministic, so the sf0.01 coefficients
+    are frozen as literals (`_lr_snapshot.py`) and DuckDB independently
+    recomputes features + sigmoid scoring for every document; a pytest
+    retrains and asserts coefficient equality so drift fails locally."""
+    from custom_python_vectordb_spark.queries._lr_snapshot import LR_COEFS_SF001
+
+    b, w1, w2, w3, w4 = (repr(c) for c in LR_COEFS_SF001)
+    f1, f2, f3, f4 = _duck_qfeats()
+    return f"""
+WITH tok AS (SELECT doc_id, text, {duck_tokenize('text')} AS toks FROM documents),
+feats AS (SELECT doc_id, {f1} AS f1, {f2} AS f2, {f3} AS f3, {f4} AS f4 FROM tok),
+scored AS (SELECT doc_id,
+                  1.0 / (1.0 + exp(-(({b}) + ({w1}) * f1 + ({w2}) * f2 + ({w3}) * f3 + ({w4}) * f4))) AS p
+           FROM feats)
+SELECT doc_id, ROUND(p, {ROUND}) + 0.0 AS p_keep FROM scored
+"""
+
+
+@query("quality_model_score", _quality_model_oracle, oracle_sf="sf0.01")
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, end to end: train the classifier on
+    the corpus (weak labels from the heuristic teacher), then score every
+    document with an EXPLICIT literal-coefficient sigmoid expression — not
+    model.transform — so the scoring arithmetic is the same closed-form
+    the oracle evaluates. At 100 TB this is train-once (tiny model,
+    broadcast by construction: 5 literals in the plan) + one map-side
+    scoring scan, the exact shape of a production quality-filter pass."""
+    docs = _t(spark, sf_dir, "documents")
+    b, w1, w2, w3, w4 = train_quality_lr(docs)
+    f1, f2, f3, f4 = _quality_features()
+    z = F.lit(b) + F.lit(w1) * f1 + F.lit(w2) * f2 + F.lit(w3) * f3 + F.lit(w4) * f4
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select("doc_id", (F.round(p, ROUND) + F.lit(0.0)).alias("p_keep"))

@@ -229,3 +229,15 @@ def test_query_serve_filtered_equals_plan_query(coll):
     # raw-Column filters cannot be masked: loud error, not silent wrong data
     with pytest.raises(ValueError, match="spec"):
         coll.query_serve(query_texts=texts, where=Filter(F.col("category") == "eng"))
+
+
+def test_lr_snapshot_matches_retrained_coefficients(spark):
+    """The quality_model_score oracle pins sf0.01 LR coefficients as
+    literals; retrain and assert bit-equality so drift (Spark/MLlib
+    version change, fixture regeneration) fails here, not at the gate."""
+    from custom_python_vectordb_spark.queries._lr_snapshot import LR_COEFS_SF001
+    from custom_python_vectordb_spark.queries.cleaning import train_quality_lr
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    assert train_quality_lr(docs) == LR_COEFS_SF001
