@@ -544,3 +544,47 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.lit(b) + F.lit(w1) * f1 + F.lit(w2) * f2 + F.lit(w3) * f3 + F.lit(w4) * f4
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return docs.select("doc_id", (F.round(p, ROUND) + F.lit(0.0)).alias("p_keep"))
+
+
+@query("logprob_histogram", f"""
+WITH tok AS (SELECT doc_id, {duck_tokenize('text')} AS toks FROM documents),
+term AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+lm AS (SELECT t, COUNT(*) AS c FROM term GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM lm),
+scored AS (
+    SELECT term.doc_id, ROUND(AVG(ln(lm.c / tot.n)), {ROUND}) AS lp
+    FROM term JOIN lm USING (t) CROSS JOIN tot
+    GROUP BY term.doc_id
+)
+SELECT CAST(floor(lp) AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+       ROUND(MIN(lp), {ROUND}) + 0.0 AS min_lp, ROUND(MAX(lp), {ROUND}) + 0.0 AS max_lp
+FROM scored GROUP BY 1 ORDER BY bucket
+""")
+def logprob_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus histogram of per-doc mean unigram log-probability — the
+    distribution a perplexity-based importance resampler (DoReMi/DSIR
+    style) buckets before reweighting. Buckets are floor() of the
+    6-dp-ROUNDED score so the bucket boundary itself carries no float
+    summation-order surface. Same two token-keyed aggregates as
+    `unigram_logprob` plus one bucket-keyed count."""
+    from custom_python_vectordb_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    term = docs.select("doc_id", F.explode(tokenize("text")).alias("t"))
+    lm = term.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.agg(F.sum("c").alias("n"))
+    scored = (
+        term.join(F.broadcast(lm), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c") / F.col("n"))), ROUND).alias("lp"))
+    )
+    return (
+        scored.groupBy(F.floor("lp").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.round(F.min("lp"), ROUND) + F.lit(0.0)).alias("min_lp"),
+            (F.round(F.max("lp"), ROUND) + F.lit(0.0)).alias("max_lp"),
+        )
+        .orderBy("bucket")
+    )

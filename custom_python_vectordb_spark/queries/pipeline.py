@@ -914,6 +914,46 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("domain_weights_temperature", f"""
+WITH counts AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(n) AS t FROM counts),
+raw AS (SELECT c.source, c.n, POW(c.n / tot.t, 0.7) AS u FROM counts c CROSS JOIN tot),
+z AS (SELECT SUM(u) AS s FROM raw)
+SELECT raw.source, CAST(raw.n AS BIGINT) AS n_docs,
+       ROUND(raw.u / z.s, {ROUND}) + 0.0 AS weight,
+       ROUND((raw.u / z.s) / (raw.n / tot.t), {ROUND}) + 0.0 AS upsample_factor
+FROM raw CROSS JOIN z CROSS JOIN tot
+ORDER BY raw.source
+""")
+def domain_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling weights (the α-smoothing every
+    published pretraining mix uses, α=0.7): w_i ∝ (n_i/N)^α renormalized,
+    plus the implied up/downsample factor w_i/(n_i/N) a mixer like
+    `domain_mix` would consume as its rate table. Two tiny aggregates over
+    one source-keyed count — the per-source count shuffle is the whole
+    plan at any scale; the normalizers are 1-row broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    raw = counts.crossJoin(F.broadcast(tot)).select(
+        "source", "n", F.pow(F.col("n") / F.col("t"), 0.7).alias("u"), "t"
+    )
+    z = raw.agg(F.sum("u").alias("s"))
+    return (
+        raw.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            (F.round(F.col("u") / F.col("s"), ROUND) + F.lit(0.0)).alias("weight"),
+            (
+                F.round((F.col("u") / F.col("s")) / (F.col("n") / F.col("t")), ROUND)
+                + F.lit(0.0)
+            ).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
 # ------------------------------------------------------- end-to-end final cut
 
 @query("corpus_final_cut", f"""
