@@ -37,8 +37,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-created session.
 
     The driver harness owns its own SparkSession; only runtime-mutable confs
-    can be applied there.
+    can be applied there. Applied once per session object (query builders
+    call this on every table load — the conf round trips are pure plan-build
+    latency after the first application).
     """
+    if getattr(spark, "_graft_tuned", False):
+        return spark
+    spark._graft_tuned = True
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     for key, value in (
         ("spark.sql.adaptive.enabled", "true"),
@@ -46,6 +51,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        # runtime-settable: match get_spark's 64 MiB broadcast threshold so
+        # dimension/candidate sides broadcast in externally-created sessions
+        ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
         # externally-created sessions default to 200 shuffle partitions —
         # wasteful at test scale and for streaming state stores
         ("spark.sql.shuffle.partitions", str(cpus)),
