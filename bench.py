@@ -277,6 +277,49 @@ def _bench_versioned(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _bench_streaming(spark, sf_dir: str) -> dict[str, float]:
+    """Streaming index maintenance at bench scale: a file-source document
+    stream maintained into a postings index (foreachBatch, replay-safe
+    batch_id partitions), then BM25 served directly OFF the maintained
+    index — the serving path that never re-reads raw text. Timed cold;
+    covers the ingest→index→serve arc the streaming tests assert
+    correctness for."""
+    import shutil
+    import tempfile
+
+    from custom_python_vectordb_spark.sources.warehouse import Warehouse
+    from custom_python_vectordb_spark.streaming.index_maintenance import (
+        bm25_from_postings,
+        load_postings,
+        maintain_postings,
+        read_document_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_streaming_")
+    out: dict[str, float] = {}
+    try:
+        wh = Warehouse(spark, root)
+        t0 = time.perf_counter()
+        q = (
+            maintain_postings(read_document_stream(spark, sf_dir), wh, "postings")
+            .option("checkpointLocation", os.path.join(root, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        t1 = time.perf_counter()
+        rows = bm25_from_postings(
+            load_postings(wh, "postings"), "fast hash join merge sort", k=10
+        ).collect()
+        assert len(rows) == 10
+        t2 = time.perf_counter()
+        out["streaming_postings_maintain_s"] = round(t1 - t0, 4)
+        out["bm25_from_maintained_index_s"] = round(t2 - t1, 4)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     # one BLAS thread per Python worker: 32 concurrent tasks × multi-threaded
     # OpenBLAS oversubscribes the box and *slows* the GEMM; workers inherit
@@ -359,6 +402,8 @@ def main() -> None:
     out.update(_bench_knn_100k(spark))
     # lakehouse commit-path lifecycle (ingest/prune/delete/optimize)
     out.update(_bench_versioned(spark, sf_dir))
+    # streaming maintenance arc (ingest -> postings index -> serve)
+    out.update(_bench_streaming(spark, sf_dir))
     print(json.dumps(out))
 
 
