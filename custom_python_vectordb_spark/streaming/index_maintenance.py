@@ -107,8 +107,21 @@ def bm25_from_postings(
         qcounts[t] = qcounts.get(t, 0) + 1
     q = local_df(spark, list(qcounts.items()), "term string, qn long")
 
+    from pyspark.sql import Window
+
+    # same shape as operators/bm25.bm25_scores (round 4): postings restricted
+    # to QUERY terms first (broadcast term join — at 100 TB the difference
+    # between scanning the vocabulary and one query's postings; on a postings
+    # table partitioned/bucketed by term this prunes at the scan), df from
+    # the filtered postings via a tiny window, and the query-sized side
+    # broadcast into the doc-length join so the index side never shuffles.
+    # dl/N/avgdl are whole-index aggregates by design (dl(doc) = Σ tf): the
+    # documented one-source-of-truth trade; maintain a dl table beside the
+    # postings if that scan ever dominates.
+    post_q = post.join(F.broadcast(q), "term").withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
 
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
@@ -116,9 +129,7 @@ def bm25_from_postings(
         F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        post.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfreq.join(F.broadcast(q), "term", "left_semi")), "term")
-        .join(dl, id_col)
+        dl.join(F.broadcast(post_q), id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.sum(F.col("qn") * idf * tf_part).alias(score_col))
