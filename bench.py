@@ -404,6 +404,21 @@ def main() -> None:
     out.update(_bench_versioned(spark, sf_dir))
     # streaming maintenance arc (ingest -> postings index -> serve)
     out.update(_bench_streaming(spark, sf_dir))
+    # in-process keyword replica (the reference's in-RAM BM25Index analog):
+    # decode+index once, then per-query numpy accumulation — no Spark job
+    from custom_python_vectordb_spark.operators.bm25 import keyword_replica_serve
+
+    doc_shard = os.path.join(sf_dir, "documents.parquet")
+    keyword_replica_serve([doc_shard], "fast hash join merge sort",
+                          id_col="doc_id", text_col="text")  # build index
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        hits = keyword_replica_serve([doc_shard], "fast hash join merge sort",
+                                     k=10, id_col="doc_id", text_col="text")
+        best = min(best, time.perf_counter() - t0)
+    assert len(hits) == 10
+    out["keyword_serve_ms_per_query"] = round(best * 1000, 3)
     print(json.dumps(out))
 
 

@@ -313,6 +313,26 @@ class Collection:
     def keyword_search(self, query: str, k: int = 10) -> DataFrame:
         return bm25_topk(self.df(), query, k=k, id_col="id", text_col="_document")
 
+    def keyword_serve(self, query: str, k: int = 10) -> list[dict]:
+        """Serving twin of :meth:`keyword_search` — the in-process BM25
+        replica (``operators/bm25.keyword_replica_serve``, mirroring the
+        reference's in-RAM ``BM25Index``): identical ranking, no Spark job
+        on the hot path. Falls back to the declarative plan while deletion
+        vectors are active (raw shards would resurrect deleted rows)."""
+        from custom_python_vectordb_spark.operators.bm25 import keyword_replica_serve
+
+        try:
+            paths = self.db.warehouse.shard_paths(self.name)
+        except RuntimeError:
+            rows = self.keyword_search(query, k=k).collect()
+            return [{"id": r["id"], "score": float(r["score"])} for r in rows]
+        if not paths:
+            return []
+        return [
+            {"id": i, "score": s}
+            for i, s in keyword_replica_serve(paths, query, k=k, id_col="id")
+        ]
+
     def hybrid(self, query_text: str, k: int = 10, alpha: float = 0.5) -> DataFrame:
         qv = local_df(
             self.db.spark,

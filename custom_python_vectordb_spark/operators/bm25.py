@@ -361,3 +361,111 @@ def weights_to_alpha(vector_weight: float, keyword_weight: float) -> float:
     """``hybrid_search.py:393-395``."""
     total = vector_weight + keyword_weight
     return vector_weight / total if total > 0 else 0.5
+
+
+# ------------------------------------------------- in-process keyword replica
+
+# serving-node keyword replica: {tuple(paths): (stat_key, ids, inv, dl, avgdl)}
+_KEYWORD_REPLICA_CACHE: dict = {}
+
+
+def keyword_replica_serve(
+    shard_paths: list[str],
+    query: str,
+    k: int = 10,
+    *,
+    id_col: str = "id",
+    text_col: str = "_document",
+    max_bytes: int = 512 << 20,
+) -> list[tuple]:
+    """In-process BM25 serving twin of :func:`bm25_topk` — the keyword
+    analog of ``knn.knn_replica_serve``, mirroring the reference's own
+    in-RAM inverted index (``hybrid_search.py:49-204``: `BM25Index` holds
+    postings/doc-lengths in process and answers without any job). Shards
+    are decoded ONCE into (inverted index, doc-length vector); a query is
+    answered by per-term numpy score accumulation + top-k — microseconds
+    to low milliseconds, no Spark job on the hot path. Tokenization uses
+    ``tokenize_py``, the exact driver-side twin of the JVM tokenizer;
+    identical ranking and (to float tolerance) scores vs `bm25_topk` are
+    asserted in tests. Cache re-keys on shard (path, mtime, size) like the
+    vector replica; raw-text bytes above `max_bytes` raise toward the
+    declarative plan instead of OOM-ing the serving node."""
+    import math
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    paths = tuple(sorted(shard_paths))
+    stat_key = tuple((p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size) for p in paths)
+    entry = _KEYWORD_REPLICA_CACHE.get(paths)
+    if entry is None or entry[0] != stat_key:
+        ids: list = []
+        texts: list = []
+        for p in paths:
+            names = _pq.read_schema(p).names
+            if text_col not in names:
+                raise ValueError(f"shard {p} has no {text_col!r} column")
+            tbl = _pq.read_table(p, columns=[id_col, text_col])
+            if tbl.num_rows == 0:
+                continue
+            ids.extend(tbl.column(id_col).to_pylist())
+            texts.extend(tbl.column(text_col).to_pylist())
+        if sum(len(t or "") for t in texts) > max_bytes:
+            raise ValueError(
+                f"decoded corpus text exceeds max_bytes {max_bytes >> 20} MiB: "
+                "serve keyword search from the declarative plan (bm25_topk)"
+            )
+        dl = np.zeros(len(ids), dtype=np.float64)
+        acc: dict[str, dict[int, int]] = {}
+        for idx, text in enumerate(texts):
+            toks = tokenize_py(text or "")
+            dl[idx] = len(toks)
+            counts: dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            for t, tf in counts.items():
+                acc.setdefault(t, {})[idx] = tf
+        inv = {
+            t: (
+                np.fromiter(d.keys(), dtype=np.int64, count=len(d)),
+                np.fromiter(d.values(), dtype=np.float64, count=len(d)),
+            )
+            for t, d in acc.items()
+        }
+        avgdl = float(dl.mean()) if len(ids) else 0.0
+        entry = (stat_key, ids, inv, dl, avgdl)
+        _KEYWORD_REPLICA_CACHE[paths] = entry
+    _, ids, inv, dl, avgdl = entry
+    n_docs = len(ids)
+    if n_docs == 0:
+        return []
+    qcounts: dict[str, int] = {}
+    for t in tokenize_py(query):
+        qcounts[t] = qcounts.get(t, 0) + 1
+    if not qcounts:
+        return []
+    scores = np.zeros(n_docs, dtype=np.float64)
+    for t, qn in qcounts.items():
+        hit = inv.get(t)
+        if hit is None:
+            continue
+        idxs, tf = hit
+        df = len(idxs)
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        scores[idxs] += qn * idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl[idxs] / avgdl))
+    cand = np.flatnonzero(scores > 0)
+    if len(cand) == 0:
+        return []
+    if len(cand) > k:
+        # exact top-k without a full python sort over every scored doc:
+        # argpartition narrows to k by score, then the tie pool (score ==
+        # kth, bit-identical accumulations tie exactly) is re-admitted so
+        # the id tie-break stays deterministic across the boundary
+        top = cand[np.argpartition(-scores[cand], k - 1)[:k]]
+        kth = scores[top].min()
+        pool = cand[scores[cand] >= kth]
+    else:
+        pool = cand
+    order = sorted(pool, key=lambda i: (-scores[i], ids[i]))[:k]
+    return [(ids[i], float(scores[i])) for i in order]

@@ -417,8 +417,13 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                 publish(name, "delete", ids=list(body["ids"]))
                 return 200, {"deleted": len(body["ids"])}
             if parts[2:] == ["keyword"] and method == "POST":
-                rows = coll.keyword_search(body["query"], k=int(body.get("n_results", 10))).collect()
-                return 200, {"results": [{"id": r["id"], "score": float(r["score"])} for r in rows]}
+                # in-process BM25 replica (api.keyword_serve) — same ranking
+                # as the declarative plan, no job round-trip
+                return 200, {
+                    "results": coll.keyword_serve(
+                        body["query"], k=int(body.get("n_results", 10))
+                    )
+                }
             if parts[2:] == ["hybrid"] and method == "POST":
                 rows = coll.hybrid(
                     body["query"], k=int(body.get("n_results", 10)),

@@ -241,3 +241,20 @@ def test_lr_snapshot_matches_retrained_coefficients(spark):
 
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     assert train_quality_lr(docs) == LR_COEFS_SF001
+
+
+def test_keyword_serve_equals_plan_keyword_search(coll):
+    """The in-process BM25 replica must reproduce the declarative plan's
+    keyword ranking and scores (float tolerance), stay correct after a
+    mutation rewrites the table, and return [] for no-hit queries."""
+    for q in ("join strategies", "shuffle", "quick brown fox"):
+        plan = [(r["id"], r["score"]) for r in coll.keyword_search(q, k=5).collect()]
+        served = coll.keyword_serve(q, k=5)
+        assert [h["id"] for h in served] == [i for i, _ in plan], q
+        for h, (_, s) in zip(served, plan):
+            assert h["score"] == pytest.approx(s, rel=1e-9)
+    assert coll.keyword_serve("zzz nothing matches") == []
+
+    coll.delete(["d4"])  # rewrite → replica re-keys on shard stats
+    served = coll.keyword_serve("join strategies", k=5)
+    assert "d4" not in {h["id"] for h in served}
