@@ -333,6 +333,60 @@ class Collection:
             for i, s in keyword_replica_serve(paths, query, k=k, id_col="id")
         ]
 
+    def hybrid_serve(self, query_text: str, k: int = 10, alpha: float = 0.5) -> list[dict]:
+        """Serving twin of :meth:`hybrid` — full in-process fusion (the
+        reference's own architecture, ``hybrid_search.py:360-477``, runs
+        exactly this in RAM): the vector replica yields the full distance
+        vector, the keyword replica the full BM25 score vector, and the
+        fusion (corpus-max normalizers, α-weighted sum, top-k desc with id
+        tie-break) is a few numpy array ops. Results match :meth:`hybrid`
+        to float tolerance (asserted in tests). Falls back to the
+        declarative plan while deletion vectors are active."""
+        import numpy as np
+
+        from custom_python_vectordb_spark.operators.bm25 import keyword_score_vector
+        from custom_python_vectordb_spark.operators.knn import replica_distance_vector
+
+        try:
+            paths = self.db.warehouse.shard_paths(self.name)
+        except RuntimeError:
+            rows = self.hybrid(query_text, k=k, alpha=alpha).collect()
+            return [
+                {
+                    "id": r["id"], "score": float(r["score"]),
+                    "vector_score": float(r["vector_score"]),
+                    "keyword_score": float(r["keyword_score"]),
+                }
+                for r in rows
+            ]
+        if not paths:
+            return []
+        qvec = mock_embed_one(query_text, self.dimensions).tolist()
+        ids_v, dists = replica_distance_vector(paths, qvec, "cosine", id_col="id")
+        ids_k, kscores = keyword_score_vector(paths, query_text, id_col="id")
+        # both replicas decode the SAME shard files in the same sorted order,
+        # so the row alignment is structural; assert it anyway (cheap)
+        assert len(ids_v) == len(ids_k)
+        vmax = float(dists.max()) if len(dists) else 0.0
+        vscore = (1.0 - dists / vmax) if vmax > 0 else np.ones_like(dists)
+        kmax = float(kscores.max()) if len(kscores) else 0.0
+        kscore = kscores / kmax if kmax > 0 else np.zeros_like(kscores)
+        combined = alpha * vscore + (1 - alpha) * kscore
+        kk = min(k, len(combined))
+        if kk == 0:
+            return []
+        top = np.argpartition(-combined, kk - 1)[:kk]
+        kth = combined[top].min()
+        pool = np.flatnonzero(combined >= kth)
+        order = sorted(pool, key=lambda i: (-combined[i], ids_v[i]))[:kk]
+        return [
+            {
+                "id": ids_v[i], "score": float(combined[i]),
+                "vector_score": float(vscore[i]), "keyword_score": float(kscore[i]),
+            }
+            for i in order
+        ]
+
     def hybrid(self, query_text: str, k: int = 10, alpha: float = 0.5) -> DataFrame:
         qv = local_df(
             self.db.spark,

@@ -469,3 +469,41 @@ def keyword_replica_serve(
         pool = cand
     order = sorted(pool, key=lambda i: (-scores[i], ids[i]))[:k]
     return [(ids[i], float(scores[i])) for i in order]
+
+
+def keyword_score_vector(
+    shard_paths: list[str],
+    query: str,
+    *,
+    id_col: str = "id",
+    text_col: str = "_document",
+    max_bytes: int = 512 << 20,
+):
+    """(ids, scores) for ONE query over every replica row (0.0 for docs
+    with no query term) — the full-vector form hybrid fusion needs for its
+    corpus-wide max normalizer. Shares the inverted-index cache with
+    :func:`keyword_replica_serve`."""
+    import math
+    import os as _os
+
+    import numpy as np
+
+    # build/refresh the cache through the main entry
+    keyword_replica_serve(shard_paths, query, k=1, id_col=id_col,
+                          text_col=text_col, max_bytes=max_bytes)
+    paths = tuple(sorted(shard_paths))
+    _, ids, inv, dl, avgdl = _KEYWORD_REPLICA_CACHE[paths]
+    n_docs = len(ids)
+    scores = np.zeros(n_docs, dtype=np.float64)
+    qcounts: dict[str, int] = {}
+    for t in tokenize_py(query):
+        qcounts[t] = qcounts.get(t, 0) + 1
+    for t, qn in qcounts.items():
+        hit = inv.get(t)
+        if hit is None:
+            continue
+        idxs, tf = hit
+        df = len(idxs)
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        scores[idxs] += qn * idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl[idxs] / avgdl))
+    return ids, scores

@@ -444,6 +444,50 @@ def replica_metadata(
     return {c: meta[c] for c in cols}
 
 
+def replica_distance_vector(
+    shard_paths: list[str],
+    qvec,
+    metric: str = "cosine",
+    *,
+    id_col: str = "vec_id",
+    dtype: str = "float64",
+    max_bytes: int = 2 << 30,
+):
+    """(ids, dists) for ONE query against every replica row — the raw
+    material hybrid fusion needs (its normalizers are corpus-wide maxima,
+    so the serving path must see the full distance vector, not a top-k).
+    Reuses the same cached replica block as :func:`knn_replica_serve`."""
+    import numpy as np
+
+    warm = pd.DataFrame({"qid": [0], "qvec": [[float(x) for x in qvec]]})
+    # route through the main entry so cache build/invalidation stays in one
+    # place; k=1 keeps the warm call trivial
+    knn_replica_serve(
+        shard_paths, warm.iloc[:0], k=1, metric=metric, id_col=id_col,
+        dtype=dtype, max_bytes=max_bytes,
+    )
+    entry = _REPLICA_CACHE[(tuple(sorted(shard_paths)), dtype)]
+    _, ids, mat, norms, sq, _meta = entry
+    q = np.asarray([float(x) for x in qvec], dtype=dtype)
+    dists = mat @ q
+    if metric == "cosine":
+        qn = float(np.linalg.norm(q))
+        dists /= qn
+        dists /= norms
+        np.subtract(1.0, dists, out=dists)
+    elif metric == "l2":
+        dists *= -2.0
+        dists += float((q * q).sum())
+        dists += sq
+        np.maximum(dists, 0.0, out=dists)
+        np.sqrt(dists, out=dists)
+    elif metric == "ip":
+        np.negative(dists, out=dists)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return ids, dists
+
+
 def knn_replica_serve(
     shard_paths: list[str],
     queries_pd,

@@ -425,17 +425,13 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                     )
                 }
             if parts[2:] == ["hybrid"] and method == "POST":
-                rows = coll.hybrid(
-                    body["query"], k=int(body.get("n_results", 10)),
-                    alpha=float(body.get("alpha", 0.5)),
-                ).collect()
+                # full in-process fusion (api.hybrid_serve): vector replica +
+                # keyword replica + numpy fusion, no job round-trip
                 return 200, {
-                    "results": [
-                        {"id": r["id"], "score": float(r["score"]),
-                         "vector_score": float(r["vector_score"]),
-                         "keyword_score": float(r["keyword_score"])}
-                        for r in rows
-                    ]
+                    "results": coll.hybrid_serve(
+                        body["query"], k=int(body.get("n_results", 10)),
+                        alpha=float(body.get("alpha", 0.5)),
+                    )
                 }
         return 404, {"error": f"no route {method} {path}"}
 

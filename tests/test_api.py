@@ -258,3 +258,16 @@ def test_keyword_serve_equals_plan_keyword_search(coll):
     coll.delete(["d4"])  # rewrite → replica re-keys on shard stats
     served = coll.keyword_serve("join strategies", k=5)
     assert "d4" not in {h["id"] for h in served}
+
+
+def test_hybrid_serve_equals_plan_hybrid(coll):
+    """In-process hybrid fusion (vector replica + keyword replica + numpy
+    fusion) must reproduce the declarative hybrid plan: same ids, same
+    order, same fused/branch scores to float tolerance, at several alphas."""
+    for alpha in (0.5, 0.2, 0.8):
+        plan = coll.hybrid("broadcast joins", k=3, alpha=alpha).collect()
+        served = coll.hybrid_serve("broadcast joins", k=3, alpha=alpha)
+        assert [h["id"] for h in served] == [r["id"] for r in plan], alpha
+        for h, r in zip(served, plan):
+            for c in ("score", "vector_score", "keyword_score"):
+                assert h[c] == pytest.approx(float(r[c]), rel=1e-6, abs=1e-9), (alpha, c)
