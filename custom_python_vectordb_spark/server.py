@@ -19,12 +19,17 @@ runtime), so a reference user's REST workflow ports 1:1:
     GET    /collections/<name>/events       Server-Sent-Events push stream
            ?types=add,delete&replay=N       (live mutations + ring replay)
     GET    /health · /graph/stats · /embeddings/info
-    POST   /graph/nodes · /graph/edges      node/edge CRUD (+ GET/DELETE
-           /graph/nodes/<id>, cascade edge delete)
+    POST   /graph/nodes · /graph/edges · /graph/hyperedges
+                                            node/edge/hyperedge create (+
+           GET/DELETE /graph/nodes/<id> · /graph/edges/<id>, cascade node
+           delete, GET /graph/edges?type=&limit=, GET /graph/hyperedges/<id>)
     GET    /graph/neighbors/<id>            both-direction neighbor ids
     POST   /graph/traverse · /graph/shortest-path · /graph/find
                                             run the batch Spark graph
                                             operators over the store
+    POST   /graph/query                     {"query": "MATCH …"} — the Cypher
+                                            subset compiled over the store's
+                                            expanded property-column view
     POST   /embeddings/embed                {"texts": [...]} → mock vectors
     GET    /collections/<name>/ws           WebSocket push stream (RFC 6455):
                                             client sends {"action":"subscribe",
@@ -160,7 +165,9 @@ class GraphStore:
     def __init__(self, spark):
         self.spark = spark
         self._nodes: dict[str, dict] = {}
-        self._edges: list[tuple[str, str, str]] = []
+        self._edges: dict[str, dict] = {}  # id -> {src, dst, type, props}
+        self._hyper: dict[str, dict] = {}  # id -> {nodes: [...], type}
+        self._next_edge = 0
         self._lock = threading.Lock()
 
     # ------------------------------------------------------- mutations
@@ -179,34 +186,114 @@ class GraphStore:
             if node_id not in self._nodes:
                 return False
             del self._nodes[node_id]
-            self._edges = [e for e in self._edges if node_id not in (e[0], e[1])]
+            self._edges = {
+                eid: e
+                for eid, e in self._edges.items()
+                if node_id not in (e["src"], e["dst"])
+            }
             return True
 
-    def add_edge(self, src: str, dst: str, edge_type: str) -> bool:
+    def add_edge(
+        self, src: str, dst: str, edge_type: str,
+        edge_id: str | None = None, props: dict | None = None,
+    ) -> str | None:
         with self._lock:
             if src not in self._nodes or dst not in self._nodes:
-                return False
-            self._edges.append((src, dst, edge_type))
-            return True
+                return None
+            if edge_id is None:
+                edge_id = f"e{self._next_edge}"
+                self._next_edge += 1
+            self._edges[edge_id] = {
+                "src": src, "dst": dst, "type": edge_type, "props": dict(props or {})
+            }
+            return edge_id
+
+    def get_edge(self, edge_id: str) -> dict | None:
+        with self._lock:
+            e = self._edges.get(edge_id)
+            return None if e is None else {"id": edge_id, **e}
+
+    def delete_edge(self, edge_id: str) -> bool:
+        with self._lock:
+            return self._edges.pop(edge_id, None) is not None
+
+    def find_edges(self, edge_type: str | None = None, limit: int = 100) -> list[dict]:
+        with self._lock:
+            out = [
+                {"id": eid, **e}
+                for eid, e in sorted(self._edges.items())
+                if edge_type is None or e["type"] == edge_type
+            ]
+        return out[:limit]
+
+    def add_hyperedge(
+        self, nodes: list[str], hyper_type: str, hyper_id: str | None = None
+    ) -> str | None:
+        with self._lock:
+            if any(n not in self._nodes for n in nodes):
+                return None
+            if hyper_id is None:
+                hyper_id = f"h{len(self._hyper)}"
+            self._hyper[hyper_id] = {"nodes": list(nodes), "type": hyper_type}
+            return hyper_id
+
+    def get_hyperedge(self, hyper_id: str) -> dict | None:
+        with self._lock:
+            h = self._hyper.get(hyper_id)
+            return None if h is None else {"id": hyper_id, **h}
 
     def stats(self) -> dict:
         with self._lock:
-            return {"nodes": len(self._nodes), "edges": len(self._edges)}
+            return {
+                "nodes": len(self._nodes),
+                "edges": len(self._edges),
+                "hyperedges": len(self._hyper),
+            }
 
     # ------------------------------------------------------- DataFrame views
-    def dfs(self):
+    def dfs(self, expand_props: bool = False):
+        """(nodes, edges) views for the batch operators. `expand_props=True`
+        additionally materializes every node property as a typed top-level
+        column (first-non-null type, reserved names skipped) — the shape
+        `plans/cypher.cypher` binds `{prop: value}` patterns and
+        `var.prop` projections against."""
         with self._lock:
+            nprops = {nid: n["props"] for nid, n in self._nodes.items()}
             nrows = [
                 (nid, n["labels"], json.dumps(n["props"], sort_keys=True))
                 for nid, n in self._nodes.items()
             ]
-            erows = list(self._edges)
-        nodes = self.spark.createDataFrame(
-            nrows or [(None, None, None)],
-            "id string, labels array<string>, props string",
-        )
-        if not nrows:
-            nodes = nodes.limit(0)
+            erows = [(e["src"], e["dst"], e["type"]) for e in self._edges.values()]
+        if expand_props:
+            keys = sorted(
+                {k for p in nprops.values() for k in p} - {"id", "labels", "props"}
+            )
+            types = {
+                k: _meta_type(
+                    next((p[k] for p in nprops.values() if p.get(k) is not None), None)
+                )
+                for k in keys
+            }
+            schema = "id string, labels array<string>" + "".join(
+                f", `{k}` {types[k]}" for k in keys
+            )
+            with self._lock:
+                xrows = [
+                    (nid, self._nodes[nid]["labels"], *[nprops[nid].get(k) for k in keys])
+                    for nid in nprops
+                ]
+            nodes = self.spark.createDataFrame(
+                xrows or [tuple([None, None] + [None] * len(keys))], schema
+            )
+            if not xrows:
+                nodes = nodes.limit(0)
+        else:
+            nodes = self.spark.createDataFrame(
+                nrows or [(None, None, None)],
+                "id string, labels array<string>, props string",
+            )
+            if not nrows:
+                nodes = nodes.limit(0)
         edges = self.spark.createDataFrame(
             erows or [(None, None, None)], "src string, dst string, type string"
         )
@@ -284,7 +371,7 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                 ]
             }
         if graph is not None and parts and parts[0] == "graph":
-            return _graph_routes(graph, method, parts, body)
+            return _graph_routes(graph, method, parts, body, qs)
         if parts == ["collections"]:
             if method == "GET":
                 return 200, {"collections": db.list_collections()}
@@ -438,7 +525,7 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
     return handle
 
 
-def _graph_routes(graph: GraphStore, method: str, parts: list[str], body: dict):
+def _graph_routes(graph: GraphStore, method: str, parts: list[str], body: dict, qs: dict | None = None):
     """/graph/* — reference parity (``server_full.py:430-620``): node/edge
     CRUD mutates the store; neighbors/traverse/shortest-path/find run the
     batch Spark operators over the store's DataFrame view."""
@@ -462,8 +549,41 @@ def _graph_routes(graph: GraphStore, method: str, parts: list[str], body: dict):
     if len(sub) == 2 and sub[0] == "nodes" and method == "DELETE":
         return 200, {"deleted": graph.delete_node(sub[1])}
     if sub == ["edges"] and method == "POST":
-        ok = graph.add_edge(body["src"], body["dst"], body.get("type", "RELATED"))
-        return (201, {"created": True}) if ok else (404, {"error": "missing endpoint node"})
+        eid = graph.add_edge(
+            body["src"], body["dst"], body.get("type", "RELATED"),
+            edge_id=body.get("id"), props=body.get("props"),
+        )
+        return (201, {"created": eid}) if eid else (404, {"error": "missing endpoint node"})
+    if len(sub) == 2 and sub[0] == "edges" and method == "GET":
+        e = graph.get_edge(sub[1])
+        return (200, e) if e else (404, {"error": f"edge {sub[1]!r} not found"})
+    if len(sub) == 2 and sub[0] == "edges" and method == "DELETE":
+        return 200, {"deleted": graph.delete_edge(sub[1])}
+    if sub == ["edges"] and method == "GET":
+        qs = qs or {}
+        return 200, {
+            "edges": graph.find_edges(
+                edge_type=qs.get("type") or body.get("type"),
+                limit=int(qs.get("limit") or body.get("limit", 100)),
+            )
+        }
+    if sub == ["hyperedges"] and method == "POST":
+        hid = graph.add_hyperedge(
+            list(body["nodes"]), body.get("type", "RELATED"), hyper_id=body.get("id")
+        )
+        return (201, {"created": hid}) if hid else (404, {"error": "missing member node"})
+    if len(sub) == 2 and sub[0] == "hyperedges" and method == "GET":
+        h = graph.get_hyperedge(sub[1])
+        return (200, h) if h else (404, {"error": f"hyperedge {sub[1]!r} not found"})
+    if sub == ["query"] and method == "POST":
+        # Cypher over HTTP (server_full.py:567-574) — compile the query
+        # against the expanded property-column view and run the same
+        # translator the batch cypher_* queries use
+        from custom_python_vectordb_spark.plans.cypher import cypher
+
+        nodes, edges = graph.dfs(expand_props=True)
+        rows = cypher(nodes, edges, body["query"]).limit(1000).collect()
+        return 200, {"rows": [r.asDict(recursive=True) for r in rows]}
     if len(sub) == 2 and sub[0] == "neighbors" and method == "GET":
         nodes, edges = graph.dfs()
         rows = neighbors(nodes, edges, sub[1], direction="both").collect()

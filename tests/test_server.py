@@ -276,7 +276,7 @@ def test_health_and_embed(served):
 
 def test_graph_api_roundtrip(served):
     port = served
-    assert call(port, "GET", "/graph/stats")[1] == {"nodes": 0, "edges": 0}
+    assert call(port, "GET", "/graph/stats")[1] == {"nodes": 0, "edges": 0, "hyperedges": 0}
     for nid, labels, props in [
         ("a", ["Person"], {"age": 30}),
         ("b", ["Person"], {"age": 40}),
@@ -288,7 +288,7 @@ def test_graph_api_roundtrip(served):
         assert call(port, "POST", "/graph/edges", {"src": src, "dst": dst, "type": t})[0] == 201
     # missing endpoint rejected
     assert call(port, "POST", "/graph/edges", {"src": "a", "dst": "zzz"})[0] == 404
-    assert call(port, "GET", "/graph/stats")[1] == {"nodes": 4, "edges": 3}
+    assert call(port, "GET", "/graph/stats")[1] == {"nodes": 4, "edges": 3, "hyperedges": 0}
 
     assert call(port, "GET", "/graph/nodes/a")[1]["props"] == {"age": 30}
     assert call(port, "GET", "/graph/nodes/zzz")[0] == 404
@@ -307,5 +307,55 @@ def test_graph_api_roundtrip(served):
     # cascade delete: b's incident edges disappear with it
     assert call(port, "DELETE", "/graph/nodes/b")[1] == {"deleted": True}
     stats = call(port, "GET", "/graph/stats")[1]
-    assert stats == {"nodes": 3, "edges": 1}
+    assert stats == {"nodes": 3, "edges": 1, "hyperedges": 0}
     assert call(port, "POST", "/graph/shortest-path", {"src": "a", "dst": "d"})[1]["path"] is None
+
+
+def test_graph_edges_hyperedges_and_cypher_over_http(served):
+    """The remaining server_full.py graph surface: edge ids/CRUD/find,
+    hyperedge create/get, and Cypher execution over HTTP (the /graph/query
+    route compiles against the expanded property-column view)."""
+    port = served
+    for nid, labels, props in [
+        ("a", ["Person"], {"age": 30, "name": "ann"}),
+        ("b", ["Person"], {"age": 40, "name": "bo"}),
+        ("c", ["City"], {"name": "rome"}),
+    ]:
+        assert call(port, "POST", "/graph/nodes", {"id": nid, "labels": labels, "props": props})[0] == 201
+    st, out = call(port, "POST", "/graph/edges", {"src": "a", "dst": "b", "type": "KNOWS", "props": {"since": 2020}})
+    assert st == 201
+    eid = out["created"]
+    st, out = call(port, "POST", "/graph/edges", {"src": "b", "dst": "c", "type": "LIVES_IN", "id": "e_custom"})
+    assert (st, out["created"]) == (201, "e_custom")
+
+    st, e = call(port, "GET", f"/graph/edges/{eid}")
+    assert st == 200 and (e["src"], e["dst"], e["type"], e["props"]) == ("a", "b", "KNOWS", {"since": 2020})
+    assert call(port, "GET", "/graph/edges/zzz")[0] == 404
+    st, out = call(port, "GET", "/graph/edges?type=KNOWS")
+    assert st == 200 and [x["id"] for x in out["edges"]] == [eid]
+    assert len(call(port, "GET", "/graph/edges")[1]["edges"]) == 2
+
+    # hyperedges: create validates members, get round-trips
+    assert call(port, "POST", "/graph/hyperedges", {"nodes": ["a", "zzz"]})[0] == 404
+    st, out = call(port, "POST", "/graph/hyperedges", {"nodes": ["a", "b", "c"], "type": "MEETING"})
+    assert st == 201
+    hid = out["created"]
+    st, h = call(port, "GET", f"/graph/hyperedges/{hid}")
+    assert st == 200 and h["nodes"] == ["a", "b", "c"] and h["type"] == "MEETING"
+    assert call(port, "GET", "/graph/stats")[1]["hyperedges"] == 1
+
+    # Cypher over HTTP: label + prop pattern, chain, WHERE, count
+    st, out = call(port, "POST", "/graph/query", {"query": "MATCH (n:Person {age: 30}) RETURN n"})
+    assert st == 200 and [r["n_id"] for r in out["rows"]] == ["a"]
+    st, out = call(port, "POST", "/graph/query",
+                   {"query": "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name, b.name"})
+    assert st == 200 and out["rows"] == [{"a_name": "ann", "b_name": "bo"}]
+    st, out = call(port, "POST", "/graph/query",
+                   {"query": "MATCH (n:Person) WHERE n.age > 35 RETURN n ORDER BY n LIMIT 5"})
+    assert st == 200 and [r["n_id"] for r in out["rows"]] == ["b"]
+    st, out = call(port, "POST", "/graph/query", {"query": "MATCH (n:Person) RETURN count(*)"})
+    assert st == 200 and out["rows"] == [{"count_all": 2}]
+
+    # edge delete
+    assert call(port, "DELETE", f"/graph/edges/{eid}")[1] == {"deleted": True}
+    assert len(call(port, "GET", "/graph/edges")[1]["edges"]) == 1
