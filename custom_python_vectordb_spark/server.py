@@ -388,6 +388,13 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
             if not db.warehouse.exists(name):
                 return 404, {"error": f"collection {name!r} not found"}
             coll = db.get_collection(name)
+            if len(parts) == 2 and method == "GET":
+                # collection info (server_full.py:259-272)
+                return 200, {
+                    "name": name,
+                    "dimensions": coll.dimensions,
+                    "count": coll.count(),
+                }
             if parts[2:] == ["count"] and method == "GET":
                 return 200, {"count": coll.count()}
             versioned = hasattr(db.warehouse, "history")

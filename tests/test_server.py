@@ -359,3 +359,12 @@ def test_graph_edges_hyperedges_and_cypher_over_http(served):
     # edge delete
     assert call(port, "DELETE", f"/graph/edges/{eid}")[1] == {"deleted": True}
     assert len(call(port, "GET", "/graph/edges")[1]["edges"]) == 1
+
+
+def test_collection_info_route(served):
+    port = served
+    call(port, "POST", "/collections", {"name": "kb", "dimensions": 32})
+    call(port, "POST", "/collections/kb/add", {"ids": ["x"], "documents": ["hello world"]})
+    st, info = call(port, "GET", "/collections/kb")
+    assert st == 200 and info == {"name": "kb", "dimensions": 32, "count": 1}
+    assert call(port, "GET", "/collections/nope")[0] == 404
