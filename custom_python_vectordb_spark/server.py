@@ -102,6 +102,29 @@ class EventBus:
             self._subs.pop(sid, None)
 
 
+def sub_match(ev: dict, collection: str, types: set | None, meta: dict | None) -> bool:
+    """The reference's ``Subscription.matches`` (``realtime.py:99-118``):
+    collection (`*` wildcard), event-type set (empty/None = all), and a
+    metadata equality dict. Our mutation events carry batch `metadatas`
+    (a list) where the reference emits one event per insert with a single
+    `metadata` dict — so the metadata condition here is ANY-row-matches
+    (a batch event is relevant iff some affected row matches), and a
+    single-dict `metadata` field matches directly."""
+    if collection != "*" and ev.get("collection") != collection:
+        return False
+    if types and ev.get("event_type") not in types:
+        return False
+    if meta:
+        rows = ev.get("metadatas")
+        if rows is None:
+            rows = [ev.get("metadata")] if ev.get("metadata") is not None else []
+        return any(
+            all(isinstance(r, dict) and r.get(k) == v for k, v in meta.items())
+            for r in rows
+        )
+    return True
+
+
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
 
 
@@ -444,13 +467,15 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                 coll.insert_batch(
                     _texts_df(db, body["ids"], body["documents"], body.get("metadatas"), coll.dimensions)
                 )
-                publish(name, "add", ids=list(body["ids"]))
+                publish(name, "add", ids=list(body["ids"]),
+                        metadatas=body.get("metadatas"))
                 return 201, {"added": len(body["ids"])}
             if parts[2:] == ["upsert"] and method == "POST":
                 coll.upsert(
                     _texts_df(db, body["ids"], body["documents"], body.get("metadatas"), coll.dimensions)
                 )
-                publish(name, "upsert", ids=list(body["ids"]))
+                publish(name, "upsert", ids=list(body["ids"]),
+                        metadatas=body.get("metadatas"))
                 return 200, {"upserted": len(body["ids"])}
             if parts[2:] == ["update"] and method == "POST":
                 ids, metas = list(body["ids"]), list(body["metadatas"])
@@ -655,20 +680,24 @@ def make_server(db: VectorDB, port: int = 0) -> ThreadingHTTPServer:
             self.wfile.write(data)
 
         def _sse(self):
-            """GET /collections/<name>/events?types=a,b&replay=N — replay
-            up to N buffered events matching the filter, then push live
-            events until the client disconnects."""
+            """GET /collections/<name>/events?types=a,b&replay=N
+            (or GET /events?collection=…&… for the all-collections stream,
+            the reference's ``/ws`` wildcard analog): replay up to N
+            buffered events matching the subscription, then push live
+            events until the client disconnects. `meta` is a JSON dict of
+            metadata equality constraints (``Subscription.filter``)."""
             from urllib.parse import parse_qs, urlparse
 
             u = urlparse(self.path)
             parts = [p for p in u.path.split("/") if p]
-            name = parts[1]
             qs = parse_qs(u.query)
+            name = qs.get("collection", ["*"])[0] if parts == ["events"] else parts[1]
             types = set(qs["types"][0].split(",")) if qs.get("types") else None
+            meta = json.loads(qs["meta"][0]) if qs.get("meta") else None
             replay = int(qs.get("replay", ["0"])[0])
 
             def wanted(ev):
-                return ev.get("collection") == name and (types is None or ev.get("event_type") in types)
+                return sub_match(ev, name, types, meta)
 
             sid, q, replayed = bus.subscribe(replay=replay)
             try:
@@ -708,7 +737,9 @@ def make_server(db: VectorDB, port: int = 0) -> ThreadingHTTPServer:
                 self.end_headers()
                 return
             parts = [p for p in self.path.split("?")[0].split("/") if p]
-            name = parts[1]
+            # /ws = all-collections stream (the reference's global WS
+            # endpoint, realtime.py:467-487); /collections/<name>/ws scopes
+            name = "*" if parts == ["ws"] else parts[1]
 
             self.send_response(101)
             self.send_header("Upgrade", "websocket")
@@ -733,18 +764,25 @@ def make_server(db: VectorDB, port: int = 0) -> ThreadingHTTPServer:
                 sub = {}
             types = set(sub["types"]) if sub.get("types") else None
             replay = int(sub.get("replay", 0))
+            # live filter state, replaceable mid-stream by a later subscribe
+            # frame (the reference's update_subscription,
+            # realtime.py:171-183); dict assignment is atomic under the GIL
+            state = {
+                "collection": sub.get("collection", name),
+                "types": types,
+                "meta": sub.get("filter"),
+            }
 
             def wanted(ev):
-                return ev.get("collection") == name and (
-                    types is None or ev.get("event_type") in types
-                )
+                return sub_match(ev, state["collection"], state["types"], state["meta"])
 
             sid, q, replayed = bus.subscribe(replay=replay)
             _close = {"__close__": True}
 
             def reader():
-                """Drain client frames: pong the pings, turn close/EOF into
-                a queue sentinel so the push loop exits."""
+                """Drain client frames: pong the pings, apply re-subscribe
+                frames (filter update mid-stream), turn close/EOF into a
+                queue sentinel so the push loop exits."""
                 try:
                     while True:
                         f = ws_read_frame(self.rfile)
@@ -752,6 +790,16 @@ def make_server(db: VectorDB, port: int = 0) -> ThreadingHTTPServer:
                             break
                         if f[0] == 0x9:  # ping
                             send(f[1], opcode=0xA)
+                        elif f[0] == 0x1:  # text: update_subscription
+                            try:
+                                upd = json.loads(f[1] or b"{}")
+                            except json.JSONDecodeError:
+                                continue
+                            if upd.get("action") == "subscribe":
+                                state["collection"] = upd.get("collection", state["collection"])
+                                state["types"] = set(upd["types"]) if upd.get("types") else None
+                                state["meta"] = upd.get("filter")
+                                send(json.dumps({"subscribed": state["collection"]}).encode())
                 except (OSError, ValueError):
                     pass
                 q.put(_close)
@@ -790,8 +838,14 @@ def make_server(db: VectorDB, port: int = 0) -> ThreadingHTTPServer:
             if len(parts) == 3 and parts[0] == "collections" and parts[2] == "events":
                 self._sse()
                 return
+            if parts == ["events"]:
+                self._sse()  # all-collections stream (?collection= optional)
+                return
             if len(parts) == 3 and parts[0] == "collections" and parts[2] == "ws":
                 self._ws()
+                return
+            if parts == ["ws"]:
+                self._ws()  # all-collections stream
                 return
             self._reply("GET")
 

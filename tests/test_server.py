@@ -368,3 +368,59 @@ def test_collection_info_route(served):
     st, info = call(port, "GET", "/collections/kb")
     assert st == 200 and info == {"name": "kb", "dimensions": 32, "count": 1}
     assert call(port, "GET", "/collections/nope")[0] == 404
+
+
+def test_sse_metadata_filter_and_global_stream(served):
+    """Reference Subscription.matches parity on the serving tier
+    (realtime.py:99-118): metadata equality filter (batch events match if
+    ANY affected row matches) and the all-collections wildcard stream."""
+    import threading
+    from urllib.parse import quote
+
+    port = served
+    call(port, "POST", "/collections", {"name": "kb1", "dimensions": 64})
+    call(port, "POST", "/collections", {"name": "kb2", "dimensions": 64})
+
+    meta = quote(json.dumps({"topic": "spark"}))
+    resp = urllib.request.urlopen(
+        urllib.request.Request(
+            f"http://127.0.0.1:{port}/events?types=add&meta={meta}"
+        ),
+        timeout=60,
+    )
+
+    def mutate():
+        call(port, "POST", "/collections/kb1/add",
+             {"ids": ["a"], "documents": ["d"], "metadatas": [{"topic": "nature"}]})
+        call(port, "POST", "/collections/kb2/add",
+             {"ids": ["b"], "documents": ["d"], "metadatas": [{"topic": "spark"}]})
+
+    t = threading.Thread(target=mutate)
+    t.start()
+    events = _read_sse_events(resp, 1)
+    t.join()
+    resp.close()
+    # only the matching-metadata event arrives, from the OTHER collection
+    # (wildcard stream sees every collection)
+    assert [(e["collection"], e["ids"]) for e in events] == [("kb2", ["b"])]
+
+
+def test_ws_update_subscription_mid_stream(served):
+    """The reference's update_subscription (realtime.py:171-183): a later
+    subscribe frame replaces the filters on the SAME connection."""
+    port = served
+    call(port, "POST", "/collections", {"name": "kb", "dimensions": 64})
+    ws = _WsClient(port, "/collections/kb/ws")
+    ws.send_text({"action": "subscribe", "types": ["delete"]})
+    ack = ws.read_json()
+    assert ack["subscribed"] == "kb"
+
+    call(port, "POST", "/collections/kb/add", {"ids": ["a"], "documents": ["x"]})
+    # re-subscribe to add events; ack arrives (the add above was filtered)
+    ws.send_text({"action": "subscribe", "types": ["add"]})
+    ack2 = ws.read_json()
+    assert ack2["subscribed"] == "kb"
+    call(port, "POST", "/collections/kb/add", {"ids": ["b"], "documents": ["y"]})
+    ev = ws.read_json()
+    assert ev["event_type"] == "add" and ev["ids"] == ["b"]
+    ws.close()
