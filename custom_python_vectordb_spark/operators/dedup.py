@@ -209,20 +209,38 @@ def jaccard_pairs(
     if restrict_pairs is not None:
         # candidates-first: join shingles onto the (small) candidate set,
         # never materializing the all-co-shingle-pairs blowup — with a
-        # repetitive vocabulary that blowup is ~quadratic in corpus size
+        # repetitive vocabulary that blowup is ~quadratic in corpus size.
+        # The candidate set is bounded by the band buckets, so broadcast it
+        # and semi-prune BOTH shingle sides to candidate docs before any
+        # join: the corpus-sized shingle table is filtered map-side and
+        # never shuffles; only candidate-doc shingles reach the verify join.
+        rp = F.broadcast(restrict_pairs)
+        a_small = a.join(F.broadcast(restrict_pairs.select("a").distinct()), "a", "left_semi")
+        b_small = b.join(F.broadcast(restrict_pairs.select("b").distinct()), "b", "left_semi")
         inter = (
-            restrict_pairs.join(a, "a")
-            .join(b, ["b", "shingle"])
+            rp.join(a_small, "a")
+            .join(b_small, ["b", "shingle"])
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("inter"))
         )
-    else:
-        inter = (
-            a.join(b, "shingle")
-            .filter(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("inter"))
+        # per-doc sizes restricted the same way stay broadcastable at any
+        # corpus size (candidate-doc count, not corpus count)
+        ids = restrict_pairs.select(F.col("a").alias(id_col)).unionByName(
+            restrict_pairs.select(F.col("b").alias(id_col))
+        ).distinct()
+        sizes = sizes.join(F.broadcast(ids), id_col, "left_semi")
+        sized = (
+            inter.join(F.broadcast(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))), "a")
+            .join(F.broadcast(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))), "b")
+            .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
         )
+        return sized.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     sized = (
         inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")

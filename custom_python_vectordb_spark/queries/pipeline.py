@@ -135,7 +135,10 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature build and the Jaccard verification
     sh = doc_shingles(corpus).persist()
     sigs = minhash_signatures_wide(corpus, num_hashes=16, shingles=sh)
-    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, wide=True)
+    # candidates persist too: the verify stage broadcasts them (and their
+    # id projections) into several joins — without the persist each
+    # broadcast subtree would re-run the banding self-join
+    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, wide=True).persist()
     verified = jaccard_pairs(corpus, threshold=0.5, restrict_pairs=cands, shingles=sh)
     return verified.withColumn("jaccard", F.round("jaccard", ROUND))
 
