@@ -398,10 +398,16 @@ def embedding_neardup_lsh_topk(
             .select("a", "b")
         )
         cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+    # candidate pairs are bucket-bounded ⇒ broadcastable; persist so the
+    # broadcast subtrees read the cached bucket self-join instead of
+    # re-running it. Verify shape: broadcast candidates into the first
+    # vector join (corpus streams map-side), broadcast the candidate-sized
+    # result into the second — the embedding table never shuffles.
+    cand = cand.distinct().persist()
     ea = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     eb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    scored = cand.join(ea, "a").join(eb, "b").select(
+    j1 = ea.join(F.broadcast(cand), "a")
+    scored = eb.join(F.broadcast(j1), "b").select(
         "a", "b", cosine_similarity("va", "vb").alias("sim")
     )
     return scored.orderBy(F.col("sim").desc(), "a", "b").limit(k)
