@@ -176,7 +176,11 @@ def knn_lsh_multitable(
         ).select(F.col(id_col).alias("qid"), F.col("bucket")).withColumn("t", F.lit(t))
         pairs = cb.join(F.broadcast(qb), ["bucket", "t"]).select("qid", id_col)
         cand_union = pairs if cand_union is None else cand_union.unionByName(pairs)
-    cands = cand_union.distinct().join(corpus, id_col).join(F.broadcast(queries), "qid")
+    # candidate (qid, id) pairs are query×bucket bounded — broadcast them so
+    # the corpus side streams map-side instead of shuffling on id
+    cands = corpus.join(F.broadcast(cand_union.distinct()), id_col).join(
+        F.broadcast(queries), "qid"
+    )
     scored = cands.select("qid", id_col, distance_expr(metric, vec_col, "qvec").alias("dist"))
     return top_k_per_group(scored, "qid", k, F.col("dist").asc(), F.col(id_col).asc()).orderBy(
         "qid", "dist", id_col
