@@ -292,3 +292,61 @@ def test_replica_serve_matches_numpy_brute_force(tmp_path_factory, data, metric,
         assert list(sub["vec_id"]) == [int(i) for i in order]
         for a, b in zip(sub["dist"], d[order]):
             assert a == pytest.approx(b, rel=1e-9, abs=1e-9)
+
+
+# ---------------------------------------------------------- mask ≡ Column
+
+filter_specs = st.recursive(
+    st.one_of(
+        st.tuples(st.just("leaf"), st.sampled_from(["score", "nope"]),
+                  st.sampled_from([FilterOp.EQ, FilterOp.NE, FilterOp.GT, FilterOp.LTE]),
+                  st.integers(-100, 100)),
+        st.tuples(st.just("leafs"), st.just("category"),
+                  st.sampled_from([FilterOp.EQ, FilterOp.CONTAINS, FilterOp.REGEX,
+                                   FilterOp.IN, FilterOp.NIN]),
+                  st.text(alphabet="abcXYZ", min_size=1, max_size=3)),
+    ),
+    lambda kids: st.one_of(
+        st.tuples(st.just("and"), kids, kids),
+        st.tuples(st.just("or"), kids, kids),
+        st.tuples(st.just("not"), kids),
+    ),
+    max_leaves=4,
+)
+
+
+def _build_filter(spec) -> Filter:
+    kind = spec[0]
+    if kind in ("leaf", "leafs"):
+        _, field, op, val = spec
+        if op in (FilterOp.IN, FilterOp.NIN):
+            val = [val, val + "X"] if isinstance(val, str) else [val]
+        return Filter.where(field, op, val)
+    if kind == "not":
+        return ~_build_filter(spec[1])
+    l, r = _build_filter(spec[1]), _build_filter(spec[2])
+    return (l & r) if kind == "and" else (l | r)
+
+
+@SETTINGS
+@given(rows=meta_rows, spec=filter_specs)
+def test_mask_equals_column_for_arbitrary_filter_trees(spark, rows, spec):
+    """The serving replica's NumPy evaluation (Filter.mask) must agree with
+    the Catalyst Column compilation for ARBITRARY filter trees over
+    arbitrary data — including NULL values, missing fields ('nope' never
+    exists), and NOT over both (two-state missing⇒False semantics)."""
+    filt = _build_filter(spec)
+    # 'nope' exists as an all-NULL column on the plan side but is ABSENT on
+    # the replica side: the reference's missing-field semantics make the
+    # two representations equivalent (every leaf on it is False)
+    df = spark.createDataFrame(
+        [(*r, None) for r in rows], "id long, category string, score int, nope int"
+    )
+    got_plan = sorted(r["id"] for r in df.filter(filt.column).collect())
+    cols = {
+        "category": np.array([c for _, c, _ in rows], dtype=object),
+        "score": np.array([s for _, _, s in rows], dtype=object),
+    }
+    mask = filt.mask(cols, len(rows))
+    got_mask = sorted(rows[i][0] for i in np.flatnonzero(mask))
+    assert got_mask == got_plan
