@@ -575,3 +575,54 @@ def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@query("heavy_hitters_cms", f"""
+WITH term AS (SELECT unnest({duck_tokenize('text')}) AS t FROM documents),
+exact AS (SELECT t AS term, COUNT(*) AS n_exact FROM term GROUP BY t)
+SELECT term, n_exact, TRUE AS cms_lower_ok, TRUE AS cms_eps_ok
+FROM exact ORDER BY n_exact DESC, term LIMIT 20
+""")
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a Count-Min sketch certification — the fourth
+    sketch in the family (HLL distinct, KLL quantile, Bloom membership,
+    CMS frequency): one `count_min_sketch` aggregate (fixed-size,
+    mergeable — THE 100 TB frequency-estimation shape) next to the exact
+    top-20 counts, and the CMS guarantees are emitted as booleans the
+    oracle pins to literal TRUE: estimate ≥ exact (always) and estimate ≤
+    exact + ε·N (the sketch's probabilistic bound, deterministic here
+    because counter merges are exact sums — verified partition-
+    independent). The sketch's internal estimates never enter the hashed
+    output, only the certification — the `approx_distinct_users`
+    discipline."""
+    from custom_python_vectordb_spark.functions.local_relation import local_df
+    from custom_python_vectordb_spark.functions.text import tokenize
+
+    eps = 0.001
+    terms = _t(spark, sf_dir, "documents").select(F.explode(tokenize("text")).alias("t"))
+    row = terms.agg(
+        F.count_min_sketch("t", F.lit(eps), F.lit(0.99), F.lit(42)).alias("cms"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row["cms"]))
+    )
+    top = (
+        terms.groupBy(F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "term")
+        .limit(20)
+        .collect()
+    )
+    out = [
+        (
+            r["term"], r["n_exact"],
+            bool(cms.estimateCount(r["term"]) >= r["n_exact"]),
+            bool(cms.estimateCount(r["term"]) <= r["n_exact"] + eps * row["n"]),
+        )
+        for r in top
+    ]
+    return local_df(
+        spark, out, "term string, n_exact bigint, cms_lower_ok boolean, cms_eps_ok boolean"
+    )
