@@ -397,8 +397,9 @@ def keyword_replica_serve(
     import pyarrow.parquet as _pq
 
     paths = tuple(sorted(shard_paths))
+    cache_key = (paths, id_col, text_col)
     stat_key = tuple((p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size) for p in paths)
-    entry = _KEYWORD_REPLICA_CACHE.get(paths)
+    entry = _KEYWORD_REPLICA_CACHE.get(cache_key)
     if entry is None or entry[0] != stat_key:
         ids: list = []
         texts: list = []
@@ -435,7 +436,7 @@ def keyword_replica_serve(
         }
         avgdl = float(dl.mean()) if len(ids) else 0.0
         entry = (stat_key, ids, inv, dl, avgdl)
-        _KEYWORD_REPLICA_CACHE[paths] = entry
+        _KEYWORD_REPLICA_CACHE[cache_key] = entry
     _, ids, inv, dl, avgdl = entry
     n_docs = len(ids)
     if n_docs == 0:
@@ -492,7 +493,7 @@ def keyword_score_vector(
     keyword_replica_serve(shard_paths, query, k=1, id_col=id_col,
                           text_col=text_col, max_bytes=max_bytes)
     paths = tuple(sorted(shard_paths))
-    _, ids, inv, dl, avgdl = _KEYWORD_REPLICA_CACHE[paths]
+    _, ids, inv, dl, avgdl = _KEYWORD_REPLICA_CACHE[(paths, id_col, text_col)]
     n_docs = len(ids)
     scores = np.zeros(n_docs, dtype=np.float64)
     qcounts: dict[str, int] = {}
