@@ -350,16 +350,22 @@ def main() -> None:
     for name in names:
         memo_fn = registry.QUERIES[name]
         # PRIMARY series (comparable to BENCH_r1-r3): build a FRESH plan per
-        # run, bypassing the registry's plan memo. A memoized DataFrame also
-        # keeps its RDD lineage, so re-collecting it lets the DAGScheduler
-        # skip every completed shuffle stage — real Spark behavior, but it
-        # measures re-serving an already-executed plan, not re-running the
-        # query; that number is reported separately below as serving_warm.
+        # run, bypassing the registry's plan memo AND clearing module-level
+        # query-plan memos (registry.PLAN_MEMOS — e.g. text._HYBRID_MEMO,
+        # which __wrapped__ alone cannot bypass because it lives inside the
+        # query function; round-4 VERDICT minor #1). A memoized DataFrame
+        # also keeps its RDD lineage, so re-collecting it lets the
+        # DAGScheduler skip every completed shuffle stage — real Spark
+        # behavior, but it measures re-serving an already-executed plan, not
+        # re-running the query; that number is reported separately below as
+        # serving_warm.
         fn = getattr(memo_fn, "__wrapped__", memo_fn)
+        registry.clear_plan_memos()
         fn(spark, sf_dir).collect()  # warm-up: JIT, codegen cache, file listing
         best = float("inf")
         bb = be = 0.0
         for _ in range(2):  # best-of-2: damps co-tenant noise between runs
+            registry.clear_plan_memos()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)  # plan BUILD: py4j DataFrame-API calls
             t1 = time.perf_counter()

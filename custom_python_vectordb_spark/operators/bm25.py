@@ -81,8 +81,6 @@ def bm25_scores(
         qcounts[t] = qcounts.get(t, 0) + 1
     q = local_df(spark, list(qcounts.items()), "term string, qn long")
 
-    from pyspark.sql import Window
-
     # tokenize once: postings, doc lengths and stats all read the cached
     # token column instead of re-running the scan+regex per subtree
     toks = tokens_df(docs, id_col, text_col).persist()
@@ -97,10 +95,14 @@ def bm25_scores(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("qn").alias("qn"))
     )
-    # df(term) = #docs containing term — computable from the SAME filtered
-    # postings via a window over the (tiny) query-term partitions, so the
-    # separate document-frequency aggregate subtree disappears entirely
-    post_q = post_q.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    # df(term) = #docs containing term. A map-side-combined groupBy whose
+    # RESULT is provably query-term-sized (≤ len(qcounts) rows) — that tiny
+    # table is safe to broadcast back unconditionally. (The former
+    # count-over-Window.partitionBy(term) shuffled every (doc, term) row to
+    # a per-term partition: a stop-word term made one straggler partition
+    # near corpus size. Partial aggregation ships only per-task counts.)
+    df_tbl = post_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    post_q = post_q.join(F.broadcast(df_tbl), "term")
     dl = toks.select(F.col(id_col), F.size("toks").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
 
@@ -108,10 +110,15 @@ def bm25_scores(
     tf_part = (F.col("tf") * (K1 + 1)) / (
         F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
     )
-    # post_q is query-sized — broadcast it so the corpus-sized doc-length
-    # side streams map-side (never shuffles) regardless of corpus size
+    # post_q is NOT force-broadcast: its size is the sum of the query terms'
+    # document frequencies — near corpus-sized when the query contains a
+    # stop word (the tokenizer drops none), so a broadcast hint here could
+    # OOM the driver at scale (round-4 ADVICE #1). AQE sizes the join at
+    # runtime: small post_q → broadcast-hash (dl streams map-side, the plan
+    # the hint used to force); large post_q → shuffled join, which is then
+    # genuinely required because every matching doc must be scored.
     return (
-        dl.join(F.broadcast(post_q), id_col)
+        dl.join(post_q, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.sum(F.col("qn") * idf * tf_part).alias(score_col))

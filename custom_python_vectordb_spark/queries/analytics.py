@@ -494,7 +494,7 @@ WITH t AS (
 ),
 r AS (
   SELECT doc_id, source, n_tok,
-         SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum_tok
+         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tok
   FROM t
 )
 SELECT doc_id, source, n_tok, cum_tok FROM r WHERE cum_tok <= 1000
@@ -507,7 +507,13 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's partition key is the source, so each source's cumulative sum
     is a single partition-local pass after one shuffle — and the order
     being hash-of-id means the sample is unbiased w.r.t. document
-    position/recency."""
+    position/recency.
+
+    Oracle note (r5, closes the r4 driver-hash-red): cum_tok is a DuckDB
+    window SUM over BIGINT → HUGEINT, whose client conversion is
+    fetch-path/version-dependent (fetchall → int, .df() → float64); the
+    CAST AS BIGINT pins int64 on every path. A registry-wide audit showed
+    exactly the 4 driver-red queries emitted HUGEINT columns."""
     from custom_python_vectordb_spark.functions.text import tokenize
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -525,6 +531,69 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("cum_tok", F.sum("n_tok").over(w))
         .filter(F.col("cum_tok") <= 1000)
         .select("doc_id", "source", "n_tok", "cum_tok")
+    )
+
+
+@query("probe_tokenize_checksum", f"""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS total_toks,
+       CAST(MIN(md5(array_to_string({_DUCK_TOKS}, ' '))) AS VARCHAR) AS min_tok_md5
+FROM documents
+""")
+def probe_tokenize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe decomposition of token_budget_sample (VERDICT r4 #1):
+    corpus-wide tokenizer-parity checksum — total token count plus the min
+    md5 of the joined token arrays, one row, integers/strings only. If
+    the regex tokenizer ever diverges between engines in the driver env,
+    this row is red and names the surface; token_budget_sample's own red
+    was the HUGEINT window sum (see its oracle note)."""
+    from custom_python_vectordb_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("total_toks"),
+        F.min(F.md5(F.concat_ws(" ", toks))).cast("string").alias("min_tok_md5"),
+    )
+
+
+@query("probe_token_budget_members", f"""
+WITH t AS (
+  SELECT doc_id, source, len({_DUCK_TOKS}) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tok
+  FROM t
+)
+SELECT doc_id, source FROM r WHERE cum_tok <= 1000
+""")
+def probe_token_budget_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe decomposition of token_budget_sample (VERDICT r4 #1): the
+    sampled MEMBERSHIP only (doc_id, source) — the cumulative sum decides
+    the cut but is never emitted. Green here + red main query would pin
+    the divergence to emitted-value canonicalization rather than the
+    window/tokenize semantics."""
+    from custom_python_vectordb_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= 1000)
+        .select("doc_id", "source")
     )
 
 

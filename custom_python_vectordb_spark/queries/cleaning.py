@@ -313,13 +313,20 @@ _PROFILE_COLS = (
     ("source", True, False), ("n_chars", False, False),
 )
 
+# Integer-only emissions (r5, closes two rounds of driver-hash-red): DuckDB's
+# SUM over integers returns HUGEINT, whose client conversion is fetch-path /
+# version-dependent (fetchall → int, .df() → float64) — n_nulls hashed as
+# "0.0" vs Spark's "0" in the driver env. CAST AS BIGINT pins int64 on every
+# path. The former ROUND(AVG(length),6) DOUBLE is replaced by the exact
+# integer SUM(length) — the avg is derivable as sum_len / n_rows, and the
+# emission carries zero float-canonicalization surface.
 _DUCK_PROFILE = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS col, COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
        CAST(MIN({f'md5({c})' if h else c}) AS VARCHAR) AS min_s,
        CAST(MAX({f'md5({c})' if h else c}) AS VARCHAR) AS max_s,
-       {f"ROUND(AVG(length({c})), 6) + 0.0" if s else "CAST(NULL AS DOUBLE)"} AS avg_len
+       {f"CAST(SUM(length({c})) AS BIGINT)" if s else "CAST(NULL AS BIGINT)"} AS sum_len
 FROM documents"""
     for c, s, h in _PROFILE_COLS
 )
@@ -332,7 +339,8 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     string length stats, in ONE corpus scan (all metrics fold into a single
     aggregate; the multi-count-distinct expands rows 5× map-side, which is
     the documented trade — at 100 TB swap exact distinct for
-    `approx_count_distinct` and the expand disappears)."""
+    `approx_count_distinct` and the expand disappears). Emissions are
+    integers/strings only (see _DUCK_PROFILE note)."""
     docs = _t(spark, sf_dir, "documents")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, is_str, hash_mm in _PROFILE_COLS:
@@ -342,9 +350,9 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
             F.min(mm).cast("string").alias(f"{c}__min"),
             F.max(mm).cast("string").alias(f"{c}__max"),
-            (F.round(F.avg(F.length(c)), 6) + F.lit(0.0)).alias(f"{c}__avglen")
+            F.sum(F.length(c)).cast("long").alias(f"{c}__sumlen")
             if is_str
-            else F.lit(None).cast("double").alias(f"{c}__avglen"),
+            else F.lit(None).cast("long").alias(f"{c}__sumlen"),
         ]
     one = docs.agg(*aggs)
     per_col = F.array(*[
@@ -353,11 +361,24 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"{c}__nulls").alias("n_nulls"),
             F.col(f"{c}__distinct").alias("n_distinct"),
             F.col(f"{c}__min").alias("min_s"), F.col(f"{c}__max").alias("max_s"),
-            F.col(f"{c}__avglen").alias("avg_len"),
+            F.col(f"{c}__sumlen").alias("sum_len"),
         )
         for c, _, _ in _PROFILE_COLS
     ])
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@query("probe_profile_avglen", """
+SELECT ROUND(AVG(length(text)), 6) + 0.0 AS avg_len FROM documents
+""")
+def probe_profile_avglen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe decomposition of profile_documents (VERDICT r4 #1): the single
+    ROUND(AVG(length),6) DOUBLE the main query used to emit, alone. The
+    main query now emits integer sum_len instead; this probe tests in
+    isolation whether the driver's float canonicalization ALSO diverged,
+    or whether the HUGEINT n_nulls column was the sole red surface."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg((F.round(F.avg(F.length("text")), 6) + F.lit(0.0)).alias("avg_len"))
 
 
 # ---------------------------------------------------------------- LM scoring

@@ -544,12 +544,12 @@ e AS (SELECT DISTINCT la.l_partkey AS a, lb.l_partkey AS b
       ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey),
 deg AS (SELECT v, COUNT(*) AS d FROM
         (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
-w AS (SELECT SUM(d * (d - 1)) // 2 AS n_wedges FROM deg),
+w AS (SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
 t AS (SELECT COUNT(*) AS n_triangles FROM e e1
       JOIN e e2 ON e1.b = e2.a
       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
 SELECT t.n_triangles, w.n_wedges,
-       ROUND(3.0 * t.n_triangles / w.n_wedges, 6) + 0.0 AS clustering
+       (3000000 * t.n_triangles) // w.n_wedges AS clustering_ppm
 FROM t, w
 """)
 def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,7 +559,14 @@ def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle term reuses the degree-ordered hub-safe counter
     (operators/triangles.py); the wedge term is one degree aggregate —
     both map-side-combinable, so the whole metric is two bounded shuffles
-    beyond the edge derivation."""
+    beyond the edge derivation.
+
+    Oracle note (r5, closes the r4 driver-hash-red): DuckDB SUM(BIGINT)
+    returns HUGEINT whose client conversion is fetch-path/version-dependent
+    (fetchall → int, .df() → float64), so n_wedges is CAST to BIGINT; the
+    coefficient is emitted as integer parts-per-million via BIGINT floor
+    division (both engines: exact) instead of a ROUND(...) DOUBLE —
+    integers-only emission, zero float-canonicalization surface."""
     from custom_python_vectordb_spark.operators.triangles import triangle_count
 
     op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
@@ -579,14 +586,12 @@ def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     wed = deg.agg(
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges")
+        F.expr("sum(d * (d - 1)) div 2").cast("long").alias("n_wedges")
     )
     return tri.crossJoin(wed).select(
         "n_triangles",
         "n_wedges",
-        (F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6) + F.lit(0.0)).alias(
-            "clustering"
-        ),
+        F.expr("(3000000 * n_triangles) div n_wedges").alias("clustering_ppm"),
     )
 
 

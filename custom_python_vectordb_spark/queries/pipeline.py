@@ -666,8 +666,8 @@ ordered AS (
                                ROWS UNBOUNDED PRECEDING) AS cum
     FROM tok
 ),
-binned AS (SELECT doc_id, n_tokens, (cum - 1) // 512 AS bin FROM ordered)
-SELECT bin, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+binned AS (SELECT doc_id, n_tokens, CAST((cum - 1) // 512 AS BIGINT) AS bin FROM ordered)
+SELECT bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM binned WHERE bin < 10 GROUP BY bin
 """)
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,11 +676,18 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch-construction op for pretraining pipelines, as one window
     plan. First 10 bins shown. Token count = n_chars/4 + 1, the standard
     BPE chars-per-token estimate — pure integer arithmetic on a stored
-    column, so the whole-corpus cumulative sum (every doc's count moves
-    every downstream bin boundary) carries zero engine-version-sensitive
-    surface: round-3's regex-tokenized variant was driver-hash-red while
-    bit-exact against local DuckDB 1.0.0, so the oracle now avoids text
-    functions entirely.
+    column.
+
+    Oracle note (r4→r5, closes two rounds of driver-hash-red): DuckDB's
+    SUM over integers returns HUGEINT (int128), and HUGEINT's client-side
+    conversion is fetch-path/version-dependent (``.fetchall()`` → Python
+    int, ``.df()`` → float64 in 1.0.0) — so ``total_tokens`` and the
+    window-sum-derived ``bin`` hashed as ``2561.0`` vs Spark's ``2561``
+    in the driver while bit-exact under the local fetchall-based checker.
+    A registry-wide type audit found exactly the 4 red queries (and no
+    green ones) emitting HUGEINT columns. Every integer aggregate in the
+    oracle is now CAST to BIGINT, which both engines surface as int64 on
+    every fetch path.
 
     Scale note: the global ordering here is the oracle-checkable form; at
     100 TB partition the hash space first (e.g. hash % n_shards) and pack
@@ -709,6 +716,46 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned.filter(F.col("bin") < 10)
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
+
+
+@query("probe_pack_order", f"""
+WITH tok AS (SELECT doc_id, n_chars // 4 + 1 AS n_tokens FROM documents),
+ordered AS (
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY {duck_hash48("'pack|' || CAST(doc_id AS VARCHAR)")}, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           {duck_hash48("'pack|' || CAST(doc_id AS VARCHAR)")} AS h
+    FROM tok
+)
+SELECT doc_id, h, cum FROM ordered ORDER BY h, doc_id LIMIT 10
+""")
+def probe_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe decomposition of pack_sequences (VERDICT r4 #1): the first 10
+    docs in pack-hash order with their hash keys and BIGINT-cast running
+    sums. Isolates the ordering + window surface from the bin arithmetic —
+    if pack_sequences were ever red again while this is green, the
+    divergence is in the bin/groupBy tail; if this is red, it is in
+    hash48/window itself."""
+    from pyspark.sql import Window
+
+    from custom_python_vectordb_spark.functions.hashing import hash48
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("n_chars div 4 + 1").alias("n_tokens")
+    )
+    key = hash48(F.concat(F.lit("pack|"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(key, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.withColumn("h", key)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .orderBy("h", "doc_id")
+        .limit(10)
+        .select("doc_id", "h", "cum")
     )
 
 

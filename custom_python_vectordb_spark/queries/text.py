@@ -14,6 +14,7 @@ from custom_python_vectordb_spark.operators.bm25 import (
     postings,
     weights_to_alpha,
 )
+from custom_python_vectordb_spark import registry
 from custom_python_vectordb_spark.registry import query
 from custom_python_vectordb_spark.queries.spine import ROUND, _t
 
@@ -209,8 +210,11 @@ ORDER BY fused.score DESC, id LIMIT {k}
 # fixture tables are static, so re-serving the same fused plan skips the
 # ~0.4 s of py4j plan-build calls per invocation (the same prepared-statement
 # memoization the catalog applies to scans) and lets the plan's persisted
-# score union stay warm across invocations.
+# score union stay warm across invocations. Registered in PLAN_MEMOS so the
+# bench's fresh-plan series clears it (it caches a fused QUERY plan, unlike
+# the index-build memos) — round-4 VERDICT minor finding #1.
 _HYBRID_MEMO: dict = {}
+registry.PLAN_MEMOS.append(_HYBRID_MEMO)
 
 
 def _hybrid(

@@ -42,6 +42,23 @@ ORACLE_SF: dict[str, str] = {}  # oracle pinned to one scale (data snapshot)
 # DuckDB oracle as always.
 _PLAN_MEMO: dict = {}
 
+# Module-level QUERY-plan memos (prepared-statement caches holding a fused
+# query-result plan, e.g. queries/text._HYBRID_MEMO) register here. The
+# bench's fresh-plan series must clear these alongside bypassing _PLAN_MEMO
+# via __wrapped__ — otherwise its "fresh" number silently measures
+# re-serving a memoized plan (round-4 VERDICT minor finding #1).
+# INDEX-BUILD memos (catalog scans, IVF assignment, serving replicas) are
+# deliberately NOT registered: they are ingest-time state a serving system
+# builds once, and charging them to every query run would misattribute
+# build cost to search.
+PLAN_MEMOS: list[dict] = [_PLAN_MEMO]
+
+
+def clear_plan_memos() -> None:
+    """Empty every registered query-plan memo (fresh-plan benchmarking)."""
+    for d in PLAN_MEMOS:
+        d.clear()
+
 
 def query(
     name: str,

@@ -107,20 +107,20 @@ def bm25_from_postings(
         qcounts[t] = qcounts.get(t, 0) + 1
     q = local_df(spark, list(qcounts.items()), "term string, qn long")
 
-    from pyspark.sql import Window
-
-    # same shape as operators/bm25.bm25_scores (round 4): postings restricted
+    # same shape as operators/bm25.bm25_scores (round 5): postings restricted
     # to QUERY terms first (broadcast term join — at 100 TB the difference
     # between scanning the vocabulary and one query's postings; on a postings
-    # table partitioned/bucketed by term this prunes at the scan), df from
-    # the filtered postings via a tiny window, and the query-sized side
-    # broadcast into the doc-length join so the index side never shuffles.
+    # table partitioned/bucketed by term this prunes at the scan), df(term)
+    # via a map-side-combined groupBy whose query-term-sized RESULT is
+    # broadcast back. post_q itself is NOT force-broadcast: it is one row per
+    # (doc, query-term) — near index-sized for a stop-word query — so AQE
+    # sizes the doc-length join at runtime (round-4 ADVICE #1).
     # dl/N/avgdl are whole-index aggregates by design (dl(doc) = Σ tf): the
     # documented one-source-of-truth trade; maintain a dl table beside the
     # postings if that scan ever dominates.
-    post_q = post.join(F.broadcast(q), "term").withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
+    post_q = post.join(F.broadcast(q), "term")
+    df_tbl = post_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    post_q = post_q.join(F.broadcast(df_tbl), "term")
     dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
 
@@ -129,7 +129,7 @@ def bm25_from_postings(
         F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        dl.join(F.broadcast(post_q), id_col)
+        dl.join(post_q, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.sum(F.col("qn") * idf * tf_part).alias(score_col))
