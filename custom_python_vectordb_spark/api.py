@@ -243,6 +243,7 @@ class Collection:
         import pandas as pd
 
         from custom_python_vectordb_spark.operators.knn import (
+            ReplicaCapacityError,
             knn_replica_serve,
             replica_metadata,
         )
@@ -267,12 +268,7 @@ class Collection:
                 "qvec": [[float(x) for x in v] for v in query_embeddings],
             }
         )
-        try:
-            paths = self.db.warehouse.shard_paths(self.name)
-        except RuntimeError:
-            # active deletion vectors: raw shard files would resurrect the
-            # deleted rows, so serve this batch from the declarative exact
-            # plan (correct, one scheduled job) until a write materializes
+        def _declarative() -> list[list[dict]]:
             rows = (
                 self.query(
                     query_embeddings=query_embeddings, n_results=n_results,
@@ -285,26 +281,40 @@ class Collection:
             for r in rows:
                 out[int(r["qid"])].append({"id": r["id"], "dist": float(r["dist"])})
             return out
+
+        try:
+            paths = self.db.warehouse.shard_paths(self.name)
+        except RuntimeError:
+            # active deletion vectors: raw shard files would resurrect the
+            # deleted rows, so serve this batch from the declarative exact
+            # plan (correct, one scheduled job) until a write materializes
+            return _declarative()
         if not paths:  # created-but-empty collection
             return [[] for _ in query_embeddings]
-        mask = None
-        if filt is not None:
-            from custom_python_vectordb_spark.operators.knn import _REPLICA_CACHE
+        try:
+            mask = None
+            if filt is not None:
+                from custom_python_vectordb_spark.operators.knn import _REPLICA_CACHE
 
-            # ensure the replica block exists before asking for aligned
-            # metadata (first call decodes; mutation invalidates both)
-            knn_replica_serve(
-                paths, qpd.iloc[:0], k=1, metric=metric, id_col="id", max_bytes=max_bytes
+                # ensure the replica block exists before asking for aligned
+                # metadata (first call decodes; mutation invalidates both)
+                knn_replica_serve(
+                    paths, qpd.iloc[:0], k=1, metric=metric, id_col="id", max_bytes=max_bytes
+                )
+                n_rows = len(_REPLICA_CACHE[(tuple(sorted(paths)), "float64")][1])
+                cols = replica_metadata(paths, sorted(filt.fields()), id_col="id")
+                # absent columns map to None → dropped → leaf sees missing ⇒ False
+                cols = {c: v for c, v in cols.items() if v is not None}
+                mask = filt.mask(cols, n_rows)
+            res = knn_replica_serve(
+                paths, qpd, k=n_results, metric=metric, id_col="id", max_bytes=max_bytes,
+                mask=mask,
             )
-            n_rows = len(_REPLICA_CACHE[(tuple(sorted(paths)), "float64")][1])
-            cols = replica_metadata(paths, sorted(filt.fields()), id_col="id")
-            # absent columns map to None → dropped → leaf sees missing ⇒ False
-            cols = {c: v for c, v in cols.items() if v is not None}
-            mask = filt.mask(cols, n_rows)
-        res = knn_replica_serve(
-            paths, qpd, k=n_results, metric=metric, id_col="id", max_bytes=max_bytes,
-            mask=mask,
-        )
+        except ReplicaCapacityError:
+            # corpus too large for the in-process replica: the declarative
+            # plan works at any size (round-4 ADVICE #2) — mirror the
+            # deletion-vector fallback instead of surfacing HTTP 400
+            return _declarative()
         out: list[list[dict]] = [[] for _ in query_embeddings]
         for qid, vid, dist in zip(res["qid"], res["id"], res["dist"]):
             out[int(qid)].append({"id": vid, "dist": float(dist)})
@@ -320,18 +330,25 @@ class Collection:
         on the hot path. Falls back to the declarative plan while deletion
         vectors are active (raw shards would resurrect deleted rows)."""
         from custom_python_vectordb_spark.operators.bm25 import keyword_replica_serve
+        from custom_python_vectordb_spark.operators.knn import ReplicaCapacityError
+
+        def _declarative() -> list[dict]:
+            rows = self.keyword_search(query, k=k).collect()
+            return [{"id": r["id"], "score": float(r["score"])} for r in rows]
 
         try:
             paths = self.db.warehouse.shard_paths(self.name)
         except RuntimeError:
-            rows = self.keyword_search(query, k=k).collect()
-            return [{"id": r["id"], "score": float(r["score"])} for r in rows]
+            return _declarative()
         if not paths:
             return []
-        return [
-            {"id": i, "score": s}
-            for i, s in keyword_replica_serve(paths, query, k=k, id_col="id")
-        ]
+        try:
+            hits = keyword_replica_serve(paths, query, k=k, id_col="id")
+        except ReplicaCapacityError:
+            # text corpus above the replica budget: declarative BM25 works
+            # at any size (round-4 ADVICE #2)
+            return _declarative()
+        return [{"id": i, "score": s} for i, s in hits]
 
     def hybrid_serve(self, query_text: str, k: int = 10, alpha: float = 0.5) -> list[dict]:
         """Serving twin of :meth:`hybrid` — full in-process fusion (the
@@ -345,11 +362,12 @@ class Collection:
         import numpy as np
 
         from custom_python_vectordb_spark.operators.bm25 import keyword_score_vector
-        from custom_python_vectordb_spark.operators.knn import replica_distance_vector
+        from custom_python_vectordb_spark.operators.knn import (
+            ReplicaCapacityError,
+            replica_distance_vector,
+        )
 
-        try:
-            paths = self.db.warehouse.shard_paths(self.name)
-        except RuntimeError:
+        def _declarative() -> list[dict]:
             rows = self.hybrid(query_text, k=k, alpha=alpha).collect()
             return [
                 {
@@ -359,11 +377,21 @@ class Collection:
                 }
                 for r in rows
             ]
+
+        try:
+            paths = self.db.warehouse.shard_paths(self.name)
+        except RuntimeError:
+            return _declarative()
         if not paths:
             return []
         qvec = mock_embed_one(query_text, self.dimensions).tolist()
-        ids_v, dists = replica_distance_vector(paths, qvec, "cosine", id_col="id")
-        ids_k, kscores = keyword_score_vector(paths, query_text, id_col="id")
+        try:
+            ids_v, dists = replica_distance_vector(paths, qvec, "cosine", id_col="id")
+            ids_k, kscores = keyword_score_vector(paths, query_text, id_col="id")
+        except ReplicaCapacityError:
+            # either replica above its budget: the declarative fusion plan
+            # works at any size (round-4 ADVICE #2)
+            return _declarative()
         # both replicas decode the SAME shard files in the same sorted order,
         # so the row alignment is structural; assert it anyway (cheap)
         assert len(ids_v) == len(ids_k)

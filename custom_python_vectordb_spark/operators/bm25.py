@@ -420,7 +420,9 @@ def keyword_replica_serve(
             ids.extend(tbl.column(id_col).to_pylist())
             texts.extend(tbl.column(text_col).to_pylist())
         if sum(len(t or "") for t in texts) > max_bytes:
-            raise ValueError(
+            from custom_python_vectordb_spark.operators.knn import ReplicaCapacityError
+
+            raise ReplicaCapacityError(
                 f"decoded corpus text exceeds max_bytes {max_bytes >> 20} MiB: "
                 "serve keyword search from the declarative plan (bm25_topk)"
             )

@@ -52,6 +52,7 @@ def pagerank(
 
     pr = ids.withColumn("pr", F.lit(1.0 / n))
     base = (1.0 - damping) / n
+    rounds = []
     for _ in range(iterations):
         contrib = (
             ew.join(pr.withColumnRenamed("id", "src"), "src")
@@ -73,6 +74,15 @@ def pagerank(
             # ~10 rounds if iterating unbounded.
             .persist()
         )
+        rounds.append(pr)
+    # materialize the ONE cascade now, then release every intermediate:
+    # only the returned table stays cached. Without this, each invocation
+    # leaked K+2 cached DataFrames for the session lifetime (round-4
+    # ADVICE #4); the count() is the same single job the caller's first
+    # action would have run.
+    pr.count()
+    for h in (*rounds[:-1], ids, ew):
+        h.unpersist()
     return pr
 
 
@@ -143,6 +153,7 @@ def weighted_shortest_paths(
     # time instead of K blocking checkpoint jobs, and nothing is written
     # to checkpoint storage. Lineage depth stays K — fine for bounded K;
     # unbounded traversals should still checkpoint every ~10 rounds.
+    rounds = []
     for _ in range(iterations):
         relax = e.join(
             d.select(F.col("id").alias("src"), F.col("dist").alias("sd")), "src"
@@ -153,6 +164,12 @@ def weighted_shortest_paths(
             .agg(F.min("dist").alias("dist"))
             .persist()
         )
+        rounds.append(d)
+    # one cascade-materializing job, then drop every intermediate cache —
+    # same leak fix as pagerank (round-4 ADVICE #4)
+    d.count()
+    for h in (*rounds[:-1], e):
+        h.unpersist()
     return d
 
 

@@ -347,6 +347,14 @@ def knn_shard_gemm_serve(
 _REPLICA_CACHE: dict = {}
 
 
+class ReplicaCapacityError(ValueError):
+    """Decoded corpus exceeds the replica's max_bytes budget. A distinct
+    type so serving facades (api.query_serve / keyword_serve /
+    hybrid_serve) can fall back to the declarative plan — which works at
+    any size — instead of surfacing HTTP 400 (round-4 ADVICE #2). Other
+    ValueErrors (bad metric, malformed filter) stay client errors."""
+
+
 class _blas_threads:
     """Scoped OpenBLAS thread bump for DRIVER-side GEMMs. The process env
     pins BLAS to 1 thread because 32 concurrent executor workers ×
@@ -428,17 +436,39 @@ def replica_metadata(
     missing = [c for c in cols if c not in meta]
     if missing:
         import numpy as np
+        import pyarrow as pa
 
-        schema_names = _pq.read_schema(paths[0]).names if paths else []
-        present = [c for c in missing if c in schema_names]
+        # UNION of schema names across ALL shard files (round-4 ADVICE #5):
+        # checking paths[0] alone silently leaf-False'd a column present
+        # only in later shards, and a column missing from a later shard
+        # crashed mid-decode. Per-file-missing columns are filled with
+        # typed nulls so the mask sees exactly what the declarative plan's
+        # unioned scan sees (NULL rows ⇒ missing ⇒ False at the leaf).
+        file_names = {p: _pq.read_schema(p).names for p in paths}
+        union_names = set().union(*file_names.values()) if paths else set()
+        present = [c for c in missing if c in union_names]
+        col_type: dict = {}
+        for p in paths:
+            sch = _pq.read_schema(p)
+            for c in present:
+                if c not in col_type and c in file_names[p]:
+                    col_type[c] = sch.field(c).type
         parts: dict[str, list] = {c: [] for c in present}
         for p in paths:
-            if present:
-                tbl = _pq.read_table(p, columns=present)
-                if tbl.num_rows == 0:
-                    continue
-                for c in present:
+            if not present:
+                break
+            n_rows = _pq.ParquetFile(p).metadata.num_rows
+            if n_rows == 0:  # Spark writes empty part files; replica skips them
+                continue
+            in_file = [c for c in present if c in file_names[p]]
+            tbl = _pq.read_table(p, columns=in_file) if in_file else None
+            for c in present:
+                if c in in_file:
                     parts[c].append(tbl.column(c).to_numpy(zero_copy_only=False))
+                else:
+                    parts[c].append(
+                        pa.nulls(n_rows, type=col_type[c]).to_numpy(zero_copy_only=False)
+                    )
         for c in missing:
             meta[c] = np.concatenate(parts[c]) if c in parts and parts[c] else None
     return {c: meta[c] for c in cols}
@@ -566,7 +596,7 @@ def knn_replica_serve(
         ids = np.concatenate(ids_parts)
         mat = np.concatenate(mat_parts)
         if mat.nbytes > max_bytes:
-            raise ValueError(
+            raise ReplicaCapacityError(
                 f"decoded corpus is {mat.nbytes >> 20} MiB > max_bytes "
                 f"{max_bytes >> 20} MiB: this corpus belongs on the "
                 "shard-resident path (knn_shard_gemm_serve)"

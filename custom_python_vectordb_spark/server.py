@@ -280,31 +280,37 @@ class GraphStore:
         column (first-non-null type, reserved names skipped) — the shape
         `plans/cypher.cypher` binds `{prop: value}` patterns and
         `var.prop` projections against."""
+        # ONE lock acquisition snapshots everything (copied labels/props):
+        # ThreadingHTTPServer handles requests concurrently, so re-acquiring
+        # the lock later and dereferencing self._nodes for previously-seen
+        # ids raced a concurrent delete_node into KeyError, and key/type
+        # inference iterated live props dicts unlocked (round-4 ADVICE #3)
         with self._lock:
-            nprops = {nid: n["props"] for nid, n in self._nodes.items()}
-            nrows = [
-                (nid, n["labels"], json.dumps(n["props"], sort_keys=True))
+            snap = [
+                (nid, list(n["labels"]), dict(n["props"]))
                 for nid, n in self._nodes.items()
             ]
             erows = [(e["src"], e["dst"], e["type"]) for e in self._edges.values()]
+        nrows = [
+            (nid, labels, json.dumps(props, sort_keys=True))
+            for nid, labels, props in snap
+        ]
         if expand_props:
             keys = sorted(
-                {k for p in nprops.values() for k in p} - {"id", "labels", "props"}
+                {k for _, _, p in snap for k in p} - {"id", "labels", "props"}
             )
             types = {
                 k: _meta_type(
-                    next((p[k] for p in nprops.values() if p.get(k) is not None), None)
+                    next((p[k] for _, _, p in snap if p.get(k) is not None), None)
                 )
                 for k in keys
             }
             schema = "id string, labels array<string>" + "".join(
                 f", `{k}` {types[k]}" for k in keys
             )
-            with self._lock:
-                xrows = [
-                    (nid, self._nodes[nid]["labels"], *[nprops[nid].get(k) for k in keys])
-                    for nid in nprops
-                ]
+            xrows = [
+                (nid, labels, *[p.get(k) for k in keys]) for nid, labels, p in snap
+            ]
             nodes = self.spark.createDataFrame(
                 xrows or [tuple([None, None] + [None] * len(keys))], schema
             )

@@ -260,6 +260,33 @@ def test_keyword_serve_equals_plan_keyword_search(coll):
     assert "d4" not in {h["id"] for h in served}
 
 
+def test_serve_capacity_fallback_to_declarative(coll, monkeypatch):
+    """A corpus above the replica's max_bytes budget must fall back to the
+    declarative plan (round-4 ADVICE #2) — same results, never an error —
+    on all three serving facades."""
+    from custom_python_vectordb_spark.operators import bm25 as bm25_mod
+    from custom_python_vectordb_spark.operators import knn as knn_mod
+
+    # vector: max_bytes=1 forces the real capacity raise inside the decode
+    texts = ["shuffle strategies"]
+    plan_rows = coll.query(query_texts=texts, n_results=3).collect()
+    served = coll.query_serve(query_texts=texts, n_results=3, max_bytes=1)
+    assert [h["id"] for h in served[0]] == [r["id"] for r in plan_rows]
+
+    def _boom(*a, **k):
+        raise knn_mod.ReplicaCapacityError("test: over budget")
+
+    # keyword / hybrid budgets are operator-level defaults: simulate the
+    # raise and assert the facade degrades to the plan path
+    monkeypatch.setattr(bm25_mod, "keyword_replica_serve", _boom)
+    plan_k = [r["id"] for r in coll.keyword_search("join strategies", k=5).collect()]
+    assert [h["id"] for h in coll.keyword_serve("join strategies", k=5)] == plan_k
+
+    monkeypatch.setattr(knn_mod, "replica_distance_vector", _boom)
+    plan_h = [r["id"] for r in coll.hybrid("broadcast joins", k=3).collect()]
+    assert [h["id"] for h in coll.hybrid_serve("broadcast joins", k=3)] == plan_h
+
+
 def test_hybrid_serve_equals_plan_hybrid(coll):
     """In-process hybrid fusion (vector replica + keyword replica + numpy
     fusion) must reproduce the declarative hybrid plan: same ids, same

@@ -148,6 +148,49 @@ def test_mmr_rerank_prefers_diversity(spark):
         mmr_rerank(corpus, q, k=2, fetch_k=10_001)
 
 
+def test_replica_metadata_heterogeneous_shard_schemas(tmp_path):
+    """A filter column present in only SOME shards must behave like the
+    declarative plan's unioned scan: per-file-missing values are NULL
+    (missing ⇒ False at the leaf for those rows only), never leaf-False
+    for every row or a mid-decode crash (round-4 ADVICE #5)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.functions.filters import Filter
+    from custom_python_vectordb_spark.operators.knn import (
+        knn_replica_serve,
+        replica_metadata,
+    )
+
+    vecs = [[float(i), 1.0] for i in range(6)]
+    a = tmp_path / "a.parquet"  # has `tag`, lacks `grp`
+    b = tmp_path / "b.parquet"  # has `grp`, lacks `tag`
+    pq.write_table(
+        pa.table({"vec_id": [0, 1, 2], "embedding": vecs[:3], "tag": ["x", "y", "x"]}),
+        a,
+    )
+    pq.write_table(
+        pa.table({"vec_id": [3, 4, 5], "embedding": vecs[3:], "grp": [7, 8, 7]}),
+        b,
+    )
+    paths = [str(a), str(b)]
+    qpd = __import__("pandas").DataFrame({"qid": [0], "qvec": [[1.0, 0.0]]})
+    knn_replica_serve(paths, qpd.iloc[:0], k=1)  # build replica block
+
+    cols = replica_metadata(paths, ["tag", "grp"])
+    assert len(cols["tag"]) == 6 and len(cols["grp"]) == 6
+    # column only in the SECOND shard (paths[0]-only schema check missed it)
+    m_grp = Filter.where("grp", "eq", 7).mask(cols, 6)
+    assert list(np.flatnonzero(m_grp)) == [3, 5]
+    # column only in the first shard: later shard's rows are null ⇒ False
+    m_tag = Filter.where("tag", "eq", "x").mask(cols, 6)
+    assert list(np.flatnonzero(m_tag)) == [0, 2]
+    # numeric range op on the partially-present column: NaN rows stay False
+    m_rng = Filter.where("grp", "gte", 8).mask(cols, 6)
+    assert list(np.flatnonzero(m_rng)) == [4]
+
+
 @pytest.mark.parametrize("metric", ["cosine", "l2", "ip"])
 def test_replica_serve_masked_equals_filtered_expression_path(
     spark, queries_df, metric, sf_small
