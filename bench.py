@@ -179,10 +179,28 @@ def _bench_knn_100k(spark) -> dict[str, float]:
             )
             assert len(pdf) == nq * 10 and int(pdf["vec_id"].min()) >= 50_000
             out["knn_batch20_100k_filtered_ms_per_query"] = round(dt * 1000 / nq, 3)
-            for _ in range(6):  # let every reused worker cache its shards
-                knn_shard_gemm_serve(spark, shards, sub, k=10, dtype="float32", tasks=5)
+
+            # beyond-RAM single-node serving: matrix memory-mapped from a
+            # streamed .npy cache, OS page cache as residency — capacity
+            # bound is disk, latency is in-RAM replica speed when warm
+            mmdir = os.path.join(path, "..", "mmap_cache")
+            knn_replica_serve(shards, sub, k=10, dtype="float32", mmap_dir=mmdir)
             dt, pdf = _best_of(
-                lambda: knn_shard_gemm_serve(spark, shards, sub, k=10, dtype="float32", tasks=5)
+                lambda: knn_replica_serve(shards, sub, k=10, dtype="float32", mmap_dir=mmdir)
+            )
+            assert len(pdf) == nq * 10
+            out["knn_batch20_100k_mmap_ms_per_query"] = round(dt * 1000 / nq, 3)
+
+            # distributed shard-resident path (the multi-node story). Floor
+            # measured round 5: ANY Python-stage Spark job costs ~140 ms
+            # (no-op scalar pandas_udf over range(1); JVM-only 32 ms), so
+            # 20 queries bottom out near 7 ms/q on this path regardless of
+            # payload — the per-task merge + binary-blob collect gets the
+            # job to ~175 ms; the rest is the job protocol itself.
+            for _ in range(6):  # let every reused worker cache its shards
+                knn_shard_gemm_serve(spark, shards, sub, k=10, dtype="float32", tasks=2)
+            dt, pdf = _best_of(
+                lambda: knn_shard_gemm_serve(spark, shards, sub, k=10, dtype="float32", tasks=2)
             )
             assert len(pdf) == nq * 10
             out["knn_batch20_100k_sharded_ms_per_query"] = round(dt * 1000 / nq, 3)
@@ -223,6 +241,24 @@ def _bench_knn_100k(spark) -> dict[str, float]:
         truth.setdefault(r["qid"], set()).add(r["vec_id"])
     hits = sum(1 for r in ann_rows if r["vec_id"] in truth.get(r["qid"], ()))
     out["knn_partitioned_100k_recall_at10"] = round(hits / max(len(truth_rows), 1), 4)
+
+    # in-process IVF replica (round 5): the serving-latency ANN answer —
+    # cell-major resident blocks, centroid pre-prune, per-cell GEMM over
+    # probing queries only; no Spark job on the hot path. Recall measured
+    # against the exact truth above, never assumed.
+    from custom_python_vectordb_spark.operators.partitioned import ivf_replica_serve
+
+    import glob as _glob
+
+    shard_files = sorted(_glob.glob(os.path.join(path, "part-*.parquet")))
+    ivf_kwargs = dict(k=10, n_cells=64, nprobe=4, assign_r=2, dtype="float32")
+    ivf_replica_serve(shard_files, sub, **ivf_kwargs)  # build index
+    dt, ivf_res = _best_of(lambda: ivf_replica_serve(shard_files, sub, **ivf_kwargs))
+    out["knn_ivf_replica_100k_ms_per_query"] = round(dt * 1000 / nq, 3)
+    hits = sum(
+        1 for q, v in zip(ivf_res["qid"], ivf_res["vec_id"]) if v in truth.get(q, ())
+    )
+    out["knn_ivf_replica_100k_recall_at10"] = round(hits / max(len(truth_rows), 1), 4)
 
     sharded.unpersist()
     corpus.unpersist()

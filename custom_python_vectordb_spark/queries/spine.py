@@ -324,10 +324,12 @@ GROUP BY c_custkey, c_name
 ORDER BY total DESC, c_custkey LIMIT 10
 """)
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K7-shaped 'trending' top-k over a join+agg (broadcast customer dim)."""
+    """K7-shaped 'trending' top-k over a join+agg. customer carries no
+    broadcast hint: it scales with SF (unlike nation/region's fixed 25/5
+    rows), so AQE broadcasts it while small and shuffles at scale."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    joined = orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+    joined = orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
     return (
         joined.groupBy("c_custkey", "c_name")
         .agg(F.count("o_orderkey").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
@@ -349,15 +351,17 @@ GROUP BY 1, 2, 3, 4
 """)
 def order_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J11 — multi-way left-join enrichment (the reference's read_article:
-    entity/source/topic joins, query_news_db.py:250-272). All dimension
-    sides broadcast."""
+    entity/source/topic joins, query_news_db.py:250-272). The fixed-size
+    dimensions (nation 25 rows, region 5 — TPC-H constants at every SF)
+    are broadcast-hinted; customer scales with SF, so AQE sizes that join
+    (here the o_orderkey<100 probe side is itself tiny)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        o.join(c, o.o_custkey == c.c_custkey, "left")
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
         .join(li, li.l_orderkey == o.o_orderkey, "left")

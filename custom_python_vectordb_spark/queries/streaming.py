@@ -66,10 +66,12 @@ sessions AS (
 )
 SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, COUNT(*) AS n
 FROM sessions GROUP BY user_id, sid
-""")
+""", persist_served=True)
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (5 min) per user — F.session_window vs the
-    classic gaps-and-islands oracle."""
+    classic gaps-and-islands oracle. persist_served: the sessionized table
+    is the serving artifact (streaming maintenance would keep it live);
+    re-serving otherwise re-runs the whole session aggregation."""
     return session_windows(_t(spark, sf_dir, "events"), "5 minutes")
 
 

@@ -64,6 +64,7 @@ def query(
     name: str,
     oracle: str | Callable[[], str | None] | None = None,
     oracle_sf: str | None = None,
+    persist_served: bool = False,
 ):
     """Register a named query; `oracle` is the DuckDB-SQL equivalent (omit
     for genuinely non-SQL-expressible ops → driver does a rows-only check),
@@ -73,7 +74,16 @@ def query(
     SNAPSHOT at one scale (the embedding-snapshot trick): at any other
     scale the comparison is a deliberate mismatch, and local sweeps should
     report 'scoped' rather than treating the documented loudness as a
-    correctness failure."""
+    correctness failure.
+
+    `persist_served`: cache the memoized plan's RESULT in Spark storage on
+    the SERVING path only (round-4 VERDICT #8 — map-only plans like
+    tokenize-and-score have no shuffle stages for re-serving to reuse, so
+    a repeat caller otherwise re-pays the full scan). The fresh-plan path
+    (``__wrapped__``, what bench's primary series and the driver's gate
+    execute) is untouched, so benchmark and correctness numbers stay
+    honest; the fixture tables are immutable, so the cached result can
+    never go stale within a session (same contract as _PLAN_MEMO itself)."""
 
     def deco(fn):
         import functools
@@ -84,6 +94,8 @@ def query(
             df = _PLAN_MEMO.get(key)
             if df is None:
                 df = fn(spark, sf_dir)
+                if persist_served:
+                    df = df.persist()
                 _PLAN_MEMO[key] = df
             return df
 
@@ -150,11 +162,14 @@ PRIORITY: tuple[str, ...] = (
 )
 
 
-def _already_verified() -> set[str]:
-    """Query names with a green row in ANY recorded CORRECTNESS_r*.json.
-    Used to auto-rotate the driver's fixed-size verification window toward
-    never-verified queries each round; unreadable/absent files mean no
-    rotation information, never an error.
+def _already_verified() -> dict[str, int]:
+    """{query name: latest round with a green driver row} over every
+    recorded CORRECTNESS_r*.json. Used to auto-rotate the driver's
+    fixed-size verification window toward never-verified queries first and
+    STALEST-verified queries next (a green row from round 1 predates the
+    r3/r4 refactors, so those queries re-enter the window before ones
+    re-checked recently — round-4 VERDICT #4); unreadable/absent files
+    mean no rotation information, never an error.
 
     "Green" is strict: ``hash_match is True``.  A row whose count matched but
     whose value hash mismatched is a FAILING query and must stay at the front
@@ -169,9 +184,17 @@ def _already_verified() -> set[str]:
     import json
     import os
 
+    import re
+
+    import glob
+    import json
+    import os
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -182,7 +205,7 @@ def _already_verified() -> set[str]:
                 if hm is True or (
                     hm is None and row.get("rows_match") is True and name not in ORACLES
                 ):
-                    seen.add(name)
+                    seen[name] = max(rnd, seen.get(name, 0))
         except Exception:
             continue
     return seen
@@ -207,6 +230,15 @@ def load_all() -> None:
     handful of oracle-less queries can only ever earn a weaker rows-only
     row, so letting them occupy window slots ahead of hash-checkable
     queries wastes the round's verification budget (round-2 verdict #2).
+
+    The verified tail is ordered by LAST-green round ascending (round-4
+    VERDICT #4): a query whose only green row predates the r3/r4
+    refactors re-enters the window before one re-checked last round, so
+    the driver gate re-covers the oldest evidence first instead of never
+    returning to it. Window spec: the driver checks a fixed-size PREFIX
+    (50 queries in rounds 1-4) of this ordering each round; the local
+    full-registry sweep (tools/check.py, committed as CHECK_r{N}.txt)
+    covers everything every round regardless.
     """
     for mod in (
         "spine",
@@ -228,10 +260,14 @@ def load_all() -> None:
     ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
     verified = _already_verified()
     unverified = [n for n in ordered if n not in verified]
-    # oracle-able unverified first, then oracle-less unverified, then verified
+    # oracle-able unverified first, then oracle-less unverified, then
+    # verified stalest-first (stable within a round)
     front = [n for n in unverified if n in ORACLES]
     weak = [n for n in unverified if n not in ORACLES]
-    rest = [n for n in ordered if n in verified]
+    pos = {n: i for i, n in enumerate(ordered)}
+    rest = sorted(
+        (n for n in ordered if n in verified), key=lambda n: (verified[n], pos[n])
+    )
     reordered = {n: ordered[n] for n in front + weak + rest}
     QUERIES.clear()
     QUERIES.update(reordered)

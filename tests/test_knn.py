@@ -148,6 +148,29 @@ def test_mmr_rerank_prefers_diversity(spark):
         mmr_rerank(corpus, q, k=2, fetch_k=10_001)
 
 
+def test_replica_mmap_mode_equals_in_ram(spark, queries_df, sf_small, tmp_path):
+    """The beyond-RAM mmap replica (matrix memory-mapped from a streamed
+    .npy cache) must return exactly the in-RAM replica's results for every
+    metric, survive a cache re-read, and ignore max_bytes (its capacity
+    bound is disk)."""
+    import numpy as np
+
+    from custom_python_vectordb_spark.operators.knn import knn_replica_serve
+
+    shard = f"{sf_small}/embeddings.parquet"
+    qpd = queries_df.toPandas()
+    for metric in ("cosine", "l2", "ip"):
+        ram = knn_replica_serve([shard], qpd, k=7, metric=metric)
+        mm = knn_replica_serve([shard], qpd, k=7, metric=metric, mmap_dir=str(tmp_path))
+        assert ram["vec_id"].tolist() == mm["vec_id"].tolist()
+        assert np.allclose(ram["dist"], mm["dist"])
+    # max_bytes is NOT enforced in mmap mode: a 1-byte budget still serves
+    mm = knn_replica_serve(
+        [shard], qpd, k=7, metric="cosine", mmap_dir=str(tmp_path), max_bytes=1
+    )
+    assert len(mm) == len(qpd) * 7
+
+
 def test_replica_metadata_heterogeneous_shard_schemas(tmp_path):
     """A filter column present in only SOME shards must behave like the
     declarative plan's unioned scan: per-file-missing values are NULL

@@ -67,3 +67,28 @@ def test_self_query_found(spark):
     qpd = _queries(spark, SF01).toPandas()
     rows = knn_partitioned(emb, qpd, k=1, n_cells=16, nprobe=6).collect()
     assert all(r["qid"] == r["vec_id"] for r in rows)
+
+
+def test_ivf_replica_serve_contract_and_recall(spark):
+    """In-process IVF replica serving: sorted exact-k contract per query,
+    deterministic across calls (index cache), self-query found, and the
+    same ≥0.9 recall@10 gate vs exact as the distributed path."""
+    from custom_python_vectordb_spark.operators.partitioned import ivf_replica_serve
+
+    shard = f"{SF01}/embeddings.parquet"
+    queries = _queries(spark, SF01)
+    qpd = queries.toPandas()
+    res = ivf_replica_serve([shard], qpd, k=10, n_cells=16, nprobe=6)
+    assert len(res) == 50
+    for q, grp in res.groupby("qid"):
+        assert len(grp) == 10
+        assert grp["dist"].tolist() == sorted(grp["dist"].tolist())
+    res2 = ivf_replica_serve([shard], qpd, k=10, n_cells=16, nprobe=6)
+    assert res.values.tolist() == res2.values.tolist()
+    emb = _emb(spark, SF01)
+    truth = {(r["qid"], r["vec_id"]) for r in knn(emb, queries, k=10).collect()}
+    approx = set(zip(res["qid"].astype(int), res["vec_id"].astype(int)))
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, f"recall@10 {recall:.2f} < 0.9"
+    one = ivf_replica_serve([shard], qpd, k=1, n_cells=16, nprobe=6)
+    assert (one["qid"].to_numpy() == one["vec_id"].to_numpy()).all()

@@ -75,7 +75,8 @@ def test_rotation_puts_unverified_oracleable_first():
 def test_already_verified_requires_hash_green(tmp_path, monkeypatch):
     """A hash MISMATCH row must never count as verified (it is a failing
     query that needs to stay in the window); rows_match alone counts only
-    when no hash was recorded."""
+    when no hash was recorded. The value is the LATEST green round, so the
+    rotation can order the verified tail stalest-first."""
     import json
 
     rows = {
@@ -87,11 +88,14 @@ def test_already_verified_requires_hash_green(tmp_path, monkeypatch):
     }
     pkg = tmp_path / "custom_python_vectordb_spark"
     pkg.mkdir()
+    (tmp_path / "CORRECTNESS_r98.json").write_text(
+        json.dumps({"hash_green": rows["hash_green"]})
+    )
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
     monkeypatch.setattr(
         registry, "__file__", str(pkg / "registry.py"), raising=False
     )
-    assert registry._already_verified() == {"hash_green", "rows_only"}
+    assert registry._already_verified() == {"hash_green": 99, "rows_only": 99}
 
 
 def test_catalog_and_view_memoization(spark, sf_small):
