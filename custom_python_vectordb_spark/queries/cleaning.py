@@ -571,6 +571,95 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", (F.round(p, ROUND) + F.lit(0.0)).alias("p_keep"))
 
 
+@query("dsir_importance_sample", f"""
+WITH tok AS (SELECT doc_id, source, lang, {duck_tokenize('text')} AS toks FROM documents),
+term AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+lm_c AS (SELECT t, COUNT(*) AS c FROM term GROUP BY t),
+lm_t AS (SELECT t, COUNT(*) AS c FROM term JOIN (SELECT doc_id FROM documents WHERE lang = 'en') d USING (doc_id) GROUP BY t),
+nc AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM lm_c),
+nt AS (SELECT COALESCE(SUM(c), 0) AS n FROM lm_t),
+scored AS (
+    SELECT term.doc_id,
+           ROUND(AVG(ln((COALESCE(lm_t.c, 0) + 1.0) / (nt.n + nc.v))
+                     - ln((lm_c.c + 1.0) / (nc.n + nc.v))), 6) AS s
+    FROM term JOIN lm_c USING (t) LEFT JOIN lm_t USING (t) CROSS JOIN nc CROSS JOIN nt
+    GROUP BY term.doc_id
+),
+kept AS (
+    SELECT t2.doc_id, t2.source
+    FROM scored JOIN (SELECT doc_id, source FROM documents) t2 USING (doc_id)
+    WHERE CAST({duck_hash48("'dsir|' || CAST(scored.doc_id AS VARCHAR)")} AS DOUBLE) / 281474976710656.0
+          < 1.0 / (1.0 + exp(-(scored.s * 4.0 + 2.0)))
+)
+SELECT d.source, COUNT(k.doc_id) AS n_sampled, COUNT(*) AS n_total
+FROM documents d LEFT JOIN kept k USING (doc_id) GROUP BY d.source
+""")
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Data Selection via Importance
+    Resampling, Xie et al. 2023, public method): score each document by
+    the mean per-token log-ratio of a TARGET-domain unigram LM (here the
+    'en' slice — the proxy for a high-quality reference corpus) against
+    the overall corpus LM (both add-1 smoothed over the corpus
+    vocabulary), then keep each document with probability
+    sigmoid(4·score + 2) decided by a deterministic id-hash threshold —
+    importance sampling with zero RNG state, reproducible across engines
+    and reruns. Completes the r4 family: domain_weights_temperature says
+    how much of each source to take, logprob_histogram shows the score
+    distribution, this query materializes the actual per-document cut.
+
+    Oracle-robustness: the score is ROUNDed to 6 dp BEFORE the threshold
+    compare on BOTH sides, so the comparison is between a fixed 1e-6 grid
+    point and a fixed 48-bit hash fraction — a last-ulp libm difference
+    in ln/exp cannot flip membership unless the unrounded score sits
+    within ~1e-15 of a grid boundary. Emissions are integer counts per
+    source.
+
+    Scale: two token-keyed LM aggregates (map-side combinable), one
+    term→LM join sized by AQE (vocabulary tables, no broadcast hint —
+    the logprob_histogram rule), one doc-keyed average, one hash-filter
+    scan. No all-pairs, no window."""
+    from custom_python_vectordb_spark.functions.hashing import hash48
+    from custom_python_vectordb_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    term = docs.select("doc_id", F.explode(tokenize("text")).alias("t"))
+    lm_c = term.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    lm_t = (
+        term.join(docs.filter(F.col("lang") == "en").select("doc_id"), "doc_id")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    nc = lm_c.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    nt = lm_t.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    scored = (
+        term.join(lm_c, "t")
+        .join(lm_t, "t", "left")
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nt))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + F.col("v")))
+                    - F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+                ),
+                6,
+            ).alias("s")
+        )
+    )
+    frac = hash48(F.concat(F.lit("dsir|"), F.col("doc_id").cast("string"))).cast(
+        "double"
+    ) / F.lit(float(1 << 48))
+    keep_p = 1.0 / (1.0 + F.exp(-(F.col("s") * 4.0 + 2.0)))
+    kept = scored.filter(frac < keep_p).select("doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .join(kept.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(F.count("hit").alias("n_sampled"), F.count(F.lit(1)).alias("n_total"))
+    )
+
+
 @query("logprob_histogram", f"""
 WITH tok AS (SELECT doc_id, {duck_tokenize('text')} AS toks FROM documents),
 term AS (SELECT doc_id, unnest(toks) AS t FROM tok),

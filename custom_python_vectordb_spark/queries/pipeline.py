@@ -658,6 +658,50 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("leakage_safe_split", f"""
+WITH {DUCK_CORPUS.strip()},
+h AS (SELECT doc_id, md5(text) AS ch FROM corpus),
+cl AS (SELECT ch, MIN(doc_id) AS rep FROM h GROUP BY ch),
+keyed AS (
+    SELECT h.doc_id, h.ch,
+           {duck_hash48("'split|' || CAST(cl.rep AS VARCHAR)")} % 100 AS bucket
+    FROM h JOIN cl USING (ch)
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, COUNT(DISTINCT ch) AS n_clusters, MIN(doc_id) AS min_id
+FROM keyed GROUP BY 1
+""")
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/val/test split: the split key is the hash
+    of each document's DUPLICATE-CLUSTER representative (min doc_id per
+    content hash), not of the document itself — so exact duplicates can
+    never straddle the train/test boundary (the eval-contamination bug
+    plain per-doc hashing has; run near-dup clustering first and key on
+    ITS representative for the stronger guarantee). Runs on the
+    injected-duplicates corpus so the property is exercised by real
+    positives; a pytest asserts no content hash maps to two splits.
+
+    Plan: one hash-keyed aggregate for representatives + one id-keyed
+    join + one split aggregate — all map-side-combinable; the cluster
+    table joins back on its own grouping key, so at 100 TB both sides
+    are co-partitioned by the first shuffle."""
+    from custom_python_vectordb_spark.functions.hashing import hash48
+
+    h = _corpus(spark, sf_dir).select("doc_id", F.md5("text").alias("ch"))
+    cl = h.groupBy("ch").agg(F.min("doc_id").alias("rep"))
+    bucket = hash48(F.concat(F.lit("split|"), F.col("rep").cast("string"))) % 100
+    keyed = h.join(cl, "ch").select(
+        "doc_id",
+        "ch",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    return keyed.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("ch").alias("n_clusters"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
 @query("pack_sequences", f"""
 WITH tok AS (SELECT doc_id, n_chars // 4 + 1 AS n_tokens FROM documents),
 ordered AS (

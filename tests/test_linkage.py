@@ -1,0 +1,84 @@
+"""Fuzzy record linkage (operators/linkage.py): blocked Levenshtein
+matching must equal a brute-force within-block comparison, honor the block
+cap deterministically, and the leakage-safe split must never put one
+content hash in two splits."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.operators.linkage import fuzzy_pairs
+
+
+def test_fuzzy_pairs_equals_bruteforce_within_blocks(spark):
+    rows = [
+        (1, "blue bolt"),
+        (2, "blue belt"),        # d=1 from 1, same block
+        (3, "blue bolts"),       # d=1 from 1 (same length band: 9//4 == 10//4)
+        (4, "red bolt"),         # different tok0 → never compared with 1-3
+        (5, "red belt"),         # d=1 from 4
+        (6, "blue extraordinarily long name"),  # other length band
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["a"], r["b"], r["d"])
+        for r in fuzzy_pairs(df, "id", "name", max_distance=2).collect()
+    }
+    # brute force with the same blocking rule
+    import itertools
+
+    def block(n):
+        return (n.split(" ")[0], len(n) // 4)
+
+    def lev(s, t):
+        dp = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, dp[0] = dp[0], i
+            for j, ct in enumerate(t, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (cs != ct))
+        return dp[-1]
+
+    want = {
+        (a, b, lev(na, nb))
+        for (a, na), (b, nb) in itertools.combinations(rows, 2)
+        if block(na) == block(nb) and lev(na, nb) <= 2
+    }
+    assert got == want
+    assert (1, 2, 1) in got and (4, 5, 1) in got
+    # cross-block pair never compared even though d would be small
+    assert not any({a, b} == {1, 4} for a, b, _ in got)
+
+
+def test_fuzzy_pairs_block_cap_skips_big_blocks(spark):
+    rows = [(i, f"dup name{i % 2}") for i in range(10)] + [(100, "uniq one"), (101, "uniq two")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    # cap of 4 drops the 10-row "dup" block entirely; the 2-row block stays
+    got = fuzzy_pairs(df, "id", "name", max_distance=3, max_block=4).collect()
+    assert {(r["a"], r["b"]) for r in got} == {(100, 101)}
+    # deterministic: same result on a second run
+    again = fuzzy_pairs(df, "id", "name", max_distance=3, max_block=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_leakage_safe_split_no_hash_straddles(spark, sf_small):
+    """Every content hash lands in exactly ONE split — the property the
+    query exists for (exact duplicates never cross train/test)."""
+    from custom_python_vectordb_spark.functions.hashing import hash48
+    from custom_python_vectordb_spark.queries.pipeline import _corpus
+
+    h = _corpus(spark, sf_small).select("doc_id", F.md5("text").alias("ch"))
+    cl = h.groupBy("ch").agg(F.min("doc_id").alias("rep"))
+    bucket = hash48(F.concat(F.lit("split|"), F.col("rep").cast("string"))) % 100
+    keyed = h.join(cl, "ch").select(
+        "ch",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    straddlers = (
+        keyed.groupBy("ch").agg(F.count_distinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # and the corpus really contains duplicate content (the property is
+    # exercised by real positives, not vacuously)
+    assert cl.count() < h.count()
