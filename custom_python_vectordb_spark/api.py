@@ -320,6 +320,59 @@ class Collection:
             out[int(qid)].append({"id": vid, "dist": float(dist)})
         return out
 
+    def ann_serve(
+        self,
+        query_texts: list[str] | None = None,
+        query_embeddings: list[list[float]] | None = None,
+        n_results: int = 10,
+        metric: str = "cosine",
+        n_cells: int = 64,
+        nprobe: int = 8,
+    ) -> list[list[dict]]:
+        """APPROXIMATE serving twin of :meth:`query_serve` — the product
+        facade over ``operators/partitioned.ivf_replica_serve`` (the
+        reference serves its collections through hnswlib by default,
+        ``vectordb_optimized.py:271-280``; this is the same accelerated
+        tier with the IVF replica). Trades exactness for probe-pruned
+        scan (≈ nprobe·2/n_cells of brute force); recall is measured in
+        bench/tests, never assumed. Falls back to the EXACT serving path
+        while deletion vectors are active (raw shards would resurrect
+        deleted rows) — approximate must never also mean stale."""
+        import pandas as pd
+
+        from custom_python_vectordb_spark.operators.partitioned import (
+            ivf_replica_serve,
+        )
+
+        if (query_texts is None) == (query_embeddings is None):
+            raise ValueError("provide exactly one of query_texts / query_embeddings")
+        if query_embeddings is None:
+            query_embeddings = [
+                mock_embed_one(t, self.dimensions).tolist() for t in query_texts
+            ]
+        try:
+            paths = self.db.warehouse.shard_paths(self.name)
+        except RuntimeError:
+            return self.query_serve(
+                query_embeddings=query_embeddings, n_results=n_results, metric=metric
+            )
+        if not paths:
+            return [[] for _ in query_embeddings]
+        qpd = pd.DataFrame(
+            {
+                "qid": range(len(query_embeddings)),
+                "qvec": [[float(x) for x in v] for v in query_embeddings],
+            }
+        )
+        res = ivf_replica_serve(
+            paths, qpd, k=n_results, n_cells=n_cells, nprobe=nprobe,
+            metric=metric, id_col="id",
+        )
+        out: list[list[dict]] = [[] for _ in query_embeddings]
+        for qid, vid, dist in zip(res["qid"], res["id"], res["dist"]):
+            out[int(qid)].append({"id": vid, "dist": float(dist)})
+        return out
+
     def keyword_search(self, query: str, k: int = 10) -> DataFrame:
         return bm25_topk(self.df(), query, k=k, id_col="id", text_col="_document")
 

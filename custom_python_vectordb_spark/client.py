@@ -130,9 +130,12 @@ class Collection:
         query_embeddings: list[list[float]] | None = None,
         n_results: int = 10,
         where: dict | None = None,
+        ann: bool = False,
     ) -> list[list[dict]]:
         """Batch kNN; results[i] corresponds to input query i (positional
-        contract, empty slot when a filter matches nothing)."""
+        contract, empty slot when a filter matches nothing). ``ann=True``
+        routes to the server's IVF-replica accelerated tier (approximate
+        by contract, measured-recall; incompatible with ``where``)."""
         body: dict[str, Any] = {"n_results": n_results}
         if query_texts is not None:
             body["query_texts"] = query_texts
@@ -140,6 +143,8 @@ class Collection:
             body["query_embeddings"] = query_embeddings
         if where is not None:
             body["where"] = where
+        if ann:
+            body["ann"] = True
         return self._client._request(
             "POST", f"/collections/{self.name}/query", body
         )["results"]

@@ -76,3 +76,73 @@ def mmr_rerank(
         remaining.discard(best)
         out.append((ids[best], float(rel[best]), float(scores[best])))
     return out
+
+
+def mmr_replica_serve(
+    shard_paths: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    lam: float = 0.7,
+    fetch_k: int = 50,
+    *,
+    id_col: str = "vec_id",
+    dtype: str = "float64",
+) -> list[tuple]:
+    """Serving twin of :func:`mmr_rerank` — both stages in-process against
+    the shard replica (``knn.knn_replica_serve``'s cached block): the
+    relevance vector is one GEMM row, the top-``fetch_k`` candidate cut a
+    partition+tie-pool (identical selection rule to the distributed
+    path's knn tie-break), and the greedy argmax the same loop
+    `mmr_rerank` runs — but with zero Spark jobs on the hot path.
+    Same return shape, values equal to float tolerance (asserted in
+    tests)."""
+    from custom_python_vectordb_spark.operators.knn import replica_distance_vector
+
+    if fetch_k > 10_000:
+        raise ValueError(
+            f"fetch_k={fetch_k} exceeds the 10k driver-side candidate cap; "
+            "MMR reranks a bounded top-fetch_k candidate set, not the corpus"
+        )
+    from custom_python_vectordb_spark.operators.knn import _REPLICA_CACHE
+
+    ids_all, dists = replica_distance_vector(
+        shard_paths, query_vec, "cosine", id_col=id_col, dtype=dtype
+    )
+    n = len(ids_all)
+    if n == 0:
+        return []
+    kk = min(fetch_k, n)
+    top = np.argpartition(dists, kk - 1)[:kk]
+    kth = dists[top].max()
+    pool = np.flatnonzero(dists <= kth)
+    cand = sorted(pool, key=lambda i: (dists[i], ids_all[i]))[:kk]
+
+    entry = _REPLICA_CACHE[(tuple(sorted(shard_paths)), dtype)]
+    _, _ids, mat_all, _norms, _sq, _meta = entry
+    mat = np.array(mat_all[cand], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1.0, norms)
+    q = np.array([float(x) for x in query_vec], dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn != 0 else 1.0)
+    rel = mat @ q
+    ids = [ids_all[i] for i in cand]
+
+    selected: list[int] = []
+    out: list[tuple] = []
+    remaining = set(range(len(ids)))
+    for _ in range(min(k, len(ids))):
+        if selected:
+            redundancy = (mat @ mat[selected].T).max(axis=1)
+        else:
+            redundancy = np.zeros(len(ids))
+        scores = lam * rel - (1 - lam) * redundancy
+        best = max(
+            remaining,
+            key=lambda i: (scores[i], -ids[i] if isinstance(ids[i], (int, np.integer)) else 0),
+        )
+        selected.append(best)
+        remaining.discard(best)
+        out.append((int(ids[best]) if isinstance(ids[best], np.integer) else ids[best],
+                    float(rel[best]), float(scores[best])))
+    return out

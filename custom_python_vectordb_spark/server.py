@@ -525,7 +525,22 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                 # in-process replica path (api.query_serve) — same results
                 # as the declarative plan (asserted in tests), no job
                 # round-trip; the dict filter becomes a NumPy mask over
-                # replica-resident metadata (the reference's P5 pattern)
+                # replica-resident metadata (the reference's P5 pattern).
+                # "ann": true routes to the IVF replica (api.ann_serve) —
+                # the accelerated tier, approximate by contract
+                if body.get("ann"):
+                    if body.get("where") is not None:
+                        raise ValueError(
+                            "ann queries do not support where-filters; "
+                            "use the exact path"
+                        )
+                    return 200, {
+                        "results": coll.ann_serve(
+                            query_texts=body.get("query_texts"),
+                            query_embeddings=body.get("query_embeddings"),
+                            n_results=int(body.get("n_results", 10)),
+                        )
+                    }
                 return 200, {
                     "results": coll.query_serve(
                         query_texts=body.get("query_texts"),

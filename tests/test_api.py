@@ -260,6 +260,24 @@ def test_keyword_serve_equals_plan_keyword_search(coll):
     assert "d4" not in {h["id"] for h in served}
 
 
+def test_ann_serve_recall_vs_exact(coll):
+    """The IVF-replica accelerated tier must return high-overlap results
+    vs the exact serving path (on a 4-doc corpus with every cell probed,
+    identical), keep the positional contract, and fall back to exact
+    while deletion vectors are active."""
+    texts = ["shuffle strategies", "fox"]
+    exact = coll.query_serve(query_texts=texts, n_results=2)
+    ann = coll.ann_serve(query_texts=texts, n_results=2)
+    assert len(ann) == 2
+    for e_hits, a_hits in zip(exact, ann):
+        assert [h["id"] for h in a_hits] == [h["id"] for h in e_hits]
+        for e, a in zip(e_hits, a_hits):
+            assert a["dist"] == pytest.approx(e["dist"], abs=1e-6)
+    coll.delete(["d1"])  # rewrite → replica re-keys
+    ann2 = coll.ann_serve(query_texts=["shuffle strategies"], n_results=4)
+    assert "d1" not in {h["id"] for h in ann2[0]}
+
+
 def test_serve_capacity_fallback_to_declarative(coll, monkeypatch):
     """A corpus above the replica's max_bytes budget must fall back to the
     declarative plan (round-4 ADVICE #2) — same results, never an error —

@@ -148,6 +148,29 @@ def test_mmr_rerank_prefers_diversity(spark):
         mmr_rerank(corpus, q, k=2, fetch_k=10_001)
 
 
+def test_mmr_replica_serve_equals_distributed(spark, sf_small):
+    """In-process MMR (replica distances + numpy greedy) must pick the
+    same documents in the same order as the distributed mmr_rerank, with
+    equal relevance/MMR scores to float tolerance, across lambdas."""
+    from custom_python_vectordb_spark.operators.mmr import (
+        mmr_rerank,
+        mmr_replica_serve,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    q = [float(x) for x in emb.filter("vec_id = 3").collect()[0]["embedding"]]
+    shard = f"{sf_small}/embeddings.parquet"
+    for lam in (1.0, 0.6, 0.3):
+        a = mmr_rerank(emb, q, k=5, lam=lam, fetch_k=30)
+        b = mmr_replica_serve([shard], q, k=5, lam=lam, fetch_k=30)
+        assert [x[0] for x in a] == [x[0] for x in b], lam
+        for (_, r1, s1), (_, r2, s2) in zip(a, b):
+            assert r1 == pytest.approx(r2, abs=1e-6)
+            assert s1 == pytest.approx(s2, abs=1e-6)
+    with pytest.raises(ValueError, match="10k driver-side candidate cap"):
+        mmr_replica_serve([shard], q, k=5, fetch_k=10_001)
+
+
 def test_replica_mmap_mode_equals_in_ram(spark, queries_df, sf_small, tmp_path):
     """The beyond-RAM mmap replica (matrix memory-mapped from a streamed
     .npy cache) must return exactly the in-RAM replica's results for every

@@ -82,3 +82,44 @@ def test_leakage_safe_split_no_hash_straddles(spark, sf_small):
     # and the corpus really contains duplicate content (the property is
     # exercised by real positives, not vacuously)
     assert cl.count() < h.count()
+
+
+def test_streaming_linkage_converges_to_batch(spark, tmp_path):
+    """Feeding records batch-by-batch through the incremental linkage index
+    yields exactly fuzzy_pairs over the union (blocks under the cap), and
+    replaying a batch is idempotent."""
+    from custom_python_vectordb_spark.streaming.linkage_maintenance import (
+        load_linkage_pairs,
+        process_linkage_batch,
+    )
+
+    rows = [
+        (1, "blue bolt"), (2, "blue belt"), (3, "red gear"),
+        (4, "blue bolts"), (5, "red gears"), (6, "green cog"),
+        (7, "blue belt"), (8, "red goar"),
+    ]
+    batches = [rows[:3], rows[3:6], rows[6:]]
+    root = str(tmp_path / "lnk")
+    for i, chunk in enumerate(batches):
+        df = spark.createDataFrame(chunk, "id long, name string")
+        process_linkage_batch(df, i, root, max_distance=2)
+
+    got = {
+        (r["a"], r["b"], r["d"]) for r in load_linkage_pairs(spark, root).collect()
+    }
+    full = spark.createDataFrame(rows, "id long, name string")
+    want = {
+        (r["a"], r["b"], r["d"])
+        for r in fuzzy_pairs(full, "id", "name", max_distance=2).collect()
+    }
+    assert got == want and len(want) > 0
+    # cross-batch pair really exists (1 in batch 0, 4 in batch 1)
+    assert any({a, b} == {1, 4} for a, b, _ in got)
+
+    # replay batch 1: same final state
+    df1 = spark.createDataFrame(batches[1], "id long, name string")
+    process_linkage_batch(df1, 1, root, max_distance=2)
+    again = {
+        (r["a"], r["b"], r["d"]) for r in load_linkage_pairs(spark, root).collect()
+    }
+    assert again == want

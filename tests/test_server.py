@@ -48,6 +48,19 @@ def test_rest_roundtrip(served):
     )
     assert status == 200 and out["results"][0][0]["id"] == "x"
     assert out["results"][0][0]["dist"] == pytest.approx(0.0, abs=1e-6)
+    # accelerated tier: "ann": true routes to the IVF replica; on a corpus
+    # this small every cell is probed, so the result matches exact
+    status, ann = call(
+        port, "POST", "/collections/kb/query",
+        {"query_texts": ["spark joins data"], "n_results": 1, "ann": True},
+    )
+    assert status == 200 and ann["results"][0][0]["id"] == "x"
+    # ann + where is a contract error (400), not silent wrong data
+    status, _ = call(
+        port, "POST", "/collections/kb/query",
+        {"query_texts": ["x"], "ann": True, "where": {"a": 1}},
+    )
+    assert status == 400
     assert call(port, "DELETE", "/collections/kb")[1] == {"deleted": True}
     assert call(port, "GET", "/collections")[1] == {"collections": []}
 

@@ -48,6 +48,10 @@ SHOW = [
     ("token_budget_sample", "per-source running-sum window: one shuffle on source, partition-local cumulative pass"),
     ("events_range_pruned", "manifest-pruned scan: only the dir(s) whose [min,max] can contain the range are planned"),
     ("order_priority_check", "correlated EXISTS as left-semi hash join with a non-equi late-shipment condition"),
+    ("fuzzy_name_matches", "blocked linkage: capped (tok0, length-band) blocks, self-join inside blocks only, codegen levenshtein verify"),
+    ("leakage_safe_split", "cluster-representative hash split: hash agg for reps + id-keyed join, both combine map-side"),
+    ("dsir_importance_sample", "DSIR cut: two vocab aggregates, AQE-sized LM joins, doc-keyed score avg, hash-threshold filter"),
+    ("unigram_logprob", "LM join carries no broadcast hint: AQE broadcasts the vocab table while small, shuffles beyond"),
 ]
 
 MARKERS = [
