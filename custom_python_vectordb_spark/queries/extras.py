@@ -582,6 +582,11 @@ def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        # edges feeds BOTH the triangle counter and the degree aggregate,
+        # but persist() here is a measured LOSS (5.1 → 6.0 s at sf0.1,
+        # round 5): the InMemoryRelation scan of ~1M cached edge rows
+        # costs more than re-deriving them from the memoized lineitem
+        # scan under whole-stage codegen. Recompute wins; don't cache.
     )
     tri = triangle_count(edges).select("n_triangles")
     deg = (
