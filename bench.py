@@ -191,6 +191,32 @@ def _bench_knn_100k(spark) -> dict[str, float]:
             assert len(pdf) == nq * 10
             out["knn_batch20_100k_mmap_ms_per_query"] = round(dt * 1000 / nq, 3)
 
+            # quantized serving replica: uint8 codes resident (4× less RAM
+            # than float32 — serve 4× the corpus per node), coarse scan +
+            # exact rerank gathered from the mmap float tier on disk;
+            # recall measured every run, never assumed
+            from custom_python_vectordb_spark.operators.quantization import (
+                sq_replica_serve,
+            )
+
+            sq_replica_serve(shards, sub, k=10)  # build code tier
+            dt, pdf = _best_of(lambda: sq_replica_serve(shards, sub, k=10))
+            assert len(pdf) == nq * 10
+            out["knn_batch20_100k_sq_ms_per_query"] = round(dt * 1000 / nq, 3)
+            exact_l2 = knn_replica_serve(shards, sub, k=10, dtype="float32", metric="l2")
+            tl2: dict[int, set] = {}
+            for q, v in zip(exact_l2["qid"], exact_l2["vec_id"]):
+                tl2.setdefault(q, set()).add(v)
+            hits = sum(1 for q, v in zip(pdf["qid"], pdf["vec_id"]) if v in tl2.get(q, ()))
+            out["knn_batch20_100k_sq_recall_at10"] = round(hits / len(exact_l2), 4)
+            sq_replica_serve(shards, sub, k=10, fetch_k=50, rerank_mmap_dir=mmdir)
+            dt, pdf = _best_of(
+                lambda: sq_replica_serve(shards, sub, k=10, fetch_k=50, rerank_mmap_dir=mmdir)
+            )
+            out["knn_batch20_100k_sq_rerank_ms_per_query"] = round(dt * 1000 / nq, 3)
+            hits = sum(1 for q, v in zip(pdf["qid"], pdf["vec_id"]) if v in tl2.get(q, ()))
+            out["knn_batch20_100k_sq_rerank_recall_at10"] = round(hits / len(exact_l2), 4)
+
             # distributed shard-resident path (the multi-node story). Floor
             # measured round 5: ANY Python-stage Spark job costs ~140 ms
             # (no-op scalar pandas_udf over range(1); JVM-only 32 ms), so

@@ -138,3 +138,78 @@ def test_pq_snapshot_matches_retrained_codebook(spark, sf_med):
     got = sorted((r["m"], r["code"], tuple(r["centroid"])) for r in cb.collect())
     want = sorted((m, code, tuple(c)) for m, code, c in PQ_CENTROIDS_SF001)
     assert got == want
+
+
+def test_sq_replica_serve_equals_expression_path(spark, sf_small):
+    """The quantized serving replica (uint8 codes resident, chunked-GEMM
+    L2 expansion) must rank exactly like the oracle-checked
+    sq_l2_dist_expr path, with distances equal to float32-accumulation
+    tolerance, and re-key its cache on shard change."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.operators.quantization import (
+        sq_encode,
+        sq_encode_expr,
+        sq_l2_dist_expr,
+        sq_model,
+        sq_replica_serve,
+    )
+    from custom_python_vectordb_spark.operators.topk import top_k_per_group
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    model = sq_model(emb)
+    coded = sq_encode(emb, model).select("vec_id", "codes")
+    q = (
+        emb.filter("vec_id < 3")
+        .crossJoin(F.broadcast(model))
+        .select(
+            F.col("vec_id").alias("qid"),
+            sq_encode_expr(F.col("embedding")).alias("qcodes"),
+        )
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(model))
+        .select("qid", "vec_id", sq_l2_dist_expr(F.col("qcodes"), F.col("codes")).alias("dist"))
+    )
+    expr = top_k_per_group(
+        scored, "qid", 7, F.col("dist").asc(), F.col("vec_id").asc()
+    ).orderBy("qid", "dist", "vec_id").collect()
+
+    qpd = (
+        emb.filter("vec_id < 3")
+        .selectExpr("vec_id as qid", "embedding as qvec")
+        .toPandas()
+    )
+    serve = sq_replica_serve([f"{sf_small}/embeddings.parquet"], qpd, k=7, chunk_rows=100)
+    assert [(r["qid"], r["vec_id"]) for r in expr] == list(
+        zip(serve["qid"].astype(int), serve["vec_id"].astype(int))
+    )
+    for a, b in zip(expr, serve["dist"]):
+        assert a["dist"] == pytest.approx(b, rel=1e-5, abs=1e-5)
+
+
+def test_sq_replica_rerank_equals_exact_l2(spark, sf_small, tmp_path):
+    """Coarse-SQ + mmap exact rerank: with fetch_k covering the quantization
+    error margin, results must equal the exact L2 replica top-k (ids and
+    distances) — the K5 two-stage contract at serving speed."""
+    import pytest
+
+    from custom_python_vectordb_spark.operators.knn import knn_replica_serve
+    from custom_python_vectordb_spark.operators.quantization import sq_replica_serve
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    qpd = emb.filter("vec_id < 3").selectExpr("vec_id as qid", "embedding as qvec").toPandas()
+    shard = f"{sf_small}/embeddings.parquet"
+    exact = knn_replica_serve([shard], qpd, k=5, metric="l2")
+    rr = sq_replica_serve(
+        [shard], qpd, k=5, fetch_k=60, rerank_mmap_dir=str(tmp_path)
+    )
+    assert list(zip(exact["qid"].astype(int), exact["vec_id"].astype(int))) == list(
+        zip(rr["qid"].astype(int), rr["vec_id"].astype(int))
+    )
+    for a, b in zip(exact["dist"], rr["dist"]):
+        assert a == pytest.approx(b, rel=1e-6, abs=1e-6)
