@@ -517,3 +517,53 @@ def keyword_score_vector(
         idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
         scores[idxs] += qn * idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl[idxs] / avgdl))
     return ids, scores
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over positional postings — the IR capability a
+    bag-of-words BM25 cannot express (the reference's keyword layer is
+    BOW-only; this is the standard positional-index extension). One-join
+    formulation instead of an m-way self-join: every occurrence of a
+    phrase term at position p proposes phrase-start ``p − offset``; a
+    true match is a (doc, start) whose DISTINCT offsets cover the whole
+    phrase, so the plan is
+
+        positional explode → broadcast phrase-term join (postings pruned
+        to the phrase's terms before any shuffle) → ONE map-side-combined
+        groupBy (doc, start) with count_distinct(offset) = len(phrase)
+        → per-doc match counts → top-k.
+
+    Duplicate phrase terms are handled by construction (each offset must
+    be covered by its own position). Returns (id, n_matches) ranked by
+    matches desc, id asc."""
+    spark = docs.sparkSession
+    terms = tokenize_py(phrase)
+    if not terms:
+        return local_df(spark, [], f"{id_col} long, n_matches long")
+    tl = local_df(
+        spark, [(i, t) for i, t in enumerate(terms)], "off int, term string"
+    )
+    post = tokens_df(docs, id_col, text_col).select(
+        id_col, F.posexplode("toks").alias("pos", "term")
+    )
+    starts = post.join(F.broadcast(tl), "term").select(
+        id_col, (F.col("pos") - F.col("off")).alias("start"), "off"
+    )
+    hits = (
+        starts.groupBy(id_col, "start")
+        .agg(F.count_distinct("off").alias("n_off"))
+        .filter(F.col("n_off") == len(terms))
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy(F.desc("n_matches"), F.asc(id_col))
+        .limit(k)
+    )

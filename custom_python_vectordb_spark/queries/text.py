@@ -425,3 +425,23 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_python_vectordb_spark.operators.chunking import chunk_documents
 
     return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16)
+
+
+@query("phrase_search", f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tok),
+q(off, term) AS (VALUES (0, 'hash'), (1, 'join')),
+starts AS (SELECT doc_id, pos - off AS start, off FROM pos JOIN q USING (term)),
+hits AS (SELECT doc_id, start FROM starts GROUP BY doc_id, start
+         HAVING COUNT(DISTINCT off) = 2)
+SELECT doc_id, COUNT(*) AS n_matches FROM hits GROUP BY doc_id
+ORDER BY n_matches DESC, doc_id LIMIT 10
+""")
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ("hash join") over positional postings — see
+    operators/bm25.phrase_search for the one-join offset-shift plan. The
+    oracle states the same formulation with a 1-based position index
+    (the constant shift cancels inside the (doc, start) grouping)."""
+    from custom_python_vectordb_spark.operators.bm25 import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), "hash join", k=10)

@@ -105,3 +105,25 @@ def test_hybrid_union_and_zero_fill(spark, docs_df):
     # fused = mean of the two sides at alpha 0.5
     for r in out:
         assert r["score"] == pytest.approx(0.5 * r["vector_score"] + 0.5 * r["keyword_score"])
+
+
+def test_phrase_search_semantics(spark):
+    """Exact adjacency, multi-occurrence counting, duplicate phrase terms,
+    and no-match behavior."""
+    from custom_python_vectordb_spark.operators.bm25 import phrase_search
+
+    rows = [
+        (1, "hash join beats nested loop hash join"),   # 2 matches
+        (2, "hash but not join adjacent"),              # terms present, no phrase
+        (3, "join hash"),                               # reversed, no match
+        (4, "a hash join b"),                           # 1 match
+        (5, "the big the cat"),                         # for dup-term phrase
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["n_matches"]) for r in phrase_search(docs, "hash join").collect()}
+    assert got == {(1, 2), (4, 1)}
+    # duplicate term in the phrase: every offset needs its own position
+    got = {(r["doc_id"], r["n_matches"]) for r in phrase_search(docs, "the big the").collect()}
+    assert got == {(5, 1)}
+    assert phrase_search(docs, "absent words").collect() == []
+    assert phrase_search(docs, "") .collect() == []
