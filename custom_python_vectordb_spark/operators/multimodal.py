@@ -336,6 +336,50 @@ def resize_ppm_pixels(media: DataFrame, max_side: int = 64, id_col: str = "doc_i
     )
 
 
+def resize_images(media: DataFrame, max_side: int = 64, id_col: str = "doc_id") -> DataFrame:
+    """Format-sniffing pixel resize (round 5): PPM/BMP/PNG in, nearest-
+    neighbour resample so max(w, h) ≤ max_side, re-encoded in a REAL
+    format out — PPM stays PPM; BMP and PNG come back as PNG (BMP
+    re-encode would need row padding for no benefit; PNG round-trips
+    losslessly through the stdlib-zlib codec). Output codec is named per
+    row so downstream operators can dispatch."""
+    ms = max_side
+    _ppm, _bmp, _png = decode_ppm, decode_bmp, decode_png
+    _eppm, _epng = encode_ppm, encode_png  # closure cells → pickled by value
+
+    def resize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "codec", "width", "height", "media")}
+            for i, buf in zip(pdf[id_col], pdf["media"]):
+                buf = bytes(buf or b"")
+                if buf.startswith(b"P6"):
+                    codec, (w, h, c, px) = "ppm", _ppm(buf)
+                elif buf.startswith(b"BM"):
+                    codec, (w, h, c, px) = "png", _bmp(buf)
+                elif buf.startswith(b"\x89PNG\r\n\x1a\n"):
+                    codec, (w, h, c, px) = "png", _png(buf)
+                else:
+                    continue
+                scale = min(1.0, ms / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                xs = (np.arange(nw) * (w / nw)).astype(int)
+                ys = (np.arange(nh) * (h / nh)).astype(int)
+                small = np.ascontiguousarray(px[ys][:, xs])
+                enc = _eppm(small) if codec == "ppm" else _epng(small)
+                for k, v in ((id_col, i), ("codec", codec), ("width", nw),
+                             ("height", nh), ("media", enc)):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "media").mapInPandas(
+        resize,
+        schema=f"{id_col} long, codec string, width int, height int, media binary",
+    )
+
+
 def media_from_text(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Derive a deterministic binary 'media' corpus from the documents table
     (payload = utf-8 bytes; media_type round-robins image/audio/video)."""

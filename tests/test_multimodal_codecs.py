@@ -268,3 +268,35 @@ def test_decode_images_sniffs_png(spark):
     for r in got.values():
         assert (r["width"], r["height"], r["channels"]) == (4, 4, 3)
         assert abs(r["mean_luma"] - 100.0) < 1e-9
+
+
+def test_resize_images_sniffs_and_reencodes(spark):
+    """resize_images: PPM stays PPM, PNG/BMP come back as decodable PNG,
+    pixels actually resampled (gradient structure preserved)."""
+    import numpy as np
+
+    from custom_python_vectordb_spark.operators.multimodal import (
+        decode_png,
+        decode_ppm,
+        encode_png,
+        encode_ppm,
+        resize_images,
+    )
+
+    grad = np.zeros((8, 8, 3), dtype=np.uint8)
+    grad[:, 4:, :] = 200  # left half black, right half bright
+    rows = [
+        (1, bytearray(encode_ppm(grad))),
+        (2, bytearray(encode_png(grad))),
+        (3, bytearray(b"nope")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r for r in resize_images(media, max_side=4).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["codec"] == "ppm" and got[2]["codec"] == "png"
+    for did, dec in ((1, decode_ppm), (2, decode_png)):
+        r = got[did]
+        assert (r["width"], r["height"]) == (4, 4)
+        w, h, c, px = dec(bytes(r["media"]))
+        assert (w, h, c) == (4, 4, 3)
+        assert (px[:, :2] == 0).all() and (px[:, 2:] == 200).all()
