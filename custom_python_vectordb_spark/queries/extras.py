@@ -240,22 +240,43 @@ def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- partition-local ANN index
 
-@query("knn_partitioned")  # approximate + partitioning-dependent → rows-only
+def _partitioned_snapshot_oracle():
+    from custom_python_vectordb_spark.queries._partitioned_snapshot import (
+        knn_partitioned_oracle_sql,
+    )
+
+    return knn_partitioned_oracle_sql()
+
+
+def _recall_snapshot_oracle():
+    from custom_python_vectordb_spark.queries._partitioned_snapshot import (
+        recall_oracle_sql,
+    )
+
+    return recall_oracle_sql()
+
+
+@query("knn_partitioned", _partitioned_snapshot_oracle, oracle_sf="sf0.01")
 def knn_partitioned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW-analog accelerator (operators/partitioned.py): per-partition
-    NumPy IVF built inside mapInPandas, deterministic via range partitioning
-    + seeded k-means. Quality is gated by `recall_partitioned_vs_exact`,
-    not an SQL oracle (an approximate, partition-shaped result has no
-    engine-independent SQL statement)."""
+    NumPy IVF built inside mapInPandas, deterministic via modulo sharding
+    + lowest-id-seeded k-means. An approximate partition-shaped result has
+    no engine-independent SQL statement, but it IS bit-deterministic
+    (asserted across runs and session configs in tests), so the r5
+    snapshot oracle freezes the sf0.01 result rows as literals
+    (queries/_partitioned_snapshot.py — the pq_kmeans_recall trick):
+    hash-checked by the driver instead of rows-only; a pytest recomputes
+    and asserts snapshot equality so drift fails locally first."""
     from custom_python_vectordb_spark.operators.partitioned import knn_partitioned
     from custom_python_vectordb_spark.queries.spine import _query_vectors
 
     emb = _t(spark, sf_dir, "embeddings")
     qpd = _query_vectors(spark, sf_dir, 5).toPandas()
-    return knn_partitioned(emb, qpd, k=10, n_cells=16, nprobe=6)
+    out = knn_partitioned(emb, qpd, k=10, n_cells=16, nprobe=6)
+    return out.withColumn("dist", F.round("dist", 6) + F.lit(0.0))
 
 
-@query("recall_partitioned_vs_exact")  # model-quality metric → rows-only
+@query("recall_partitioned_vs_exact", _recall_snapshot_oracle, oracle_sf="sf0.01")
 def recall_partitioned_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the partition-local index vs exact kNN ground truth —
     the reference's quality-gate methodology for its accelerators

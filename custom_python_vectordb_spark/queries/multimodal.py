@@ -86,8 +86,24 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media_from_text(_t(spark, sf_dir, "documents")), 4)
 
 
-@query("media_features")  # mock-embedding feature vectors — rows-only check
+def _media_snapshot_oracle():
+    from custom_python_vectordb_spark.queries._media_snapshot import (
+        media_features_oracle_sql,
+    )
+
+    return media_features_oracle_sql()
+
+
+@query("media_features", _media_snapshot_oracle, oracle_sf="sf0.01")
 def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mock-embedding feature extraction over binary media. The pipeline
+    is deterministic end-to-end (payload = text-derived bytes, digest =
+    md5, embedding = seeded mock), so the r5 snapshot oracle freezes the
+    sf0.01 rows (queries/_media_snapshot.py — the same upgrade as the
+    partitioned-ANN snapshot): the former rows-only check becomes
+    hash-checked. ``f0`` (first feature component) carries the
+    content-sensitive surface — the norm alone is 1.0 by construction
+    (the embedder normalizes)."""
     out = media_features(media_from_text(_t(spark, sf_dir, "documents")), 64)
     return out.select(
         "doc_id",
@@ -102,4 +118,5 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("norm"),
+        (F.round(F.element_at("features", 1).cast("double"), 6) + F.lit(0.0)).alias("f0"),
     )

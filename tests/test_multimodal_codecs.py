@@ -300,3 +300,22 @@ def test_resize_images_sniffs_and_reencodes(spark):
         w, h, c, px = dec(bytes(r["media"]))
         assert (w, h, c) == (4, 4, 3)
         assert (px[:, :2] == 0).all() and (px[:, 2:] == 200).all()
+
+
+def test_media_features_snapshot_matches_recomputation(spark):
+    """Frozen sf0.01 media_features rows (the snapshot oracle) must equal
+    a live recomputation — drift fails here before the driver gate."""
+    from custom_python_vectordb_spark import registry
+    from custom_python_vectordb_spark.queries._media_snapshot import (
+        MEDIA_FEATURES_ROWS_SF001,
+    )
+
+    registry.load_all()
+    fn = registry.QUERIES["media_features"].__wrapped__
+    live = [
+        (int(r["doc_id"]), int(r["dim"]), float(r["norm"]), float(r["f0"]))
+        for r in fn(spark, "/root/testdata/sf0.01").collect()
+    ]
+    assert live == [
+        (i, d, float(n), float(f)) for i, d, n, f in MEDIA_FEATURES_ROWS_SF001
+    ]

@@ -92,3 +92,35 @@ def test_ivf_replica_serve_contract_and_recall(spark):
     assert recall >= 0.9, f"recall@10 {recall:.2f} < 0.9"
     one = ivf_replica_serve([shard], qpd, k=1, n_cells=16, nprobe=6)
     assert (one["qid"].to_numpy() == one["vec_id"].to_numpy()).all()
+
+
+def test_partitioned_snapshot_matches_recomputation(spark):
+    """The frozen sf0.01 snapshot rows (the knn_partitioned /
+    recall_partitioned_vs_exact oracles) must equal a live recomputation
+    under this session's config — drift fails here before the driver
+    gate ever sees it."""
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.queries._partitioned_snapshot import (
+        KNN_PARTITIONED_ROWS_SF001,
+        RECALL_SF001,
+    )
+    from custom_python_vectordb_spark.queries.spine import _query_vectors
+
+    sf = "/root/testdata/sf0.01"
+    emb = _emb(spark, sf)
+    qpd = _query_vectors(spark, sf, 5).toPandas()
+    out = knn_partitioned(emb, qpd, k=10, n_cells=16, nprobe=6).withColumn(
+        "dist", F.round("dist", 6) + F.lit(0.0)
+    )
+    live = [(int(r["qid"]), int(r["vec_id"]), float(r["dist"])) for r in out.collect()]
+    assert live == [(q, v, float(d)) for q, v, d in KNN_PARTITIONED_ROWS_SF001]
+
+    queries = _query_vectors(spark, sf, 5)
+    approx = knn_partitioned(emb, qpd, k=10, n_cells=16, nprobe=6).select("qid", "vec_id")
+    truth = knn(emb, queries, k=10).select("qid", "vec_id")
+    hits = truth.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rec = hits.agg(F.round(F.avg("n") / 10.0, 6).alias("r")).collect()[0]["r"]
+    assert float(rec) == RECALL_SF001

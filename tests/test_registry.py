@@ -34,22 +34,19 @@ def test_oracle_sql_is_nonempty_and_selects():
 
 
 def test_weak_queries_are_the_documented_set():
+    # round 5 closed the last three rows-only checks with frozen-snapshot
+    # oracles (_partitioned_snapshot / _media_snapshot): every registered
+    # query now carries an oracle — the weak set must stay EMPTY
     weak = set(registry.QUERIES) - set(registry.ORACLES)
-    # round 4 closed pq_kmeans_recall (frozen-codebook snapshot oracle) —
-    # only the partition-shaped ANN internals remain genuinely non-SQL
-    assert weak == {
-        "media_features",        # embedding-based feature stub
-        "knn_partitioned",       # approximate, partition-shaped result
-        "recall_partitioned_vs_exact",  # model-quality metric
-    }, weak
+    assert weak == set(), weak
 
 
 def test_contract_size_exact():
     # Pin the full contract: a broken import now raises in load_all, and this
     # guards against a module silently registering fewer queries.  Bump the
     # numbers when adding queries — never let them shrink.
-    assert len(registry.QUERIES) >= 175
-    assert len(registry.ORACLES) >= 171
+    assert len(registry.QUERIES) >= 193
+    assert len(registry.ORACLES) >= 193
 
 
 def test_rotation_puts_unverified_oracleable_first():
