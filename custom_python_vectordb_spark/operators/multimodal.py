@@ -207,6 +207,215 @@ def _codec_fns():
             nch = 3
         return w, h, nch, px
 
+    def _gif_lzw_decode(min_code_size: int, data: bytes) -> list:
+        """GIF variable-width LZW → list of palette indices."""
+        clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+        width = min_code_size + 1
+        table = [(i,) for i in range(clear)] + [None, None]
+        out: list = []
+        prev = None
+        acc = nbits = 0
+        for byte in data:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    table = [(i,) for i in range(clear)] + [None, None]
+                    width = min_code_size + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    return out
+                if prev is None:
+                    entry = table[code]
+                elif code < len(table) and table[code] is not None:
+                    entry = table[code]
+                    table.append(prev + (entry[0],))
+                else:  # the KwKwK case
+                    entry = prev + (prev[0],)
+                    table.append(entry)
+                out.extend(entry)
+                prev = entry
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        return out
+
+    def _gif_lzw_encode(min_code_size: int, indices) -> bytes:
+        """GIF variable-width LZW encoder (tests/round-trips)."""
+        clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+        out_bits: list = []
+        width = min_code_size + 1
+
+        def emit(code):
+            nonlocal width
+            out_bits.append((code, width))
+
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        emit(clear)
+        w: tuple = ()
+        for k in indices:
+            wk = w + (int(k),)
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w])
+            table[wk] = next_code
+            next_code += 1
+            w = (int(k),)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            if next_code >= 4096:
+                emit(clear)
+                table = {(i,): i for i in range(clear)}
+                next_code = eoi + 1
+                width = min_code_size + 1
+        if w:
+            emit(table[w])
+        emit(eoi)
+        acc = nbits = 0
+        raw = bytearray()
+        for code, wd in out_bits:
+            acc |= code << nbits
+            nbits += wd
+            while nbits >= 8:
+                raw.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            raw.append(acc & 0xFF)
+        return bytes(raw)
+
+    def decode_gif(buf: bytes):
+        """REAL GIF decode → (w, h, n_frames, frames) with frames a list of
+        composed (h, w, 3) uint8 canvases. Pure Python/NumPy: variable-
+        width LZW, global+local color tables, transparency, disposal
+        methods 0-3, Adam-free interlace reorder. The 'video' tier of the
+        codec stack — GIF is the one animation container with no entropy
+        coder beyond LZW, so like PNG it never needed ffmpeg."""
+        import struct
+
+        import numpy as np
+
+        if buf[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        w, h, packed, bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            gct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        canvas = np.zeros((h, w, 3), np.uint8)
+        if gct is not None:
+            canvas[:] = gct[bg]
+        frames: list = []
+        transparent = None
+        disposal = 0
+        prev_canvas = None
+        while pos < len(buf):
+            b0 = buf[pos]
+            pos += 1
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension
+                label = buf[pos]
+                pos += 1
+                blocks = []
+                while buf[pos]:
+                    ln = buf[pos]
+                    blocks.append(buf[pos + 1 : pos + 1 + ln])
+                    pos += 1 + ln
+                pos += 1  # block terminator
+                if label == 0xF9 and blocks:  # graphics control
+                    flags = blocks[0][0]
+                    disposal = (flags >> 2) & 7
+                    transparent = blocks[0][3] if flags & 1 else None
+                continue
+            if b0 != 0x2C:
+                raise ValueError(f"unknown GIF block 0x{b0:02x}")
+            fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", buf, pos)
+            pos += 9
+            ct = gct
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 7)
+                ct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF frame without any color table")
+            min_code = buf[pos]
+            pos += 1
+            data = bytearray()
+            while buf[pos]:
+                ln = buf[pos]
+                data += buf[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(
+                _gif_lzw_decode(min_code, bytes(data))[: fw * fh], np.int64
+            ).reshape(fh, fw)
+            if fpacked & 0x40:  # interlaced: reorder the 4 passes
+                order = np.concatenate(
+                    [np.arange(0, fh, 8), np.arange(4, fh, 8),
+                     np.arange(2, fh, 4), np.arange(1, fh, 2)]
+                )
+                deint = np.empty_like(idx)
+                deint[order] = idx
+                idx = deint
+            if disposal == 3:
+                prev_canvas = canvas.copy()
+            rect = canvas[fy : fy + fh, fx : fx + fw]
+            px = ct[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                rect[mask] = px[mask]
+            else:
+                rect[:] = px
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore background in the frame rect
+                canvas[fy : fy + fh, fx : fx + fw] = (
+                    gct[bg] if gct is not None else 0
+                )
+            elif disposal == 3 and prev_canvas is not None:
+                canvas = prev_canvas
+        return w, h, len(frames), frames
+
+    def encode_gif(frames_idx, palette, *, transparent: int | None = None) -> bytes:
+        """Palette-indexed frames ((h, w) uint8 arrays) + (n, 3) palette →
+        animated GIF89a. Exists so decode round-trips are testable without
+        any imaging library (like encode_png)."""
+        import struct
+
+        import numpy as np
+
+        palette = np.asarray(palette, np.uint8)
+        h, w = frames_idx[0].shape
+        bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+        size = 1 << bits
+        gct = np.zeros((size, 3), np.uint8)
+        gct[: len(palette)] = palette
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        out += gct.tobytes()
+        min_code = max(2, bits)
+        for fr in frames_idx:
+            flags = (1 << 2) | (1 if transparent is not None else 0)  # disposal 1
+            out += b"\x21\xf9\x04" + bytes(
+                [flags, 0, 0, transparent or 0]
+            ) + b"\x00"
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            out += bytes([min_code])
+            data = _gif_lzw_encode(min_code, fr.ravel())
+            for lo in range(0, len(data), 255):
+                chunk = data[lo : lo + 255]
+                out += bytes([len(chunk)]) + chunk
+            out += b"\x00"
+        out += b"\x3b"
+        return bytes(out)
+
     def decode_wav(buf: bytes):
         """WAV → (n_channels, sample_rate, n_samples, duration_s, rms)."""
         import io
@@ -228,10 +437,16 @@ def _codec_fns():
         rms = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
         return nch, rate, nframes, nframes / rate if rate else 0.0, rms
 
-    return encode_ppm, decode_ppm, decode_bmp, decode_wav, encode_png, decode_png
+    return (
+        encode_ppm, decode_ppm, decode_bmp, decode_wav,
+        encode_png, decode_png, encode_gif, decode_gif,
+    )
 
 
-encode_ppm, decode_ppm, decode_bmp, decode_wav, encode_png, decode_png = _codec_fns()
+(
+    encode_ppm, decode_ppm, decode_bmp, decode_wav,
+    encode_png, decode_png, encode_gif, decode_gif,
+) = _codec_fns()
 
 
 def decode_images(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -472,6 +687,48 @@ def frame_sample(media: DataFrame, n_frames: int = 4, id_col: str = "doc_id") ->
             "frame_idx",
             (F.col("frame_idx") * F.col("n_bytes") / n_frames).cast("long").alias("byte_offset"),
         )
+    )
+
+
+def gif_frame_sample(media: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """REAL animation frame sampling (round 5): decode the GIF, pick up to
+    `n_frames` evenly spaced COMPOSED frames (endpoints included), emit
+    per-sample pixel stats — the honest upgrade of `frame_sample`'s
+    byte-offset placeholder for the one animation container that needs no
+    ffmpeg (GIF's only compression is LZW)."""
+    nf = n_frames
+    _gif = decode_gif  # closure cell → pickled by value
+
+    def sample(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "frame_idx", "n_total_frames",
+                                   "width", "height", "mean_luma")}
+            for i, buf in zip(pdf[id_col], pdf["media"]):
+                buf = bytes(buf or b"")
+                if buf[:6] not in (b"GIF87a", b"GIF89a"):
+                    continue
+                w, h, n, frames = _gif(buf)
+                if n == 0:
+                    continue
+                k = min(nf, n)
+                picks = [0] if k == 1 else [round(j * (n - 1) / (k - 1)) for j in range(k)]
+                for j, fi in enumerate(picks):
+                    px = frames[fi]
+                    luma = (
+                        0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                    ).mean()
+                    for key, v in ((id_col, i), ("frame_idx", fi),
+                                   ("n_total_frames", n), ("width", w),
+                                   ("height", h), ("mean_luma", float(luma))):
+                        out[key].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "media").mapInPandas(
+        sample,
+        schema=f"{id_col} long, frame_idx int, n_total_frames int, "
+               "width int, height int, mean_luma double",
     )
 
 

@@ -319,3 +319,73 @@ def test_media_features_snapshot_matches_recomputation(spark):
     assert live == [
         (i, d, float(n), float(f)) for i, d, n, f in MEDIA_FEATURES_ROWS_SF001
     ]
+
+
+def test_gif_roundtrip_and_lzw_growth():
+    """encode_gif → decode_gif reproduces every composed frame exactly,
+    including an LZW stream large enough to force code-width growth and a
+    dictionary clear (random 64x64 over 7 colors)."""
+    import numpy as np
+
+    from custom_python_vectordb_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 7, (9, 11), dtype=np.uint8) for _ in range(3)]
+    w, h, n, out = decode_gif(encode_gif(frames, pal))
+    assert (w, h, n) == (11, 9, 3)
+    for f_idx, f_out in zip(frames, out):
+        assert (f_out == pal[f_idx]).all()
+    big = rng.integers(0, 7, (64, 64), dtype=np.uint8)
+    _, _, _, out = decode_gif(encode_gif([big], pal))
+    assert (out[0] == pal[big]).all()
+
+
+def test_gif_transparency_composes_over_previous_frame():
+    import numpy as np
+
+    from custom_python_vectordb_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.array([[9, 9, 9], [50, 60, 70], [200, 10, 30]], dtype=np.uint8)
+    f1 = np.full((4, 4), 1, np.uint8)
+    f2 = np.zeros((4, 4), np.uint8)
+    f2[0, 0] = 2  # everything else transparent (index 0)
+    _, _, n, out = decode_gif(encode_gif([f1, f2], pal, transparent=0))
+    assert n == 2
+    assert (out[1][0, 0] == pal[2]).all()
+    assert (out[1][1, 1] == pal[1]).all()  # transparent pixel shows frame 1
+    from custom_python_vectordb_spark.operators.multimodal import decode_gif as dg
+    import pytest
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        dg(b"PNG?")
+
+
+def test_gif_frame_sample_operator(spark):
+    """Real animation sampling through Spark: evenly spaced composed
+    frames with real per-frame luma (frames get brighter over time)."""
+    import numpy as np
+
+    from custom_python_vectordb_spark.operators.multimodal import (
+        encode_gif,
+        gif_frame_sample,
+    )
+
+    pal = np.array([[0, 0, 0], [100, 100, 100], [200, 200, 200]], dtype=np.uint8)
+    frames = [np.full((6, 6), i, np.uint8) for i in range(3)]  # dark → bright
+    rows = [
+        (1, bytearray(encode_gif(frames, pal))),
+        (2, bytearray(b"not a gif")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = sorted(
+        (r["frame_idx"], r["mean_luma"]) for r in gif_frame_sample(media, 2).collect()
+    )
+    assert [f for f, _ in got] == [0, 2]
+    assert got[0][1] == 0.0 and abs(got[1][1] - 200.0) < 1e-9
