@@ -120,3 +120,67 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm"),
         (F.round(F.element_at("features", 1).cast("double"), 6) + F.lit(0.0)).alias("f0"),
     )
+
+
+def _gif_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic animated-GIF corpus: each document yields a 3-frame
+    8×8 GIF whose palette indices derive from (doc_id, frame, pixel) —
+    same convention as media_from_text (real positives, zero fixtures)."""
+    from custom_python_vectordb_spark.operators.multimodal import encode_gif
+
+    _enc = encode_gif  # closure cell → pickled by value
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        pal = np.array(
+            [[0, 0, 0], [60, 60, 60], [120, 120, 120], [255, 255, 255]], np.uint8
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for i in pdf["doc_id"]:
+                # per-doc multiplier makes the residue distribution (and so
+                # the luma) genuinely content-sensitive: ×2 hits only even
+                # indices, ×4 collapses to a constant, ×3 is uniform — any
+                # LZW/composition bug perturbs the frozen means
+                frames = [
+                    ((np.arange(64, dtype=np.int64).reshape(8, 8)
+                      * (2 + int(i) % 3) + int(i) * 13 + f * 31) % 4).astype(np.uint8)
+                    for f in range(3)
+                ]
+                out["doc_id"].append(i)
+                out["media"].append(_enc(frames, pal))
+            yield pd.DataFrame(out)
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(gen, schema="doc_id long, media binary")
+    )
+
+
+def _gif_snapshot_oracle():
+    from custom_python_vectordb_spark.queries._media_snapshot import (
+        gif_frames_oracle_sql,
+    )
+
+    return gif_frames_oracle_sql()
+
+
+@query("media_gif_frames", _gif_snapshot_oracle, oracle_sf="sf0.01")
+def media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF pipeline, driver-checked end to end: generate a
+    deterministic 3-frame GIF per document (encode_gif), decode + sample
+    2 evenly spaced composed frames (gif_frame_sample — pure-Python LZW,
+    transparency/disposal composition), emit per-frame pixel luma. Every
+    stage is deterministic, so the sf0.01 rows freeze as a snapshot
+    oracle (queries/_media_snapshot.py) and the GIF codec is verified by
+    the driver gate itself, not only by pytest."""
+    from custom_python_vectordb_spark.operators.multimodal import gif_frame_sample
+
+    out = gif_frame_sample(_gif_corpus(spark, sf_dir), 2)
+    return out.select(
+        "doc_id", "frame_idx", "n_total_frames", "width", "height",
+        (F.round("mean_luma", 6) + F.lit(0.0)).alias("mean_luma"),
+    )

@@ -389,3 +389,22 @@ def test_gif_frame_sample_operator(spark):
     )
     assert [f for f, _ in got] == [0, 2]
     assert got[0][1] == 0.0 and abs(got[1][1] - 200.0) < 1e-9
+
+
+def test_gif_frames_snapshot_matches_recomputation(spark):
+    """Frozen sf0.01 media_gif_frames rows (the snapshot oracle for the
+    whole GIF encode->decode->sample pipeline) must equal a live
+    recomputation."""
+    from custom_python_vectordb_spark import registry
+    from custom_python_vectordb_spark.queries._media_snapshot import (
+        GIF_FRAMES_ROWS_SF001,
+    )
+
+    registry.load_all()
+    fn = registry.QUERIES["media_gif_frames"].__wrapped__
+    live = sorted(
+        (int(r["doc_id"]), int(r["frame_idx"]), int(r["n_total_frames"]),
+         int(r["width"]), int(r["height"]), float(r["mean_luma"]))
+        for r in fn(spark, "/root/testdata/sf0.01").collect()
+    )
+    assert live == [tuple(r) for r in GIF_FRAMES_ROWS_SF001]
