@@ -189,3 +189,78 @@ def duck_bellman_sql(source: str, iterations: int = 4) -> str:
 )"""
         )
     return ",\n".join(parts)
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(id): nodes surviving `rounds` of k-core peeling over the distinct
+    undirected pair set — the density filter community/cohesion analyses
+    start from. Same determinism/oracle story as `pagerank`: the
+    iteration count is FIXED (unrolled), so the DuckDB oracle is the
+    same K rounds as chained CTEs; when round R equals round R-1 the
+    bounded peel has converged to the true k-core (tests assert this on
+    the fixture). Each round is one map-side-combined degree aggregate +
+    two semi-joins keyed on the endpoint — no all-pairs anything, and
+    every shuffle is on the node id."""
+    cur = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    keep = None
+    for r in range(rounds):
+        deg = (
+            cur.select(F.col("a").alias("v"))
+            .unionAll(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        if r == rounds - 1:
+            break  # round R emits keep_R (deg over e_{R-1}) — the oracle's kR
+        # cur feeds the next round's degree union TWICE plus the next edge
+        # filter, so the uncached chain triples per round (measured 3.4 s
+        # at 3 rounds → 77 s at 5). Unlike pagerank's linear rank chain,
+        # lazy persist() did NOT flatten this shape (per-round cost still
+        # ~4×'d with caches + eager counts — the doubly-self-referencing
+        # semi-join tree defeats cache substitution), so the peel uses an
+        # EAGER localCheckpoint per round: physically one-round-deep plans,
+        # one small job each (~2 s total at sf0.01), and nothing cached to
+        # leak afterwards.
+        cur = (
+            cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return keep.select(F.col("v").alias("id"))
+
+
+def duck_kcore_sql(k: int = 3, rounds: int = 5) -> str:
+    """The SAME peeling rounds as chained DuckDB CTEs over an `edges`
+    (src, dst) CTE; yields CTE text defining `k{rounds}` (the surviving
+    node set, column `v`)."""
+    parts = [
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM edges WHERE src <> dst)",
+        "e0 AS (SELECT a, b FROM und)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS (SELECT v, COUNT(*) AS d FROM "
+            f"(SELECT a AS v FROM e{r - 1} UNION ALL SELECT b AS v FROM e{r - 1}) GROUP BY v)"
+        )
+        parts.append(f"k{r} AS (SELECT v FROM d{r} WHERE d >= {k})")
+        parts.append(
+            f"e{r} AS (SELECT e.a, e.b FROM e{r - 1} e "
+            f"JOIN k{r} x ON e.a = x.v JOIN k{r} y ON e.b = y.v)"
+        )
+    return ",\n".join(parts)

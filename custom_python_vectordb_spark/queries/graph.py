@@ -319,3 +319,24 @@ def graph_weighted_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "id")
         .limit(25)
     )
+
+
+from custom_python_vectordb_spark.operators.centrality import (  # noqa: E402
+    duck_kcore_sql,
+    kcore_nodes,
+)
+
+
+@query("graph_kcore", f"""
+{GRAPH_CTES},
+{duck_kcore_sql(k=3, rounds=3)}
+SELECT v AS id FROM k3
+""")
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the property graph after 3 peeling rounds — the density
+    filter cohesion analyses start from (operators/centrality.kcore_nodes;
+    same unrolled-CTE oracle discipline as graph_pagerank). Tests assert
+    the bounded peel has converged on this fixture (round 5 == round 4),
+    so the emitted set IS the true 3-core here (round 3 == round 2)."""
+    _, edges = _graph(spark, sf_dir)
+    return kcore_nodes(edges, k=3, rounds=3)

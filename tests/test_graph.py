@@ -260,3 +260,25 @@ def test_traverse_unbounded_enumerates_all_simple_paths(spark):
     }
     with _pytest.raises(ValueError, match="max_paths"):
         traverse_paths(edges, "a", max_depth=None, max_paths=3)
+
+
+def test_kcore_semantics_and_convergence(spark):
+    """k-core peeling on a hand-built graph: a triangle+tail graph's 2-core
+    is the triangle; the fixture's registered 3-core has CONVERGED by the
+    registered round count (round R == round R-1), so the bounded unroll
+    emits the true k-core."""
+    from custom_python_vectordb_spark.operators.centrality import kcore_nodes
+    from custom_python_vectordb_spark.sources.graph_view import edges_df
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    core = {r["id"] for r in kcore_nodes(edges, k=2, rounds=4).collect()}
+    assert core == {"a", "b", "c"}
+    # k above the max degree → empty
+    assert kcore_nodes(edges, k=5, rounds=3).collect() == []
+
+    sf = "/root/testdata/sf0.01"
+    e = edges_df(spark, sf)
+    r3 = {r["id"] for r in kcore_nodes(e, k=3, rounds=3).collect()}
+    r4 = {r["id"] for r in kcore_nodes(e, k=3, rounds=4).collect()}
+    assert r3 == r4 and len(r3) > 0
