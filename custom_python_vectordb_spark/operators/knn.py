@@ -593,9 +593,9 @@ def _build_mmap_replica(paths, stat_key, mmap_dir, id_col, dtype):
         total = sum(counts)
         if total == 0:
             return None
-        mat_mm = ids_mm = None
+        mat_mm = None
         off = 0
-        norms_parts, sq_parts = [], []
+        ids_parts, norms_parts, sq_parts = [], [], []
         for p, n in zip(paths, counts):
             if n == 0:  # Spark writes empty part files
                 continue
@@ -611,23 +611,24 @@ def _build_mmap_replica(paths, stat_key, mmap_dir, id_col, dtype):
                 mat_mm = np.lib.format.open_memmap(
                     f"{base}.mat.npy", mode="w+", dtype=dtype, shape=(total, m.shape[1])
                 )
-                ids_mm = np.lib.format.open_memmap(
-                    f"{base}.ids.npy", mode="w+", dtype=np.int64, shape=(total,)
-                )
             mat_mm[off : off + len(ids_a)] = m
-            ids_mm[off : off + len(ids_a)] = ids_a
+            # ids stay in RAM during the build (8 B/row for ints — tiny
+            # next to the vectors being streamed out) and land in one
+            # .npy; string ids need the pickle container
+            ids_parts.append(ids_a)
             norms_parts.append(np.linalg.norm(m, axis=1))
             sq_parts.append((m * m).sum(1))
             off += len(ids_a)
         mat_mm.flush()
-        ids_mm.flush()
-        del mat_mm, ids_mm
+        del mat_mm
+        ids_all = np.concatenate(ids_parts)
+        np.save(f"{base}.ids.npy", ids_all, allow_pickle=ids_all.dtype == object)
         np.save(f"{base}.norms.npy", np.concatenate(norms_parts))
         np.save(f"{base}.sq.npy", np.concatenate(sq_parts))
         with open(meta_p, "w") as fh:
             json.dump({"stat_key": [list(t) for t in stat_key], "rows": int(off)}, fh)
     mat = np.load(f"{base}.mat.npy", mmap_mode="r")
-    ids = np.load(f"{base}.ids.npy")
+    ids = np.load(f"{base}.ids.npy", allow_pickle=True)
     return ids, mat, np.load(f"{base}.norms.npy"), np.load(f"{base}.sq.npy")
 
 
