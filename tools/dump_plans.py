@@ -52,6 +52,8 @@ SHOW = [
     ("leakage_safe_split", "cluster-representative hash split: hash agg for reps + id-keyed join, both combine map-side"),
     ("dsir_importance_sample", "DSIR cut: two vocab aggregates, AQE-sized LM joins, doc-keyed score avg, hash-threshold filter"),
     ("unigram_logprob", "LM join carries no broadcast hint: AQE broadcasts the vocab table while small, shuffles beyond"),
+    ("phrase_search", "positional explode + broadcast phrase-term join + ONE map-side-combined (doc,start) aggregate — no m-way self-join"),
+    ("graph_kcore", "bounded peel: degree aggregate + two endpoint semi-joins per round, checkpoint-truncated"),
 ]
 
 MARKERS = [
