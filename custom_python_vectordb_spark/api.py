@@ -403,6 +403,36 @@ class Collection:
             return _declarative()
         return [{"id": i, "score": s} for i, s in hits]
 
+    def phrase_search(self, phrase: str, k: int = 10) -> DataFrame:
+        from custom_python_vectordb_spark.operators.bm25 import phrase_search
+
+        return phrase_search(self.df(), phrase, k=k, id_col="id", text_col="_document")
+
+    def phrase_serve(self, phrase: str, k: int = 10) -> list[dict]:
+        """Serving twin of :meth:`phrase_search` — the in-process positional
+        index (``operators/bm25.phrase_replica_serve``): identical match
+        counts/ranking, no Spark job. Same fallbacks as keyword_serve
+        (declarative plan under deletion vectors or above the replica's
+        text budget)."""
+        from custom_python_vectordb_spark.operators.bm25 import phrase_replica_serve
+        from custom_python_vectordb_spark.operators.knn import ReplicaCapacityError
+
+        def _declarative() -> list[dict]:
+            rows = self.phrase_search(phrase, k=k).collect()
+            return [{"id": r["id"], "n_matches": int(r["n_matches"])} for r in rows]
+
+        try:
+            paths = self.db.warehouse.shard_paths(self.name)
+        except RuntimeError:
+            return _declarative()
+        if not paths:
+            return []
+        try:
+            hits = phrase_replica_serve(paths, phrase, k=k, id_col="id")
+        except ReplicaCapacityError:
+            return _declarative()
+        return [{"id": i, "n_matches": int(n)} for i, n in hits]
+
     def hybrid_serve(self, query_text: str, k: int = 10, alpha: float = 0.5) -> list[dict]:
         """Serving twin of :meth:`hybrid` — full in-process fusion (the
         reference's own architecture, ``hybrid_search.py:360-477``, runs

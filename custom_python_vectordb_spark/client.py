@@ -156,6 +156,14 @@ class Collection:
             {"query": query, "n_results": n_results},
         )["results"]
 
+    def phrase_search(self, phrase: str, n_results: int = 10) -> list[dict]:
+        """Exact-adjacency phrase matching (positional index)."""
+        return self._client._request(
+            "POST",
+            f"/collections/{self.name}/phrase",
+            {"query": phrase, "n_results": n_results},
+        )["results"]
+
     def hybrid(self, query: str, n_results: int = 10, alpha: float = 0.5) -> list[dict]:
         return self._client._request(
             "POST",

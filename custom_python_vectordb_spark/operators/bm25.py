@@ -567,3 +567,98 @@ def phrase_search(
         .orderBy(F.desc("n_matches"), F.asc(id_col))
         .limit(k)
     )
+
+
+# {(paths, id_col, text_col): (stat_key, ids, pos_index, maxlen)}
+_PHRASE_REPLICA_CACHE: dict = {}
+
+
+def phrase_replica_serve(
+    shard_paths: list[str],
+    phrase: str,
+    k: int = 10,
+    *,
+    id_col: str = "id",
+    text_col: str = "_document",
+    max_bytes: int = 512 << 20,
+) -> list[tuple]:
+    """In-process serving twin of :func:`phrase_search` — a POSITIONAL
+    inverted index resident in RAM (term → encoded (doc, position) key
+    array), answered by numpy sorted-set intersection: occurrences of
+    term_i shifted by −i must all contain the same (doc, start) key, so
+    the phrase match set is m−1 intersect1d calls over presorted arrays,
+    and per-doc counts one bincount. Identical results to the
+    declarative plan (asserted in tests); same (path, mtime, size) cache
+    coherence and capacity behavior as the keyword replica."""
+    import math  # noqa: F401  (parity with keyword_replica_serve imports)
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    paths = tuple(sorted(shard_paths))
+    cache_key = (paths, id_col, text_col)
+    stat_key = tuple((p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size) for p in paths)
+    entry = _PHRASE_REPLICA_CACHE.get(cache_key)
+    if entry is None or entry[0] != stat_key:
+        ids: list = []
+        texts: list = []
+        for p in paths:
+            names = _pq.read_schema(p).names
+            if text_col not in names:
+                raise ValueError(f"shard {p} has no {text_col!r} column")
+            tbl = _pq.read_table(p, columns=[id_col, text_col])
+            if tbl.num_rows == 0:
+                continue
+            ids.extend(tbl.column(id_col).to_pylist())
+            texts.extend(tbl.column(text_col).to_pylist())
+        if sum(len(t or "") for t in texts) > max_bytes:
+            from custom_python_vectordb_spark.operators.knn import ReplicaCapacityError
+
+            raise ReplicaCapacityError(
+                f"decoded corpus text exceeds max_bytes {max_bytes >> 20} MiB: "
+                "serve phrase search from the declarative plan (phrase_search)"
+            )
+        maxlen = 1
+        tok_lists = [tokenize_py(t or "") for t in texts]
+        for toks in tok_lists:
+            maxlen = max(maxlen, len(toks) + 1)
+        acc: dict[str, list] = {}
+        for d, toks in enumerate(tok_lists):
+            base = d * maxlen
+            for p_i, t in enumerate(toks):
+                acc.setdefault(t, []).append(base + p_i)
+        index = {
+            t: np.array(v, dtype=np.int64) for t, v in acc.items()  # built sorted
+        }
+        doc_lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        entry = (stat_key, ids, index, maxlen, doc_lens)
+        _PHRASE_REPLICA_CACHE[cache_key] = entry
+    _, ids, index, maxlen, doc_lens = entry
+    terms = tokenize_py(phrase)
+    if not terms or not ids:
+        return []
+    # phrase longer than any doc's span cannot wrap into the next doc:
+    # maxlen > doc length guarantees shifted keys stay inside the doc block
+    if len(terms) >= maxlen:
+        return []
+    starts = None
+    for i, t in enumerate(terms):
+        occ = index.get(t)
+        if occ is None:
+            return []
+        shifted = occ - i if i else occ
+        starts = shifted if starts is None else np.intersect1d(starts, shifted, assume_unique=True)
+        if len(starts) == 0:
+            return []
+    # a shifted key can underflow into the previous doc's block when a
+    # phrase term occurs near a doc start; a GENUINE match must fit inside
+    # its doc, so bound-check start position + phrase length per doc
+    dd = starts // maxlen
+    sp = starts % maxlen
+    ok = sp + len(terms) <= doc_lens[dd]
+    counts: dict[int, int] = {}
+    for d in dd[ok].tolist():
+        counts[d] = counts.get(d, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], ids[kv[0]]))[:k]
+    return [(ids[d], n) for d, n in ranked]

@@ -609,6 +609,42 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(key % 100 < 10).select("doc_id")
 
 
+@query("weighted_sample_es", f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           ROUND(ln(CAST({duck_hash48("'wsample|' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+                    / 281474976710656.0) / n_chars, 6) + 0.0 AS es_key
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, es_key FROM keyed
+ORDER BY es_key DESC, doc_id LIMIT 20
+""")
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis (2006,
+    public method): each record draws u ∈ (0,1) deterministically from its
+    id hash and ranks by u^(1/w) — here in the equivalent, overflow-free
+    log domain ln(u)/w — so the top-k by key IS a weighted k-sample (long
+    documents proportionally likelier), computed in ONE map pass + a
+    TakeOrdered k. No RNG state, no sequential reservoir: the
+    distributed-native form of weighted reservoir sampling. Weight =
+    n_chars (the token-mass proxy the budget samplers use). The key is
+    ROUNDed to 6 dp before the ORDER BY on both engines, so an engine's
+    last-ulp ln() difference cannot reorder the cut (ties inside a 1e-6
+    bucket fall to the doc_id tie-break identically)."""
+    from custom_python_vectordb_spark.functions.hashing import hash48
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        hash48(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string"))) + 1
+    ).cast("double") / F.lit(float(1 << 48))
+    key = F.round(F.log(u) / F.col("n_chars"), 6) + F.lit(0.0)
+    return (
+        docs.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 @query("stratified_sample", f"""
 SELECT lang, doc_id FROM (
     SELECT lang, doc_id,

@@ -564,6 +564,14 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                         body["query"], k=int(body.get("n_results", 10))
                     )
                 }
+            if parts[2:] == ["phrase"] and method == "POST":
+                # in-process positional index (api.phrase_serve) — exact
+                # adjacency matching, no job round-trip
+                return 200, {
+                    "results": coll.phrase_serve(
+                        body["query"], k=int(body.get("n_results", 10))
+                    )
+                }
             if parts[2:] == ["hybrid"] and method == "POST":
                 # full in-process fusion (api.hybrid_serve): vector replica +
                 # keyword replica + numpy fusion, no job round-trip

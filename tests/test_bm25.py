@@ -127,3 +127,41 @@ def test_phrase_search_semantics(spark):
     assert got == {(5, 1)}
     assert phrase_search(docs, "absent words").collect() == []
     assert phrase_search(docs, "") .collect() == []
+
+
+def test_phrase_replica_serve_equals_declarative(spark, tmp_path):
+    """The in-process positional index must reproduce phrase_search exactly
+    (matches, counts, ranking), including the cross-doc underflow guard
+    (a phrase tail at one doc's start must not combine with the previous
+    doc's trailing tokens)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.operators.bm25 import (
+        phrase_replica_serve,
+        phrase_search,
+    )
+
+    rows = [
+        (1, "hash join beats nested loop hash join"),
+        (2, "hash but not join adjacent"),
+        (3, "join hash"),          # ends with 'hash'...
+        (4, "join b c d e f g"),   # ...starts with 'join': adjacency across
+                                   # docs 3→4 must NOT match
+        (5, "a hash join b"),
+        (6, "the big the cat"),
+    ]
+    shard = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"id": [r[0] for r in rows], "_document": [r[1] for r in rows]}),
+        shard,
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for phrase in ("hash join", "the big the", "join b", "zzz none"):
+        plan = [
+            (r["doc_id"], r["n_matches"])
+            for r in phrase_search(docs, phrase, k=10).collect()
+        ]
+        served = phrase_replica_serve([shard], phrase, k=10)
+        assert served == plan, phrase
+    assert phrase_replica_serve([shard], "") == []

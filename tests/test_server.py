@@ -81,6 +81,13 @@ def test_rest_get_delete_keyword_hybrid(served):
     status, doc = call(port, "GET", "/collections/kb/get/y")
     assert status == 200 and doc["_document"] == "brown foxes run"
     assert call(port, "GET", "/collections/kb/get/missing")[0] == 404
+    # exact phrase over the positional replica: adjacency required
+    status, ph = call(port, "POST", "/collections/kb/phrase",
+                      {"query": "hash join", "n_results": 5})
+    assert status == 200 and [h["id"] for h in ph["results"]] == ["z"]
+    status, ph = call(port, "POST", "/collections/kb/phrase",
+                      {"query": "join hash", "n_results": 5})
+    assert status == 200 and ph["results"] == []
     status, kw = call(port, "POST", "/collections/kb/keyword", {"query": "hash join", "n_results": 2})
     assert status == 200 and kw["results"][0]["id"] == "z"
     status, hy = call(port, "POST", "/collections/kb/hybrid", {"query": "spark joins data", "n_results": 2})
