@@ -487,6 +487,18 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     assert len(hits) == 10
     out["keyword_serve_ms_per_query"] = round(best * 1000, 3)
+    # in-process positional index (phrase adjacency, round 5)
+    from custom_python_vectordb_spark.operators.bm25 import phrase_replica_serve
+
+    phrase_replica_serve([doc_shard], "hash join", id_col="doc_id", text_col="text")
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        hits = phrase_replica_serve([doc_shard], "hash join", k=10,
+                                    id_col="doc_id", text_col="text")
+        best = min(best, time.perf_counter() - t0)
+    assert len(hits) > 0
+    out["phrase_serve_ms_per_query"] = round(best * 1000, 3)
     print(json.dumps(out))
 
 

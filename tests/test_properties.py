@@ -350,3 +350,33 @@ def test_mask_equals_column_for_arbitrary_filter_trees(spark, rows, spec):
     mask = filt.mask(cols, len(rows))
     got_mask = sorted(rows[i][0] for i in np.flatnonzero(mask))
     assert got_mask == got_plan
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    phrase=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3),
+)
+def test_phrase_search_matches_naive_matcher(spark, docs, phrase):
+    """phrase_search (offset-shift one-join plan) must equal the naive
+    sliding-window matcher for arbitrary small corpora and phrases over a
+    3-token alphabet (duplicates and overlaps abound by construction)."""
+    from custom_python_vectordb_spark.operators.bm25 import phrase_search
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_search(df, " ".join(phrase), k=100).collect()
+    }
+    want = set()
+    m = len(phrase)
+    for i, toks in enumerate(docs):
+        n = sum(1 for s in range(len(toks) - m + 1) if toks[s : s + m] == phrase)
+        if n:
+            want.add((i, n))
+    assert got == want
