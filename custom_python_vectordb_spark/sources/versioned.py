@@ -376,6 +376,114 @@ class VersionedWarehouse:
                 f"delete on {name!r} raced a concurrent commit at v{next_v}; re-run"
             ) from None
 
+    def merge_into(
+        self,
+        name: str,
+        source: DataFrame,
+        on: str,
+        *,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Delta-style MERGE with manifest-pruned copy-on-write: data dirs
+        whose recorded [min, max] range on `on` cannot contain ANY source
+        key are carried into the new version BY REFERENCE (never read,
+        never rewritten); only the touched dirs are rewritten together
+        with the merge delta. On range-disjoint ingest (time-ordered ids)
+        a merge touching recent keys therefore rewrites O(touched dirs +
+        delta), not the table — the same pruning `scan_pruned` uses, on
+        the write path.
+
+        `when_matched`: "update" (target row replaced by the source row)
+        or "delete"; `when_not_matched`: "insert" or "skip". Source must
+        carry the target schema for update/insert. Active deletion
+        vectors are honored when reading touched dirs and CARRIED for the
+        untouched ones (anti-join is idempotent, so rewritten dirs simply
+        no longer contain the masked rows).
+
+        Concurrency: the touched-set derives from the head snapshot, so a
+        lost commit race recomputes the whole merge from the new head
+        (never silently mis-scopes), up to max_retries."""
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+        if when_not_matched not in ("insert", "skip"):
+            raise ValueError(
+                f"when_not_matched must be insert|skip, got {when_not_matched!r}"
+            )
+        bounds = source.agg(
+            F.min(on).alias("lo"), F.max(on).alias("hi"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        for attempt in range(self.max_retries):
+            parent = self.latest_version(name)
+            if parent is None:
+                raise FileNotFoundError(f"collection {name!r} does not exist")
+            pm = self._read_manifest(name, parent)
+            stats = dict(pm.get("stats") or {})
+            if bounds["n"] == 0:  # empty source: merge is the identity
+                return parent
+            touched, untouched = [], []
+            for d in pm["dirs"]:
+                s = (stats.get(d) or {}).get("cols", {}).get(on)
+                if s is None or s[0] is None or s[1] is None or (
+                    s[0] <= bounds["hi"] and s[1] >= bounds["lo"]
+                ):
+                    touched.append(d)
+                else:
+                    untouched.append(d)
+            next_v = parent + 1
+            staged = f"mrg{next_v:0{_MANIFEST_WIDTH}d}-{uuid.uuid4().hex[:8]}"
+            if touched:
+                tgt = self.spark.read.parquet(*self._resolve_dirs(name, touched))
+                del_dirs = pm.get("deletes") or []
+                if del_dirs:
+                    keys = self.spark.read.parquet(*self._resolve_dirs(name, del_dirs))
+                    tgt = tgt.join(keys, pm["delete_key"], "left_anti")
+            else:
+                tgt = self.load(name, version=parent).limit(0)
+            unmatched_tgt = tgt.join(source.select(on), on, "left_anti")
+            parts = [unmatched_tgt]
+            if when_matched == "update":
+                parts.append(
+                    source.join(tgt.select(on), on, "left_semi").select(*tgt.columns)
+                )
+            if when_not_matched == "insert":
+                parts.append(
+                    source.join(tgt.select(on), on, "left_anti").select(*tgt.columns)
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.write.mode("overwrite").parquet(os.path.join(self._data(name), staged))
+            new_stats = {d: stats[d] for d in untouched if d in stats}
+            if stats_cols:
+                new_stats[staged] = self._dir_stats(name, staged, stats_cols)
+            manifest = {
+                "version": next_v,
+                "parent": parent,
+                "mode": "merge",
+                "dirs": untouched + [staged],
+                "deletes": pm.get("deletes") or [],
+                "delete_key": pm.get("delete_key"),
+                "stats": new_stats,
+                "merge_touched": len(touched),
+                "merge_untouched": len(untouched),
+                "committed_at": time.time(),
+                **self._carried(pm),
+            }
+            try:
+                with open(self._manifest_path(name, next_v), "x") as fh:
+                    json.dump(manifest, fh)
+                return next_v
+            except FileExistsError:
+                # lost the race: the touched-set may now be wrong — drop the
+                # stage and redo the whole merge against the new head
+                shutil.rmtree(os.path.join(self._data(name), staged), ignore_errors=True)
+                continue
+        raise CommitConflict(f"gave up merging into {name!r} after {self.max_retries} races")
+
     def clone(self, src: str, dst: str, version: int | None = None) -> int:
         """Shallow (zero-copy) clone: `dst`'s v0 manifest references `src`'s
         immutable data dirs by ABSOLUTE path — no data moves, the clone is

@@ -421,3 +421,60 @@ def test_events_range_pruned_query_skips_dirs(spark):
     all_dirs = {p.rsplit("/", 2)[-2] for p in wh.load("events").inputFiles()}
     assert len(all_dirs) == 3
     assert pruned_dirs < all_dirs and len(pruned_dirs) == 1
+
+
+def test_merge_into_update_insert_delete(spark, wh):
+    """MERGE semantics: matched rows updated (or deleted), unmatched source
+    rows inserted (or skipped); pre-merge versions still time-travel."""
+    wh.save("m", _df(spark, [1, 2, 3]), stats_cols=["id"])
+    src = spark.createDataFrame(
+        [(2, "UPDATED 2"), (9, "NEW 9")], "id long, text string"
+    )
+    v = wh.merge_into("m", src, "id", stats_cols=["id"])
+    got = {r["id"]: r["text"] for r in wh.load("m").collect()}
+    assert got == {1: "doc 1", 2: "UPDATED 2", 3: "doc 3", 9: "NEW 9"}
+    # pre-merge snapshot untouched
+    old = {r["id"]: r["text"] for r in wh.load("m", version=v - 1).collect()}
+    assert old == {1: "doc 1", 2: "doc 2", 3: "doc 3"}
+    # matched-delete + skip-insert
+    src2 = spark.createDataFrame([(1, "x"), (77, "x")], "id long, text string")
+    wh.merge_into("m", src2, "id", when_matched="delete", when_not_matched="skip")
+    got = {r["id"]: r["text"] for r in wh.load("m").collect()}
+    assert got == {2: "UPDATED 2", 3: "doc 3", 9: "NEW 9"}
+    with pytest.raises(ValueError, match="when_matched"):
+        wh.merge_into("m", src2, "id", when_matched="upsert")
+
+
+def test_merge_into_prunes_untouched_dirs(spark, wh):
+    """Range-disjoint appends + a merge touching only the last range: the
+    earlier dirs must be carried BY REFERENCE (same dir names in the new
+    manifest, zero rewrite), and the manifest records the split."""
+    wh.save("p", _df(spark, range(0, 100)), stats_cols=["id"])
+    wh.save("p", _df(spark, range(100, 200)), mode="append", stats_cols=["id"])
+    wh.save("p", _df(spark, range(200, 300)), mode="append", stats_cols=["id"])
+    before = wh._read_manifest("p", wh.latest_version("p"))
+    src = spark.createDataFrame(
+        [(250, "UPDATED"), (999, "NEW")], "id long, text string"
+    )
+    wh.merge_into("p", src, "id", stats_cols=["id"])
+    after = wh._read_manifest("p", wh.latest_version("p"))
+    # the two untouched ranges carried verbatim; only range [200,300) rewritten
+    assert set(before["dirs"][:2]) <= set(after["dirs"])
+    assert before["dirs"][2] not in after["dirs"]
+    assert after["merge_touched"] == 1 and after["merge_untouched"] == 2
+    got = {r["id"]: r["text"] for r in wh.load("p").collect()}
+    assert len(got) == 301 and got[250] == "UPDATED" and got[999] == "NEW"
+    assert got[0] == "doc 0" and got[150] == "doc 150"
+
+
+def test_merge_into_honors_deletion_vectors(spark, wh):
+    """Rows masked by deletion vectors must not count as matched; the
+    vectors are carried for the untouched dirs."""
+    from pyspark.sql import functions as F
+
+    wh.save("d", _df(spark, [1, 2, 3]), stats_cols=["id"])
+    wh.delete_where("d", F.col("id") == 2, key_col="id")
+    src = spark.createDataFrame([(3, "UPDATED 3")], "id long, text string")
+    wh.merge_into("d", src, "id")
+    got = {r["id"]: r["text"] for r in wh.load("d").collect()}
+    assert got == {1: "doc 1", 3: "UPDATED 3"}
