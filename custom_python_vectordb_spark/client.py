@@ -197,6 +197,28 @@ class Collection:
         )
         return Collection(self._client, dst)
 
+    def merge(
+        self,
+        rows: list[dict],
+        on: str = "id",
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+    ) -> int:
+        """MERGE INTO (versioned stores only): each row = {'id': ...,
+        'document': ..., **metadata}; matched target rows are updated (or
+        deleted), unmatched rows inserted (or skipped). Returns the
+        committed version."""
+        return self._client._request(
+            "POST",
+            f"/collections/{self.name}/merge",
+            {
+                "rows": rows,
+                "on": on,
+                "when_matched": when_matched,
+                "when_not_matched": when_not_matched,
+            },
+        )["version"]
+
     # -- realtime ---------------------------------------------------------
     def events(
         self,

@@ -469,6 +469,32 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                 v = db.warehouse.clone(name, dst, version=ver)
                 publish(dst, "clone", source=name, version=v)
                 return 201, {"cloned": dst, "version": v}
+            if parts[2:] == ["merge"] and method == "POST":
+                if not versioned:
+                    return 400, {"error": "collection store is not versioned"}
+                on = body.get("on")
+                rows = body.get("rows")
+                if not on or not isinstance(rows, list) or not rows:
+                    return 400, {"error": "merge requires 'on' and non-empty 'rows'"}
+                src = _texts_df(
+                    db,
+                    [r["id"] for r in rows],
+                    [r.get("document", "") for r in rows],
+                    [
+                        {k: v for k, v in r.items() if k not in ("id", "document")}
+                        for r in rows
+                    ],
+                    coll.dimensions,
+                )
+                v = db.warehouse.merge_into(
+                    name,
+                    src,
+                    on,
+                    when_matched=body.get("when_matched", "update"),
+                    when_not_matched=body.get("when_not_matched", "insert"),
+                )
+                publish(name, "merge", version=v, n_rows=len(rows))
+                return 200, {"merged": name, "version": v}
             if parts[2:] == ["add"] and method == "POST":
                 coll.insert_batch(
                     _texts_df(db, body["ids"], body["documents"], body.get("metadatas"), coll.dimensions)

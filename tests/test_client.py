@@ -129,6 +129,15 @@ def test_versioned_admin_over_http(vclient):
     d.delete(["a"])
     assert d.count() == 1 and c.count() == 2
 
+    # MERGE over HTTP: update one row, insert one row
+    v = c.merge([{"id": "a", "document": "spark rows UPDATED"},
+                 {"id": "z", "document": "brand new"}])
+    assert v == c.history()[-1]["version"]
+    assert c.history()[-1]["mode"] == "merge"
+    assert c.count() == 3
+    assert c.get("a")["_document"] == "spark rows UPDATED"
+    assert c.get("z")["_document"] == "brand new"
+
 
 def test_admin_routes_reject_unversioned(client):
     client.create_collection("plain", dimensions=64)
