@@ -329,11 +329,18 @@ def _bench_versioned(spark, sf_dir: str) -> dict[str, float]:
         t3 = time.perf_counter()
         wh.optimize("events", cluster_by=["event_id"])
         t4 = time.perf_counter()
+        # MERGE against the last id range only: the manifest-pruned merge
+        # must rewrite O(touched) — recorded so a pruning regression shows
+        # up as a lifecycle-time jump
+        src = ev.filter(F.col("event_id") >= 3 * quarter).limit(500)
+        wh.merge_into("events", src, "event_id", stats_cols=["event_id"])
+        t5 = time.perf_counter()
         out["versioned_ingest4_s"] = round(t1 - t0, 4)
         out["versioned_scan_pruned_s"] = round(t2 - t1, 4)
         out["versioned_delete_s"] = round(t3 - t2, 4)
         out["versioned_optimize_s"] = round(t4 - t3, 4)
-        out["versioned_lifecycle_s"] = round(t4 - t0, 4)
+        out["versioned_merge_s"] = round(t5 - t4, 4)
+        out["versioned_lifecycle_s"] = round(t5 - t0, 4)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

@@ -385,6 +385,7 @@ class VersionedWarehouse:
         when_matched: str = "update",
         when_not_matched: str = "insert",
         stats_cols: list[str] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Delta-style MERGE with manifest-pruned copy-on-write: data dirs
         whose recorded [min, max] range on `on` cannot contain ANY source
@@ -472,6 +473,7 @@ class VersionedWarehouse:
                 "merge_untouched": len(untouched),
                 "committed_at": time.time(),
                 **self._carried(pm),
+                **(extra or {}),  # caller metadata wins (streaming batch id)
             }
             try:
                 with open(self._manifest_path(name, next_v), "x") as fh:

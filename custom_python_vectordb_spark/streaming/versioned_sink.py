@@ -75,3 +75,52 @@ def versioned_append_sink(
 def load_stream_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Read the stream-maintained collection (head snapshot)."""
     return VersionedWarehouse(spark, root).load(name)
+
+
+def process_versioned_merge(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    name: str,
+    on: str,
+    stats_cols: list[str] | None = None,
+) -> bool:
+    """CDC-style upsert ingest: MERGE one micro-batch into the versioned
+    store (matched rows updated, new rows inserted) with the SAME
+    batch-id exactly-once contract as the append sink — a replayed batch
+    sees its id at or below the head's recorded `stream_batch_id` and
+    becomes a no-op. The merge itself is manifest-pruned
+    (`VersionedWarehouse.merge_into`): dirs whose key range cannot meet
+    the batch's keys are carried by reference, so steady-state CDC cost
+    is O(touched dirs + batch), not O(table). Returns False on a skipped
+    replay."""
+    wh = VersionedWarehouse(batch_df.sparkSession, root)
+    last = last_committed_batch(wh, name)
+    if last is not None and batch_id <= last:
+        return False
+    if not wh.exists(name):
+        wh.save(
+            name, batch_df, mode="overwrite", stats_cols=stats_cols,
+            extra={"stream_batch_id": batch_id},
+        )
+        return True
+    wh.merge_into(
+        name, batch_df, on, stats_cols=stats_cols,
+        extra={"stream_batch_id": batch_id},
+    )
+    return True
+
+
+def versioned_merge_sink(
+    stream_df: DataFrame,
+    root: str,
+    name: str,
+    on: str,
+    stats_cols: list[str] | None = None,
+):
+    """foreachBatch CDC writer: configure trigger/checkpoint then ``.start()``."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        process_versioned_merge(batch_df, batch_id, root, name, on, stats_cols)
+
+    return stream_df.writeStream.foreachBatch(write)

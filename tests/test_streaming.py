@@ -781,3 +781,36 @@ def test_versioned_sink_replay_refused_after_maintenance(spark, tmp_path):
     # and the next stream batch still lands
     b1 = spark.createDataFrame([(200, 2.0)], "id long, v double")
     assert process_versioned_append(b1, 1, root, "t") is True
+
+
+def test_versioned_merge_sink_cdc_and_replay(spark, tmp_path):
+    """CDC upsert ingest: merge batches converge to last-writer-wins per
+    key, a replayed batch id is a no-op, and the merge commits carry the
+    stream batch id."""
+    from custom_python_vectordb_spark.sources.versioned import VersionedWarehouse
+    from custom_python_vectordb_spark.streaming.versioned_sink import (
+        process_versioned_merge,
+    )
+
+    root = str(tmp_path / "cdc")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "id long, text string")
+
+    assert process_versioned_merge(batch([(1, "a0"), (2, "b0")]), 0, root, "t", "id")
+    assert process_versioned_merge(batch([(2, "b1"), (3, "c0")]), 1, root, "t", "id")
+    wh = VersionedWarehouse(spark, root)
+    got = {r["id"]: r["text"] for r in wh.load("t").collect()}
+    assert got == {1: "a0", 2: "b1", 3: "c0"}
+    # replay of batch 1: skipped, table unchanged, version unchanged
+    head = wh.latest_version("t")
+    assert process_versioned_merge(batch([(2, "b1"), (3, "c0")]), 1, root, "t", "id") is False
+    assert wh.latest_version("t") == head
+    assert {r["id"]: r["text"] for r in wh.load("t").collect()} == got
+    # next batch proceeds; manifest records its stream batch id
+    assert process_versioned_merge(batch([(1, "a2")]), 2, root, "t", "id")
+    m = wh._read_manifest("t", wh.latest_version("t"))
+    assert m["mode"] == "merge" and m["stream_batch_id"] == 2
+    assert {r["id"]: r["text"] for r in wh.load("t").collect()} == {
+        1: "a2", 2: "b1", 3: "c0"
+    }
