@@ -486,6 +486,42 @@ class VersionedWarehouse:
                 continue
         raise CommitConflict(f"gave up merging into {name!r} after {self.max_retries} races")
 
+    def diff(self, name: str, v_from: int, v_to: int, on: str) -> DataFrame:
+        """Row-level change feed between two versions (the public
+        change-data-feed idea, computed rather than logged): returns the
+        `v_to` schema plus `_change ∈ {insert, update_postimage, delete}`,
+        keyed by `on`. `delete` rows carry the PRE-image (they no longer
+        exist at v_to). Computed as two key anti-joins + one
+        changed-row-hash semi-join over the two pinned snapshots — no
+        extra state is stored, so the feed works between ANY two versions,
+        including pre-merge/pre-optimize history. At scale both snapshots
+        shuffle once on the key; dirs shared verbatim by both manifests
+        still scan twice — the documented trade for a zero-maintenance
+        feed (a logged CDF trades write-path cost for skipping that)."""
+        from pyspark.sql import functions as F
+
+        a = self.load(name, version=v_from)
+        b = self.load(name, version=v_to)
+        cols = b.columns
+        inserts = b.join(a.select(on), on, "left_anti").select(
+            *cols, F.lit("insert").alias("_change")
+        )
+        deletes = a.join(b.select(on), on, "left_anti").select(
+            *cols, F.lit("delete").alias("_change")
+        )
+        hash_of = lambda df: F.md5(F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols]))  # noqa: E731
+        a_h = a.select(F.col(on).alias("__k"), hash_of(a).alias("__ha"))
+        updates = (
+            b.withColumn("__hb", hash_of(b))
+            .join(
+                a_h,
+                (F.col(on) == F.col("__k")) & (F.col("__hb") != F.col("__ha")),
+                "left_semi",
+            )
+            .select(*cols, F.lit("update_postimage").alias("_change"))
+        )
+        return inserts.unionByName(deletes).unionByName(updates)
+
     def clone(self, src: str, dst: str, version: int | None = None) -> int:
         """Shallow (zero-copy) clone: `dst`'s v0 manifest references `src`'s
         immutable data dirs by ABSOLUTE path — no data moves, the clone is

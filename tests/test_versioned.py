@@ -478,3 +478,32 @@ def test_merge_into_honors_deletion_vectors(spark, wh):
     wh.merge_into("d", src, "id")
     got = {r["id"]: r["text"] for r in wh.load("d").collect()}
     assert got == {1: "doc 1", 3: "UPDATED 3"}
+
+
+def test_diff_change_feed_between_versions(spark, wh):
+    """diff(v_from, v_to): inserts, deletes (pre-image), and changed rows
+    (post-image) keyed by id — across a merge commit and transitively
+    across several versions."""
+    wh.save("cf", _df(spark, [1, 2, 3]), stats_cols=["id"])           # v0
+    src = spark.createDataFrame(
+        [(2, "doc 2 EDITED"), (9, "doc 9")], "id long, text string"
+    )
+    wh.merge_into("cf", src, "id", stats_cols=["id"])                 # v1
+    changes = {
+        (r["id"], r["_change"], r["text"]) for r in wh.diff("cf", 0, 1, "id").collect()
+    }
+    assert changes == {
+        (9, "insert", "doc 9"),
+        (2, "update_postimage", "doc 2 EDITED"),
+    }
+    # a delete shows its pre-image
+    from pyspark.sql import functions as F
+
+    wh.delete_where("cf", F.col("id") == 1, key_col="id")             # v2
+    changes = {(r["id"], r["_change"]) for r in wh.diff("cf", 1, 2, "id").collect()}
+    assert changes == {(1, "delete")}
+    # transitive: v0 → v2 combines all of it
+    changes = {(r["id"], r["_change"]) for r in wh.diff("cf", 0, 2, "id").collect()}
+    assert changes == {(9, "insert"), (2, "update_postimage"), (1, "delete")}
+    # no changes → empty feed
+    assert wh.diff("cf", 2, 2, "id").collect() == []
