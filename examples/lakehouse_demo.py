@@ -57,6 +57,29 @@ def main() -> None:
         f"(source unaffected: {wh.load('events').count()})"
     )
 
+    # MERGE INTO: update 100 rows in place, insert 10 new ones — the
+    # manifest-pruned write path rewrites only dirs whose key range meets
+    # the source keys
+    src = (
+        wh.load("events")
+        .filter(F.col("event_id") < 100)
+        .withColumn("value", F.col("value") + 1000.0)
+        .unionByName(
+            ev.filter(F.col("event_id") < 10).select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                "user_id", "event_type", "value",
+            )
+        )
+    )
+    v4 = wh.merge_into("events", src, "event_id", stats_cols=["event_id"])
+    m = wh.history("events")[-1]
+    print(
+        f"v{v4} MERGE: touched {m['merge_touched']} dir(s), carried "
+        f"{m['merge_untouched']} by reference → rows={wh.load('events').count()}"
+    )
+    feed = wh.diff("events", v3, v4, "event_id").groupBy("_change").count().collect()
+    print("change feed v%d→v%d: %s" % (v3, v4, {r["_change"]: r["count"] for r in feed}))
+
     gone = wh.vacuum("events", keep_last=2)
     print(f"vacuum removed {len(gone)} unreferenced data dirs; history intact for last 2 versions")
 
