@@ -305,3 +305,66 @@ def embed_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("norm"),
     )
+
+
+@query("change_feed_documents", """
+WITH v0 AS (SELECT doc_id, text FROM documents),
+v1 AS (
+    SELECT doc_id, CASE WHEN doc_id < 10 THEN 'EDITED ' || text ELSE text END AS text
+    FROM documents WHERE doc_id % 7 <> 3
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, 'NEW ' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents WHERE doc_id < 5
+),
+ins AS (
+    SELECT v1.doc_id, 'insert' AS _change FROM v1
+    WHERE v1.doc_id NOT IN (SELECT doc_id FROM v0)
+),
+del AS (
+    SELECT v0.doc_id, 'delete' AS _change FROM v0
+    WHERE v0.doc_id NOT IN (SELECT doc_id FROM v1)
+),
+upd AS (
+    SELECT v1.doc_id, 'update_postimage' AS _change
+    FROM v1 JOIN v0 USING (doc_id) WHERE v1.text <> v0.text
+)
+SELECT doc_id, _change FROM ins
+UNION ALL SELECT doc_id, _change FROM del
+UNION ALL SELECT doc_id, _change FROM upd
+""")
+def change_feed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed SEMANTICS driver-checked in pure form (the store's
+    `VersionedWarehouse.diff` runs this logic over pinned manifests): v1
+    derives from v0 by editing doc_id<10, dropping doc_id%7==3, and
+    inserting 5 re-keyed rows; the feed = two key anti-joins + a
+    changed-row semi-join — exactly diff()'s plan shape, hash-matched
+    against the oracle's NOT IN / join formulation."""
+    v0 = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = (
+        v0.filter(F.col("doc_id") % 7 != 3)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") < 10, F.concat(F.lit("EDITED "), F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            v0.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.lit("NEW "), F.col("doc_id").cast("string")).alias("text"),
+            )
+        )
+    )
+    ins = v1.join(v0.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.lit("insert").alias("_change")
+    )
+    dele = v0.join(v1.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.lit("delete").alias("_change")
+    )
+    upd = (
+        v1.alias("b")
+        .join(v0.alias("a"), "doc_id")
+        .filter(F.col("b.text") != F.col("a.text"))
+        .select("doc_id", F.lit("update_postimage").alias("_change"))
+    )
+    return ins.unionByName(dele).unionByName(upd)

@@ -45,8 +45,8 @@ def test_contract_size_exact():
     # Pin the full contract: a broken import now raises in load_all, and this
     # guards against a module silently registering fewer queries.  Bump the
     # numbers when adding queries — never let them shrink.
-    assert len(registry.QUERIES) >= 196
-    assert len(registry.ORACLES) >= 196
+    assert len(registry.QUERIES) >= 197
+    assert len(registry.ORACLES) >= 197
 
 
 def test_rotation_puts_unverified_oracleable_first():
