@@ -814,3 +814,44 @@ def test_versioned_merge_sink_cdc_and_replay(spark, tmp_path):
     assert {r["id"]: r["text"] for r in wh.load("t").collect()} == {
         1: "a2", 2: "b1", 3: "c0"
     }
+
+
+def test_rollup_maintenance_converges_replays_and_compacts(spark, tmp_path):
+    """The incremental rollup equals the batch groupBy over the union of
+    all batches — after normal batches, after a replay, and after
+    compaction."""
+    from custom_python_vectordb_spark.streaming.rollup_maintenance import (
+        compact_rollup,
+        process_rollup_batch,
+        read_rollup,
+    )
+
+    root = str(tmp_path / "mv")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, v double")
+
+    b0 = [("a", 1.0), ("a", 2.0), ("b", 10.0)]
+    b1 = [("a", 3.0), ("c", 5.0)]
+    b2 = [("b", 1.0), ("c", 1.0), ("c", 2.0)]
+    process_rollup_batch(batch(b0), 0, root, "mv", ["k"], "v")
+    process_rollup_batch(batch(b1), 1, root, "mv", ["k"], "v")
+    process_rollup_batch(batch(b2), 2, root, "mv", ["k"], "v")
+
+    def view():
+        return {
+            r["k"]: (r["cnt"], r["total"], r["avg"])
+            for r in read_rollup(spark, root, "mv", ["k"]).collect()
+        }
+
+    want = {"a": (3, 6.0, 2.0), "b": (2, 11.0, 5.5), "c": (3, 8.0, 8.0 / 3)}
+    assert view() == want
+    # replay of batch 1 overwrites its own partition: no double counting
+    process_rollup_batch(batch(b1), 1, root, "mv", ["k"], "v")
+    assert view() == want
+    # compaction folds partials without changing the view
+    compact_rollup(spark, root, "mv", ["k"])
+    assert view() == want
+    import glob
+
+    assert glob.glob(str(tmp_path / "mv" / "mv" / "batch_id=-1"))
