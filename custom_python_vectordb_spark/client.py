@@ -197,6 +197,14 @@ class Collection:
         )
         return Collection(self._client, dst)
 
+    def diff(self, v_from: int, v_to: int, on: str = "id", limit: int = 1000) -> list[dict]:
+        """Computed change feed between two versions (versioned stores
+        only): rows with `_change` ∈ insert/update_postimage/delete."""
+        return self._client._request(
+            "GET",
+            f"/collections/{self.name}/diff?from={v_from}&to={v_to}&on={on}&limit={limit}",
+        )["changes"]
+
     def merge(
         self,
         rows: list[dict],

@@ -469,6 +469,22 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                 v = db.warehouse.clone(name, dst, version=ver)
                 publish(dst, "clone", source=name, version=v)
                 return 201, {"cloned": dst, "version": v}
+            if parts[2:] == ["diff"] and method == "GET":
+                if not versioned:
+                    return 400, {"error": "collection store is not versioned"}
+                try:
+                    v_from = int(qs["from"])
+                    v_to = int(qs["to"])
+                except (KeyError, TypeError, ValueError):
+                    return 400, {"error": "diff requires integer 'from' and 'to' params"}
+                on = qs.get("on", "id")
+                rows = (
+                    db.warehouse.diff(name, v_from, v_to, on)
+                    .drop("embedding")
+                    .limit(int(qs.get("limit", 1000)))
+                    .collect()
+                )
+                return 200, {"changes": [r.asDict(recursive=True) for r in rows]}
             if parts[2:] == ["merge"] and method == "POST":
                 if not versioned:
                     return 400, {"error": "collection store is not versioned"}

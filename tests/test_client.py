@@ -138,6 +138,10 @@ def test_versioned_admin_over_http(vclient):
     assert c.get("a")["_document"] == "spark rows UPDATED"
     assert c.get("z")["_document"] == "brand new"
 
+    # change feed over HTTP across the merge commit
+    changes = {(r["id"], r["_change"]) for r in c.diff(v - 1, v)}
+    assert changes == {("a", "update_postimage"), ("z", "insert")}
+
 
 def test_admin_routes_reject_unversioned(client):
     client.create_collection("plain", dimensions=64)
