@@ -54,6 +54,8 @@ SHOW = [
     ("unigram_logprob", "LM join carries no broadcast hint: AQE broadcasts the vocab table while small, shuffles beyond"),
     ("phrase_search", "positional explode + broadcast phrase-term join + ONE map-side-combined (doc,start) aggregate — no m-way self-join"),
     ("graph_kcore", "bounded peel: degree aggregate + two endpoint semi-joins per round, checkpoint-truncated"),
+    ("change_feed_documents", "CDF shape: two key anti-joins + changed-row semi-join between derived snapshots"),
+    ("weighted_sample_es", "Efraimidis-Spirakis: one map pass (hash -> ln(u)/w key) + TakeOrderedAndProject"),
 ]
 
 MARKERS = [
