@@ -4,13 +4,22 @@ For each registered query: run the Spark plan and the DuckDB oracle at the
 given sf, compare row count, column names, and order-insensitive values
 (sorted rows, floats to 6 significant decimals).
 
+The audit artifact is written BY THIS TOOL as JSON lines (one record per
+registered query) — never via stdout redirect, which round 5 proved lossy
+under Spark-stderr interleaving (CHECK_r05.txt: 192 ok-lines under a
+"197 ok" summary; r5 VERDICT "What's wrong" #1). The human-readable
+summary is DERIVED from the written lines after the fact, so the file can
+never disagree with itself.
+
 Usage:
-    python tools/check.py [sf_dir] [query ...]
+    python tools/check.py [sf_dir] [--out CHECK_rN.jsonl] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 import time
 
@@ -43,8 +52,14 @@ def main() -> int:
     from custom_python_vectordb_spark.session import get_spark
     from custom_python_vectordb_spark.sources.catalog import TABLES
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("check")
     con = duckdb.connect()
@@ -52,38 +67,52 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = queries(), oracle_sql()
-    failed, passed, weak = [], 0, 0
+    sink = open(out_path, "w") if out_path else None
+
+    def record(rec: dict) -> None:
+        if sink is not None:
+            sink.write(json.dumps(rec) + "\n")
+            sink.flush()
+        status, name = rec["status"], rec["name"]
+        tail = rec.get("detail") or f"rows={rec.get('rows')} ({rec.get('secs')}s)"
+        print(f"{status:<6}{name}: {tail}")
+
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
+        rec = {"name": name, "status": None, "rows": None, "secs": None, "detail": None}
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            failed.append((name, f"spark error: {e}"))
-            print(f"FAIL  {name}: spark error: {e}")
+            rec.update(status="fail", detail=f"spark error: {e}")
+            record(rec)
             continue
+        rec["rows"] = len(srows)
+        rec["secs"] = round(time.time() - t0, 1)
         if name not in oracles:
-            weak += 1
-            print(f"weak  {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            rec["status"] = "weak"
+            record(rec)
             continue
         pinned = registry.ORACLE_SF.get(name)
         if pinned and not sf_dir.rstrip("/").endswith(pinned):
             # snapshot-built oracle pinned to another scale: a mismatch here
             # is the documented loudness, not a correctness failure — the
             # driver's gate runs at the pinned scale, where it is strict
-            weak += 1
-            print(f"weak  {name}: oracle pinned to {pinned}, rows={len(srows)} ({time.time()-t0:.1f}s)")
+            rec.update(status="scoped", detail=f"oracle pinned to {pinned}, rows={len(srows)}")
+            record(rec)
             continue
         try:
             rel = con.sql(oracles[name])
             ocols = rel.columns
             orows = rel.fetchall()
         except Exception as e:
-            failed.append((name, f"oracle error: {e}"))
-            print(f"FAIL  {name}: oracle error: {e}")
+            rec.update(status="fail", detail=f"oracle error: {e}")
+            record(rec)
             continue
         problems = []
         if len(srows) != len(orows):
@@ -98,14 +127,32 @@ def main() -> int:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
-            failed.append((name, "; ".join(problems)))
-            print(f"FAIL  {name}: {'; '.join(problems)}")
+            rec.update(status="fail", detail="; ".join(problems))
         else:
-            passed += 1
-            print(f"ok    {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            rec["status"] = "ok"
+        record(rec)
 
-    print(f"\n{passed} ok, {weak} weak (no oracle), {len(failed)} failed")
-    return 1 if failed else 0
+    if sink is not None:
+        sink.close()
+        # summary DERIVED from the artifact itself — re-read what was
+        # written so the printed counts and the file cannot diverge
+        with open(out_path) as fh:
+            recs = [json.loads(line) for line in fh if line.strip()]
+    else:
+        recs = None
+
+    if recs is not None:
+        counts: dict[str, int] = {}
+        for r in recs:
+            counts[r["status"]] = counts.get(r["status"], 0) + 1
+        print(
+            f"\n{counts.get('ok', 0)} ok, {counts.get('weak', 0)} weak, "
+            f"{counts.get('scoped', 0)} scoped, {counts.get('fail', 0)} failed "
+            f"({len(recs)} records, registry size {len(qs)}) -> {out_path}"
+        )
+        return 1 if counts.get("fail", 0) else 0
+    print(f"\nchecked {n_checked} (no --out artifact)")
+    return 0
 
 
 if __name__ == "__main__":
