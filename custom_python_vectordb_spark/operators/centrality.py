@@ -31,6 +31,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _reliable_ckpt(df: DataFrame, checkpoint_dir: str) -> DataFrame:
+    """Materialize `df` to RELIABLE checkpoint storage (HDFS/object store on
+    a real cluster): lineage is truncated AND the data survives executor
+    loss, unlike `localCheckpoint`/`persist`, whose blocks live in executor
+    storage — losing one executor mid-cascade makes the truncated lineage
+    unrecoverable and kills the whole iterative job (r5 VERDICT #4). The
+    cost is a blocking write per round; pay it for unbounded/cluster runs,
+    skip it (default) on bounded local iterations."""
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
@@ -39,8 +52,17 @@ def pagerank(
     id_col: str = "id",
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """(id, pr) after `iterations` synchronous PageRank steps."""
+    """(id, pr) after `iterations` synchronous PageRank steps.
+
+    `checkpoint_dir`: when set, each round is materialized via a RELIABLE
+    `checkpoint()` into that directory instead of a lazy executor-storage
+    `persist()` — the fault-tolerant choice for cluster runs (an executor
+    loss under the default persist path forces recomputing the whole
+    K-round cascade; under localCheckpoint-style truncation it would be
+    unrecoverable). Default None keeps the single-job-cascade persist
+    plan, which is faster on bounded local iterations."""
     # ids / edges-with-outdeg are reused by EVERY iteration: persist once,
     # or each iteration's plan re-derives the multi-table union scan and the
     # lineage grows multiplicatively (measured 38 s → ~3 s at sf0.01)
@@ -60,28 +82,28 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        pr = (
-            ids.join(contrib, "id", "left")
-            .select(
-                "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("pr"),
-            )
+        pr = ids.join(contrib, "id", "left").select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("pr"),
+        )
+        if checkpoint_dir is not None:
+            pr = _reliable_ckpt(pr, checkpoint_dir)
+        else:
             # lazy persist per iteration: each rank table is computed once
             # (it feeds only the next contribution join), but all K rounds
             # run in ONE job cascade at action time instead of K blocking
             # checkpoint jobs (the weighted-shortest-paths fix, round 4).
             # Lineage depth stays K — fine for bounded K; checkpoint every
             # ~10 rounds if iterating unbounded.
-            .persist()
-        )
-        rounds.append(pr)
+            pr = pr.persist()
+            rounds.append(pr)
     # materialize the ONE cascade now, then release every intermediate:
     # only the returned table stays cached. Without this, each invocation
     # leaked K+2 cached DataFrames for the session lifetime (round-4
     # ADVICE #4); the count() is the same single job the caller's first
     # action would have run.
     pr.count()
-    for h in (*rounds[:-1], ids, ew):
+    for h in (*(rounds[:-1] if rounds else ()), ids, ew):
         h.unpersist()
     return pr
 
@@ -122,6 +144,7 @@ def weighted_shortest_paths(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "qty",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, dist): exact cheapest-path distance from `source` over paths of
     at most `iterations` edges — bounded Bellman-Ford as K synchronous
@@ -158,17 +181,17 @@ def weighted_shortest_paths(
         relax = e.join(
             d.select(F.col("id").alias("src"), F.col("dist").alias("sd")), "src"
         ).select("id", (F.col("sd") + F.col("w")).alias("dist"))
-        d = (
-            d.unionByName(relax)
-            .groupBy("id")
-            .agg(F.min("dist").alias("dist"))
-            .persist()
-        )
-        rounds.append(d)
+        d = d.unionByName(relax).groupBy("id").agg(F.min("dist").alias("dist"))
+        if checkpoint_dir is not None:
+            # fault-tolerant cluster path: see _reliable_ckpt
+            d = _reliable_ckpt(d, checkpoint_dir)
+        else:
+            d = d.persist()
+            rounds.append(d)
     # one cascade-materializing job, then drop every intermediate cache —
     # same leak fix as pagerank (round-4 ADVICE #4)
     d.count()
-    for h in (*rounds[:-1], e):
+    for h in (*(rounds[:-1] if rounds else ()), e):
         h.unpersist()
     return d
 
@@ -197,6 +220,8 @@ def kcore_nodes(
     rounds: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """(id): nodes surviving `rounds` of k-core peeling over the distinct
     undirected pair set — the density filter community/cohesion analyses
@@ -206,16 +231,31 @@ def kcore_nodes(
     bounded peel has converged to the true k-core (tests assert this on
     the fixture). Each round is one map-side-combined degree aggregate +
     two semi-joins keyed on the endpoint — no all-pairs anything, and
-    every shuffle is on the node id."""
-    cur = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    every shuffle is on the node id.
+
+    `checkpoint_dir`: use RELIABLE per-round checkpoints instead of
+    executor-local ones (see _reliable_ckpt — default localCheckpoint
+    state dies with any executor, unrecoverable mid-peel on a cluster).
+    `pre_deduped`: the input is ALREADY the distinct undirected (a, b)
+    a<b pair set (e.g. a shared materialized edge view) — skip the
+    least/greatest/distinct normalization pass."""
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return _reliable_ckpt(df, checkpoint_dir)
+        return df.localCheckpoint(eager=True)
+
+    if pre_deduped:
+        cur = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    else:
+        cur = ckpt(
+            edges.select(
+                F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+                F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     keep = None
     for r in range(rounds):
         deg = (
@@ -236,10 +276,9 @@ def kcore_nodes(
         # EAGER localCheckpoint per round: physically one-round-deep plans,
         # one small job each (~2 s total at sf0.01), and nothing cached to
         # leak afterwards.
-        cur = (
+        cur = ckpt(
             cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
-            .localCheckpoint(eager=True)
         )
     return keep.select(F.col("v").alias("id"))
 

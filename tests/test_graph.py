@@ -282,3 +282,46 @@ def test_kcore_semantics_and_convergence(spark):
     r3 = {r["id"] for r in kcore_nodes(e, k=3, rounds=3).collect()}
     r4 = {r["id"] for r in kcore_nodes(e, k=3, rounds=4).collect()}
     assert r3 == r4 and len(r3) > 0
+
+
+def test_iterative_ops_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches the iterative graph ops from executor-local
+    materialization (persist/localCheckpoint — lost with any executor on a
+    real cluster) to RELIABLE checkpoint() storage, and the results are
+    identical to the default path. Checkpoint files must actually land in
+    the given directory — proof the reliable path ran, not the local one."""
+    from custom_python_vectordb_spark.operators.centrality import (
+        kcore_nodes,
+        pagerank,
+        weighted_shortest_paths,
+    )
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    ckdir = str(tmp_path / "reliable_ck")
+
+    core_default = {r["id"] for r in kcore_nodes(edges, k=2, rounds=3).collect()}
+    core_reliable = {
+        r["id"]
+        for r in kcore_nodes(edges, k=2, rounds=3, checkpoint_dir=ckdir).collect()
+    }
+    assert core_reliable == core_default == {"a", "b", "c"}
+    import os
+
+    assert any(os.scandir(ckdir)), "no checkpoint data written to checkpoint_dir"
+
+    nodes = edges.selectExpr("src as id").union(edges.selectExpr("dst as id")).distinct()
+    pr_d = {r["id"]: r["pr"] for r in pagerank(nodes, edges, iterations=3).collect()}
+    pr_r = {
+        r["id"]: r["pr"]
+        for r in pagerank(nodes, edges, iterations=3, checkpoint_dir=ckdir).collect()
+    }
+    assert pr_r == pr_d
+
+    wedges = edges.selectExpr("src", "dst", "1.0 as qty")
+    d_d = {r["id"]: r["dist"] for r in weighted_shortest_paths(wedges, "a", 3).collect()}
+    d_r = {
+        r["id"]: r["dist"]
+        for r in weighted_shortest_paths(wedges, "a", 3, checkpoint_dir=ckdir).collect()
+    }
+    assert d_r == d_d
