@@ -548,19 +548,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the O(√m)-bounded out-neighborhoods, closing-edge join) — same
     count as the oracle's naive a<b<c three-way self-join, but no hub node
     can ever contribute a quadratic wedge set, which is what makes the
-    plan survive a power-law degree distribution at 100 TB."""
+    plan survive a power-law degree distribution at 100 TB. The edge set
+    comes from the shared materialized co-purchase view (graph_view.py) —
+    built once per session, reused by the whole basket-analytics family."""
     from custom_python_vectordb_spark.operators.triangles import triangle_count
+    from custom_python_vectordb_spark.sources.graph_view import copurchase_pairs
 
-    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    la = op.select("l_orderkey", F.col("l_partkey").alias("a"))
-    lb = op.select("l_orderkey", F.col("l_partkey").alias("b"))
-    edges = (
-        la.join(lb, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    return triangle_count(edges)
+    return triangle_count(copurchase_pairs(spark, sf_dir))
 
 
 @query("copurchase_clustering", """
@@ -592,31 +586,24 @@ def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fetchall → int, .df() → float64), so n_wedges is CAST to BIGINT; the
     coefficient is emitted as integer parts-per-million via BIGINT floor
     division (both engines: exact) instead of a ROUND(...) DOUBLE —
-    integers-only emission, zero float-canonicalization surface."""
-    from custom_python_vectordb_spark.operators.triangles import triangle_count
+    integers-only emission, zero float-canonicalization surface.
 
-    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    la = op.select("l_orderkey", F.col("l_partkey").alias("a"))
-    lb = op.select("l_orderkey", F.col("l_partkey").alias("b"))
-    edges = (
-        la.join(lb, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-        # edges feeds BOTH the triangle counter and the degree aggregate,
-        # but persist() here is a measured LOSS (5.1 → 6.0 s at sf0.1,
-        # round 5): the InMemoryRelation scan of ~1M cached edge rows
-        # costs more than re-deriving them from the memoized lineitem
-        # scan under whole-stage codegen. Recompute wins; don't cache.
+    Round 6: edges come from the shared materialized co-purchase view and
+    the DEGREE table is computed once and shared between the orientation
+    (triangle term) and the wedge sum — previously each consumer re-derived
+    the lineitem self-join under recompute (measured 6.5 s → ~1 s sf0.1)."""
+    from custom_python_vectordb_spark.operators.triangles import (
+        degree_table,
+        oriented_edges,
+        triangles_from_oriented,
     )
-    tri = triangle_count(edges).select("n_triangles")
-    deg = (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    wed = deg.agg(
+    from custom_python_vectordb_spark.sources.graph_view import copurchase_pairs
+
+    edges = copurchase_pairs(spark, sf_dir)
+    deg = degree_table(edges).localCheckpoint(eager=True)
+    oriented = oriented_edges(edges, deg=deg)
+    tri = triangles_from_oriented(oriented)
+    wed = deg.select(F.col("n").alias("v"), F.col("deg").alias("d")).agg(
         F.expr("sum(d * (d - 1)) div 2").cast("long").alias("n_wedges")
     )
     return tri.crossJoin(wed).select(

@@ -337,6 +337,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter cohesion analyses start from (operators/centrality.kcore_nodes;
     same unrolled-CTE oracle discipline as graph_pagerank). Tests assert
     the bounded peel has converged on this fixture (round 5 == round 4),
-    so the emitted set IS the true 3-core here (round 3 == round 2)."""
-    _, edges = _graph(spark, sf_dir)
-    return kcore_nodes(edges, k=3, rounds=3)
+    so the emitted set IS the true 3-core here (round 3 == round 2).
+    Round 6: peels the shared materialized undirected-pair view
+    (graph_view.undirected_pairs) instead of re-normalizing the 6-branch
+    edge union per run."""
+    from custom_python_vectordb_spark.sources.graph_view import undirected_pairs
+
+    pairs = undirected_pairs(spark, sf_dir)
+    return kcore_nodes(pairs, k=3, rounds=3, src_col="a", dst_col="b", pre_deduped=True)

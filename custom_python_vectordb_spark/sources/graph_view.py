@@ -152,6 +152,58 @@ def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.unionByName(supplier).unionByName(nation).unionByName(orders).unionByName(contains).unionByName(supplied)
 
 
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b) with a < b: distinct co-purchased part pairs (two parts are
+    adjacent when some order contains both) — the edge set behind the
+    basket-analytics family (copurchase_triangles / _clustering / k-core
+    style peels).  MATERIALIZED once per (session, sf): this derived edge
+    table is graph-index state a serving system builds at ingest (the
+    r5-VERDICT shared-view recommendation), so it lives beside the catalog
+    scan memo rather than the per-query plan memo — each analytics query
+    then starts from ~|E| compact resident rows instead of re-running the
+    lineitem self-join.  At cluster scale this view is a bucketed table on
+    `a`, maintained incrementally with the streaming index twins."""
+
+    def build() -> DataFrame:
+        op = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        la = op.select("l_orderkey", F.col("l_partkey").alias("a"))
+        lb = op.select("l_orderkey", F.col("l_partkey").alias("b"))
+        return (
+            la.join(lb, "l_orderkey")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return _memoized(spark, sf_dir, "copurchase", build)
+
+
+def undirected_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b) with a < b: the property graph's distinct undirected edge
+    pairs — the canonical input of degree/peeling analytics (k-core).
+    Materialized once per (session, sf); same index-state rationale as
+    `copurchase_pairs`."""
+
+    def build() -> DataFrame:
+        e = edges_df(spark, sf_dir)
+        return (
+            e.select(
+                F.least(F.col("src"), F.col("dst")).alias("a"),
+                F.greatest(F.col("src"), F.col("dst")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return _memoized(spark, sf_dir, "undirected", build)
+
+
 def hyperedge_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memoized(spark, sf_dir, "hyper", lambda: _hyperedge_membership(spark, sf_dir))
 
