@@ -230,6 +230,19 @@ def _bench_knn_100k(spark) -> dict[str, float]:
             )
             assert len(pdf) == nq * 10
             out["knn_batch20_100k_sharded_ms_per_query"] = round(dt * 1000 / nq, 3)
+
+            # ... and at its DESIGN POINT (r5 VERDICT #2): the sharded path
+            # exists for corpora beyond one node's RAM, where queries arrive
+            # batched; at batch 100 the ~140 ms job floor amortizes to
+            # ~1.4 ms/q and the number reflects the path's real throughput
+            # instead of the job-protocol constant the 20-query row shows.
+            sub100 = qpd.iloc[:100]
+            knn_shard_gemm_serve(spark, shards, sub100, k=10, dtype="float32", tasks=2)
+            dt, pdf = _best_of(
+                lambda: knn_shard_gemm_serve(spark, shards, sub100, k=10, dtype="float32", tasks=2)
+            )
+            assert len(pdf) == 100 * 10
+            out["knn_batch100_100k_sharded_ms_per_query"] = round(dt * 1000 / 100, 3)
             continue
         knn_batch_gemm(corpus, sub, k=10, dtype="float32").collect()  # warm
         dt, rows = _best_of(lambda: knn_batch_gemm(corpus, sub, k=10, dtype="float32").collect())
@@ -416,6 +429,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     build_exec: dict[str, dict[str, float]] = {}
     serving_warm: dict[str, float] = {}
+    serving_warm_py4j: dict[str, float] = {}
     for name in names:
         memo_fn = registry.QUERIES[name]
         # PRIMARY series (comparable to BENCH_r1-r3): build a FRESH plan per
@@ -460,6 +474,16 @@ def main() -> None:
             memo_fn(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         serving_warm[name] = round(best, 4)
+        # py4j-transport twin for ONE round (r5 VERDICT #3): r5 switched the
+        # serving series py4j→Arrow mid-stream, conflating transport with
+        # the real persist_served wins; publishing both transports this
+        # round re-anchors the r4 series so the trend stays comparable.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            memo_fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        serving_warm_py4j[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -470,6 +494,8 @@ def main() -> None:
         "build_exec": build_exec,
         "serving_warm": serving_warm,
         "serving_warm_total": round(sum(serving_warm.values()), 4),
+        "serving_warm_py4j": serving_warm_py4j,
+        "serving_warm_py4j_total": round(sum(serving_warm_py4j.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if "knn_batch" in timings:
