@@ -695,3 +695,57 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_df(
         spark, out, "term string, n_exact bigint, cms_lower_ok boolean, cms_eps_ok boolean"
     )
+
+
+@query("rollup_sketch_certified", """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users, TRUE AS users_within_5pct,
+       ROUND(MEDIAN(value), 4) + 0.0 AS exact_p50, TRUE AS p50_within_bin
+FROM events GROUP BY event_type
+""")
+def rollup_sketch_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the sketch-augmented incremental rollup view
+    (streaming/rollup_maintenance.py, round 6): the events table is split
+    into 4 disjoint pseudo-micro-batches (event_id % 4), each reduced to
+    the SAME fixed-size mergeable partials the streaming sink writes —
+    Datasketches HLL of user_id + a 256-bin value histogram — then merged
+    exactly as `read_rollup` merges stored partials (hll_union_agg +
+    element-wise histogram sum). Certification follows the
+    `approx_distinct_users` discipline: only exact values and literal
+    TRUE bounds enter the hashed output — merged-HLL estimate within 5%
+    of exact distinct, histogram-median within one bin width (4.0) of the
+    exact median — so the driver hash-checks the merge path itself, not
+    just a single-shot sketch."""
+    from custom_python_vectordb_spark.streaming.rollup_maintenance import (
+        hist_partial_expr,
+        hist_quantile,
+        merge_hist_expr,
+    )
+
+    bins, lo, hi = 256, 0.0, 1024.0
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    partials = ev.withColumn("b", F.col("user_id") % 4).groupBy("event_type", "b").agg(
+        F.hll_sketch_agg("user_id").alias("hll"),
+        hist_partial_expr("value", bins, lo, hi).alias("hist"),
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_users"),
+        hist_quantile(merge_hist_expr("hist", bins), 0.5, bins, lo, hi).alias("approx_p50"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.median("value").alias("exact_p50"),
+    )
+    width = (hi - lo) / bins
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("users_within_5pct"),
+        (F.round("exact_p50", 4) + F.lit(0.0)).alias("exact_p50"),
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= F.lit(width)).alias(
+            "p50_within_bin"
+        ),
+    )

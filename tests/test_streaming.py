@@ -855,3 +855,53 @@ def test_rollup_maintenance_converges_replays_and_compacts(spark, tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "mv" / "mv" / "batch_id=-1"))
+
+
+def test_rollup_sketch_columns_merge_replay_compact(spark, tmp_path):
+    """Sketch-augmented rollup: HLL distinct + histogram quantile partials
+    merge associatively across batches, survive a replay (partition
+    overwrite) and compaction unchanged, and certify against the exact
+    batch values over the union of all micro-batches."""
+    from custom_python_vectordb_spark.streaming.rollup_maintenance import (
+        compact_rollup,
+        process_rollup_batch,
+        read_rollup,
+    )
+
+    root = str(tmp_path / "mv")
+    kw = dict(distinct_col="u", quantile_col="v", bins=64, lo=0.0, hi=64.0)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, u bigint, v double")
+
+    # values 0..47 under key a (users 0..23), 0..15 under b (users 0..7)
+    rows = [("a", i % 24, float(i)) for i in range(48)] + [
+        ("b", i % 8, float(i)) for i in range(16)
+    ]
+    b0, b1, b2 = rows[:20], rows[20:45], rows[45:]
+    for i, b in enumerate((b0, b1, b2)):
+        process_rollup_batch(batch(b), i, root, "mv", ["k"], "v", **kw)
+
+    def view():
+        out = {}
+        for r in read_rollup(
+            spark, root, "mv", ["k"], quantiles=(0.5,), bins=64, lo=0.0, hi=64.0
+        ).collect():
+            out[r["k"]] = (r["cnt"], r["total"], r["approx_distinct"], r["p50"])
+        return out
+
+    got = view()
+    # exact over the union: a: 48 rows sum 0..47=1128, 24 users, median 23.5
+    # b: 16 rows sum 0..15=120, 8 users, median 7.5
+    assert got["a"][0] == 48 and got["a"][1] == 1128.0
+    assert got["b"][0] == 16 and got["b"][1] == 120.0
+    # HLL at this cardinality is exact
+    assert got["a"][2] == 24 and got["b"][2] == 8
+    # histogram median within one bin width (1.0 at 64 bins over [0, 64))
+    assert abs(got["a"][3] - 23.5) <= 1.0
+    assert abs(got["b"][3] - 7.5) <= 1.0
+
+    process_rollup_batch(batch(b1), 1, root, "mv", ["k"], "v", **kw)  # replay
+    assert view() == got
+    compact_rollup(spark, root, "mv", ["k"], bins=64)
+    assert view() == got
