@@ -661,7 +661,12 @@ def knn_replica_serve(
     architecture (query nodes hold loaded segments; the cluster engine
     builds/refreshes them): Spark remains the build path — the replica is
     just the latest snapshot of the same shard files, re-decoded whenever
-    any shard's (mtime, size) changes.
+    any shard's (mtime_ns, size) changes. Coherence contract (chaos-tested
+    in tests/test_knn.py): a same-size in-place rewrite IS detected
+    (nanosecond mtime moves), but a writer that deliberately restores
+    mtime_ns afterwards defeats any stat-based key — pipelines that
+    rewrite shards in place must publish under new filenames (what the
+    versioned store's commits do) or touch the file.
 
     Scale boundary is explicit, not implicit: decoded bytes above
     ``max_bytes`` raise with a pointer to the shard-resident path instead

@@ -271,3 +271,67 @@ def test_replica_serve_masked_equals_filtered_expression_path(
         [shard], qpd, k=7, metric=metric, mask=np.zeros(n, dtype=bool)
     )
     assert len(empty) == 0
+
+
+def test_replica_cache_coherence_same_size_rewrite(tmp_path):
+    """Chaos test (r5 VERDICT #8): overwriting a shard with SAME-SIZE,
+    different-content data must re-key the replica (st_mtime_ns changes
+    even when st_size does not) for both the in-RAM and mmap tiers. The
+    stat-key boundary is also pinned: a writer that deliberately restores
+    mtime_ns after a same-size rewrite is undetectable by ANY stat-based
+    cache — that case serves the cached block, by documented contract
+    (rewriting pipelines must use new filenames or touch the shard)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.operators.knn import knn_replica_serve
+
+    def write_shard(path, order):
+        # query is [1, 0]; l2 dist^2 to [o, 1] is (o-1)^2 + 1, so the row
+        # with o == 1 always wins — `order` controls WHICH vec_id that is
+        pq.write_table(
+            pa.table({"vec_id": [10, 11, 12],
+                      "embedding": [[float(o), 1.0] for o in order]}),
+            path, compression="none",
+        )
+
+    shard = tmp_path / "s.parquet"
+    write_shard(shard, [1, 0, 9])  # winner: index 0 -> vec 10
+    paths = [str(shard)]
+    qpd = pd.DataFrame({"qid": [0], "qvec": [[1.0, 0.0]]})
+
+    def top1(**kw):
+        out = knn_replica_serve(paths, qpd, k=1, metric="l2", **kw)
+        return int(out["vec_id"].iloc[0])
+
+    assert top1() == 10
+    st0 = os.stat(shard)
+
+    # same-size rewrite moving the winner: in-RAM replica must re-decode
+    write_shard(shard, [9, 1, 0])  # winner: index 1 -> vec 11
+    assert os.stat(shard).st_size == st0.st_size, "rewrite must be same-size"
+    assert top1() == 11
+
+    # mmap tier re-keys on rewrite too
+    mmdir = str(tmp_path / "mm")
+    assert top1(mmap_dir=mmdir) == 11
+    write_shard(shard, [9, 0, 1])  # winner: index 2 -> vec 12
+    assert top1(mmap_dir=mmdir) == 12
+    assert top1() == 12
+
+    # documented boundary: same-size rewrite + restored mtime_ns is
+    # indistinguishable from "no change" for a stat-based key -> stale
+    st_before = os.stat(shard)
+    write_shard(shard, [1, 9, 0])  # winner would be vec 10
+    os.utime(shard, ns=(st_before.st_atime_ns, st_before.st_mtime_ns))
+    st_after = os.stat(shard)
+    assert (st_after.st_mtime_ns, st_after.st_size) == (
+        st_before.st_mtime_ns, st_before.st_size,
+    )
+    assert top1() == 12  # stale by contract, NOT re-decoded
+    # touching the shard restores coherence
+    os.utime(shard)
+    assert top1() == 10
