@@ -706,7 +706,9 @@ FROM events GROUP BY event_type
 def rollup_sketch_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the sketch-augmented incremental rollup view
     (streaming/rollup_maintenance.py, round 6): the events table is split
-    into 4 disjoint pseudo-micro-batches (event_id % 4), each reduced to
+    into 4 disjoint pseudo-micro-batches (event_id % 4 — each user
+    spans several batches, so the union must dedup ACROSS partials, the
+    hard merge case), each reduced to
     the SAME fixed-size mergeable partials the streaming sink writes —
     Datasketches HLL of user_id + a 256-bin value histogram — then merged
     exactly as `read_rollup` merges stored partials (hll_union_agg +
@@ -724,7 +726,7 @@ def rollup_sketch_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bins, lo, hi = 256, 0.0, 1024.0
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "value")
-    partials = ev.withColumn("b", F.col("user_id") % 4).groupBy("event_type", "b").agg(
+    partials = ev.withColumn("b", F.col("event_id") % 4).groupBy("event_type", "b").agg(
         F.hll_sketch_agg("user_id").alias("hll"),
         hist_partial_expr("value", bins, lo, hi).alias("hist"),
     )
