@@ -725,7 +725,7 @@ def rollup_sketch_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     bins, lo, hi = 256, 0.0, 1024.0
-    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
     partials = ev.withColumn("b", F.col("event_id") % 4).groupBy("event_type", "b").agg(
         F.hll_sketch_agg("user_id").alias("hll"),
         hist_partial_expr("value", bins, lo, hi).alias("hist"),
