@@ -35,7 +35,7 @@ SHOW = [
     ("boilerplate_ngrams", "distinct (doc, trigram) explode -> one partial-combining gram count -> global top-30"),
     ("dedup_accounting", "one hash-keyed aggregate over the injected-duplicates corpus"),
     ("bloom_filtered_join", "getbit probe Filter on the fact scan BELOW the join — the big side is Bloom-pruned before its exchange"),
-    ("copurchase_triangles", "degree-ordered orientation, wedge self-join, closing-edge join — three bounded shuffles, no hub blowup"),
+    ("copurchase_triangles", "edge-iterator triangles: shared materialized pair view, O(sqrt m) out-neighbor arrays joined onto both endpoints, array_intersect summed — the wedge set never materializes"),
     ("zorder_values", "Morton interleave as one codegen'd shift/or projection — no shuffle, no UDF"),
     ("dedup_span_pairs", "positional 5-gram hashes (strings never shuffle), df-capped self-join on the 64-bit key, diagonal-run window over the join's own partitioning"),
     ("event_funnel", "view→click→purchase stages all keyed on user_id — one hash partitioning reused end-to-end"),
@@ -56,6 +56,8 @@ SHOW = [
     ("graph_kcore", "bounded peel: degree aggregate + two endpoint semi-joins per round, checkpoint-truncated"),
     ("change_feed_documents", "CDF shape: two key anti-joins + changed-row semi-join between derived snapshots"),
     ("weighted_sample_es", "Efraimidis-Spirakis: one map pass (hash -> ln(u)/w key) + TakeOrderedAndProject"),
+    ("global_chars_rank", "scalable global row_number: range-partitioned sort, per-partition counts prefix-summed into a broadcast offset table, partition-local windows — no single-partition window over data rows"),
+    ("rollup_sketch_certified", "mergeable sketch partials (HLL binary + histogram arrays) per pseudo-batch, associative union at read, certified against exact"),
 ]
 
 MARKERS = [
