@@ -217,6 +217,29 @@ def _bench_knn_100k(spark) -> dict[str, float]:
             hits = sum(1 for q, v in zip(pdf["qid"], pdf["vec_id"]) if v in tl2.get(q, ()))
             out["knn_batch20_100k_sq_rerank_recall_at10"] = round(hits / len(exact_l2), 4)
 
+            # binary-quantized replica (round 6): 1 bit/dim packed words,
+            # 32x less RAM than float32 (1.6 MB resident at 100K×128),
+            # thread-sharded SWAR-popcount Hamming scan — the reference's
+            # BQ tier (README.md:520, 0.8 ms/q). Coarse recall is the
+            # honest 1-bit number; the mmap exact rerank recovers it.
+            from custom_python_vectordb_spark.operators.quantization import (
+                bq_replica_serve,
+            )
+
+            bq_replica_serve(shards, sub, k=10)  # build bit tier
+            dt, pdf = _best_of(lambda: bq_replica_serve(shards, sub, k=10))
+            assert len(pdf) == nq * 10
+            out["knn_batch20_100k_bq_ms_per_query"] = round(dt * 1000 / nq, 3)
+            hits = sum(1 for q, v in zip(pdf["qid"], pdf["vec_id"]) if v in tl2.get(q, ()))
+            out["knn_batch20_100k_bq_recall_at10"] = round(hits / len(exact_l2), 4)
+            bq_replica_serve(shards, sub, k=10, fetch_k=300, rerank_mmap_dir=mmdir)
+            dt, pdf = _best_of(
+                lambda: bq_replica_serve(shards, sub, k=10, fetch_k=300, rerank_mmap_dir=mmdir)
+            )
+            out["knn_batch20_100k_bq_rerank_ms_per_query"] = round(dt * 1000 / nq, 3)
+            hits = sum(1 for q, v in zip(pdf["qid"], pdf["vec_id"]) if v in tl2.get(q, ()))
+            out["knn_batch20_100k_bq_rerank_recall_at10"] = round(hits / len(exact_l2), 4)
+
             # distributed shard-resident path (the multi-node story). Floor
             # measured round 5: ANY Python-stage Spark job costs ~140 ms
             # (no-op scalar pandas_udf over range(1); JVM-only 32 ms), so
@@ -304,6 +327,19 @@ def _bench_knn_100k(spark) -> dict[str, float]:
         1 for q, v in zip(ivf_res["qid"], ivf_res["vec_id"]) if v in truth.get(q, ())
     )
     out["knn_ivf_replica_100k_recall_at10"] = round(hits / max(len(truth_rows), 1), 4)
+
+    # single-query latency percentiles (round 6): the reference reports
+    # p50 0.110 / p99 0.276 ms (notes_benchmark.txt:33-34) — measure the
+    # same shape on the IVF replica: 200 INDIVIDUAL 1-query calls, warm
+    lat = []
+    for i in range(200):
+        one = qpd.iloc[i : i + 1]
+        t0 = time.perf_counter()
+        ivf_replica_serve(shard_files, one, **ivf_kwargs)
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    out["knn_single_100k_ivf_p50_ms"] = round(lat[len(lat) // 2], 4)
+    out["knn_single_100k_ivf_p99_ms"] = round(lat[int(len(lat) * 0.99) - 1], 4)
 
     sharded.unpersist()
     corpus.unpersist()

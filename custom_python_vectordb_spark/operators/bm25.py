@@ -405,7 +405,7 @@ def keyword_replica_serve(
 
     paths = tuple(sorted(shard_paths))
     cache_key = (paths, id_col, text_col)
-    stat_key = tuple((p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size) for p in paths)
+    stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
     entry = _KEYWORD_REPLICA_CACHE.get(cache_key)
     if entry is None or entry[0] != stat_key:
         ids: list = []
@@ -598,7 +598,7 @@ def phrase_replica_serve(
 
     paths = tuple(sorted(shard_paths))
     cache_key = (paths, id_col, text_col)
-    stat_key = tuple((p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size) for p in paths)
+    stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
     entry = _PHRASE_REPLICA_CACHE.get(cache_key)
     if entry is None or entry[0] != stat_key:
         ids: list = []

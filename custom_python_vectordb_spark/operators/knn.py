@@ -705,7 +705,7 @@ def knn_replica_serve(
         )
     paths = tuple(sorted(shard_paths))
     cache_key = (paths, dtype) if mmap_dir is None else (paths, dtype, "mmap")
-    stat_key = tuple((p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size) for p in paths)
+    stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
     entry = _REPLICA_CACHE.get(cache_key)
     if (entry is None or entry[0] != stat_key) and mmap_dir is not None:
         built = _build_mmap_replica(paths, stat_key, mmap_dir, id_col, dtype)

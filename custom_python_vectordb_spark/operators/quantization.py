@@ -350,7 +350,7 @@ def sq_replica_serve(
     import pyarrow.parquet as _pq
 
     paths = tuple(sorted(shard_paths))
-    stat_key = tuple((p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size) for p in paths)
+    stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
     ck = (paths, id_col)
     entry = _SQ_REPLICA_CACHE.get(ck)
     if entry is None or entry[0] != stat_key:
@@ -415,7 +415,7 @@ def sq_replica_serve(
 
         paths2 = tuple(sorted(shard_paths))
         stat_key2 = tuple(
-            (p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size) for p in paths2
+            (p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths2)
         )
         built = _build_mmap_replica(paths2, stat_key2, rerank_mmap_dir, id_col, "float64")
         m_ids, m_mat, _n, _s = built
@@ -461,3 +461,181 @@ def sq_replica_serve(
         (parts[id_col].to_numpy(), parts[dist_col].to_numpy(), parts["qid"].to_numpy())
     )
     return parts.iloc[order].reset_index(drop=True)
+
+
+_BQ_REPLICA_CACHE: dict = {}
+
+
+def bq_replica_serve(
+    shard_paths: list[str],
+    queries_pd,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+    fetch_k: int | None = None,
+    rerank_mmap_dir: str | None = None,
+):
+    """Binary-quantized serving replica — the reference's 32×-compression
+    tier (``quantization.py:287`` binary codes + Hamming scan, README
+    0.8 ms/query at 100K×128) as an in-process twin of
+    :func:`sq_replica_serve`:
+
+    - **build** (once per shard stat): decode vectors, per-dim MEDIAN
+      threshold (the same ``bq_train`` convention the oracle-checked
+      batch operators use), binarize, ``np.packbits`` → resident
+      (N, D/8) uint8 code matrix — **32× less RAM than float32**; a
+      100K×128 corpus is 1.6 MB resident.
+    - **serve**: binarize+pack the queries with the SAME thresholds, and
+      per query one ``bitwise_xor`` against the packed matrix + a
+      256-entry popcount LUT sum gives Hamming distances — no float
+      arithmetic on the scan at all.
+    - ``fetch_k`` + ``rerank_mmap_dir``: same disk-float exact rerank as
+      the SQ tier (RAM holds 1-bit codes, disk holds floats) to recover
+      exact top-k from the coarse candidates; recall is measured in
+      bench every run, matching the reference's 80-85%-coarse /
+      rerank-recovered methodology.
+
+    Ties (equal Hamming) break by id ascending, like every top-k here."""
+    import os as _os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    def _popcount64_(x, t):
+        # SWAR popcount on uint64, IN PLACE with one scratch buffer
+        # (numpy 1.x has no bitwise_count; the out=-less version measured
+        # allocation-bound — 10 × 16 MB temporaries per pass at 100K×Q=20)
+        np.right_shift(x, np.uint64(1), out=t)
+        t &= np.uint64(0x5555555555555555)
+        x -= t
+        np.right_shift(x, np.uint64(2), out=t)
+        t &= np.uint64(0x3333333333333333)
+        x &= np.uint64(0x3333333333333333)
+        x += t
+        np.right_shift(x, np.uint64(4), out=t)
+        x += t
+        x &= np.uint64(0x0F0F0F0F0F0F0F0F)
+        x *= np.uint64(0x0101010101010101)
+        x >>= np.uint64(56)
+        return x
+
+    paths = tuple(sorted(shard_paths))
+    stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
+    ck = (paths, id_col)
+    entry = _BQ_REPLICA_CACHE.get(ck)
+    if entry is None or entry[0] != stat_key:
+        ids_parts, mat_parts = [], []
+        for p in paths:
+            names = _pq.read_schema(p).names
+            vec_field = "embedding" if "embedding" in names else names[1]
+            tbl = _pq.read_table(p, columns=[id_col, vec_field])
+            if tbl.num_rows == 0:
+                continue
+            ids_parts.append(tbl.column(id_col).to_numpy(zero_copy_only=False))
+            flat = np.concatenate(
+                [c.flatten().to_numpy(zero_copy_only=False) for c in tbl.column(vec_field).chunks]
+            )
+            mat_parts.append(flat.reshape(len(ids_parts[-1]), -1).astype(np.float64))
+        if not ids_parts:
+            return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
+        ids = np.concatenate(ids_parts)
+        mat = np.concatenate(mat_parts)
+        med = np.median(mat, axis=0)
+        packed = np.packbits((mat > med[None, :]).astype(np.uint8), axis=1)
+        # pad the byte dim to a multiple of 8 and view as uint64 words for
+        # the SWAR popcount scan; resident bytes stay D/8 per row (+pad)
+        pad = (-packed.shape[1]) % 8
+        if pad:
+            packed = np.concatenate(
+                [packed, np.zeros((len(packed), pad), dtype=np.uint8)], axis=1
+            )
+        words = np.ascontiguousarray(packed).view(np.uint64)
+        entry = (stat_key, ids, words, med, pad)
+        _BQ_REPLICA_CACHE[ck] = entry
+    _, ids, words, med, pad = entry
+    if len(queries_pd) == 0:
+        return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
+
+    qids = queries_pd["qid"].to_numpy()
+    qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in queries_pd["qvec"]])
+    qpacked = np.packbits((qmat > med[None, :]).astype(np.uint8), axis=1)
+    if pad:
+        qpacked = np.concatenate(
+            [qpacked, np.zeros((len(qpacked), pad), dtype=np.uint8)], axis=1
+        )
+    qwords = np.ascontiguousarray(qpacked).view(np.uint64)
+    n = len(ids)
+    # the scan is memory-bandwidth-bound (10 SWAR passes over a (Q, N)
+    # uint64 matrix per word; one core sustains ~5 GB/s): shard the corpus
+    # rows across a small thread pool — numpy releases the GIL on large
+    # elementwise ops, so the passes run on independent slices in parallel
+    # (the same scoped-parallelism play as the GEMM path's BLAS bump)
+    from concurrent.futures import ThreadPoolExecutor
+
+    dh = np.empty((len(qids), n), dtype=np.uint16)
+    n_threads = 8 if n >= 65536 else 1
+    bounds = np.linspace(0, n, n_threads + 1, dtype=np.int64)
+
+    def _scan(slot):
+        lo, hi = int(bounds[slot]), int(bounds[slot + 1])
+        acc = np.zeros((len(qids), hi - lo), dtype=np.uint64)
+        x = np.empty_like(acc)
+        t = np.empty_like(acc)
+        for w in range(words.shape[1]):
+            np.bitwise_xor.outer(qwords[:, w], words[lo:hi, w], out=x)
+            acc += _popcount64_(x, t)
+        dh[:, lo:hi] = acc
+
+    if n_threads == 1:
+        _scan(0)
+    else:
+        with ThreadPoolExecutor(n_threads) as ex:
+            list(ex.map(_scan, range(n_threads)))
+    if fetch_k is not None and rerank_mmap_dir is not None:
+        from custom_python_vectordb_spark.operators.knn import _build_mmap_replica
+
+        built = _build_mmap_replica(paths, stat_key, rerank_mmap_dir, id_col, "float64")
+        m_ids, m_mat, _n, _s = built
+        pk = (paths, rerank_mmap_dir, stat_key)
+        pos = _SQ_POS_CACHE.get(pk)
+        if pos is None:
+            _SQ_POS_CACHE.clear()
+            pos = {
+                int(v) if isinstance(v, np.integer) else v: i
+                for i, v in enumerate(m_ids)
+            }
+            _SQ_POS_CACHE[pk] = pos
+        ck2 = min(fetch_k, n)
+        cidx = np.argpartition(dh, ck2 - 1, axis=1)[:, :ck2]
+        rows = []
+        for qi in range(len(qids)):
+            cand = cidx[qi]
+            gathered = np.asarray(
+                m_mat[[pos[int(ids[c]) if isinstance(ids[c], np.integer) else ids[c]] for c in cand]],
+                dtype=np.float64,
+            )
+            diff = gathered - qmat[qi][None, :]
+            ed = np.sqrt((diff * diff).sum(axis=1))
+            kk2 = min(k, len(cand))
+            order_q = sorted(range(len(cand)), key=lambda i: (ed[i], ids[cand[i]]))[:kk2]
+            for i in order_q:
+                rows.append((qids[qi], ids[cand[i]], float(ed[i])))
+        return pd.DataFrame(rows, columns=["qid", id_col, dist_col])
+    kk = min(k, n)
+    # Hamming distances live in [0, D]: one bincount pass finds the k-th
+    # smallest value per query, a boolean gather takes the <= threshold
+    # candidates (a hair more than k on ties), and only those few sort —
+    # measured faster than a full introselect argpartition over N
+    out_q, out_i, out_d = [], [], []
+    for qi in range(len(qids)):
+        row = dh[qi]
+        counts = np.bincount(row, minlength=1)
+        thresh = int(np.searchsorted(np.cumsum(counts), kk))
+        cand = np.flatnonzero(row <= thresh)
+        order_q = sorted(cand, key=lambda c: (row[c], ids[c]))[:kk]
+        out_q.extend([qids[qi]] * len(order_q))
+        out_i.extend(ids[c] for c in order_q)
+        out_d.extend(float(row[c]) for c in order_q)
+    return pd.DataFrame({"qid": out_q, id_col: out_i, dist_col: out_d})

@@ -213,3 +213,60 @@ def test_sq_replica_rerank_equals_exact_l2(spark, sf_small, tmp_path):
     )
     for a, b in zip(exact["dist"], rr["dist"]):
         assert a == pytest.approx(b, rel=1e-6, abs=1e-6)
+
+
+def test_bq_replica_serve_equals_declarative_hamming(spark, sf_small):
+    """The binary-quantized serving replica (packed uint64 words, SWAR
+    popcount scan, bincount top-k) must produce exactly the declarative
+    plan's results: same median thresholds, same bits, same Hamming
+    counts, same (dist, id) tie-broken ranking."""
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.operators.quantization import (
+        bq_encode_expr,
+        bq_replica_serve,
+        bq_train,
+        hamming_bits_expr,
+    )
+    from custom_python_vectordb_spark.operators.topk import top_k_per_group
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    model = bq_train(emb)
+    bits = emb.crossJoin(F.broadcast(model)).select(
+        "vec_id", bq_encode_expr(F.col("embedding")).alias("bits")
+    )
+    qbits = bits.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("bits").alias("qb")
+    )
+    scored = bits.join(F.broadcast(qbits)).select(
+        "qid", "vec_id", hamming_bits_expr(F.col("qb"), F.col("bits")).alias("dist")
+    )
+    expr = (
+        top_k_per_group(scored, "qid", 10, F.col("dist").asc(), F.col("vec_id").asc())
+        .orderBy("qid", "dist", "vec_id")
+        .collect()
+    )
+
+    qpd = emb.filter("vec_id < 3").selectExpr("vec_id as qid", "embedding as qvec").toPandas()
+    serve = bq_replica_serve([f"{sf_small}/embeddings.parquet"], qpd, k=10)
+    assert [(r["qid"], r["vec_id"], float(r["dist"])) for r in expr] == list(
+        zip(serve["qid"].astype(int), serve["vec_id"].astype(int), serve["dist"])
+    )
+
+
+def test_bq_replica_rerank_equals_exact_l2(spark, sf_small, tmp_path):
+    """Coarse-BQ + mmap exact rerank: with fetch_k covering the 1-bit
+    quantization error on this small fixture, the final top-k equals the
+    exact L2 replica's ids."""
+    from custom_python_vectordb_spark.operators.knn import knn_replica_serve
+    from custom_python_vectordb_spark.operators.quantization import bq_replica_serve
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    qpd = emb.filter("vec_id < 3").selectExpr("vec_id as qid", "embedding as qvec").toPandas()
+    paths = [f"{sf_small}/embeddings.parquet"]
+    exact = knn_replica_serve(paths, qpd, k=5, metric="l2", dtype="float64")
+    mmdir = str(tmp_path / "mm")
+    got = bq_replica_serve(paths, qpd, k=5, fetch_k=400, rerank_mmap_dir=mmdir)
+    assert list(zip(exact["qid"], exact["vec_id"])) == list(zip(got["qid"], got["vec_id"]))
