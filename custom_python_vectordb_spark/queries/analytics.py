@@ -773,3 +773,54 @@ def global_chars_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_rank(
         docs, [F.desc("n_chars"), F.asc("doc_id")], rank_col="size_rank"
     )
+
+
+@query("events_anomaly_days", """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type,
+             SUM(CAST(n AS DOUBLE)) AS sn,
+             SUM(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS sq,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM d GROUP BY 1),
+z AS (SELECT d.event_type, d.day, d.n,
+             (CAST(d.n AS DOUBLE) - s.sn / s.c)
+             / sqrt((s.sq - s.sn * s.sn / s.c) / (s.c - 1)) AS zval
+      FROM d JOIN s USING (event_type) WHERE s.c > 1)
+SELECT event_type, day, n, ROUND(zval, 6) + 0.0 AS z
+FROM z WHERE abs(zval) >= 1.5 ORDER BY event_type, day
+""")
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection per event type: days whose count
+    z-scores beyond |1.5| against that type's own daily distribution —
+    the basic data-quality monitor over an event stream (traffic spikes,
+    outage dips). Mean/std are written as EXPLICIT sum/sum-of-squares
+    arithmetic on both engines (not stddev() — engines disagree at the
+    last ulp between Welford and two-pass implementations, and the z
+    division amplifies it), so the z values hash bit-identically. One
+    map-side-combined daily aggregate + a per-type 1-row stats join;
+    both shuffles key on event_type."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    nd = F.col("n").cast("double")
+    s = d.groupBy("event_type").agg(
+        F.sum(nd).alias("sn"),
+        F.sum(nd * nd).alias("sq"),
+        F.count(F.lit(1)).cast("double").alias("c"),
+    )
+    z = (
+        d.join(s, "event_type")
+        .filter(F.col("c") > 1)
+        .withColumn(
+            "zval",
+            (nd - F.col("sn") / F.col("c"))
+            / F.sqrt((F.col("sq") - F.col("sn") * F.col("sn") / F.col("c")) / (F.col("c") - 1)),
+        )
+    )
+    return (
+        z.filter(F.abs(F.col("zval")) >= 1.5)
+        .select("event_type", "day", "n", (F.round("zval", 6) + F.lit(0.0)).alias("z"))
+        .orderBy("event_type", "day")
+    )
