@@ -373,6 +373,64 @@ class Collection:
             out[int(qid)].append({"id": vid, "dist": float(dist)})
         return out
 
+    def bq_serve(
+        self,
+        query_texts: list[str] | None = None,
+        query_embeddings: list[list[float]] | None = None,
+        n_results: int = 10,
+        fetch_k: int | None = None,
+    ) -> list[list[dict]]:
+        """Binary-quantized serving twin (round 6) — the 32×-compression
+        tier over ``operators/quantization.bq_replica_serve``: 1-bit codes
+        resident (a 100K×128 collection is 1.6 MB), SWAR-popcount Hamming
+        scan. APPROXIMATE by contract — 1-bit codes rank by Hamming
+        distance, which washes out fine within-cluster detail (coarse
+        recall is measured in bench, not assumed); pass ``fetch_k`` to
+        add the mmap exact-L2 rerank over the coarse candidates. Falls
+        back to the exact serving path while deletion vectors are active,
+        like :meth:`ann_serve`."""
+        import pandas as pd
+
+        from custom_python_vectordb_spark.operators.quantization import (
+            bq_replica_serve,
+        )
+
+        if (query_texts is None) == (query_embeddings is None):
+            raise ValueError("provide exactly one of query_texts / query_embeddings")
+        if query_embeddings is None:
+            query_embeddings = [
+                mock_embed_one(t, self.dimensions).tolist() for t in query_texts
+            ]
+        try:
+            paths = self.db.warehouse.shard_paths(self.name)
+        except RuntimeError:
+            return self.query_serve(
+                query_embeddings=query_embeddings, n_results=n_results, metric="l2"
+            )
+        if not paths:
+            return [[] for _ in query_embeddings]
+        qpd = pd.DataFrame(
+            {
+                "qid": range(len(query_embeddings)),
+                "qvec": [[float(x) for x in v] for v in query_embeddings],
+            }
+        )
+        kw: dict[str, Any] = {}
+        if fetch_k is not None:
+            import os
+
+            kw = {
+                "fetch_k": int(fetch_k),
+                "rerank_mmap_dir": os.path.join(
+                    self.db.warehouse.root, ".bq_rerank_cache", self.name
+                ),
+            }
+        res = bq_replica_serve(paths, qpd, k=n_results, id_col="id", **kw)
+        out: list[list[dict]] = [[] for _ in query_embeddings]
+        for qid, vid, dist in zip(res["qid"], res["id"], res["dist"]):
+            out[int(qid)].append({"id": vid, "dist": float(dist)})
+        return out
+
     def keyword_search(self, query: str, k: int = 10) -> DataFrame:
         return bm25_topk(self.df(), query, k=k, id_col="id", text_col="_document")
 

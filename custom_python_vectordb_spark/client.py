@@ -131,11 +131,16 @@ class Collection:
         n_results: int = 10,
         where: dict | None = None,
         ann: bool = False,
+        bq: bool = False,
+        fetch_k: int | None = None,
     ) -> list[list[dict]]:
         """Batch kNN; results[i] corresponds to input query i (positional
         contract, empty slot when a filter matches nothing). ``ann=True``
         routes to the server's IVF-replica accelerated tier (approximate
-        by contract, measured-recall; incompatible with ``where``)."""
+        by contract, measured-recall; incompatible with ``where``).
+        ``bq=True`` routes to the binary-quantized 32×-compression tier
+        (Hamming ranking; ``fetch_k`` adds the server-side exact rerank;
+        also incompatible with ``where``)."""
         body: dict[str, Any] = {"n_results": n_results}
         if query_texts is not None:
             body["query_texts"] = query_texts
@@ -145,6 +150,10 @@ class Collection:
             body["where"] = where
         if ann:
             body["ann"] = True
+        if bq:
+            body["bq"] = True
+            if fetch_k is not None:
+                body["fetch_k"] = int(fetch_k)
         return self._client._request(
             "POST", f"/collections/{self.name}/query", body
         )["results"]

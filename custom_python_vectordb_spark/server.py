@@ -583,6 +583,23 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                             n_results=int(body.get("n_results", 10)),
                         )
                     }
+                # "bq": true routes to the binary-quantized replica
+                # (api.bq_serve) — the 32x-compression tier; optional
+                # "fetch_k" adds the exact rerank over coarse candidates
+                if body.get("bq"):
+                    if body.get("where") is not None:
+                        raise ValueError(
+                            "bq queries do not support where-filters; "
+                            "use the exact path"
+                        )
+                    return 200, {
+                        "results": coll.bq_serve(
+                            query_texts=body.get("query_texts"),
+                            query_embeddings=body.get("query_embeddings"),
+                            n_results=int(body.get("n_results", 10)),
+                            fetch_k=body.get("fetch_k"),
+                        )
+                    }
                 return 200, {
                     "results": coll.query_serve(
                         query_texts=body.get("query_texts"),

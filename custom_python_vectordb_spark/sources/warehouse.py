@@ -43,7 +43,11 @@ class Warehouse:
 
     def list_collections(self) -> list[str]:
         return sorted(
-            d for d in os.listdir(self.root) if os.path.isdir(self._path(d)) and not d.startswith("_")
+            d
+            for d in os.listdir(self.root)
+            # leading "_" = engine-internal (checkpoints etc.); leading "."
+            # = hidden caches (e.g. the BQ tier's mmap rerank cache)
+            if os.path.isdir(self._path(d)) and not d.startswith(("_", "."))
         )
 
     def exists(self, name: str) -> bool:

@@ -316,3 +316,27 @@ def test_hybrid_serve_equals_plan_hybrid(coll):
         for h, r in zip(served, plan):
             for c in ("score", "vector_score", "keyword_score"):
                 assert h[c] == pytest.approx(float(r[c]), rel=1e-6, abs=1e-9), (alpha, c)
+
+
+def test_bq_serve_hamming_tier(coll):
+    """The binary-quantized serving tier: positional contract, Hamming
+    ranking on self-queries puts the query's own doc first (its bits
+    match exactly), fetch_k rerank returns exact L2 order, and deletions
+    re-key the replica."""
+    texts = ["shuffle strategies", "fox"]
+    bq = coll.bq_serve(query_texts=texts, n_results=2)
+    assert len(bq) == 2 and all(len(h) == 2 for h in bq)
+    exact = coll.query_serve(query_texts=texts, n_results=2, metric="l2")
+    # coarse tier contract: Hamming distances are integral and ascending
+    # per query (1-bit codes tie heavily on a 4-doc corpus, so hit IDENTITY
+    # is only guaranteed by the rerank tier below)
+    for hits in bq:
+        ds = [h["dist"] for h in hits]
+        assert ds == sorted(ds) and all(float(d).is_integer() for d in ds)
+    # rerank tier equals the exact-L2 serving path entirely
+    rer = coll.bq_serve(query_texts=texts, n_results=2, fetch_k=50)
+    for e_hits, r_hits in zip(exact, rer):
+        assert [h["id"] for h in r_hits] == [h["id"] for h in e_hits]
+    coll.delete(["d2"])  # rewrite -> replica re-keys on shard stats
+    after = coll.bq_serve(query_texts=["shuffle strategies"], n_results=4)
+    assert "d2" not in {h["id"] for h in after[0]}

@@ -61,6 +61,18 @@ def test_rest_roundtrip(served):
         {"query_texts": ["x"], "ann": True, "where": {"a": 1}},
     )
     assert status == 400
+    # 32x-compression tier: "bq": true + fetch_k (exact rerank) matches
+    # the exact path's top hit; bq + where is the same contract error
+    status, bq = call(
+        port, "POST", "/collections/kb/query",
+        {"query_texts": ["spark joins data"], "n_results": 1, "bq": True, "fetch_k": 10},
+    )
+    assert status == 200 and bq["results"][0][0]["id"] == "x"
+    status, _ = call(
+        port, "POST", "/collections/kb/query",
+        {"query_texts": ["x"], "bq": True, "where": {"a": 1}},
+    )
+    assert status == 400
     assert call(port, "DELETE", "/collections/kb")[1] == {"deleted": True}
     assert call(port, "GET", "/collections")[1] == {"collections": []}
 
