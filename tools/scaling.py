@@ -1,5 +1,5 @@
 """Write SCALING.md: measured wall-clock of representative queries at
-sf0.001 / sf0.01 / sf0.1 (100x data spread), with the per-query scaling
+sf0.001 / sf0.01 / sf0.1 / generated-sf1 (1000x data spread), with the per-query scaling
 exponent alpha = log(t_big/t_small) / log(rows_big/rows_small).
 
 Evidence artifact for the design-for-100x review: a query whose cost is
@@ -74,6 +74,11 @@ QUERIES = [
     ("phrase_search", "documents"),
     ("dsir_importance_sample", "documents"),
     ("leakage_safe_split", "documents"),
+    # round 6: distributed global ranking (range-sort + offset join),
+    # sketch-partial merge certification, anomaly z-scores
+    ("global_chars_rank", "documents"),
+    ("rollup_sketch_certified", "events"),
+    ("events_anomaly_days", "events"),
 ]
 
 
@@ -124,7 +129,7 @@ def main() -> None:
             results[name][sf] = best
 
     lines = [
-        "# SCALING — measured wall-clock across a 100x data spread",
+        "# SCALING — measured wall-clock across a 1000x data spread",
         "(generated by tools/scaling.py; local[32], warm best-of-2 per cell)",
         "",
         "Per-table rows:",
