@@ -720,3 +720,69 @@ def logprob_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query("bigram_logprob", f"""
+WITH tok AS (SELECT doc_id, {duck_tokenize('text')} AS toks FROM documents),
+pair AS (
+    SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+    FROM tok, UNNEST(range(1, len(toks))) AS u(i)
+    WHERE len(toks) >= 2
+),
+lm2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pair GROUP BY w1, w2),
+lm1 AS (SELECT w1, SUM(c2) AS c1 FROM lm2 GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vs
+      FROM (SELECT unnest(toks) AS t FROM tok)),
+scored AS (
+    SELECT pair.doc_id,
+           AVG(ln((lm2.c2 + 0.5) / (lm1.c1 + 0.5 * v.vs))) AS mean_logprob,
+           COUNT(*) AS n_bigrams
+    FROM pair JOIN lm2 USING (w1, w2) JOIN lm1 USING (w1) CROSS JOIN v
+    GROUP BY pair.doc_id
+)
+SELECT doc_id, ROUND(mean_logprob, {ROUND}) + 0.0 AS mean_logprob, n_bigrams
+FROM scored
+""")
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring with add-k smoothing (k=0.5) — the
+    next-order upgrade of `unigram_logprob`, closer to the KenLM
+    perplexity filters public pretraining pipelines run: each document's
+    mean ln P(w_i | w_{i-1}) under a bigram model trained on the corpus
+    itself, where P = (c(w1,w2)+k) / (c(w1)+k·V). Low scores flag
+    incoherent word-soup that unigram frequency can't see (every word
+    common, transitions nonsense). Plan: one pair explode, two
+    map-side-combined count aggregates, a 1-row vocab-size broadcast, and
+    AQE-sized LM joins (no broadcast hint — vocabulary² grows unboundedly;
+    same discipline as unigram_logprob)."""
+    from custom_python_vectordb_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t")).filter(F.size("t") >= 2)
+    pair = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, t[i + 1] as w2))")
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    lm2 = pair.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    lm1 = lm2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = (
+        docs.select(F.explode(tokenize("text")).alias("t"))
+        .agg(F.count_distinct("t").cast("double").alias("vs"))
+    )
+    return (
+        pair.join(lm2, ["w1", "w2"])
+        .join(lm1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.round(
+                    F.avg(F.log((F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("vs")))),
+                    ROUND,
+                )
+                + F.lit(0.0)
+            ).alias("mean_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
