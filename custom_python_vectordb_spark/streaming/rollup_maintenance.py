@@ -63,9 +63,13 @@ def merge_hist_expr(col: str, bins: int) -> F.Column:
 
 
 def hist_quantile(hist_col: F.Column, q: float, bins: int, lo: float, hi: float) -> F.Column:
-    """Quantile estimate from a merged histogram: midpoint of the first
-    bin whose cumulative count reaches q·total. Error ≤ one bin width by
-    construction (certified in `rollup_sketch_certified`)."""
+    """Quantile estimate from a merged histogram: midpoint of the bin
+    holding the ceil(q·total)-th smallest value — the lower DISCRETE
+    quantile. Error vs that order statistic is ≤ one bin width by
+    construction (certified in `rollup_sketch_certified`; note an
+    INTERPOLATED median — DuckDB's MEDIAN on even counts — can differ
+    from the discrete one by up to the gap between the two middle
+    values, which only matters at tiny counts)."""
     width = (hi - lo) / bins
     total = F.aggregate(hist_col, F.lit(0).cast("long"), lambda a, x: a + x)
     # cumulative counts, then index of first bin crossing the target
@@ -75,7 +79,7 @@ def hist_quantile(hist_col: F.Column, q: float, bins: int, lo: float, hi: float)
             F.slice(hist_col, F.lit(1), i + 1), F.lit(0).cast("long"), lambda a, x: a + x
         ),
     )
-    target = (F.lit(q) * total.cast("double")).cast("long")
+    target = F.ceil(F.lit(q) * total.cast("double")).cast("long")
     idx = F.array_position(F.transform(cum, lambda c: c >= F.greatest(target, F.lit(1))), True)
     return F.lit(lo) + (idx.cast("double") - F.lit(0.5)) * F.lit(width)
 

@@ -905,3 +905,61 @@ def test_rollup_sketch_columns_merge_replay_compact(spark, tmp_path):
     assert view() == got
     compact_rollup(spark, root, "mv", ["k"], bins=64)
     assert view() == got
+
+
+def test_maintain_rollup_end_to_end_stream(spark, tmp_path):
+    """maintain_rollup driven by a real file-source stream: two input
+    files arrive as micro-batches through writeStream/foreachBatch, the
+    maintained view (with sketch columns) equals the batch aggregate over
+    the union, and a restart from the same checkpoint does not
+    double-count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.streaming.rollup_maintenance import (
+        maintain_rollup,
+        read_rollup,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    root = str(tmp_path / "mv")
+    ck = str(tmp_path / "ck")
+    pq.write_table(
+        pa.table({"k": ["a", "a", "b"], "u": [1, 2, 1], "v": [1.0, 3.0, 10.0]}),
+        indir / "f0.parquet",
+    )
+
+    def run_stream():
+        stream = spark.readStream.schema("k string, u bigint, v double").parquet(
+            str(indir)
+        )
+        q = (
+            maintain_rollup(
+                stream, root, "mv", ["k"], "v",
+                distinct_col="u", quantile_col="v", bins=32, lo=0.0, hi=32.0,
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    pq.write_table(
+        pa.table({"k": ["a", "b"], "u": [2, 2], "v": [5.0, 20.0]}),
+        indir / "f1.parquet",
+    )
+    run_stream()
+    run_stream()  # no new data: restart must not re-add processed batches
+
+    got = {
+        r["k"]: (r["cnt"], r["total"], r["approx_distinct"], r["p50"])
+        for r in read_rollup(
+            spark, root, "mv", ["k"], quantiles=(0.5,), bins=32, lo=0.0, hi=32.0
+        ).collect()
+    }
+    # a: rows (1,3,5) sum 9, users {1,2}; b: rows (10,20) sum 30, users {1,2}
+    assert got["a"][0] == 3 and got["a"][1] == 9.0 and got["a"][2] == 2
+    assert got["b"][0] == 2 and got["b"][1] == 30.0 and got["b"][2] == 2
+    assert abs(got["a"][3] - 3.0) <= 1.0  # median of {1,3,5} within one bin
