@@ -240,6 +240,30 @@ def _bench_knn_100k(spark) -> dict[str, float]:
             hits = sum(1 for q, v in zip(pdf["qid"], pdf["vec_id"]) if v in tl2.get(q, ()))
             out["knn_batch20_100k_bq_rerank_recall_at10"] = round(hits / len(exact_l2), 4)
 
+            # product-quantized replica (round 6): M=16 uint8 codes (32x
+            # compression), asymmetric LUT ADC scan + mmap exact rerank —
+            # the reference's PQ tier. Coarse recall on this corpus is
+            # resolution-limited like BQ (all true neighbors share one
+            # tight cluster; code error exceeds neighbor spacing), which
+            # is exactly what the measured-every-run recall makes visible.
+            from custom_python_vectordb_spark.operators.quantization import (
+                pq_replica_serve,
+            )
+
+            pq_replica_serve(shards, sub, k=10)  # build (Lloyd codebooks)
+            dt, pdf = _best_of(lambda: pq_replica_serve(shards, sub, k=10))
+            assert len(pdf) == nq * 10
+            out["knn_batch20_100k_pq_ms_per_query"] = round(dt * 1000 / nq, 3)
+            hits = sum(1 for q, v in zip(pdf["qid"], pdf["vec_id"]) if v in tl2.get(q, ()))
+            out["knn_batch20_100k_pq_recall_at10"] = round(hits / len(exact_l2), 4)
+            pq_replica_serve(shards, sub, k=10, fetch_k=300, rerank_mmap_dir=mmdir)
+            dt, pdf = _best_of(
+                lambda: pq_replica_serve(shards, sub, k=10, fetch_k=300, rerank_mmap_dir=mmdir)
+            )
+            out["knn_batch20_100k_pq_rerank_ms_per_query"] = round(dt * 1000 / nq, 3)
+            hits = sum(1 for q, v in zip(pdf["qid"], pdf["vec_id"]) if v in tl2.get(q, ()))
+            out["knn_batch20_100k_pq_rerank_recall_at10"] = round(hits / len(exact_l2), 4)
+
             # distributed shard-resident path (the multi-node story). Floor
             # measured round 5: ANY Python-stage Spark job costs ~140 ms
             # (no-op scalar pandas_udf over range(1); JVM-only 32 ms), so

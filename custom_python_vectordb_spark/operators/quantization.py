@@ -639,3 +639,186 @@ def bq_replica_serve(
         out_i.extend(ids[c] for c in order_q)
         out_d.extend(float(row[c]) for c in order_q)
     return pd.DataFrame({"qid": out_q, id_col: out_i, dist_col: out_d})
+
+
+_PQ_REPLICA_CACHE: dict = {}
+
+
+def pq_replica_serve(
+    shard_paths: list[str],
+    queries_pd,
+    k: int = 10,
+    num_subspaces: int = 16,
+    num_centroids: int = 256,
+    *,
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+    fetch_k: int | None = None,
+    rerank_mmap_dir: str | None = None,
+):
+    """Product-quantized serving replica — the reference's PQ tier
+    (``quantization.py:510-578``: M×uint8 codes + asymmetric LUT
+    distances, README "~90% recall @ 8-16×") as the third member of the
+    quantized serving family (SQ = :func:`sq_replica_serve`, BQ =
+    :func:`bq_replica_serve`):
+
+    - **build** (once per shard stat): decode vectors, train per-subspace
+      codebooks with deterministic NumPy Lloyd (5 iterations, centroids
+      seeded from the lowest-id rows — the ivf_replica_serve recipe, so
+      rebuilds are bit-identical), encode to a resident (N, M) uint8 code
+      matrix: **32× less RAM than float32** at D=128/M=16 (+128 KB of
+      codebooks).
+    - **serve**: per query an (M, K) L2² lookup table against the
+      codebooks (one tiny GEMM), then ADC: dist²(n) = Σ_m lut[m, c_nm] —
+      M column-gathers over the code matrix, sharded across a thread
+      pool like the BQ scan (gathers are memory-bound; numpy releases
+      the GIL).
+    - ``fetch_k`` + ``rerank_mmap_dir``: same disk-float exact rerank as
+      SQ/BQ; coarse PQ recall is measured in bench, never assumed.
+
+    Distances are sqrt(ADC sums) — the asymmetric approximation of true
+    L2 (quantization error on the corpus side only); ties break by id."""
+    import os as _os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    paths = tuple(sorted(shard_paths))
+    stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
+    ck = (paths, id_col, num_subspaces, num_centroids)
+    entry = _PQ_REPLICA_CACHE.get(ck)
+    if entry is None or entry[0] != stat_key:
+        ids_parts, mat_parts = [], []
+        for p in paths:
+            names = _pq.read_schema(p).names
+            vec_field = "embedding" if "embedding" in names else names[1]
+            tbl = _pq.read_table(p, columns=[id_col, vec_field])
+            if tbl.num_rows == 0:
+                continue
+            ids_parts.append(tbl.column(id_col).to_numpy(zero_copy_only=False))
+            flat = np.concatenate(
+                [c.flatten().to_numpy(zero_copy_only=False) for c in tbl.column(vec_field).chunks]
+            )
+            mat_parts.append(flat.reshape(len(ids_parts[-1]), -1).astype(np.float32))
+        if not ids_parts:
+            return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
+        ids = np.concatenate(ids_parts)
+        mat = np.concatenate(mat_parts)
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], mat[order]
+        n, d = mat.shape
+        m = num_subspaces
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by num_subspaces {m}")
+        sub_d = d // m
+        kc = min(num_centroids, n)
+        from custom_python_vectordb_spark.operators.knn import _blas_threads
+
+        books = np.empty((m, kc, sub_d), dtype=np.float32)
+        codes = np.empty((n, m), dtype=np.uint8)
+        with _blas_threads(16):
+            for mi in range(m):
+                x = np.ascontiguousarray(mat[:, mi * sub_d : (mi + 1) * sub_d])
+                cent = x[:kc].copy()
+                x2 = (x * x).sum(1)[:, None]
+                for _ in range(5):
+                    d2 = x2 + (cent * cent).sum(1)[None, :] - 2.0 * (x @ cent.T)
+                    assign = d2.argmin(1)
+                    for j in range(kc):
+                        members = x[assign == j]
+                        if len(members):
+                            cent[j] = members.mean(0)
+                d2 = x2 + (cent * cent).sum(1)[None, :] - 2.0 * (x @ cent.T)
+                books[mi] = cent
+                codes[:, mi] = d2.argmin(1).astype(np.uint8)
+        entry = (stat_key, ids, codes, books)
+        _PQ_REPLICA_CACHE[ck] = entry
+    _, ids, codes, books = entry
+    if len(queries_pd) == 0:
+        return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
+
+    m, kc, sub_d = books.shape
+    n = len(ids)
+    qids = queries_pd["qid"].to_numpy()
+    qmat = np.asarray(
+        [np.asarray(v, dtype=np.float32) for v in queries_pd["qvec"]]
+    )
+    nq = len(qids)
+    # (Q, M, K) lookup tables: L2^2 of each query subvector to each centroid
+    qsub = qmat.reshape(nq, m, sub_d)
+    luts = (
+        (qsub * qsub).sum(2)[:, :, None]
+        + (books * books).sum(2)[None, :, :]
+        - 2.0 * np.einsum("qms,mks->qmk", qsub, books)
+    )
+    # ADC: for each query sum M column-gathers over the code matrix,
+    # row-sharded across threads (gather is memory-bound, GIL released)
+    from concurrent.futures import ThreadPoolExecutor
+
+    d2 = np.zeros((nq, n), dtype=np.float32)
+    n_threads = 8 if n >= 65536 else 1
+    import numpy as _np
+
+    bounds = _np.linspace(0, n, n_threads + 1, dtype=_np.int64)
+
+    def _scan(slot):
+        lo, hi = int(bounds[slot]), int(bounds[slot + 1])
+        c = codes[lo:hi]
+        acc = d2[:, lo:hi]
+        for mi in range(m):
+            acc += luts[:, mi, :][:, c[:, mi]]
+
+    if n_threads == 1:
+        _scan(0)
+    else:
+        with ThreadPoolExecutor(n_threads) as ex:
+            list(ex.map(_scan, range(n_threads)))
+    np.maximum(d2, 0.0, out=d2)
+    np.sqrt(d2, out=d2)
+
+    if fetch_k is not None and rerank_mmap_dir is not None:
+        from custom_python_vectordb_spark.operators.knn import _build_mmap_replica
+
+        built = _build_mmap_replica(paths, stat_key, rerank_mmap_dir, id_col, "float64")
+        m_ids, m_mat, _n, _s = built
+        pk = (paths, rerank_mmap_dir, stat_key)
+        pos = _SQ_POS_CACHE.get(pk)
+        if pos is None:
+            _SQ_POS_CACHE.clear()
+            pos = {
+                int(v) if isinstance(v, np.integer) else v: i
+                for i, v in enumerate(m_ids)
+            }
+            _SQ_POS_CACHE[pk] = pos
+        ck2 = min(fetch_k, n)
+        cidx = np.argpartition(d2, ck2 - 1, axis=1)[:, :ck2]
+        rows = []
+        qmat64 = qmat.astype(np.float64)
+        for qi in range(nq):
+            cand = cidx[qi]
+            gathered = np.asarray(
+                m_mat[[pos[int(ids[c]) if isinstance(ids[c], np.integer) else ids[c]] for c in cand]],
+                dtype=np.float64,
+            )
+            diff = gathered - qmat64[qi][None, :]
+            ed = np.sqrt((diff * diff).sum(axis=1))
+            kk2 = min(k, len(cand))
+            order_q = sorted(range(len(cand)), key=lambda i: (ed[i], ids[cand[i]]))[:kk2]
+            for i in order_q:
+                rows.append((qids[qi], ids[cand[i]], float(ed[i])))
+        return pd.DataFrame(rows, columns=["qid", id_col, dist_col])
+    kk = min(k, n)
+    sidx = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+    sel = np.take_along_axis(d2, sidx, axis=1)
+    parts = pd.DataFrame(
+        {
+            "qid": np.repeat(qids, kk),
+            id_col: ids[sidx.ravel()],
+            dist_col: sel.ravel().astype(np.float64),
+        }
+    )
+    order = np.lexsort(
+        (parts[id_col].to_numpy(), parts[dist_col].to_numpy(), parts["qid"].to_numpy())
+    )
+    return parts.iloc[order].reset_index(drop=True)

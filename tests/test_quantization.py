@@ -270,3 +270,39 @@ def test_bq_replica_rerank_equals_exact_l2(spark, sf_small, tmp_path):
     mmdir = str(tmp_path / "mm")
     got = bq_replica_serve(paths, qpd, k=5, fetch_k=400, rerank_mmap_dir=mmdir)
     assert list(zip(exact["qid"], exact["vec_id"])) == list(zip(got["qid"], got["vec_id"]))
+
+
+def test_pq_replica_build_deterministic_and_rerank_exact(spark, sf_small, tmp_path):
+    """The PQ serving replica's Lloyd training is deterministic (identical
+    codes across a cache-cleared rebuild), ADC output is sorted per the
+    (qid, dist, id) contract, and the mmap exact rerank with generous
+    fetch_k equals the exact-L2 replica's top-k on the fixture."""
+    import numpy as np
+
+    from custom_python_vectordb_spark.operators.knn import knn_replica_serve
+    from custom_python_vectordb_spark.operators.quantization import (
+        _PQ_REPLICA_CACHE,
+        pq_replica_serve,
+    )
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    qpd = emb.filter("vec_id < 3").selectExpr("vec_id as qid", "embedding as qvec").toPandas()
+    paths = [f"{sf_small}/embeddings.parquet"]
+
+    first = pq_replica_serve(paths, qpd, k=10, num_subspaces=8)
+    codes_a = next(iter(_PQ_REPLICA_CACHE.values()))[2].copy()
+    _PQ_REPLICA_CACHE.clear()
+    second = pq_replica_serve(paths, qpd, k=10, num_subspaces=8)
+    codes_b = next(iter(_PQ_REPLICA_CACHE.values()))[2]
+    assert np.array_equal(codes_a, codes_b)
+    assert first.equals(second)
+    for qid, grp in first.groupby("qid"):
+        assert list(grp["dist"]) == sorted(grp["dist"])
+
+    exact = knn_replica_serve(paths, qpd, k=5, metric="l2", dtype="float64")
+    got = pq_replica_serve(
+        paths, qpd, k=5, num_subspaces=8, fetch_k=450,
+        rerank_mmap_dir=str(tmp_path / "mm"),
+    )
+    assert list(zip(exact["qid"], exact["vec_id"])) == list(zip(got["qid"], got["vec_id"]))
