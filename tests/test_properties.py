@@ -380,3 +380,32 @@ def test_phrase_search_matches_naive_matcher(spark, docs, phrase):
         if n:
             want.add((i, n))
     assert got == want
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.floats(min_value=0.0, max_value=63.999), min_size=1, max_size=40),
+    q=st.sampled_from([0.1, 0.5, 0.9]),
+)
+def test_hist_quantile_within_one_bin_of_discrete_quantile(spark, vals, q):
+    """Contract of the rollup sketch quantile: for ANY sample and q, the
+    histogram estimate lies within one bin width of the ceil(q*n)-th
+    smallest value (the lower discrete quantile it approximates)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.functions.local_relation import local_df
+    from custom_python_vectordb_spark.streaming.rollup_maintenance import (
+        hist_partial_expr,
+        hist_quantile,
+    )
+
+    bins, lo, hi = 16, 0.0, 64.0
+    width = (hi - lo) / bins
+    df = local_df(spark, [(float(v),) for v in vals], "v double")
+    est = df.agg(
+        hist_quantile(hist_partial_expr("v", bins, lo, hi), q, bins, lo, hi).alias("e")
+    ).collect()[0]["e"]
+    exact = sorted(vals)[max(0, math.ceil(q * len(vals)) - 1)]
+    assert abs(est - exact) <= width
