@@ -58,6 +58,10 @@ SHOW = [
     ("weighted_sample_es", "Efraimidis-Spirakis: one map pass (hash -> ln(u)/w key) + TakeOrderedAndProject"),
     ("global_chars_rank", "scalable global row_number: range-partitioned sort, per-partition counts prefix-summed into a broadcast offset table, partition-local windows — no single-partition window over data rows"),
     ("rollup_sketch_certified", "mergeable sketch partials (HLL binary + histogram arrays) per pseudo-batch, associative union at read, certified against exact"),
+    ("returned_item_report", "date+returnflag predicates pushed to both big scans, broadcast nation dim, map-side-combined customer agg, TakeOrdered 20"),
+    ("nation_trade_volume", "1-row nation filters broadcast below the big joins — supplier/customer shrink ~25x before lineitem touches them"),
+    ("bigram_logprob", "pair explode + two partial-combining LM aggregates, AQE-sized LM joins (no broadcast hint on the unbounded vocab)"),
+    ("events_anomaly_days", "daily count agg + per-type 1-row stats join, explicit sum/sumsq arithmetic for bit-stable z-scores"),
 ]
 
 MARKERS = [
