@@ -329,19 +329,24 @@ def ivf_replica_serve(
         return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
     # numpy merge (round 6): the pandas concat + drop_duplicates + groupby
     # rank tail cost ~1.5 ms of fixed per-call plumbing — nothing for a
-    # 1000-query batch, 15x the arithmetic for a single query. One lexsort
-    # by (qid, dist, id) gives the output order; duplicate (qid, id) rows
-    # (a row indexed under assign_r cells reached via several) are exact
-    # copies, so adjacent-first-occurrence keeps the batch path's rule;
-    # per-query rank < k via group-start subtraction, fully vectorized.
+    # 1000-query batch, 15x the arithmetic for a single query. Duplicate
+    # (qid, id) rows (a row indexed under assign_r cells reached via
+    # several) get their distances from SEPARATE per-cell GEMMs, which can
+    # differ in the last ulp — so dedup on (qid, id) alone, sorted with
+    # dist as the tie-break so the first occurrence keeps the smaller
+    # copy (round-6 ADVICE: dist-adjacency is not guaranteed under an
+    # exact tie with a third vector). Then re-sort by (qid, dist, id) and
+    # take per-query rank < k via group-start subtraction, vectorized.
     qa = np.concatenate([f[0] for f in frames])
     ia = np.concatenate([f[1] for f in frames])
     da = np.concatenate([f[2] for f in frames])
-    order = np.lexsort((ia, da, qa))
-    qa, ia, da = qa[order], ia[order], da[order]
     if assign_r > 1:
+        order = np.lexsort((da, ia, qa))
+        qa, ia, da = qa[order], ia[order], da[order]
         keep = np.r_[True, (qa[1:] != qa[:-1]) | (ia[1:] != ia[:-1])]
         qa, ia, da = qa[keep], ia[keep], da[keep]
+    order = np.lexsort((ia, da, qa))
+    qa, ia, da = qa[order], ia[order], da[order]
     grp_start = np.r_[0, np.flatnonzero(qa[1:] != qa[:-1]) + 1]
     starts = np.repeat(grp_start, np.diff(np.r_[grp_start, len(qa)]))
     sel = (np.arange(len(qa)) - starts) < k

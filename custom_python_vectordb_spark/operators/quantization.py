@@ -684,6 +684,12 @@ def pq_replica_serve(
     import pandas as pd
     import pyarrow.parquet as _pq
 
+    if num_centroids > 256:
+        # codes are stored uint8; a larger codebook would silently wrap
+        # modulo 256 and produce wrong ADC distances (round-6 ADVICE)
+        raise ValueError(
+            f"num_centroids={num_centroids} exceeds the uint8 code range (max 256)"
+        )
     paths = tuple(sorted(shard_paths))
     stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
     ck = (paths, id_col, num_subspaces, num_centroids)

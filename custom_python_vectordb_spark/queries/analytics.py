@@ -786,7 +786,8 @@ s AS (SELECT event_type,
 z AS (SELECT d.event_type, d.day, d.n,
              (CAST(d.n AS DOUBLE) - s.sn / s.c)
              / sqrt((s.sq - s.sn * s.sn / s.c) / (s.c - 1)) AS zval
-      FROM d JOIN s USING (event_type) WHERE s.c > 1)
+      FROM d JOIN s USING (event_type)
+      WHERE s.c > 1 AND s.sq - s.sn * s.sn / s.c > 0)
 SELECT event_type, day, n, ROUND(zval, 6) + 0.0 AS z
 FROM z WHERE abs(zval) >= 1.5 ORDER BY event_type, day
 """)
@@ -810,9 +811,16 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(nd * nd).alias("sq"),
         F.count(F.lit(1)).cast("double").alias("c"),
     )
+    # zero-variance guard applied IDENTICALLY on both engines: a type whose
+    # daily counts are all equal would yield 0/0 = NaN, and Spark orders
+    # NaN above any value (so abs(z) >= 1.5 passes) while DuckDB's NULL
+    # semantics differ — a hash divergence on degenerate data (r6 ADVICE)
     z = (
         d.join(s, "event_type")
-        .filter(F.col("c") > 1)
+        .filter(
+            (F.col("c") > 1)
+            & (F.col("sq") - F.col("sn") * F.col("sn") / F.col("c") > 0)
+        )
         .withColumn(
             "zval",
             (nd - F.col("sn") / F.col("c"))

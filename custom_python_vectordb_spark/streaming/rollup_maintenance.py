@@ -53,13 +53,30 @@ def hist_partial_expr(value_col: str, bins: int, lo: float, hi: float) -> F.Colu
     )
 
 
-def merge_hist_expr(col: str, bins: int) -> F.Column:
+def merge_hist_expr(col: str, bins: int | None = None) -> F.Column:
     """Associative merge of histogram arrays: element-wise sum via a
-    fold over the collected partials (bounded: #batches × bins longs)."""
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(bins)])
-    return F.aggregate(
-        F.collect_list(col), zero, lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b)
+    fold over the collected partials (bounded: #batches × bins longs).
+
+    The fold is seeded with the FIRST stored partial, so the merged
+    length always matches what was written — a caller-supplied `bins`
+    that mismatched the stored arrays used to make ``zip_with`` NULL-pad
+    and silently corrupt (and ``compact_rollup`` would then persist the
+    corruption and delete the originals; round-6 ADVICE). `bins` is kept
+    for signature compatibility but no longer drives the merge; a
+    bin-count mismatch BETWEEN partials now fails loudly instead of
+    corrupting."""
+    hs = F.collect_list(col)
+    ok = F.assert_true(
+        F.size(F.array_distinct(F.transform(hs, lambda h: F.size(h)))) <= F.lit(1),
+        F.lit(f"histogram bin-count mismatch across stored partials of {col!r}"),
     )
+    merged = F.aggregate(
+        F.slice(hs, F.lit(2), F.greatest(F.size(hs) - 1, F.lit(0))),
+        F.element_at(hs, 1),
+        lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b),
+    )
+    # force the assertion's evaluation into the plan (it yields NULL when ok)
+    return F.when(ok.isNull(), merged).otherwise(merged)
 
 
 def hist_quantile(hist_col: F.Column, q: float, bins: int, lo: float, hi: float) -> F.Column:

@@ -68,8 +68,13 @@ def main() -> int:
 
     qs, oracles = queries(), oracle_sql()
     sink = open(out_path, "w") if out_path else None
+    # failure count tracked INDEPENDENTLY of the sink so the exit code is a
+    # real gate in the no---out path too (round-6 ADVICE: returning 0 there
+    # silently disabled any CI invoking `python tools/check.py` bare)
+    live_counts: dict[str, int] = {}
 
     def record(rec: dict) -> None:
+        live_counts[rec["status"]] = live_counts.get(rec["status"], 0) + 1
         if sink is not None:
             sink.write(json.dumps(rec) + "\n")
             sink.flush()
@@ -152,7 +157,7 @@ def main() -> int:
         )
         return 1 if counts.get("fail", 0) else 0
     print(f"\nchecked {n_checked} (no --out artifact)")
-    return 0
+    return 1 if live_counts.get("fail", 0) else 0
 
 
 if __name__ == "__main__":
