@@ -1,8 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact (≤ ~1.8 KB) JSON summary line as the FINAL stdout line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+and writes the FULL detail series (build/exec splits, serving series, every
+gate metric) to BENCH_DETAIL.json next to this file. The split exists
+because the round driver keeps only a ~2 KB stdout tail — r5/r6 artifacts
+recorded "parsed": null when the single line outgrew that (r6 VERDICT #1).
 
 Methodology mirrors BASELINE.md's comparability note: one warm-up execution
 per query (JVM/codegen/parquet-footer warm), then best-of-2 timed executions
@@ -76,19 +80,47 @@ def _ensure_vec100k(path: str) -> None:
     a single 51 MB file is one input split under maxPartitionBytes=128M,
     which would serialize the whole GEMM onto one core."""
     import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return
-    os.makedirs(path, exist_ok=True)
     rng = np.random.default_rng(42)
     centers = rng.standard_normal((256, VEC100K_DIM), dtype=np.float32)
     assign = rng.integers(0, 256, VEC100K_ROWS)
     mat = centers[assign] + np.float32(0.7) * rng.standard_normal(
         (VEC100K_ROWS, VEC100K_DIM), dtype=np.float32
     )
+    _write_vec_shards(path, mat)
+
+
+def _ensure_vec100k_random(path: str) -> None:
+    """Seeded iid-gaussian 100K×128d corpus with NO cluster structure —
+    the second corpus shape for the BQ/PQ coarse-recall rows (r6 VERDICT
+    #3: the clustered corpus alone wasn't comparable to the reference's
+    BQ ~0.85 / PQ ~0.90 README-table claims). Measured result: coarse
+    recall@10 is LOW on this shape too (~0.13/~0.23) — iid 128-d
+    gaussians sit in the distance-concentration regime where neighbors
+    2..10 are near-ties no coded representation can rank (self-match
+    still hits). Publishing both shapes documents that the reference's
+    unsourced table numbers are not reproducible at 100K×128 under
+    either structure; the rerank tiers (recall 0.97/0.99, clustered
+    rows) are the apples-to-apples quality story."""
+    import numpy as np
+
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return
+    rng = np.random.default_rng(4242)
+    mat = rng.standard_normal((VEC100K_ROWS, VEC100K_DIM), dtype=np.float32)
+    _write_vec_shards(path, mat)
+
+
+def _write_vec_shards(path: str, mat) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
     rows_per = VEC100K_ROWS // VEC100K_SHARDS
     for s in range(VEC100K_SHARDS):
         lo, hi = s * rows_per, (s + 1) * rows_per
@@ -99,8 +131,54 @@ def _ensure_vec100k(path: str) -> None:
             ).cast(pa.list_(pa.float32())),
         })
         pq.write_table(tbl, os.path.join(path, f"part-{s:05d}.parquet"), row_group_size=rows_per)
-    with open(done, "w") as fh:
+    with open(os.path.join(path, "_DONE"), "w") as fh:
         fh.write("ok\n")
+
+
+def _bench_quant_recall_random() -> dict[str, float]:
+    """Coarse BQ/PQ recall@10 + ms/q on the RANDOM corpus (20-query batch,
+    same methodology as the clustered rows) — comparable to the
+    reference's claimed ~0.85/~0.90. No Spark involvement: these are the
+    in-process serving replicas."""
+    import glob as _glob
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from custom_python_vectordb_spark.operators.knn import knn_replica_serve
+    from custom_python_vectordb_spark.operators.quantization import (
+        bq_replica_serve,
+        pq_replica_serve,
+    )
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "vec100k_128d_rand")
+    _ensure_vec100k_random(path)
+    shards = sorted(_glob.glob(os.path.join(path, "part-*.parquet")))
+    head = _pq.read_table(shards[0]).slice(0, 20)
+    qpd = pd.DataFrame({
+        "qid": head.column("vec_id").to_numpy(),
+        "qvec": [np.asarray(v, dtype=np.float32) for v in head.column("embedding").to_pylist()],
+    })
+    exact = knn_replica_serve(shards, qpd, k=10, dtype="float32", metric="l2")
+    truth: dict[int, set] = {}
+    for q, v in zip(exact["qid"], exact["vec_id"]):
+        truth.setdefault(q, set()).add(v)
+
+    out: dict[str, float] = {}
+    for tag, serve in (("bq", bq_replica_serve), ("pq", pq_replica_serve)):
+        serve(shards, qpd, k=10)  # build tier
+        best, pdf = float("inf"), None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = serve(shards, qpd, k=10)
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best, pdf = dt, res
+        hits = sum(1 for q, v in zip(pdf["qid"], pdf["vec_id"]) if v in truth.get(q, ()))
+        out[f"knn_batch20_100k_rand_{tag}_ms_per_query"] = round(best * 1000 / 20, 3)
+        out[f"knn_batch20_100k_rand_{tag}_recall_at10"] = round(hits / len(exact), 4)
+    return out
 
 
 def _bench_knn_100k(spark) -> dict[str, float]:
@@ -495,7 +573,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     build_exec: dict[str, dict[str, float]] = {}
     serving_warm: dict[str, float] = {}
-    serving_warm_py4j: dict[str, float] = {}
     for name in names:
         memo_fn = registry.QUERIES[name]
         # PRIMARY series (comparable to BENCH_r1-r3): build a FRESH plan per
@@ -533,6 +610,8 @@ def main() -> None:
         # dominated large results (events_session_window's 99k rows cost
         # 0.33 s over py4j vs 0.07 s over Arrow with the plan fully cached
         # either way), and Arrow is what a serving tier actually ships.
+        # (The r6 py4j-transport twin re-anchored the r4 trend and is
+        # retired — r6 VERDICT #4: Arrow is the single serving series.)
         memo_fn(spark, sf_dir).toPandas()
         best = float("inf")
         for _ in range(2):
@@ -540,16 +619,6 @@ def main() -> None:
             memo_fn(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         serving_warm[name] = round(best, 4)
-        # py4j-transport twin for ONE round (r5 VERDICT #3): r5 switched the
-        # serving series py4j→Arrow mid-stream, conflating transport with
-        # the real persist_served wins; publishing both transports this
-        # round re-anchors the r4 series so the trend stays comparable.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            memo_fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        serving_warm_py4j[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -560,8 +629,6 @@ def main() -> None:
         "build_exec": build_exec,
         "serving_warm": serving_warm,
         "serving_warm_total": round(sum(serving_warm.values()), 4),
-        "serving_warm_py4j": serving_warm_py4j,
-        "serving_warm_py4j_total": round(sum(serving_warm_py4j.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if "knn_batch" in timings:
@@ -571,6 +638,9 @@ def main() -> None:
         out["knn_batch_1k_amortized_ms_per_query"] = round(timings["knn_batch_1k"], 3)  # 1000 q
     # reference-scale gate: 100K×128d corpus, vs BASELINE batch GEMM 1.66 ms/q
     out.update(_bench_knn_100k(spark))
+    # random-corpus BQ/PQ coarse recall — comparable to the reference's
+    # ~0.85/~0.90 claims (the clustered rows above stay as the hard case)
+    out.update(_bench_quant_recall_random())
     # lakehouse commit-path lifecycle (ingest/prune/delete/optimize)
     out.update(_bench_versioned(spark, sf_dir))
     # streaming maintenance arc (ingest -> postings index -> serve)
@@ -602,7 +672,45 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     assert len(hits) > 0
     out["phrase_serve_ms_per_query"] = round(best * 1000, 3)
-    print(json.dumps(out))
+
+    # FULL detail to a file; compact summary as the FINAL stdout line. The
+    # driver keeps only a ~2 KB stdout tail, so the last line must fit in
+    # it or the round artifact records "parsed": null (r6 VERDICT #1).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "serving_warm_total": out["serving_warm_total"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    # gate metrics in priority order; trimmed from the back if the line
+    # would outgrow the tail budget (everything is in the detail file)
+    gate_priority = [
+        "knn_batch20_100k_ms_per_query", "knn_batch1k_100k_ms_per_query",
+        "knn_ivf_replica_100k_ms_per_query", "knn_ivf_replica_100k_recall_at10",
+        "knn_single_100k_ivf_p50_ms", "knn_single_100k_ivf_p99_ms",
+        "knn_batch20_100k_filtered_ms_per_query",
+        "knn_batch20_100k_rand_bq_recall_at10", "knn_batch20_100k_rand_pq_recall_at10",
+        "knn_batch20_100k_sq_ms_per_query", "knn_batch20_100k_sq_rerank_recall_at10",
+        "knn_batch20_100k_bq_ms_per_query", "knn_batch20_100k_bq_rerank_recall_at10",
+        "knn_batch20_100k_pq_ms_per_query", "knn_batch20_100k_pq_rerank_recall_at10",
+        "knn_batch100_100k_sharded_ms_per_query", "knn_batch20_100k_mmap_ms_per_query",
+        "versioned_lifecycle_s", "streaming_postings_maintain_s",
+        "keyword_serve_ms_per_query",
+    ]
+    added = [k for k in gate_priority if k in out]
+    for k in added:
+        summary[k] = out[k]
+    while len(json.dumps(summary, separators=(",", ":"))) > 1800 and added:
+        summary.pop(added.pop())
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":
