@@ -89,18 +89,26 @@ def spans_from_matches(matches: DataFrame, n: int, min_span: int) -> DataFrame:
 
 
 def shared_span_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     n: int = 5,
     min_df: int = 2,
     max_df: int = 16,
     min_span: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, max_span_tokens, n_spans): document pairs sharing at
     least one exact token run of >= `min_span` tokens, with the longest
-    shared run and the count of distinct qualifying runs."""
-    grams = positional_gram_hashes(docs, n=n, id_col=id_col, text_col=text_col)
+    shared run and the count of distinct qualifying runs.
+
+    `grams`: a pre-built (doc_id, pos, gram_h) table (see
+    ``sources/corpus_view.doc_gram_table``) — the gram projection appears
+    under BOTH the df-aggregate and the candidate join, so passing a
+    materialized table halves the heaviest stage; when omitted it is
+    derived from `docs` inline."""
+    if grams is None:
+        grams = positional_gram_hashes(docs, n=n, id_col=id_col, text_col=text_col)
     keep = (
         grams.groupBy("gram_h")
         .agg(F.count_distinct("doc_id").alias("df"))

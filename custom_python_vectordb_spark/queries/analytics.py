@@ -57,9 +57,14 @@ def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     run of >= 8 tokens via positional 5-gram diagonal matching — catches
     the long-quoted-passage case whole-document MinHash misses. The Spark
     side joins on 64-bit gram hashes (strings never shuffle); the oracle
-    joins on gram strings, so a hash collision fails loudly."""
+    joins on gram strings, so a hash collision fails loudly. The gram
+    projection comes from the shared per-(session, sf) materialized view
+    (r7: `sources/corpus_view.doc_gram_table` — the span family was the
+    top sf1 cost center rebuilding it four times per sweep)."""
+    from custom_python_vectordb_spark.sources.corpus_view import doc_gram_table
+
     return shared_span_pairs(
-        _t(spark, sf_dir, "documents"), n=5, min_df=2, max_df=16, min_span=8
+        n=5, min_df=2, max_df=16, min_span=8, grams=doc_gram_table(spark, sf_dir)
     )
 
 
@@ -138,11 +143,15 @@ def corpus_final_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_python_vectordb_spark.functions.text import langid_predict, quality_score
     from custom_python_vectordb_spark.queries.pipeline import _corpus
     from custom_python_vectordb_spark.queries.spine import ROUND
+    from custom_python_vectordb_spark.sources.corpus_view import corpus_gram_table
 
     docs = _corpus(spark, sf_dir)
     keeper = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
     losers = (
-        shared_span_pairs(docs, n=5, min_df=2, max_df=16, min_span=8)
+        shared_span_pairs(
+            n=5, min_df=2, max_df=16, min_span=8,
+            grams=corpus_gram_table(spark, sf_dir),
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
