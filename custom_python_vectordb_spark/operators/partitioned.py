@@ -180,6 +180,183 @@ def knn_partitioned(
 _IVF_REPLICA_CACHE: dict = {}
 
 
+def _ivf_resolve(
+    shard_paths: list[str],
+    *,
+    id_col: str,
+    dtype: str,
+    metric: str,
+    n_cells: int,
+    assign_r: int,
+):
+    """Resolve (building if stale/absent) the cached IVF index for a shard
+    set: (stat_key, centroids, [cell ids], [cell matrices]), or None when
+    the shards hold no rows. Staleness is detected by (path, mtime_ns,
+    size) — the cache-coherence contract the chaos test exercises."""
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from custom_python_vectordb_spark.operators.knn import _blas_threads
+
+    paths = tuple(sorted(shard_paths))
+    stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
+    ck = (paths, dtype, n_cells, assign_r, metric)
+    entry = _IVF_REPLICA_CACHE.get(ck)
+    if entry is not None and entry[0] == stat_key:
+        return entry
+    ids_parts, mat_parts = [], []
+    for p in paths:
+        names = _pq.read_schema(p).names
+        vec_field = "embedding" if "embedding" in names else names[1]
+        tbl = _pq.read_table(p, columns=[id_col, vec_field])
+        if tbl.num_rows == 0:
+            continue
+        ids_parts.append(tbl.column(id_col).to_numpy(zero_copy_only=False))
+        flat = np.concatenate(
+            [c.flatten().to_numpy(zero_copy_only=False) for c in tbl.column(vec_field).chunks]
+        )
+        mat_parts.append(flat.reshape(len(ids_parts[-1]), -1).astype(dtype, copy=False))
+    if not ids_parts:
+        return None
+    ids = np.concatenate(ids_parts)
+    mat = np.concatenate(mat_parts)
+    order = np.argsort(ids, kind="stable")  # centroid seeding by lowest id
+    ids, mat = ids[order], mat[order]
+    if metric == "cosine":
+        mn = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(mn == 0, 1.0, mn)
+    n = len(ids)
+    c = min(n_cells, n)
+    with _blas_threads(16):
+        cent = mat[:c].copy()
+        sq_m = (mat * mat).sum(1)[:, None]
+        for _ in range(5):
+            d2 = sq_m + (cent * cent).sum(1)[None, :] - 2.0 * (mat @ cent.T)
+            assign = d2.argmin(1)
+            for j in range(c):
+                members = mat[assign == j]
+                if len(members):
+                    cent[j] = members.mean(0)
+        r = min(assign_r, c)
+        d2 = sq_m + (cent * cent).sum(1)[None, :] - 2.0 * (mat @ cent.T)
+        multi = np.argpartition(d2, r - 1, axis=1)[:, :r]
+    cell_ids, cell_mats = [], []
+    for j in range(c):
+        msel = np.nonzero((multi == j).any(axis=1))[0]
+        cell_ids.append(ids[msel])
+        cell_mats.append(np.ascontiguousarray(mat[msel]))
+    entry = (stat_key, cent, cell_ids, cell_mats)
+    _IVF_REPLICA_CACHE[ck] = entry
+    return entry
+
+
+class IvfReplicaHandle:
+    """Pre-resolved single-query fast path over the in-process IVF index
+    (r6 VERDICT #2: the 200-call p50 loop paid ~0.3 ms/call of pure
+    plumbing — 32 os.stat cache-key checks, pandas in/out shaping — on
+    top of ~0.15 ms of arithmetic; hnswlib's comparable `knn_query` is a
+    bare in-process call on a pre-opened index).
+
+    The handle pins one resolved cache entry: `search_one(qvec, k)`
+    takes a bare ndarray and returns (ids, dists) ndarrays sorted by
+    (dist, id). Shard-file staleness is NOT re-checked per call — a
+    caller serving a mutating collection calls `refresh()` on its
+    write-visibility boundary (the same generation contract the chaos
+    test drives through :func:`ivf_replica_serve`, which keeps its
+    per-call stat check)."""
+
+    __slots__ = (
+        "_paths", "_kw", "_np", "metric", "nprobe", "assign_r",
+        "cent", "cell_ids", "cell_mats", "_cent_sq", "_cell_sq",
+    )
+
+    def __init__(
+        self,
+        shard_paths: list[str],
+        n_cells: int = 64,
+        nprobe: int = 6,
+        assign_r: int = 2,
+        metric: str = "cosine",
+        *,
+        id_col: str = "vec_id",
+        dtype: str = "float64",
+    ):
+        import numpy as np
+
+        self._np = np
+        self._paths = list(shard_paths)
+        self._kw = dict(
+            id_col=id_col, dtype=dtype, metric=metric,
+            n_cells=n_cells, assign_r=assign_r,
+        )
+        self.metric = metric
+        self.nprobe = nprobe
+        self.assign_r = assign_r
+        self.refresh()
+
+    def refresh(self) -> None:
+        """Re-resolve against the shard files (stat check + rebuild if
+        changed) — the write-visibility boundary for mutating callers."""
+        entry = _ivf_resolve(self._paths, **self._kw)
+        if entry is None:
+            raise ValueError("empty shard set")
+        np = self._np
+        _, self.cent, self.cell_ids, self.cell_mats = entry
+        self._cent_sq = (self.cent * self.cent).sum(1)
+        self._cell_sq = (
+            [(m * m).sum(1) for m in self.cell_mats] if self.metric == "l2" else None
+        )
+
+    def search_one(self, qvec, k: int = 10):
+        """Exact-within-probed-cells top-k for ONE query vector: (ids,
+        dists) sorted by (dist, id). All-numpy, no pandas, no stat."""
+        np = self._np
+        q = np.asarray(qvec, dtype=self.cent.dtype)
+        if self.metric == "cosine":
+            qn = np.linalg.norm(q)
+            if qn != 0.0:
+                q = q / qn
+        # probe selection: |q|^2 is rank-invariant, omit it
+        cscore = self._cent_sq - 2.0 * (self.cent @ q)
+        p = min(self.nprobe, len(cscore))
+        probes = np.argpartition(cscore, p - 1)[:p]
+        id_parts, d_parts = [], []
+        for j in probes:
+            sids = self.cell_ids[j]
+            if not len(sids):
+                continue
+            sub = self.cell_mats[j]
+            if self.metric == "cosine":
+                d = 1.0 - sub @ q
+            elif self.metric == "l2":
+                d = np.sqrt(
+                    np.maximum(self._cell_sq[j] - 2.0 * (sub @ q) + q @ q, 0.0)
+                )
+            else:  # ip
+                d = -(sub @ q)
+            id_parts.append(sids)
+            d_parts.append(d)
+        if not id_parts:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        ids = np.concatenate(id_parts)
+        d = np.concatenate(d_parts)
+        if self.assign_r > 1:
+            # same (id)-keyed dedup rule as the batch path: per-cell GEMV
+            # copies can differ in the last ulp, keep the smaller
+            order = np.lexsort((d, ids))
+            ids, d = ids[order], d[order]
+            keep = np.r_[True, ids[1:] != ids[:-1]]
+            ids, d = ids[keep], d[keep]
+        m = min(k, len(ids))
+        if m < len(ids):
+            sel = np.argpartition(d, m - 1)[:m]
+            ids, d = ids[sel], d[sel]
+        order = np.lexsort((ids, d))
+        return ids[order], d[order]
+
+
 def ivf_replica_serve(
     shard_paths: list[str],
     queries_pd,
@@ -212,65 +389,17 @@ def ivf_replica_serve(
 
     Recall is measured, not assumed — bench reports recall@10 against the
     exact GEMM truth next to the latency number."""
-    import os as _os
-
     import numpy as np
     import pandas as pd
-    import pyarrow.parquet as _pq
 
-    from custom_python_vectordb_spark.operators.knn import (
-        _blas_threads,
-        _driver_merge_topk,
+    from custom_python_vectordb_spark.operators.knn import _blas_threads
+
+    entry = _ivf_resolve(
+        shard_paths, id_col=id_col, dtype=dtype, metric=metric,
+        n_cells=n_cells, assign_r=assign_r,
     )
-
-    paths = tuple(sorted(shard_paths))
-    stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
-    ck = (paths, dtype, n_cells, assign_r, metric)
-    entry = _IVF_REPLICA_CACHE.get(ck)
-    if entry is None or entry[0] != stat_key:
-        ids_parts, mat_parts = [], []
-        for p in paths:
-            names = _pq.read_schema(p).names
-            vec_field = "embedding" if "embedding" in names else names[1]
-            tbl = _pq.read_table(p, columns=[id_col, vec_field])
-            if tbl.num_rows == 0:
-                continue
-            ids_parts.append(tbl.column(id_col).to_numpy(zero_copy_only=False))
-            flat = np.concatenate(
-                [c.flatten().to_numpy(zero_copy_only=False) for c in tbl.column(vec_field).chunks]
-            )
-            mat_parts.append(flat.reshape(len(ids_parts[-1]), -1).astype(dtype, copy=False))
-        if not ids_parts:
-            return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
-        ids = np.concatenate(ids_parts)
-        mat = np.concatenate(mat_parts)
-        order = np.argsort(ids, kind="stable")  # centroid seeding by lowest id
-        ids, mat = ids[order], mat[order]
-        if metric == "cosine":
-            mn = np.linalg.norm(mat, axis=1, keepdims=True)
-            mat = mat / np.where(mn == 0, 1.0, mn)
-        n = len(ids)
-        c = min(n_cells, n)
-        with _blas_threads(16):
-            cent = mat[:c].copy()
-            sq_m = (mat * mat).sum(1)[:, None]
-            for _ in range(5):
-                d2 = sq_m + (cent * cent).sum(1)[None, :] - 2.0 * (mat @ cent.T)
-                assign = d2.argmin(1)
-                for j in range(c):
-                    members = mat[assign == j]
-                    if len(members):
-                        cent[j] = members.mean(0)
-            r = min(assign_r, c)
-            d2 = sq_m + (cent * cent).sum(1)[None, :] - 2.0 * (mat @ cent.T)
-            multi = np.argpartition(d2, r - 1, axis=1)[:, :r]
-        cell_ids, cell_mats = [], []
-        for j in range(c):
-            msel = np.nonzero((multi == j).any(axis=1))[0]
-            cell_ids.append(ids[msel])
-            cell_mats.append(np.ascontiguousarray(mat[msel]))
-        entry = (stat_key, cent, cell_ids, cell_mats)
-        _IVF_REPLICA_CACHE[ck] = entry
+    if entry is None:
+        return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
     _, cent, cell_ids, cell_mats = entry
     c = len(cell_ids)
 

@@ -124,3 +124,54 @@ def test_partitioned_snapshot_matches_recomputation(spark):
     )
     rec = hits.agg(F.round(F.avg("n") / 10.0, 6).alias("r")).collect()[0]["r"]
     assert float(rec) == RECALL_SF001
+
+
+def test_ivf_handle_parity_and_refresh(spark, tmp_path):
+    """IvfReplicaHandle (r7 single-query fast path): per-query ids must
+    equal ivf_replica_serve's (same index, same probes; dists equal to
+    float32 ulp — per-cell GEMM vs GEMV accumulation differ in the last
+    bit), and refresh() must pick up a shard rewrite the same way the
+    per-call stat check does."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.operators.partitioned import (
+        IvfReplicaHandle,
+        ivf_replica_serve,
+    )
+
+    shard = f"{SF01}/embeddings.parquet"
+    qpd = _queries(spark, SF01, n=8).toPandas()
+    kw = dict(n_cells=16, nprobe=6, assign_r=2)
+    handle = IvfReplicaHandle([shard], **kw)
+    for _, row in qpd.iterrows():
+        one = pd.DataFrame({"qid": [row["qid"]], "qvec": [row["qvec"]]})
+        old = ivf_replica_serve([shard], one, k=10, **kw)
+        ids, dists = handle.search_one(row["qvec"], k=10)
+        assert list(old["vec_id"]) == list(ids)
+        assert np.allclose(old["dist"].to_numpy(), dists, atol=1e-5)
+        assert list(dists) == sorted(dists)
+
+    # refresh coherence: same-size rewrite flips the nearest neighbour
+    p = str(tmp_path / "shard.parquet")
+
+    def write(order):
+        pq.write_table(
+            pa.table({"vec_id": [10, 11, 12],
+                      "embedding": [[float(o), 1.0] for o in order]}),
+            p, compression="none",
+        )
+
+    write([1.0, 5.0, 9.0])
+    h2 = IvfReplicaHandle([p], n_cells=2, nprobe=2, metric="l2")
+    ids, _ = h2.search_one(np.array([1.0, 1.0]), k=1)
+    assert ids[0] == 10
+    import time as _time
+
+    _time.sleep(0.01)  # ensure mtime_ns moves
+    write([9.0, 5.0, 1.0])
+    h2.refresh()
+    ids, _ = h2.search_one(np.array([1.0, 1.0]), k=1)
+    assert ids[0] == 12
