@@ -1,0 +1,158 @@
+"""Distributed BPE tokenizer training (byte-pair encoding, Sennrich et
+al. 2016) — the tokenizer-training stage every public pretraining
+pipeline runs before tokenizing its corpus (beyond the reference's
+surface, like the dedup stack; the reference has no tokenizer training).
+
+Spark-first decomposition:
+
+1. **Word counting** — the ONLY corpus-scale pass: tokenize + explode +
+   groupBy(word) sum, map-side combinable, shuffle keyed on word. At
+   100 TB this is one aggregation whose output (the distinct-word table)
+   is bounded by Heaps' law, orders of magnitude smaller than the corpus.
+2. **Merge rounds** — iterative over the WORD table only (the
+   pagerank/kcore discipline: K small Spark rounds, driver receives one
+   arg-max row per round, periodic localCheckpoint truncates lineage).
+   Each round: adjacent-pair counts weighted by word frequency (one
+   map-side-combined aggregate), deterministic arg-max (count desc, then
+   (left, right) asc — ties never depend on partitioning), then one
+   column rewrite applying the merge as a left-to-right greedy fold.
+
+No Python UDFs anywhere: pair extraction is `transform`+`posexplode`,
+merge application is `aggregate` (fold) over the symbol array — all
+JVM-side, whole-stage-codegen eligible.
+
+Training is deterministic for a given corpus, so the registered queries
+use frozen-snapshot oracles at sf0.01 (`queries/_bpe_snapshot.py`, the
+embed_mock/pq_kmeans trick) and a pytest retrains + asserts equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from custom_python_vectordb_spark.functions.text import tokenize
+
+END_OF_WORD = "</w>"
+
+
+def word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 1,
+    top_words: int | None = None,
+) -> DataFrame:
+    """(word, freq) over the corpus — the single corpus-scale pass.
+    `top_words` caps the vocabulary to the most frequent words
+    (deterministic tie-break on word) so the merge loop's per-round cost
+    is bounded by configuration, not corpus size."""
+    w = (
+        docs.select(F.explode(tokenize(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+    if top_words is not None:
+        w = w.orderBy(F.desc("freq"), "word").limit(top_words)
+    return w
+
+
+def initial_symbols(word_col) -> F.Column:
+    """Character symbols + the end-of-word marker (Sennrich convention:
+    merges never cross word boundaries; the marker lets suffixes get
+    distinct merges from infixes)."""
+    c = F.col(word_col) if isinstance(word_col, str) else word_col
+    chars = F.filter(F.split(c, ""), lambda x: x != F.lit(""))
+    return F.concat(chars, F.array(F.lit(END_OF_WORD)))
+
+
+def adjacent_pair_counts(words: DataFrame, symbols_col: str = "symbols") -> DataFrame:
+    """(left, right, cnt): adjacent symbol-pair counts weighted by word
+    frequency — each occurrence within a word counts (a word containing
+    'aaa' contributes (a,a) twice per occurrence of the word)."""
+    s = F.col(symbols_col)
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.size(s) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(s) - 2),
+                    lambda i: F.struct(
+                        F.get(s, i).alias("left"), F.get(s, i + 1).alias("right")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.left", "p.right").agg(F.sum("freq").alias("cnt"))
+
+
+def apply_merge(symbols, left: str, right: str) -> F.Column:
+    """Greedy left-to-right merge of adjacent (left, right) into
+    left+right — a fold: append each symbol unless it is `right` and the
+    accumulator currently ends in `left`, in which case the tail is
+    replaced by the merged symbol. Exactly BPE's non-overlapping
+    left-to-right rule ('aaa' under (a,a) -> ['aa', 'a'])."""
+    s = F.col(symbols) if isinstance(symbols, str) else symbols
+    merged = F.lit(left + right)
+    return F.aggregate(
+        s,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    words: DataFrame,
+    num_merges: int = 30,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 12,
+) -> list[tuple[int, str, str, int]]:
+    """Train `num_merges` BPE merges over a (word, freq) table; returns
+    [(rank, left, right, pair_count)]. Driver traffic is ONE row per
+    round (the arg-max pair); the symbol table stays distributed and is
+    localCheckpoint-ed every `checkpoint_every` rounds so lineage depth
+    is bounded (same discipline as operators/centrality.py iterations).
+    Stops early when no pair reaches `min_pair_count`."""
+    cur = words.select("word", "freq", initial_symbols("word").alias("symbols"))
+    cur = cur.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        top = (
+            adjacent_pair_counts(cur)
+            .orderBy(F.desc("cnt"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
+        merges.append((rank, left, right, cnt))
+        cur = cur.withColumn("symbols", apply_merge("symbols", left, right))
+        if (rank + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return merges
+
+
+def encode_expr(text_col, merges: list[tuple[int, str, str, int]]) -> F.Column:
+    """BPE-encode a text column with a trained merge list: tokenize,
+    start each word at characters+marker, apply every merge in rank
+    order (the fold chain is a fixed-depth expression tree — K nested
+    JVM folds, no Python), then flatten the per-word token arrays."""
+    per_word = F.transform(
+        tokenize(text_col), lambda w: _encode_word(w, merges)
+    )
+    return F.flatten(per_word)
+
+
+def _encode_word(word_col, merges) -> F.Column:
+    sym = initial_symbols(word_col)
+    for _, left, right, _cnt in merges:
+        sym = apply_merge(sym, left, right)
+    return sym

@@ -786,3 +786,69 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+# ------------------------------------------------- BPE tokenizer training
+
+
+def _bpe_train_oracle() -> str:
+    from custom_python_vectordb_spark.queries._bpe_snapshot import BPE_MERGES_SF001
+
+    vals = ", ".join(
+        "({}, {!r}, {!r}, {})".format(r, l, rt, c) for r, l, rt, c in BPE_MERGES_SF001
+    )
+    return f"""
+SELECT * FROM (VALUES {vals}) t(merge_rank, lhs, rhs, pair_count)
+ORDER BY merge_rank
+"""
+
+
+def _bpe_encode_oracle() -> str:
+    from custom_python_vectordb_spark.queries._bpe_snapshot import BPE_ENCODE_SF001
+
+    vals = ", ".join(
+        "({}, {}, {!r})".format(d, n, h) for d, n, h in BPE_ENCODE_SF001
+    )
+    return f"""
+SELECT * FROM (VALUES {vals}) t(doc_id, n_bpe_tokens, head_tokens)
+ORDER BY doc_id
+"""
+
+
+@query("bpe_train_merges", _bpe_train_oracle, oracle_sf="sf0.01")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): ONE
+    corpus-scale word-count aggregate, then 24 merge rounds over the
+    bounded vocabulary table — each round one map-side-combined pair
+    aggregate whose arg-max (count desc, pair asc: partition-independent)
+    is the only row the driver sees, pagerank-style periodic
+    localCheckpoint bounding lineage. Deterministic, so the oracle is
+    the frozen sf0.01 merge table (`_bpe_snapshot.py`); a pytest
+    retrains via an independent pure-Python BPE and asserts equality."""
+    from custom_python_vectordb_spark.sources.corpus_view import bpe_merges
+
+    return spark.createDataFrame(
+        bpe_merges(spark, sf_dir),
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+@query("bpe_encode", _bpe_encode_oracle, oracle_sf="sf0.01")
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode documents with the session-trained merges: tokenize, start
+    each word as chars+marker, apply the 24 merges in rank order as
+    nested JVM folds (no Python), flatten. Output is (doc_id, token
+    count, first-12-token preview) for doc_id < 5 — enough to pin the
+    full greedy-merge semantics in the hash check."""
+    from custom_python_vectordb_spark.operators.bpe import encode_expr
+    from custom_python_vectordb_spark.queries.spine import _t
+    from custom_python_vectordb_spark.sources.corpus_view import bpe_merges
+
+    merges = bpe_merges(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    toks = encode_expr("text", merges)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.concat_ws(" ", F.slice(toks, 1, 12)).alias("head_tokens"),
+    ).orderBy("doc_id")

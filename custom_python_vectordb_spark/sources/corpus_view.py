@@ -40,6 +40,28 @@ def doc_gram_table(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
     return _memoized(spark, sf_dir, f"grams{n}", build)
 
 
+def bpe_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    top_words: int = 500,
+    num_merges: int = 24,
+) -> list[tuple[int, str, str, int]]:
+    """Trained BPE merge list [(rank, lhs, rhs, pair_count)] over the
+    documents table — tokenizer state, trained once per (session, sf)
+    like every other ingest-time artifact here (a pretraining pipeline
+    trains its tokenizer once, then encodes the whole corpus with it;
+    `bpe_train_merges` and `bpe_encode` share this entry)."""
+    from custom_python_vectordb_spark.operators.bpe import train_bpe, word_counts
+
+    def build() -> list[tuple[int, str, str, int]]:
+        docs = load_table(spark, sf_dir, "documents")
+        return train_bpe(
+            word_counts(docs, top_words=top_words), num_merges=num_merges
+        )
+
+    return _memoized(spark, sf_dir, f"bpe{top_words}_{num_merges}", build)
+
+
 def corpus_gram_table(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
     """Gram table of the injected-duplicates corpus (`queries.pipeline
     ._corpus`: documents ∪ docs 0-19 re-id'd as doc_id+10000). The

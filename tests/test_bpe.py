@@ -1,0 +1,125 @@
+"""BPE tokenizer training: greedy-merge semantics, retrain-vs-snapshot
+equality (the frozen oracle of `bpe_train_merges`/`bpe_encode`), and an
+INDEPENDENT pure-Python BPE reimplementation that must agree with the
+Spark pipeline merge-for-merge — so the snapshot oracle is anchored to
+something other than the code that produced it."""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow.parquet as pq
+
+from custom_python_vectordb_spark.operators import bpe
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def _py_tokenize(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+
+
+def _py_word_counts(texts, top_words):
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in _py_tokenize(t):
+            freq[w] = freq.get(w, 0) + 1
+    ordered = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:top_words]
+    return dict(ordered)
+
+
+def _py_apply(syms, left, right):
+    out = []
+    for s in syms:
+        if out and out[-1] == left and s == right:
+            out[-1] = left + right
+        else:
+            out.append(s)
+    return out
+
+
+def _py_train(word_freq, num_merges, min_pair_count=2):
+    vocab = {w: list(w) + [bpe.END_OF_WORD] for w in word_freq}
+    merges = []
+    for rank in range(num_merges):
+        counts: dict[tuple, int] = {}
+        for w, f in word_freq.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (left, right), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, left, right, cnt))
+        for w in vocab:
+            vocab[w] = _py_apply(vocab[w], left, right)
+    return merges
+
+
+def _py_encode(text, merges):
+    out = []
+    for w in _py_tokenize(text):
+        syms = list(w) + [bpe.END_OF_WORD]
+        for _, left, right, _c in merges:
+            syms = _py_apply(syms, left, right)
+        out.extend(syms)
+    return out
+
+
+def test_apply_merge_greedy(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "a", "b"],)], "symbols array<string>"
+    )
+    assert [r[0] for r in df.select(bpe.apply_merge("symbols", "a", "a")).collect()] == [
+        ["aa", "a"],
+        ["a", "b", "a", "b"],
+    ]
+    assert [r[0] for r in df.select(bpe.apply_merge("symbols", "a", "b")).collect()] == [
+        ["a", "a", "a"],
+        ["ab", "ab"],
+    ]
+
+
+def test_retrain_matches_snapshot_and_pure_python(spark):
+    from custom_python_vectordb_spark.queries._bpe_snapshot import BPE_MERGES_SF001
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    texts = pq.read_table(f"{SF001}/documents.parquet", columns=["text"]).column(
+        "text"
+    ).to_pylist()
+    py_merges = _py_train(_py_word_counts(texts, 500), 24)
+    assert py_merges == [tuple(m) for m in BPE_MERGES_SF001]
+
+    docs = load_table(spark, SF001, "documents")
+    spark_merges = bpe.train_bpe(bpe.word_counts(docs, top_words=500), num_merges=24)
+    assert [tuple(m) for m in spark_merges] == py_merges
+
+
+def test_encode_matches_snapshot_and_pure_python(spark):
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.queries._bpe_snapshot import (
+        BPE_ENCODE_SF001,
+        BPE_MERGES_SF001,
+    )
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    docs = (
+        load_table(spark, SF001, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+    merges = [tuple(m) for m in BPE_MERGES_SF001]
+    toks = bpe.encode_expr("text", merges)
+    rows = docs.select("doc_id", toks.alias("toks"), "text").collect()
+    got = [
+        (r["doc_id"], len(r["toks"]), " ".join(r["toks"][:12])) for r in rows
+    ]
+    assert got == [tuple(s) for s in BPE_ENCODE_SF001]
+    # full token streams (not just the 12-token preview) vs pure python
+    for r in rows:
+        assert r["toks"] == _py_encode(r["text"], merges)
