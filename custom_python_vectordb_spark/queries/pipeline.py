@@ -1199,3 +1199,76 @@ def knn_ivf_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write(src_m)
     out = knn_ivf_pruned(spark, layout, _query_vectors(spark, sf_dir, 3), cents, k=10, nprobe=2)
     return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
+
+
+# ------------------------------------------------ SemDeDup (cluster-prototype)
+
+
+@query("semdedup_keep", f"""
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 10
+),
+cents AS (SELECT CAST(vec_id - 200 AS INTEGER) AS cluster, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id BETWEEN 200 AND 207),
+asgn AS (SELECT vec_id, v, cluster FROM (
+    SELECT a.vec_id, a.v, c.cluster,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(a.v, c.cv), c.cluster) AS rn
+    FROM aug a, cents c
+) WHERE rn = 1),
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM asgn a JOIN asgn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_inner_product(a.v, b.v)
+        / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.95
+)
+SELECT vec_id, cluster FROM asgn
+WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+ORDER BY vec_id
+""")
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by cluster prototype —
+    the embedding-space twin of `dedup_clusters`. KMeans-style cells
+    (the IVF centroid machinery: map-only argmin assignment, ties →
+    lowest cluster), then a WITHIN-CELL cosine join (a < b, sim ≥ 0.95)
+    marks the higher id of every near-duplicate pair as a loser; kept =
+    everything else. Exercised on the injected-duplicates corpus
+    (vec_id < 10 cloned as vec_id+100000, same convention as `_corpus`)
+    so drops actually occur: natural within-cell sims max ~0.48 here.
+
+    100 TB shape: the only shuffle is keyed on `cluster` — pairwise work
+    is per-cell quadratic, bounded by cell size, never cross-cell; the
+    paper's own recipe scales the cluster count with the corpus
+    (~100k cells) precisely so cells stay small. Assignment is one
+    map-only scan (broadcast centroids)."""
+    from custom_python_vectordb_spark.functions.distances import cosine_similarity
+    from custom_python_vectordb_spark.operators.similarity import with_ivf_cluster
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    assigned = with_ivf_cluster(
+        emb.unionByName(dupes), _ivf_cents_local(spark, sf_dir)
+    )
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    )
+    losers = (
+        a.join(b, "cluster")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (cosine_similarity("va", "vb") >= 0.95)
+        )
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(losers, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )

@@ -79,6 +79,10 @@ QUERIES = [
     ("global_chars_rank", "documents"),
     ("rollup_sketch_certified", "events"),
     ("events_anomaly_days", "events"),
+    # round 7: BPE training (corpus pass + capped-vocab merge rounds) and
+    # cluster-prototype semantic dedup (cell-keyed within-cell join)
+    ("bpe_train_merges", "documents"),
+    ("semdedup_keep", "embeddings"),
 ]
 
 
