@@ -963,3 +963,86 @@ def test_maintain_rollup_end_to_end_stream(spark, tmp_path):
     assert got["a"][0] == 3 and got["a"][1] == 9.0 and got["a"][2] == 2
     assert got["b"][0] == 2 and got["b"][1] == 30.0 and got["b"][2] == 2
     assert abs(got["a"][3] - 3.0) <= 1.0  # median of {1,3,5} within one bin
+
+
+def test_incremental_semdedup_equals_batch(spark, sf_small, tmp_path):
+    """The incremental semantic-dedup index (cell-assigned vectors
+    maintained per micro-batch, new-vs-history within-cell cosine probe)
+    must converge to the batch semdedup rule's keep set over the union
+    of all batches — including cross-batch near-duplicates and the case
+    where the NEWCOMER has the smaller id (historical partner becomes
+    the loser) — and a batch replay must not change the result."""
+    from custom_python_vectordb_spark.streaming.semdedup_maintenance import (
+        load_semdedup_keep,
+        maintain_semdedup_index,
+        process_semdedup_batch,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.filter(F.col("vec_id").between(200, 207))
+        .select((F.col("vec_id") - 200).cast("int").alias("cluster"),
+                F.col("embedding").alias("cvec"))
+    )
+    # batch 1: vectors 100..149 plus a HIGH-id clone of vec 5 (so batch 2's
+    # original vec 5 arrives later with the SMALLER id -> the clone, already
+    # in history, must become the loser); batch 2: vectors 0..49 plus
+    # clones of 110/120 at +100000 (ordinary newcomer-loses pairs)
+    b1 = emb.filter(F.col("vec_id").between(100, 149)).unionByName(
+        emb.filter(F.col("vec_id") == 5)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    b2 = emb.filter(F.col("vec_id") < 50).unionByName(
+        emb.filter(F.col("vec_id").isin(110, 120))
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    src = str(tmp_path / "vec_stream")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    idx = str(tmp_path / "sdidx")
+    q = (
+        maintain_semdedup_index(stream, idx, cents)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    got = {(r["vec_id"], r["cluster"]) for r in load_semdedup_keep(spark, idx).collect()}
+
+    # batch twin over the union: same assignment, same within-corpus rule
+    from custom_python_vectordb_spark.functions.distances import cosine_similarity
+    from custom_python_vectordb_spark.operators.similarity import with_ivf_cluster
+
+    corpus = spark.read.parquet(src)
+    assigned = with_ivf_cluster(corpus, cents)
+    a = assigned.select("cluster", F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = assigned.select("cluster", F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    losers = (
+        a.join(b, "cluster")
+        .filter((F.col("a") < F.col("b")) & (cosine_similarity("va", "vb") >= 0.95))
+        .select(F.col("b").alias("vec_id")).distinct()
+    )
+    expect = {
+        (r["vec_id"], r["cluster"])
+        for r in assigned.join(losers, "vec_id", "left_anti")
+        .select("vec_id", "cluster").collect()
+    }
+    dropped = {v for v, _ in set((r["vec_id"], r["cluster"]) for r in assigned.select("vec_id", "cluster").collect()) - expect}
+    assert 100005 in dropped, "history clone must lose to the later-arriving smaller id"
+    assert {100110, 100120} <= dropped
+    assert got == expect
+
+    # replay batch 0 (at-least-once): keep set unchanged
+    process_semdedup_batch(spark.read.parquet(src).filter(
+        (F.col("vec_id").between(100, 149)) | (F.col("vec_id") == 100005)
+    ), 0, idx, cents)
+    got2 = {(r["vec_id"], r["cluster"]) for r in load_semdedup_keep(spark, idx).collect()}
+    assert got2 == expect
