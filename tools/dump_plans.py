@@ -37,7 +37,7 @@ SHOW = [
     ("bloom_filtered_join", "getbit probe Filter on the fact scan BELOW the join — the big side is Bloom-pruned before its exchange"),
     ("copurchase_triangles", "edge-iterator triangles: shared materialized pair view, O(sqrt m) out-neighbor arrays joined onto both endpoints, array_intersect summed — the wedge set never materializes"),
     ("zorder_values", "Morton interleave as one codegen'd shift/or projection — no shuffle, no UDF"),
-    ("dedup_span_pairs", "positional 5-gram hashes (strings never shuffle), df-capped self-join on the 64-bit key, diagonal-run window over the join's own partitioning"),
+    ("dedup_span_pairs", "positional 5-gram hashes from the SHARED materialized gram view (r7: built once per session, both plan branches read it), df-capped self-join on the 64-bit key, diagonal-run window over the join's own partitioning"),
     ("event_funnel", "view→click→purchase stages all keyed on user_id — one hash partitioning reused end-to-end"),
     ("retention_cohorts", "distinct(user,day) shuffle reused co-partitioned by the first-day self-join"),
     ("top_docs_per_lang", "grouped top-k: WindowGroupLimit forwards <=3 rows per lang per partition"),
@@ -62,6 +62,8 @@ SHOW = [
     ("nation_trade_volume", "1-row nation filters broadcast below the big joins — supplier/customer shrink ~25x before lineitem touches them"),
     ("bigram_logprob", "pair explode + two partial-combining LM aggregates, AQE-sized LM joins (no broadcast hint on the unbounded vocab)"),
     ("events_anomaly_days", "daily count agg + per-type 1-row stats join, explicit sum/sumsq arithmetic for bit-stable z-scores"),
+    ("semdedup_keep", "cluster-prototype semantic dedup: map-only broadcast-argmin cell assignment, within-cell cosine self-join (cluster-keyed, never cross-cell), left-anti keep"),
+    ("bpe_encode", "trained merges applied as nested all-JVM greedy folds over per-word symbol arrays — a pure map projection, no shuffle, no Python"),
 ]
 
 MARKERS = [
