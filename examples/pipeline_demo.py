@@ -80,6 +80,21 @@ def main() -> None:
     ).collect()[0]
     print(f"packed train into {stats['n_bins']} ~512-token sequences (avg {stats['avg_tokens']} tokens)")
 
+    # 5. train the tokenizer on the curated train split, then encode with it
+    from custom_python_vectordb_spark.operators.bpe import (
+        encode_expr,
+        train_bpe,
+        word_counts,
+    )
+
+    train_docs = with_split.filter(F.col("split") == "train").select("doc_id", "text")
+    merges = train_bpe(word_counts(train_docs, top_words=500), num_merges=24)
+    print(f"trained {len(merges)} BPE merges (top: "
+          + ", ".join(f"{l}+{r}" for _, l, r, _ in merges[:5]) + " ...)")
+    enc = train_docs.select(F.size(encode_expr("text", merges)).alias("n"))
+    row = enc.agg(F.sum("n").alias("total"), F.round(F.avg("n"), 1).alias("avg")).collect()[0]
+    print(f"encoded train split: {row['total']} BPE tokens (avg {row['avg']}/doc)")
+
 
 if __name__ == "__main__":
     main()
