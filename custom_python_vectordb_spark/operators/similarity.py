@@ -260,3 +260,103 @@ def knn_ivf_pruned(
     return top_k_per_group(scored, "qid", k, F.col("dist").asc(), F.col(id_col).asc()).orderBy(
         "qid", "dist", id_col
     )
+
+
+def within_cell_neardup_losers(
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Higher-id members of every within-cell cosine-near-duplicate pair
+    (the SemDeDup loser set). One `applyInPandas` per cell: an L2-
+    normalized GEMM gives the full cell similarity matrix, the strict
+    upper triangle (ids ascending) yields losers directly — vectorized
+    BLAS instead of a pair join whose per-pair array folds Spark
+    interprets element-by-element (the r7 sweep measured the declarative
+    join at 4.2 s for ~8K rows / 126 cells; this path is ~milliseconds
+    of arithmetic on the same shuffle). The only movement is the
+    cluster-keyed shuffle; per-cell work is bounded by cell size, which
+    the caller keeps bounded by scaling the cell count with the corpus."""
+
+    def find(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: np.empty(0, dtype=np.int64)})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]]
+        )
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(nrm == 0, 1.0, nrm)
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        losers = np.unique(ids[ju[sims[iu, ju] >= threshold]])
+        return pd.DataFrame({id_col: losers})
+
+    return assigned.select(cluster_col, id_col, vec_col).groupBy(cluster_col).applyInPandas(
+        find, schema=f"{id_col} long"
+    )
+
+
+def assign_cells_gemm(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """GEMM twin of :func:`with_ivf_cluster` for corpus-scale assignment:
+    the declarative argmin is interpreted per element (higher-order array
+    lambdas never enter whole-stage codegen), costing O(rows·cells·dim)
+    interpreter steps — quadratic in rows once cells scale with the
+    corpus (SemDeDup sizing; the r7 sweep measured it as the residual
+    super-linear term). Here each Arrow batch decodes by buffer reshape
+    (zero per-row Python) and one |x|²-2xCᵀ+|c|² GEMM argmins the batch
+    against the closure-shipped centroid matrix — same map-only shape,
+    BLAS throughput. Ties break to the lowest cluster id (np.argmin's
+    first-minimum), matching the declarative struct-min rule."""
+    import numpy as np
+    import pyarrow as pa
+
+    crows = centroids.orderBy("cluster").collect()
+    cmat = np.asarray([np.asarray(r["cvec"], dtype=np.float64) for r in crows])
+    cids = np.asarray([int(r["cluster"]) for r in crows], dtype=np.int64)
+    c2 = (cmat * cmat).sum(1)
+
+    fields = [
+        pa.field(id_col, pa.int64()),
+        pa.field(vec_col, pa.list_(pa.float32())),
+        pa.field(out_col, pa.int32()),
+    ]
+    out_schema = pa.schema(fields)
+
+    def assign(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            vecs = batch.column(1)
+            flat = vecs.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(n, -1).astype(_np.float64, copy=False)
+            d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ cmat.T) + c2[None, :]
+            cl = cids[d2.argmin(1)].astype(_np.int32)
+            yield _pa.record_batch(
+                [ids, vecs.cast(_pa.list_(_pa.float32())), _pa.array(cl, _pa.int32())],
+                schema=out_schema,
+            )
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<float>").alias(vec_col),
+    )
+    return src.mapInArrow(assign, schema=f"{id_col} long, {vec_col} array<float>, {out_col} int")

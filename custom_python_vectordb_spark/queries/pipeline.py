@@ -1211,7 +1211,9 @@ WITH aug AS (
   SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 10
 ),
 cents AS (SELECT CAST(vec_id - 200 AS INTEGER) AS cluster, CAST(embedding AS DOUBLE[]) AS cv
-          FROM embeddings WHERE vec_id BETWEEN 200 AND 207),
+          FROM embeddings
+          WHERE vec_id >= 200
+            AND vec_id < 200 + (SELECT CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) FROM embeddings)),
 asgn AS (SELECT vec_id, v, cluster FROM (
     SELECT a.vec_id, a.v, c.cluster,
            row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(a.v, c.cv), c.cluster) AS rn
@@ -1231,42 +1233,46 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by cluster prototype —
     the embedding-space twin of `dedup_clusters`. KMeans-style cells
     (the IVF centroid machinery: map-only argmin assignment, ties →
-    lowest cluster), then a WITHIN-CELL cosine join (a < b, sim ≥ 0.95)
-    marks the higher id of every near-duplicate pair as a loser; kept =
-    everything else. Exercised on the injected-duplicates corpus
-    (vec_id < 10 cloned as vec_id+100000, same convention as `_corpus`)
-    so drops actually occur: natural within-cell sims max ~0.48 here.
+    lowest cluster), then a WITHIN-CELL join (a < b, normalized dot ≥
+    0.95 ≡ cosine) marks the higher id of every near-duplicate pair as a
+    loser; kept = everything else. Exercised on the injected-duplicates
+    corpus (vec_id < 10 cloned as vec_id+100000, same convention as
+    `_corpus`) so drops actually occur: natural within-cell sims max
+    ~0.48 here.
 
-    100 TB shape: the only shuffle is keyed on `cluster` — pairwise work
-    is per-cell quadratic, bounded by cell size, never cross-cell; the
-    paper's own recipe scales the cluster count with the corpus
-    (~100k cells) precisely so cells stay small. Assignment is one
-    map-only scan (broadcast centroids)."""
-    from custom_python_vectordb_spark.functions.distances import cosine_similarity
-    from custom_python_vectordb_spark.operators.similarity import with_ivf_cluster
+    100 TB shape: the CELL COUNT SCALES WITH THE CORPUS — ceil(n/64)
+    cells (centroids = consecutive embedding rows from 200, identically
+    in both engines), the paper's own recipe (~100k cells at billions of
+    points) — so per-cell pairwise work stays bounded (~64²/2 per cell,
+    linear in n overall) and the cluster-keyed shuffle has O(n/64)
+    distinct keys, never an 8-task parallelism ceiling. The r7 sweep
+    caught the fixed-8-cells version at alpha_tail 2.17 (156 s at sf1);
+    this plan measures linear. The within-cell stage is a per-cell
+    L2-normalized GEMM (`within_cell_neardup_losers`, applyInPandas) —
+    vectorized BLAS on the cluster-keyed shuffle instead of a pair join
+    whose array folds Spark interprets per element. Assignment is the
+    map-only GEMM twin (`assign_cells_gemm` — the declarative argmin is
+    interpreter-bound O(rows·cells·dim) and turns quadratic once cells
+    scale with the corpus), checkpointed because two branches consume
+    it."""
+    import math
+
+    from custom_python_vectordb_spark.operators.similarity import (
+        assign_cells_gemm,
+        within_cell_neardup_losers,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()  # index-build-time scalar (cell-count sizing)
+    k = max(1, math.ceil(n / 64))
+    cents = _emb_rows_local(spark, sf_dir, 200, 200 + k - 1, "cluster", "cvec")
     dupes = emb.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
-    assigned = with_ivf_cluster(
-        emb.unionByName(dupes), _ivf_cents_local(spark, sf_dir)
+    assigned = assign_cells_gemm(emb.unionByName(dupes), cents).localCheckpoint(
+        eager=True
     )
-    a = assigned.select(
-        "cluster", F.col("vec_id").alias("a"), F.col("embedding").alias("va")
-    )
-    b = assigned.select(
-        "cluster", F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
-    )
-    losers = (
-        a.join(b, "cluster")
-        .filter(
-            (F.col("a") < F.col("b"))
-            & (cosine_similarity("va", "vb") >= 0.95)
-        )
-        .select(F.col("b").alias("vec_id"))
-        .distinct()
-    )
+    losers = within_cell_neardup_losers(assigned, threshold=0.95)
     return (
         assigned.join(losers, "vec_id", "left_anti")
         .select("vec_id", "cluster")

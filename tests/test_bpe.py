@@ -123,3 +123,45 @@ def test_encode_matches_snapshot_and_pure_python(spark):
     # full token streams (not just the 12-token preview) vs pure python
     for r in rows:
         assert r["toks"] == _py_encode(r["text"], merges)
+
+
+def test_encode_reconstruction_property(spark):
+    """Property (Hypothesis): for any corpus of ASCII words and any
+    merge table trained on it, concatenating a word's encoded symbols
+    and stripping the end-of-word marker reconstructs the word exactly —
+    merges can regroup characters but never create, drop, or reorder
+    them."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcdef", min_size=1, max_size=8)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=20))
+    def check(words):
+        freq: dict[str, int] = {}
+        for w in words:
+            freq[w] = freq.get(w, 0) + 1
+        merges = _py_train(freq, num_merges=10, min_pair_count=2)
+        for w in words:
+            syms = list(w) + [bpe.END_OF_WORD]
+            for _, left, right, _c in merges:
+                syms = _py_apply(syms, left, right)
+            joined = "".join(syms)
+            assert joined == w + bpe.END_OF_WORD
+
+    check()
+
+
+def test_spark_python_train_parity_property(spark):
+    """Spark train_bpe must agree with the pure-Python reference on an
+    adversarial tiny corpus with heavy tie pressure (every word has the
+    same frequency, so arg-max tie-breaks decide most merges)."""
+    words = ["abab", "baba", "aabb", "bbaa", "abba", "baab"]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                               "doc_id long, text string")
+    from custom_python_vectordb_spark.operators.bpe import train_bpe, word_counts
+
+    got = [tuple(m) for m in train_bpe(word_counts(df), num_merges=6, checkpoint_every=3)]
+    want = _py_train({w: 1 for w in words}, num_merges=6)
+    assert got == want
