@@ -4,13 +4,14 @@ The batch operator (`queries/pipeline.semdedup_keep`) re-assigns and
 re-joins the whole corpus per run. At ingest scale the semantic-dedup
 index must be INCREMENTAL, mirroring `neardup_maintenance.py`:
 
-1. each micro-batch assigns ITS vectors to cells (map-only broadcast
-   argmin against FIXED centroids — production SemDeDup trains centroids
-   once on a seed sample, then holds them fixed for ingest so cell
-   membership is stable);
+1. each micro-batch assigns ITS vectors to cells (map-only Arrow-batch
+   GEMM argmin against FIXED centroids — production SemDeDup trains
+   centroids once on a seed sample, then holds them fixed for ingest so
+   cell membership is stable);
 2. probes the STORED cell index for within-cell cosine partners among
-   everything previously ingested (equi-join on `cluster` — exactly the
-   batch path's only shuffle, now new-vs-history instead of self);
+   everything previously ingested (cluster-keyed shuffle — exactly the
+   batch path's only one — then a per-cell GEMM of all members against
+   the batch's new subset, new-vs-history instead of self);
 3. records the HIGHER id of every >= tau pair as a loser (the batch
    path's min-id-representative rule: a pair discovered when its second
    member arrives yields the same loser the batch join would, even when
@@ -40,8 +41,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from custom_python_vectordb_spark.functions.distances import cosine_similarity
-from custom_python_vectordb_spark.operators.similarity import with_ivf_cluster
+from custom_python_vectordb_spark.operators.similarity import assign_cells_gemm
 
 
 def _cells_path(root: str) -> str:
@@ -67,7 +67,10 @@ def process_semdedup_batch(
     the other maintenance sinks). `centroids`: (cluster, cvec), fixed
     across the stream's lifetime."""
     spark = batch_vecs.sparkSession
-    assigned = with_ivf_cluster(
+    # GEMM assignment (parity-checked twin of the declarative argmin):
+    # ingest batches can be arbitrarily large, and interpreted argmin is
+    # O(rows·cells·dim) interpreter steps
+    assigned = assign_cells_gemm(
         batch_vecs.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
     ).persist()
 
@@ -83,22 +86,40 @@ def process_semdedup_batch(
             .filter(F.col("batch_id") != batch_id)
             .drop("batch_id")
         )
-        probe = history.unionByName(assigned)
-    else:
-        probe = assigned
-    new = assigned.select(
-        "cluster", F.col(id_col).alias("__n"), F.col(vec_col).alias("__nv")
-    )
-    other = probe.select(
-        "cluster", F.col(id_col).alias("__o"), F.col(vec_col).alias("__ov")
-    )
-    losers = (
-        new.join(other, "cluster")
-        .filter(
-            (F.col("__n") != F.col("__o"))
-            & (cosine_similarity("__nv", "__ov") >= threshold)
+        probe = history.withColumn("__new", F.lit(False)).unionByName(
+            assigned.withColumn("__new", F.lit(True))
         )
-        .select(F.greatest("__n", "__o").alias(id_col))
+    else:
+        probe = assigned.withColumn("__new", F.lit(True))
+
+    # per-cell GEMM of all members against the NEW subset (the batch
+    # path's within_cell_neardup_losers shape, restricted to pairs that
+    # involve at least one new member — history-history pairs were
+    # resolved when their second member arrived). Vectorized BLAS on the
+    # cluster-keyed shuffle; the declarative join's per-pair array folds
+    # are interpreter-bound.
+    def find(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        newm = pdf["__new"].to_numpy(dtype=bool)
+        if len(ids) < 2 or not newm.any():
+            return pd.DataFrame({id_col: np.empty(0, dtype=np.int64)})
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(nrm == 0, 1.0, nrm)
+        sims = mat @ mat[newm].T  # (members, new)
+        nid = ids[newm]
+        mi, bj = np.nonzero(sims >= threshold)
+        keep = ids[mi] != nid[bj]
+        losers = np.unique(np.maximum(ids[mi[keep]], nid[bj[keep]]))
+        return pd.DataFrame({id_col: losers})
+
+    losers = (
+        probe.select("cluster", id_col, vec_col, "__new")
+        .groupBy("cluster")
+        .applyInPandas(find, schema=f"{id_col} long")
         .distinct()
     )
 
