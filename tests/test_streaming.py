@@ -1046,3 +1046,54 @@ def test_incremental_semdedup_equals_batch(spark, sf_small, tmp_path):
     ), 0, idx, cents)
     got2 = {(r["vec_id"], r["cluster"]) for r in load_semdedup_keep(spark, idx).collect()}
     assert got2 == expect
+
+
+def test_incremental_vocab_feeds_bpe_training(spark, sf_small, tmp_path):
+    """Word counts maintained per micro-batch must merge to exactly the
+    batch word_counts over the union, and BPE merges trained from the
+    maintained view must equal training from scratch — so the tokenizer
+    retrains after new data lands without re-reading the corpus. A batch
+    replay must not change the counts."""
+    from custom_python_vectordb_spark.operators.bpe import train_bpe, word_counts
+    from custom_python_vectordb_spark.streaming.vocab_maintenance import (
+        load_word_counts,
+        maintain_vocab,
+        process_vocab_batch,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    src = str(tmp_path / "docs_stream")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    root = str(tmp_path / "vocab_idx")
+    q = (
+        maintain_vocab(stream, root)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    got = {(r["word"], r["freq"]) for r in load_word_counts(spark, root).collect()}
+    expect = {(r["word"], r["freq"]) for r in word_counts(docs).collect()}
+    assert got == expect
+
+    streamed_merges = train_bpe(
+        load_word_counts(spark, root, top_words=500), num_merges=12
+    )
+    scratch_merges = train_bpe(word_counts(docs, top_words=500), num_merges=12)
+    assert streamed_merges == scratch_merges
+
+    # replay batch 0 (at-least-once): counts unchanged
+    process_vocab_batch(b1, 0, root)
+    got2 = {(r["word"], r["freq"]) for r in load_word_counts(spark, root).collect()}
+    assert got2 == expect
