@@ -175,3 +175,65 @@ def test_ivf_handle_parity_and_refresh(spark, tmp_path):
     h2.refresh()
     ids, _ = h2.search_one(np.array([1.0, 1.0]), k=1)
     assert ids[0] == 12
+
+
+def test_assign_cells_gemm_matches_declarative(spark):
+    """The Arrow-batch GEMM assignment must agree row-for-row with the
+    declarative struct-min argmin, including its lowest-cluster tie rule
+    (duplicated centroid) and zero vectors."""
+    from custom_python_vectordb_spark.operators.similarity import (
+        assign_cells_gemm,
+        with_ivf_cluster,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]),   # zero vector
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.5, 0.5]),   # equidistant to cluster 0 and 1 under dup cents
+        (4, [-1.0, -1.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],  # 0 and 1 identical
+        "cluster int, cvec array<float>",
+    )
+    decl = {(r["vec_id"], r["cluster"])
+            for r in with_ivf_cluster(corpus, cents).select("vec_id", "cluster").collect()}
+    gemm = {(r["vec_id"], r["cluster"])
+            for r in assign_cells_gemm(corpus, cents).select("vec_id", "cluster").collect()}
+    assert gemm == decl
+    # identical centroids 0/1: ties must resolve to cluster 0 in both
+    assert (1, 0) in gemm
+
+
+def test_within_cell_neardup_losers_known_geometry(spark):
+    """Known vectors: exact duplicates lose (higher id), orthogonal
+    cell-mates survive, singleton cells emit nothing, and losers never
+    cross cells even for identical vectors."""
+    from custom_python_vectordb_spark.operators.similarity import (
+        within_cell_neardup_losers,
+    )
+
+    rows = [
+        # cell 0: 10 and 11 identical (11 loses), 12 orthogonal
+        (10, [1.0, 0.0, 0.0], 0),
+        (11, [1.0, 0.0, 0.0], 0),
+        (12, [0.0, 1.0, 0.0], 0),
+        # cell 1: identical to cell-0 vectors but a different cell -> safe
+        (20, [1.0, 0.0, 0.0], 1),
+        # cell 2: singleton
+        (30, [0.0, 0.0, 1.0], 2),
+        # cell 3: three mutual near-dups -> the two higher ids lose
+        (40, [2.0, 2.0, 0.0], 3),
+        (41, [1.0, 1.0, 0.0], 3),   # same direction, different magnitude
+        (42, [1.0, 1.0, 0.001], 3),
+    ]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cluster int"
+    )
+    losers = {
+        r["vec_id"]
+        for r in within_cell_neardup_losers(assigned, threshold=0.95).collect()
+    }
+    assert losers == {11, 41, 42}
