@@ -656,6 +656,45 @@ def main() -> None:
     out.update(_bench_versioned(spark, sf_dir))
     # streaming maintenance arc (ingest -> postings index -> serve)
     out.update(_bench_streaming(spark, sf_dir))
+    # BPE tokenizer: train fresh (word-count pass + 24 merge rounds) and
+    # encode the FULL corpus with the trained merges — the two costs a
+    # pretraining pipeline pays (train once, encode everything)
+    from pyspark.sql import functions as _F
+
+    from custom_python_vectordb_spark.operators.bpe import (
+        encode_expr,
+        train_bpe,
+        word_counts,
+    )
+    from custom_python_vectordb_spark.sources.catalog import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    merges = train_bpe(word_counts(docs, top_words=500), num_merges=24)
+    out["bpe_train24_s"] = round(time.perf_counter() - t0, 4)
+    # throughput path: Arrow-batched UDF with per-worker word cache, FULL
+    # corpus (the pipeline-scale encode); the declarative fold twin is
+    # timed on a 500-doc sample to keep the interpreted-vs-Arrow contrast
+    # visible without paying 3 full interpreted passes per bench run
+    from custom_python_vectordb_spark.operators.bpe import encode_udf
+
+    enc = docs.select(_F.size(encode_udf("text", merges)).alias("n"))
+    total_toks = enc.agg(_F.sum("n")).collect()[0][0]  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        enc.agg(_F.sum("n")).collect()
+        best = min(best, time.perf_counter() - t0)
+    out["bpe_encode_s"] = round(best, 4)
+    out["bpe_encode_tokens_per_s"] = int(total_toks / best)
+    sample = docs.limit(500).persist()
+    enc2 = sample.select(_F.size(encode_expr("text", merges)).alias("n"))
+    sample_toks = enc2.agg(_F.sum("n")).collect()[0][0]  # warm
+    t0 = time.perf_counter()
+    enc2.agg(_F.sum("n")).collect()
+    out["bpe_encode_expr_tokens_per_s"] = int(sample_toks / (time.perf_counter() - t0))
+    sample.unpersist()
+
     # in-process keyword replica (the reference's in-RAM BM25Index analog):
     # decode+index once, then per-query numpy accumulation — no Spark job
     from custom_python_vectordb_spark.operators.bm25 import keyword_replica_serve

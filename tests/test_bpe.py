@@ -165,3 +165,28 @@ def test_spark_python_train_parity_property(spark):
     got = [tuple(m) for m in train_bpe(word_counts(df), num_merges=6, checkpoint_every=3)]
     want = _py_train({w: 1 for w in words}, num_merges=6)
     assert got == want
+
+
+def test_encode_udf_parity_with_expr(spark):
+    """The Arrow-batched encode (per-worker word cache) must produce
+    BIT-IDENTICAL token streams to the declarative fold encode and the
+    pure-Python reference over real corpus text, including NULL text."""
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.queries._bpe_snapshot import BPE_MERGES_SF001
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    merges = [tuple(m) for m in BPE_MERGES_SF001]
+    docs = load_table(spark, SF001, "documents").filter(F.col("doc_id") < 40)
+    rows = docs.select(
+        "doc_id",
+        bpe.encode_expr("text", merges).alias("a"),
+        bpe.encode_udf("text", merges).alias("b"),
+        "text",
+    ).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r["a"] == r["b"]
+        assert r["b"] == _py_encode(r["text"], merges)
+    null_df = spark.createDataFrame([(None,)], "text string")
+    assert null_df.select(bpe.encode_udf("text", merges)).collect()[0][0] == []
