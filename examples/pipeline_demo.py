@@ -82,7 +82,7 @@ def main() -> None:
 
     # 5. train the tokenizer on the curated train split, then encode with it
     from custom_python_vectordb_spark.operators.bpe import (
-        encode_expr,
+        encode_udf,
         train_bpe,
         word_counts,
     )
@@ -91,7 +91,7 @@ def main() -> None:
     merges = train_bpe(word_counts(train_docs, top_words=500), num_merges=24)
     print(f"trained {len(merges)} BPE merges (top: "
           + ", ".join(f"{l}+{r}" for _, l, r, _ in merges[:5]) + " ...)")
-    enc = train_docs.select(F.size(encode_expr("text", merges)).alias("n"))
+    enc = train_docs.select(F.size(encode_udf("text", merges)).alias("n"))
     row = enc.agg(F.sum("n").alias("total"), F.round(F.avg("n"), 1).alias("avg")).collect()[0]
     print(f"encoded train split: {row['total']} BPE tokens (avg {row['avg']}/doc)")
 
