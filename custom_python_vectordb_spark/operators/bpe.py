@@ -17,9 +17,15 @@ Spark-first decomposition:
    (left, right) asc — ties never depend on partitioning), then one
    column rewrite applying the merge as a left-to-right greedy fold.
 
-No Python UDFs anywhere: pair extraction is `transform`+`posexplode`,
-merge application is `aggregate` (fold) over the symbol array — all
-JVM-side, whole-stage-codegen eligible.
+Training is UDF-free: pair extraction is `transform`+`explode`, merge
+application is `aggregate` (fold) over the symbol array — JVM-side
+(note higher-order array lambdas are interpreted, not codegen'd, which
+is fine here because the merge loop touches only the bounded word
+table). Corpus-scale ENCODE has two parity-locked paths: the same fold
+chain (`encode_expr`, the oracle-checked reference) and an
+Arrow-batched UDF with a per-worker word cache (`encode_udf`, ~90×
+faster — the interpreted fold pays K passes per word OCCURRENCE, the
+cache pays them once per DISTINCT word).
 
 Training is deterministic for a given corpus, so the registered queries
 use frozen-snapshot oracles at sf0.01 (`queries/_bpe_snapshot.py`, the
