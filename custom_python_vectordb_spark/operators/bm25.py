@@ -125,11 +125,18 @@ def bm25_scores(
     )
 
 
-def bm25_topk(docs: DataFrame, query: str, k: int = 10, **kw) -> DataFrame:
+def bm25_topk(
+    docs: DataFrame, query: str, k: int = 10, round_to: int | None = None, **kw
+) -> DataFrame:
     """K6 — candidates scored, sorted desc, truncated (``hybrid_search.py:
-    156-179``). Tie-break by id for determinism."""
+    156-179``). Tie-break by id for determinism. `round_to`: round the
+    score BEFORE ranking — the score is a float sum whose last-ulp value
+    is engine/aggregation-order dependent, so oracle-checked callers rank
+    on the rounded quantity (the DuckDB alias ORDER BY semantics)."""
     id_col = kw.get("id_col", "doc_id")
     scored = bm25_scores(docs, query, **kw)
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to) + F.lit(0.0))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -147,6 +154,7 @@ def rrf_fusion(
     vec_col: str = "embedding",
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion — the score-free alternative to weighted-sum
     hybrid (D9): each side contributes 1/(k0 + rank) for its top `fetch_k`,
@@ -188,6 +196,8 @@ def rrf_fusion(
             ).alias("score"),
         )
     )
+    if round_to is not None:  # round-before-rank (see bm25_topk)
+        fused = fused.withColumn("score", F.round("score", round_to) + F.lit(0.0))
     return fused.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
 
 
@@ -225,10 +235,17 @@ def tfidf_scores(
     )
 
 
-def tfidf_topk(docs: DataFrame, query: str, k: int = 10, **kw) -> DataFrame:
-    """TF-IDF candidates sorted desc, truncated; id tie-break (K8 contract)."""
+def tfidf_topk(
+    docs: DataFrame, query: str, k: int = 10, round_to: int | None = None, **kw
+) -> DataFrame:
+    """TF-IDF candidates sorted desc, truncated; id tie-break (K8
+    contract). `round_to` ranks on the rounded score (see bm25_topk —
+    the r7 sf0.001 probe caught exactly this query picking different
+    members of a rounded tie at the k boundary)."""
     id_col = kw.get("id_col", "doc_id")
     scored = tfidf_scores(docs, query, **kw)
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to) + F.lit(0.0))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -299,11 +316,10 @@ def hybrid_search(
                 "id",
                 "left_semi",
             )
-        out = out.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
-        if round_to is not None:
+        if round_to is not None:  # round-before-rank, see fused path below
             for c in ("score", "vector_score", "keyword_score"):
                 out = out.withColumn(c, F.round(F.col(c), round_to) + F.lit(0.0))
-        return out
+        return out.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
     kw_scored = bm25_scores(docs, query_text, id_col=doc_id_col, text_col=text_col).select(
         F.col(doc_id_col).alias("id"), F.col("score").alias("kscore")
     )
@@ -357,11 +373,16 @@ def hybrid_search(
             )
         else:
             fused = fused.filter(post_filter)
-    out = fused.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+    # round BEFORE ranking: the score is a float SUM whose last-ulp value
+    # differs between engines (aggregation order), so rank/display must use
+    # the same rounded quantity with the id tie-break — exactly what the
+    # DuckDB oracles' output-alias ORDER BY does (r7: sf0.001 caught
+    # tfidf_topk picking different members of a rounded tie at the k
+    # boundary)
     if round_to is not None:
         for c in ("score", "vector_score", "keyword_score"):
-            out = out.withColumn(c, F.round(F.col(c), round_to) + F.lit(0.0))
-    return out
+            fused = fused.withColumn(c, F.round(F.col(c), round_to) + F.lit(0.0))
+    return fused.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
 
 
 def weights_to_alpha(vector_weight: float, keyword_weight: float) -> float:

@@ -159,8 +159,9 @@ SELECT doc_id, ROUND(score, {ROUND}) + 0.0 AS score FROM scored
 ORDER BY score DESC, doc_id LIMIT 10
 """)
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = bm25_topk(_t(spark, sf_dir, "documents"), QUERY_TEXT, k=10)
-    return out.withColumn("score", F.round("score", ROUND) + F.lit(0.0))
+    # round_to ranks on the rounded score — the oracle's alias ORDER BY
+    # semantics (float-sum scores differ in the last ulp across engines)
+    return bm25_topk(_t(spark, sf_dir, "documents"), QUERY_TEXT, k=10, round_to=ROUND)
 
 
 # ------------------------------------------------------------------ D9/J9 hybrid fusion
@@ -362,8 +363,9 @@ def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pre-BM25 IR baseline (operators/bm25.py:tfidf_scores)."""
     from custom_python_vectordb_spark.operators.bm25 import tfidf_topk
 
-    out = tfidf_topk(_t(spark, sf_dir, "documents"), QUERY_TEXT, k=10)
-    return out.withColumn("score", F.round("score", ROUND) + F.lit(0.0))
+    return tfidf_topk(
+        _t(spark, sf_dir, "documents"), QUERY_TEXT, k=10, round_to=ROUND
+    )
 
 
 @query("hybrid_rrf", f"""
@@ -398,8 +400,7 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    out = rrf_fusion(emb, docs, qv, QUERY_TEXT, k=10, fetch_k=100)
-    return out.withColumn("score", F.round("score", ROUND) + F.lit(0.0))
+    return rrf_fusion(emb, docs, qv, QUERY_TEXT, k=10, fetch_k=100, round_to=ROUND)
 
 
 @query("chunk_documents", f"""
