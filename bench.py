@@ -454,6 +454,24 @@ def _bench_knn_100k(spark) -> dict[str, float]:
     out["knn_single_100k_ivf_p50_ms"] = round(lat[len(lat) // 2], 4)
     out["knn_single_100k_ivf_p99_ms"] = round(lat[int(len(lat) * 0.99) - 1], 4)
 
+    # single-query latency on the BQ tier (r7): the 32×-compressed coarse
+    # scan is memory-bandwidth-bound, so unlike IVF it cannot amortize
+    # below its one-pass cost — published next to the batch row so the
+    # batching trade stays visible
+    from custom_python_vectordb_spark.operators.quantization import BqReplicaHandle
+
+    bq_handle = BqReplicaHandle(shard_files)
+    for v in qvecs:
+        bq_handle.search_one(v, 10)  # warm
+    lat = []
+    for v in qvecs:
+        t0 = time.perf_counter()
+        bq_handle.search_one(v, 10)
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    out["knn_single_100k_bq_p50_ms"] = round(lat[len(lat) // 2], 4)
+    out["knn_single_100k_bq_p99_ms"] = round(lat[int(len(lat) * 0.99) - 1], 4)
+
     sharded.unpersist()
     corpus.unpersist()
     return out

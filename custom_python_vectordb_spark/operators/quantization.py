@@ -466,6 +466,136 @@ def sq_replica_serve(
 _BQ_REPLICA_CACHE: dict = {}
 
 
+def _popcount64(x, t):
+    """SWAR popcount on uint64, IN PLACE with one scratch buffer (numpy
+    1.x has no bitwise_count; the out=-less version measured
+    allocation-bound — 10 × 16 MB temporaries per pass at 100K×Q=20).
+    Driver-side only, never pickled to workers."""
+    import numpy as np
+
+    np.right_shift(x, np.uint64(1), out=t)
+    t &= np.uint64(0x5555555555555555)
+    x -= t
+    np.right_shift(x, np.uint64(2), out=t)
+    t &= np.uint64(0x3333333333333333)
+    x &= np.uint64(0x3333333333333333)
+    x += t
+    np.right_shift(x, np.uint64(4), out=t)
+    x += t
+    x &= np.uint64(0x0F0F0F0F0F0F0F0F)
+    x *= np.uint64(0x0101010101010101)
+    x >>= np.uint64(56)
+    return x
+
+
+def _bq_resolve(shard_paths: list[str], *, id_col: str):
+    """Resolve (building if stale/absent) the cached BQ tier for a shard
+    set: (stat_key, ids, packed uint64 words, per-dim medians, byte pad),
+    or None when the shards hold no rows. Same (path, mtime_ns, size)
+    coherence contract as the other replica caches."""
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    paths = tuple(sorted(shard_paths))
+    stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
+    ck = (paths, id_col)
+    entry = _BQ_REPLICA_CACHE.get(ck)
+    if entry is not None and entry[0] == stat_key:
+        return entry
+    ids_parts, mat_parts = [], []
+    for p in paths:
+        names = _pq.read_schema(p).names
+        vec_field = "embedding" if "embedding" in names else names[1]
+        tbl = _pq.read_table(p, columns=[id_col, vec_field])
+        if tbl.num_rows == 0:
+            continue
+        ids_parts.append(tbl.column(id_col).to_numpy(zero_copy_only=False))
+        flat = np.concatenate(
+            [c.flatten().to_numpy(zero_copy_only=False) for c in tbl.column(vec_field).chunks]
+        )
+        mat_parts.append(flat.reshape(len(ids_parts[-1]), -1).astype(np.float64))
+    if not ids_parts:
+        return None
+    ids = np.concatenate(ids_parts)
+    mat = np.concatenate(mat_parts)
+    med = np.median(mat, axis=0)
+    packed = np.packbits((mat > med[None, :]).astype(np.uint8), axis=1)
+    # pad the byte dim to a multiple of 8 and view as uint64 words for
+    # the SWAR popcount scan; resident bytes stay D/8 per row (+pad)
+    pad = (-packed.shape[1]) % 8
+    if pad:
+        packed = np.concatenate(
+            [packed, np.zeros((len(packed), pad), dtype=np.uint8)], axis=1
+        )
+    words = np.ascontiguousarray(packed).view(np.uint64)
+    entry = (stat_key, ids, words, med, pad)
+    _BQ_REPLICA_CACHE[ck] = entry
+    return entry
+
+
+class BqReplicaHandle:
+    """Pre-resolved single-query fast path over the packed BQ tier — the
+    quantized sibling of ``partitioned.IvfReplicaHandle`` (same rationale:
+    hnswlib-style bare in-process call on a pre-opened index, no per-call
+    stat/pandas plumbing; staleness re-checked at the caller's
+    ``refresh()`` boundary while :func:`bq_replica_serve` keeps its
+    per-call stat check)."""
+
+    __slots__ = ("_paths", "_id_col", "_np", "ids", "words", "med", "pad")
+
+    def __init__(self, shard_paths: list[str], *, id_col: str = "vec_id"):
+        import numpy as np
+
+        self._np = np
+        self._paths = list(shard_paths)
+        self._id_col = id_col
+        self.refresh()
+
+    def refresh(self) -> None:
+        entry = _bq_resolve(self._paths, id_col=self._id_col)
+        if entry is None:
+            raise ValueError("empty shard set")
+        _, self.ids, self.words, self.med, self.pad = entry
+
+    def search_one(self, qvec, k: int = 10):
+        """Coarse Hamming top-k for ONE query: (ids, hamming) sorted by
+        (distance, id). One xor+SWAR-popcount pass per packed word."""
+        np = self._np
+        q = np.asarray(qvec, dtype=np.float64)
+        qp = np.packbits((q > self.med).astype(np.uint8))
+        if self.pad:
+            qp = np.concatenate([qp, np.zeros(self.pad, dtype=np.uint8)])
+        qw = np.ascontiguousarray(qp).view(np.uint64)
+        words = self.words
+        n = len(self.ids)
+        # single-threaded SWAR: at one query the per-slice numpy ops are
+        # too small to amortize GIL handoffs (a thread pool measured 3×
+        # SLOWER than this loop; the batch path's threads only pay off on
+        # its (Q, N) matrices)
+        acc = np.zeros(n, dtype=np.uint64)
+        x = np.empty(n, dtype=np.uint64)
+        t = np.empty(n, dtype=np.uint64)
+        for w in range(words.shape[1]):
+            np.bitwise_xor(qw[w], words[:, w], out=x)
+            acc += _popcount64(x, t)
+        m = min(k, n)
+        if m < n:
+            # Hamming lives in [0, bits]: a bincount gives the exact k-th
+            # boundary value in one cheap pass (no argpartition), and the
+            # (dist, id) lexsort over everything at or below it applies
+            # the id tie-break exactly like the batch path
+            hist = np.bincount(acc.astype(np.int64))
+            thr = int(np.searchsorted(np.cumsum(hist), m))
+            cand = np.nonzero(acc <= thr)[0]
+            ids, d = self.ids[cand], acc[cand]
+        else:
+            ids, d = self.ids, acc
+        order = np.lexsort((ids, d))[:m]
+        return ids[order], d[order].astype(np.float64)
+
+
 def bq_replica_serve(
     shard_paths: list[str],
     queries_pd,
@@ -497,64 +627,16 @@ def bq_replica_serve(
       rerank-recovered methodology.
 
     Ties (equal Hamming) break by id ascending, like every top-k here."""
-    import os as _os
-
     import numpy as np
     import pandas as pd
-    import pyarrow.parquet as _pq
 
-    def _popcount64_(x, t):
-        # SWAR popcount on uint64, IN PLACE with one scratch buffer
-        # (numpy 1.x has no bitwise_count; the out=-less version measured
-        # allocation-bound — 10 × 16 MB temporaries per pass at 100K×Q=20)
-        np.right_shift(x, np.uint64(1), out=t)
-        t &= np.uint64(0x5555555555555555)
-        x -= t
-        np.right_shift(x, np.uint64(2), out=t)
-        t &= np.uint64(0x3333333333333333)
-        x &= np.uint64(0x3333333333333333)
-        x += t
-        np.right_shift(x, np.uint64(4), out=t)
-        x += t
-        x &= np.uint64(0x0F0F0F0F0F0F0F0F)
-        x *= np.uint64(0x0101010101010101)
-        x >>= np.uint64(56)
-        return x
+    _popcount64_ = _popcount64
 
+    entry = _bq_resolve(shard_paths, id_col=id_col)
+    if entry is None:
+        return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
     paths = tuple(sorted(shard_paths))
-    stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
-    ck = (paths, id_col)
-    entry = _BQ_REPLICA_CACHE.get(ck)
-    if entry is None or entry[0] != stat_key:
-        ids_parts, mat_parts = [], []
-        for p in paths:
-            names = _pq.read_schema(p).names
-            vec_field = "embedding" if "embedding" in names else names[1]
-            tbl = _pq.read_table(p, columns=[id_col, vec_field])
-            if tbl.num_rows == 0:
-                continue
-            ids_parts.append(tbl.column(id_col).to_numpy(zero_copy_only=False))
-            flat = np.concatenate(
-                [c.flatten().to_numpy(zero_copy_only=False) for c in tbl.column(vec_field).chunks]
-            )
-            mat_parts.append(flat.reshape(len(ids_parts[-1]), -1).astype(np.float64))
-        if not ids_parts:
-            return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
-        ids = np.concatenate(ids_parts)
-        mat = np.concatenate(mat_parts)
-        med = np.median(mat, axis=0)
-        packed = np.packbits((mat > med[None, :]).astype(np.uint8), axis=1)
-        # pad the byte dim to a multiple of 8 and view as uint64 words for
-        # the SWAR popcount scan; resident bytes stay D/8 per row (+pad)
-        pad = (-packed.shape[1]) % 8
-        if pad:
-            packed = np.concatenate(
-                [packed, np.zeros((len(packed), pad), dtype=np.uint8)], axis=1
-            )
-        words = np.ascontiguousarray(packed).view(np.uint64)
-        entry = (stat_key, ids, words, med, pad)
-        _BQ_REPLICA_CACHE[ck] = entry
-    _, ids, words, med, pad = entry
+    stat_key, ids, words, med, pad = entry
     if len(queries_pd) == 0:
         return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
 

@@ -306,3 +306,56 @@ def test_pq_replica_build_deterministic_and_rerank_exact(spark, sf_small, tmp_pa
         rerank_mmap_dir=str(tmp_path / "mm"),
     )
     assert list(zip(exact["qid"], exact["vec_id"])) == list(zip(got["qid"], got["vec_id"]))
+
+
+def test_bq_handle_parity_and_refresh(spark, tmp_path):
+    """BqReplicaHandle (r7 single-query fast path): results must equal
+    bq_replica_serve per query (including id tie-breaks at Hamming ties —
+    the bincount boundary selection), and refresh() must pick up a shard
+    rewrite like the per-call stat check does."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.operators.quantization import (
+        BqReplicaHandle,
+        bq_replica_serve,
+    )
+
+    shard = "/root/testdata/sf0.1/embeddings.parquet"
+    import pyarrow.parquet as _pq
+
+    head = _pq.read_table(shard, columns=["vec_id", "embedding"]).slice(0, 8)
+    qv = [np.asarray(v, dtype=np.float32) for v in head.column("embedding").to_pylist()]
+    qids = head.column("vec_id").to_numpy()
+    handle = BqReplicaHandle([shard])
+    for i in range(8):
+        one = pd.DataFrame({"qid": [qids[i]], "qvec": [qv[i]]})
+        old = bq_replica_serve([shard], one, k=10)
+        ids, dists = handle.search_one(qv[i], k=10)
+        assert list(old["vec_id"]) == list(ids)
+        assert np.allclose(old["dist"].to_numpy(), dists)
+        assert list(zip(dists, ids)) == sorted(zip(dists, ids))
+
+    # refresh coherence: rewrite flips which row matches the query bits
+    p = str(tmp_path / "shard.parquet")
+
+    def write(order):
+        pq.write_table(
+            pa.table({"vec_id": [10, 11, 12],
+                      "embedding": [[float(o), 1.0] for o in order]}),
+            p, compression="none",
+        )
+
+    write([9.0, 5.0, 1.0])
+    h2 = BqReplicaHandle([p])
+    ids0, _ = h2.search_one(np.array([9.0, 1.0]), k=1)
+    first = ids0[0]
+    import time as _time
+
+    _time.sleep(0.01)
+    write([1.0, 5.0, 9.0])
+    h2.refresh()
+    ids1, _ = h2.search_one(np.array([9.0, 1.0]), k=1)
+    assert first == 10 and ids1[0] == 12
