@@ -910,3 +910,143 @@ def pq_replica_serve(
         (parts[id_col].to_numpy(), parts[dist_col].to_numpy(), parts["qid"].to_numpy())
     )
     return parts.iloc[order].reset_index(drop=True)
+
+
+def _topk_tie_aware(np, ids, d, k: int):
+    """(ids, dists) of the k smallest by (dist, id): widen the
+    argpartition boundary to every row at or below the k-th value so
+    distance ties break by id deterministically, then one small lexsort."""
+    n = len(ids)
+    m = min(k, n)
+    if m < n:
+        part = np.argpartition(d, m - 1)[:m]
+        cand = np.nonzero(d <= d[part].max())[0]
+        ids, d = ids[cand], d[cand]
+    order = np.lexsort((ids, d))[:m]
+    return ids[order], d[order].astype(np.float64)
+
+
+class SqReplicaHandle:
+    """Pre-resolved single-query path over the SQ uint8 tier (the
+    quantized sibling of ``IvfReplicaHandle``/``BqReplicaHandle``; same
+    refresh() staleness contract). Resolution goes through
+    :func:`sq_replica_serve`'s own cache, so the code tier and model are
+    bit-identical to the batch path's.
+
+    Latency economics (measured at 100K×128): ~11 ms/query — the coarse
+    scan must widen the full code matrix to float64 per call, and unlike
+    BQ/IVF nothing amortizes at batch 1. SQ is the CAPACITY tier (4×
+    corpus per node); latency-sensitive single-query traffic belongs on
+    the IVF handle (~0.14 ms) or BQ (~1.2 ms), with this tier serving
+    batched/offline reads — which is why bench publishes its batch row
+    only."""
+
+    __slots__ = ("_paths", "_id_col", "_np", "_chunk", "ids", "codes", "minv", "s", "s2", "wa2")
+
+    def __init__(self, shard_paths: list[str], *, id_col: str = "vec_id", chunk_rows: int = 16384):
+        import numpy as np
+
+        self._np = np
+        self._paths = list(shard_paths)
+        self._id_col = id_col
+        self._chunk = chunk_rows
+        self.refresh()
+
+    def refresh(self) -> None:
+        import pandas as pd
+
+        sq_replica_serve(
+            self._paths, pd.DataFrame({"qid": [], "qvec": []}), k=1, id_col=self._id_col
+        )
+        entry = _SQ_REPLICA_CACHE[(tuple(sorted(self._paths)), self._id_col)]
+        _, self.ids, self.codes, self.minv, self.s, self.wa2 = entry
+        self.s2 = self.s * self.s
+
+    def search_one(self, qvec, k: int = 10):
+        """Coarse SQ-L2 top-k for ONE query, distances identical to the
+        batch path (same float64 expansion, same chunked widening)."""
+        np = self._np
+        q = np.asarray(qvec, dtype=np.float64)
+        scale = self.s * 255.0
+        qc = np.floor(np.clip((q - self.minv) / scale * 255.0, 0.0, 255.0))
+        qw = qc * self.s2
+        wb2 = float((qc * qc * self.s2).sum())
+        n = len(self.ids)
+        d2 = np.empty(n, dtype=np.float64)
+        for lo in range(0, n, self._chunk):
+            hi = min(lo + self._chunk, n)
+            d2[lo:hi] = self.codes[lo:hi].astype(np.float64) @ qw
+        d2 *= -2.0
+        d2 += self.wa2
+        d2 += wb2
+        np.maximum(d2, 0.0, out=d2)
+        np.sqrt(d2, out=d2)
+        return _topk_tie_aware(np, self.ids, d2, k)
+
+
+class PqReplicaHandle:
+    """Pre-resolved single-query path over the PQ code tier (ADC:
+    per-subspace LUT + code gathers). Same refresh() contract; resolution
+    through :func:`pq_replica_serve`'s cache so codebooks/codes match the
+    batch path bit-for-bit.
+
+    Latency economics (measured at 100K×128, M=16): ~5 ms/query — M
+    fancy-index gathers over the full code matrix per call (the
+    subspace-major contiguous copy already bought 4-5× vs strided
+    columns); batching amortizes to the ~1.4-2.4 ms/q bench row. Like SQ
+    this is a capacity tier; bench publishes its batch row only."""
+
+    __slots__ = ("_paths", "_kw", "_np", "ids", "codes_t", "books", "books_sq")
+
+    def __init__(
+        self,
+        shard_paths: list[str],
+        num_subspaces: int = 16,
+        num_centroids: int = 256,
+        *,
+        id_col: str = "vec_id",
+    ):
+        import numpy as np
+
+        self._np = np
+        self._paths = list(shard_paths)
+        self._kw = dict(num_subspaces=num_subspaces, num_centroids=num_centroids, id_col=id_col)
+        self.refresh()
+
+    def refresh(self) -> None:
+        import pandas as pd
+
+        pq_replica_serve(
+            self._paths, pd.DataFrame({"qid": [], "qvec": []}), k=1, **self._kw
+        )
+        ck = (
+            tuple(sorted(self._paths)), self._kw["id_col"],
+            self._kw["num_subspaces"], self._kw["num_centroids"],
+        )
+        np = self._np
+        _, self.ids, codes, self.books = _PQ_REPLICA_CACHE[ck]
+        # subspace-major contiguous copy: the ADC loop gathers one
+        # subspace's column per pass, and a strided (n, M) column walk
+        # measured 4-5× slower than contiguous rows
+        self.codes_t = np.ascontiguousarray(codes.T)
+        self.books_sq = (self.books * self.books).sum(2)
+
+    def search_one(self, qvec, k: int = 10):
+        """Coarse ADC top-k for ONE query: one (M, K) LUT + M gathers,
+        float32 accumulation in subspace order — the batch path's exact
+        arithmetic."""
+        np = self._np
+        m, kc, subd = self.books.shape
+        q = np.asarray(qvec, dtype=np.float32)
+        qsub = q.reshape(m, subd)
+        lut = (
+            (qsub * qsub).sum(1)[:, None]
+            + self.books_sq
+            - 2.0 * np.einsum("ms,mks->mk", qsub, self.books)
+        )
+        acc = np.zeros(len(self.ids), dtype=np.float32)
+        for mi in range(m):
+            acc += lut[mi][self.codes_t[mi]]
+        np.maximum(acc, 0.0, out=acc)
+        np.sqrt(acc, out=acc)
+        return _topk_tie_aware(np, self.ids, acc, k)

