@@ -276,6 +276,10 @@ def kcore_nodes(
         # EAGER localCheckpoint per round: physically one-round-deep plans,
         # one small job each (~2 s total at sf0.01), and nothing cached to
         # leak afterwards.
+        # (Measured negative, r7: anti-joining the LOSERS (deg < k) instead
+        # — hoping AQE broadcasts the smaller side — is ~2× SLOWER at sf1
+        # (21 vs 11.6 s): on this graph the early-round loser sets are huge
+        # (degree-1/2 order/part nodes dominate), so the "small side" isn't.)
         cur = ckpt(
             cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
