@@ -147,11 +147,31 @@ def train_bpe(
     return merges
 
 
+#: encode_expr builds K NESTED aggregate() folds — the expression tree is
+#: depth-K, so analysis/serialization cost grows superlinearly in K and a
+#: realistic 32K-merge vocab is unbuildable (the tree alone would blow the
+#: analyzer). The declarative form is the ORACLE path for demo-sized merge
+#: lists; production encoding is encode_udf (per-worker word cache, flat in
+#: K). 100 is already ~seconds of plan-build time.
+MAX_EXPR_MERGES = 100
+
+
 def encode_expr(text_col, merges: list[tuple[int, str, str, int]]) -> F.Column:
     """BPE-encode a text column with a trained merge list: tokenize,
     start each word at characters+marker, apply every merge in rank
     order (the fold chain is a fixed-depth expression tree — K nested
-    JVM folds, no Python), then flatten the per-word token arrays."""
+    JVM folds, no Python), then flatten the per-word token arrays.
+
+    Raises ValueError above :data:`MAX_EXPR_MERGES` merges — the nested
+    fold tree is depth-K and does not scale to real vocabularies; use
+    :func:`encode_udf` (parity-locked, flat in K) for large merge lists."""
+    if len(merges) > MAX_EXPR_MERGES:
+        raise ValueError(
+            f"encode_expr builds a depth-{len(merges)} nested fold tree; "
+            f"above {MAX_EXPR_MERGES} merges the expression is impractical "
+            "to analyze/serialize. Use encode_udf (bit-identical token "
+            "streams, Arrow-batched, flat in merge count) for real vocabs."
+        )
     per_word = F.transform(
         tokenize(text_col), lambda w: _encode_word(w, merges)
     )
@@ -177,7 +197,14 @@ def encode_udf(text_col, merges: list[tuple[int, str, str, int]]) -> F.Column:
     (~1M+ tokens/s, the pipeline-scale path; bench times both)."""
     from pyspark.sql.functions import pandas_udf
 
+    from custom_python_vectordb_spark.functions.text import TOKEN_SPLIT
+
     mseq = tuple((l, r, l + r) for _, l, r, _c in merges)
+    # capture the shared constants in the closure (plain strings pickle
+    # fine) rather than duplicating the literals — keeps the bit-identical
+    # parity contract with encode_expr if either constant ever changes
+    split_pattern = TOKEN_SPLIT
+    eow = END_OF_WORD
 
     @pandas_udf("array<string>")
     def encode(texts: pd.Series) -> pd.Series:
@@ -188,7 +215,7 @@ def encode_udf(text_col, merges: list[tuple[int, str, str, int]]) -> F.Column:
         def enc_word(w: str) -> list[str]:
             toks = cache.get(w)
             if toks is None:
-                syms = list(w) + ["</w>"]
+                syms = list(w) + [eow]
                 for left, right, merged in mseq:
                     out = []
                     for s in syms:
@@ -200,7 +227,7 @@ def encode_udf(text_col, merges: list[tuple[int, str, str, int]]) -> F.Column:
                 cache[w] = toks = syms
             return toks
 
-        split = re.compile(r"[^a-z0-9_]+")
+        split = re.compile(split_pattern)
 
         def enc_text(t) -> list[str]:
             if t is None:

@@ -349,12 +349,14 @@ class IvfReplicaHandle:
             ids, d = ids[order], d[order]
             keep = np.r_[True, ids[1:] != ids[:-1]]
             ids, d = ids[keep], d[keep]
-        m = min(k, len(ids))
-        if m < len(ids):
-            sel = np.argpartition(d, m - 1)[:m]
-            ids, d = ids[sel], d[sel]
-        order = np.lexsort((ids, d))
-        return ids[order], d[order]
+        # tie-aware (dist, id) truncation — same rank rule as
+        # ivf_replica_serve and the SQ/PQ/BQ handles (_topk_tie_aware);
+        # a bare argpartition broke k-th-boundary ties arbitrarily
+        from custom_python_vectordb_spark.operators.quantization import (
+            _topk_tie_aware,
+        )
+
+        return _topk_tie_aware(np, ids, d, k)
 
 
 def ivf_replica_serve(

@@ -75,8 +75,12 @@ def merge_hist_expr(col: str, bins: int | None = None) -> F.Column:
         F.element_at(hs, 1),
         lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b),
     )
-    # force the assertion's evaluation into the plan (it yields NULL when ok)
-    return F.when(ok.isNull(), merged).otherwise(merged)
+    # Force the assertion into the plan: with no .otherwise(), the implicit
+    # else-branch is NULL, so the two branches DIFFER and Catalyst cannot
+    # collapse the conditional (when(ok, merged).otherwise(merged) was being
+    # simplified to `merged`, silently dropping the assert — round-7 ADVICE).
+    # assert_true yields NULL on success, so the when-branch is always taken.
+    return F.when(ok.isNull(), merged)
 
 
 def hist_quantile(hist_col: F.Column, q: float, bins: int, lo: float, hi: float) -> F.Column:

@@ -190,3 +190,26 @@ def test_encode_udf_parity_with_expr(spark):
         assert r["b"] == _py_encode(r["text"], merges)
     null_df = spark.createDataFrame([(None,)], "text string")
     assert null_df.select(bpe.encode_udf("text", merges)).collect()[0][0] == []
+
+
+def test_encode_expr_merge_depth_guard(spark):
+    """encode_expr's nested fold tree is depth-K; above MAX_EXPR_MERGES it
+    must refuse with a pointer at encode_udf instead of building an
+    unanalyzable expression. encode_udf itself must handle a large merge
+    list fine (it is flat in K)."""
+    import pytest
+
+    big = [(i, f"x{i}", f"y{i}", 1) for i in range(bpe.MAX_EXPR_MERGES + 1)]
+    with pytest.raises(ValueError, match="encode_udf"):
+        bpe.encode_expr("text", big)
+
+    # the Arrow path takes a 500-merge vocab without blinking: train a
+    # real 500-merge list pure-Python over synthetic words, then encode
+    words = {f"w{i}xyzq{i % 7}": i + 1 for i in range(300)}
+    merges = _py_train(words, num_merges=500)
+    assert len(merges) > bpe.MAX_EXPR_MERGES  # genuinely deep vocab
+    df = spark.createDataFrame(
+        [(0, " ".join(list(words) * 3))], "doc_id long, text string"
+    )
+    [row] = df.select(bpe.encode_udf("text", merges).alias("t")).collect()
+    assert row["t"] == _py_encode(" ".join(list(words) * 3), merges)

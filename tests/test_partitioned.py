@@ -177,6 +177,36 @@ def test_ivf_handle_parity_and_refresh(spark, tmp_path):
     assert ids[0] == 12
 
 
+def test_ivf_handle_kth_boundary_ties_break_by_id(tmp_path):
+    """Regression (round-7 ADVICE): search_one used a bare argpartition,
+    so exact distance ties AT the k-th boundary were broken arbitrarily.
+    With duplicate vectors straddling the boundary, the kept ids must be
+    the SMALLEST ids among the tied distances — the (dist, id) rank rule
+    shared with ivf_replica_serve and the SQ/PQ/BQ handles."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.operators.partitioned import (
+        IvfReplicaHandle,
+    )
+
+    # 6 identical far vectors (ids 20..25) + 2 distinct near ones; k=4
+    # forces a cut INSIDE the tied group — ids 20,21 must win, every time
+    p = str(tmp_path / "dups.parquet")
+    vecs = [[0.9, 0.1], [0.8, 0.2]] + [[0.0, 1.0]] * 6
+    pq.write_table(
+        pa.table({"vec_id": [10, 11, 20, 21, 22, 23, 24, 25],
+                  "embedding": [[float(a), float(b)] for a, b in vecs]}),
+        p, compression="none",
+    )
+    h = IvfReplicaHandle([p], n_cells=2, nprobe=2, metric="l2")
+    for _ in range(5):
+        ids, dists = h.search_one(np.array([1.0, 0.0]), k=4)
+        assert list(ids) == [10, 11, 20, 21]
+        assert list(dists) == sorted(dists)
+
+
 def test_assign_cells_gemm_matches_declarative(spark):
     """The Arrow-batch GEMM assignment must agree row-for-row with the
     declarative struct-min argmin, including its lowest-cluster tie rule

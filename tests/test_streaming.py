@@ -907,6 +907,31 @@ def test_rollup_sketch_columns_merge_replay_compact(spark, tmp_path):
     assert view() == got
 
 
+def test_merge_hist_expr_mismatched_bins_raises(spark):
+    """Regression (round-7 ADVICE): the bin-count-mismatch assert used to
+    be optimized away because when(ok, merged).otherwise(merged) has
+    identical branches — Catalyst collapsed the conditional and dropped
+    the assert_true, so mismatched partials silently NULL-padded. Merging
+    histogram partials of different lengths must RAISE, not corrupt."""
+    import pytest
+
+    from custom_python_vectordb_spark.streaming.rollup_maintenance import (
+        merge_hist_expr,
+    )
+
+    good = spark.createDataFrame(
+        [(1, [1, 2, 3]), (1, [1, 1, 1])], "k int, hist array<long>"
+    )
+    [row] = good.groupBy("k").agg(merge_hist_expr("hist").alias("h")).collect()
+    assert row["h"] == [2, 3, 4]
+
+    bad = spark.createDataFrame(
+        [(1, [1, 2, 3]), (1, [4, 5])], "k int, hist array<long>"
+    )
+    with pytest.raises(Exception, match="bin-count mismatch"):
+        bad.groupBy("k").agg(merge_hist_expr("hist").alias("h")).collect()
+
+
 def test_maintain_rollup_end_to_end_stream(spark, tmp_path):
     """maintain_rollup driven by a real file-source stream: two input
     files arrive as micro-batches through writeStream/foreachBatch, the
