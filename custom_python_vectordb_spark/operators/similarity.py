@@ -360,3 +360,234 @@ def assign_cells_gemm(
         F.col(vec_col).cast("array<float>").alias(vec_col),
     )
     return src.mapInArrow(assign, schema=f"{id_col} long, {vec_col} array<float>, {out_col} int")
+
+
+# --------------------------------------------------------------------------
+# SemDeDup two-level trained cells (round 8).
+#
+# Round 7 sized cells as ceil(n/64) and brute-force-GEMM'd every row against
+# ALL of them, with the full centroid matrix collected to the driver and
+# shipped in the closure — O(n²·d/64) FLOPs and O(n·d/64) bytes per executor
+# once cells scale with the corpus (the r7 verdict's one scale-killer). The
+# fix is the hierarchy SemdeDup-at-scale actually needs:
+#
+# - ~sqrt(k) COARSE centroids, trained driver-side by deterministic Lloyd on
+#   a bounded hash-stride sample (the only driver-collected matrix, O(√k·d));
+# - FINE centroids trained PER COARSE CELL distributedly (applyInPandas on a
+#   bounded per-group sample; each group trains ceil(|cell|/64) centroids) —
+#   the fine table is a DataFrame keyed by coarse cell, NEVER driver-collected
+#   and NEVER closure-shipped;
+# - assignment = coarse GEMM (map-only, ships only the coarse matrix) then a
+#   cogrouped per-coarse-cell fine GEMM — each row scores against only ITS
+#   coarse cell's ~sqrt(k) fine centroids.
+#
+# Cost: O(n·√k·d) FLOPs per level instead of O(n·k·d); bytes shipped per
+# executor O(√k·d); the one shuffle keys on coarse cell (√k keys, so
+# parallelism grows with the corpus instead of capping at a constant).
+# --------------------------------------------------------------------------
+
+#: fused fine-cluster id = coarse * CLUSTER_STRIDE + j (j < fine count per
+#: coarse cell, which is ~sqrt(k) ≪ 2^32 at any realistic corpus)
+CLUSTER_STRIDE = 1 << 32
+
+
+def _make_lloyd():
+    # Factory indirection on purpose: the returned function's qualname is
+    # not module-resolvable, so cloudpickle serializes it BY VALUE when a
+    # worker closure (train_group below) captures it — a plain module-level
+    # def would pickle by reference and die with ModuleNotFoundError on
+    # executors that can't import this repo (the sys.path-injection gotcha).
+    def lloyd_kmeans(np, mat, k: int, iters: int = 8):
+        """Deterministic Lloyd k-means on an id-SORTED row matrix: init =
+        rows at evenly spaced positions (spread over the sorted sample, no
+        RNG), assignment argmin L2 with ties to the lowest centroid index,
+        means recomputed in row order; an emptied centroid keeps its
+        previous value. Pure-NumPy and order-deterministic, so retraining
+        reproduces the frozen snapshot bit-for-bit (the `_pq_snapshot.py`
+        discipline)."""
+        n = len(mat)
+        k = max(1, min(k, n))
+        cents = mat[(np.arange(k, dtype=np.int64) * n) // k].astype(np.float64).copy()
+        for _ in range(iters):
+            d2 = (
+                (mat * mat).sum(1)[:, None]
+                - 2.0 * (mat @ cents.T)
+                + (cents * cents).sum(1)[None, :]
+            )
+            asgn = d2.argmin(1)
+            for j in range(k):
+                members = mat[asgn == j]
+                if len(members):
+                    cents[j] = members.mean(0)
+        return cents
+
+    return lloyd_kmeans
+
+
+lloyd_kmeans = _make_lloyd()
+
+
+def _stride_sample(df: DataFrame, n: int, cap: int, id_col: str) -> DataFrame:
+    """Deterministic bounded sample: keep rows whose xxhash64(id) falls in
+    one residue class mod ceil(n/cap) — expected ~cap rows, no sort, no
+    shuffle, same rows regardless of partitioning or session config."""
+    stride = max(1, -(-n // cap))
+    if stride == 1:
+        return df
+    return df.filter(F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(stride)) == 0)
+
+
+def train_semdedup_centroids(
+    corpus: DataFrame,
+    cell_target: int = 64,
+    iters: int = 8,
+    coarse_sample_cap: int = 65536,
+    group_sample_cap: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Two-level trained SemDeDup centroids over a corpus of `n` vectors
+    aiming at fine cells of ~`cell_target` members (k ≈ n/cell_target
+    fine cells total, the SemDeDup recipe that keeps within-cell pairwise
+    work bounded).
+
+    Returns ``(coarse_rows, fine_df)``:
+
+    - ``coarse_rows``: list of (coarse_id, [float64...]) — ceil(sqrt(k))
+      centroids trained by :func:`lloyd_kmeans` on a hash-stride sample of
+      ≲ `coarse_sample_cap` rows (the ONLY driver-side matrix, O(√k·d));
+    - ``fine_df``: DataFrame (coarse int, cluster long, cvec array<double>)
+      — per-coarse-cell centroids trained DISTRIBUTEDLY, one applyInPandas
+      group per coarse cell on a ≲ `group_sample_cap`-row sample of the
+      cell, each training ceil(|cell|/cell_target) centroids (|cell| is
+      the TRUE cell population, joined in — not the sample size). Fused
+      ids ``coarse * CLUSTER_STRIDE + j``. Never collected to the driver.
+
+    Training is bit-deterministic for a given corpus: the samples are
+    hash-residue classes, every matrix is sorted by id before Lloyd, and
+    Lloyd itself is RNG-free — so a frozen snapshot of the sf0.01 output
+    is a valid oracle (tests retrain and assert equality)."""
+    import math
+
+    import numpy as np
+
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("cannot train centroids on an empty corpus")
+    k_est = max(1, math.ceil(n / cell_target))
+    kc = max(1, math.ceil(math.sqrt(k_est)))
+
+    sample = (
+        _stride_sample(corpus, n, coarse_sample_cap, id_col)
+        .select(F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    sample.sort(key=lambda r: r[0])
+    smat = np.asarray([r[1] for r in sample], dtype=np.float64)
+    coarse = lloyd_kmeans(np, smat, kc, iters)
+    coarse_rows = [(int(j), [float(x) for x in coarse[j]]) for j in range(len(coarse))]
+
+    spark = corpus.sparkSession
+    from custom_python_vectordb_spark.functions.local_relation import local_df
+
+    coarse_df = local_df(spark, coarse_rows, "cluster int, cvec array<double>")
+    assigned = assign_cells_gemm(corpus, coarse_df, id_col, vec_col, out_col="coarse")
+    sizes = assigned.groupBy("coarse").agg(F.count(F.lit(1)).alias("__cell_n"))
+    gsample = _stride_sample(assigned, n, group_sample_cap * kc, id_col).join(
+        F.broadcast(sizes), "coarse"
+    )
+
+    target_c, iters_c, cap_c = cell_target, iters, group_sample_cap
+    id_c, vec_c, fused = id_col, vec_col, CLUSTER_STRIDE
+    lloyd = lloyd_kmeans  # by-value pickle (factory-made, see _make_lloyd)
+
+    def train_group(pdf):
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values(id_c)
+        if len(pdf) > cap_c:
+            pdf = pdf.iloc[:cap_c]
+        cell_n = int(pdf["__cell_n"].iloc[0])
+        coarse_id = int(pdf["coarse"].iloc[0])
+        f = max(1, min(_math.ceil(cell_n / target_c), len(pdf)))
+        mat = _np.asarray([_np.asarray(v, dtype=_np.float64) for v in pdf[vec_c]])
+        cents = lloyd(_np, mat, f, iters_c)
+        return _pd.DataFrame(
+            {
+                "coarse": _np.full(len(cents), coarse_id, dtype=_np.int32),
+                "cluster": coarse_id * fused
+                + _np.arange(len(cents), dtype=_np.int64),
+                "cvec": [list(map(float, c)) for c in cents],
+            }
+        )
+
+    fine_df = gsample.groupBy("coarse").applyInPandas(
+        train_group, schema="coarse int, cluster long, cvec array<double>"
+    )
+    return coarse_rows, fine_df
+
+
+def assign_cells_two_level(
+    corpus: DataFrame,
+    coarse_df: DataFrame,
+    fine_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Two-level cell assignment: map-only coarse GEMM (ships only the
+    O(√k·d) coarse matrix), then ONE shuffle keyed on coarse cell and a
+    cogrouped fine GEMM — each row scores against only its coarse cell's
+    ~√k fine centroids, chunked so per-task memory is bounded. Ties break
+    to the lowest cluster id at both levels (argmin first-minimum over
+    id-sorted centroids), so the assignment is partitioning-independent
+    and expressible as the same two-level argmin in the DuckDB oracle.
+
+    A coarse cell with no trained fine centroids (possible only when the
+    training sample missed a tiny cell entirely) degrades to one fused
+    cluster ``coarse * CLUSTER_STRIDE`` rather than dropping rows."""
+    c1 = assign_cells_gemm(corpus, coarse_df, id_col, vec_col, out_col="coarse")
+
+    id_c, vec_c, out_c = id_col, vec_col, out_col
+    stride_c = CLUSTER_STRIDE
+
+    def assign_fine(left, right):
+        import numpy as _np
+        import pandas as _pd
+
+        if not len(left):
+            return _pd.DataFrame(
+                {id_c: _np.empty(0, dtype=_np.int64), vec_c: [], out_c: []}
+            )
+        coarse_id = int(left["coarse"].iloc[0])
+        ids = left[id_c].to_numpy()
+        vecs = list(left[vec_c])
+        if not len(right):
+            cl = _np.full(len(ids), coarse_id * stride_c, dtype=_np.int64)
+            return _pd.DataFrame({id_c: ids, vec_c: vecs, out_c: cl})
+        right = right.sort_values("cluster")
+        cmat = _np.asarray([_np.asarray(v, dtype=_np.float64) for v in right["cvec"]])
+        cids = right["cluster"].to_numpy()
+        c2 = (cmat * cmat).sum(1)
+        mat = _np.asarray([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        out = _np.empty(len(ids), dtype=_np.int64)
+        for lo in range(0, len(ids), 8192):  # bound the chunk × cents GEMM
+            chunk = mat[lo : lo + 8192]
+            d2 = (
+                (chunk * chunk).sum(1)[:, None]
+                - 2.0 * (chunk @ cmat.T)
+                + c2[None, :]
+            )
+            out[lo : lo + 8192] = cids[d2.argmin(1)]
+        return _pd.DataFrame({id_c: ids, vec_c: vecs, out_c: out})
+
+    return (
+        c1.groupBy("coarse")
+        .cogroup(fine_df.groupBy("coarse"))
+        .applyInPandas(
+            assign_fine, schema=f"{id_col} long, {vec_col} array<float>, {out_col} long"
+        )
+    )

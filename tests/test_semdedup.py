@@ -1,0 +1,215 @@
+"""SemDeDup two-level trained cells (round 8): frozen-snapshot retrain
+equality, an INDEPENDENT pure-Python/naive-loop reimplementation anchoring
+the snapshot to something other than the code that produced it, planted
+BORDERLINE-pair (sim≈0.96, not clones) recall, and the empty-fine-cell
+assignment fallback."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF_MED = "/root/testdata/sf0.01"
+
+
+def _aug_matrix():
+    """The semdedup_keep corpus at sf0.01 (embeddings + 10 clones),
+    id-sorted, straight from parquet — no Spark in the loop."""
+    t = pq.read_table(f"{SF_MED}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    rows = list(zip(ids, vecs)) + [
+        (i + 100000, v) for i, v in zip(ids, vecs) if i < 10
+    ]
+    rows.sort(key=lambda r: r[0])
+    return (
+        np.asarray([r[0] for r in rows], dtype=np.int64),
+        np.stack([r[1] for r in rows]),
+    )
+
+
+def _naive_lloyd(mat, k, iters=8):
+    """Independent Lloyd: plain loops + math.fsum means — deliberately NOT
+    the vectorized implementation under test."""
+    n = len(mat)
+    k = max(1, min(k, n))
+    cents = [mat[(j * n) // k].tolist() for j in range(k)]
+    asgn = [0] * n
+    for _ in range(iters):
+        for i in range(n):
+            best, bd = 0, float("inf")
+            for j in range(k):
+                d = math.fsum((mat[i][t] - cents[j][t]) ** 2 for t in range(mat.shape[1]))
+                if d < bd:  # strict: ties keep the LOWEST j
+                    best, bd = j, d
+            asgn[i] = best
+        for j in range(k):
+            members = [i for i in range(n) if asgn[i] == j]
+            if members:
+                cents[j] = [
+                    math.fsum(mat[i][t] for i in members) / len(members)
+                    for t in range(mat.shape[1])
+                ]
+    return np.asarray(cents), np.asarray(asgn)
+
+
+def test_snapshot_matches_retrained(spark):
+    """Retraining at sf0.01 must reproduce the frozen snapshot exactly —
+    training is RNG-free, id-sorted, and hash-stride sampled, so any
+    drift (NumPy/Spark change, training edit) fails HERE, not at the
+    driver gate."""
+    from pyspark.sql import functions as F
+
+    from custom_python_vectordb_spark.operators.similarity import (
+        train_semdedup_centroids,
+    )
+    from custom_python_vectordb_spark.queries._semdedup_snapshot import (
+        SEMDEDUP_COARSE_SF001,
+        SEMDEDUP_FINE_SF001,
+    )
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_MED, "embeddings").select("vec_id", "embedding")
+    dupes = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    coarse_rows, fine_df = train_semdedup_centroids(emb.unionByName(dupes))
+    assert [(c, list(v)) for c, v in coarse_rows] == [
+        (c, list(v)) for c, v in SEMDEDUP_COARSE_SF001
+    ]
+    fine = sorted(
+        (int(r["coarse"]), int(r["cluster"]), [float(x) for x in r["cvec"]])
+        for r in fine_df.collect()
+    )
+    assert fine == [(c, cl, list(v)) for c, cl, v in SEMDEDUP_FINE_SF001]
+
+
+def test_snapshot_matches_independent_reimplementation():
+    """The snapshot must also agree with a from-scratch naive-loop
+    two-level trainer (parquet → fsum Lloyd, no Spark, no shared code):
+    centroids to 1e-9 and IDENTICAL cell memberships."""
+    from custom_python_vectordb_spark.queries._semdedup_snapshot import (
+        SEMDEDUP_COARSE_SF001,
+        SEMDEDUP_FINE_SF001,
+    )
+
+    ids, mat = _aug_matrix()
+    n = len(ids)
+    kc = math.ceil(math.sqrt(math.ceil(n / 64)))
+    coarse, _ = _naive_lloyd(mat, kc)
+    snap_coarse = np.asarray([v for _, v in SEMDEDUP_COARSE_SF001])
+    assert np.allclose(coarse, snap_coarse, atol=1e-9)
+
+    # membership for the fine stage is the argmin against the FINAL trained
+    # centroids (what assign_cells_gemm computes), not the last Lloyd
+    # iteration's stale assignment
+    casgn = np.asarray(
+        [
+            min(
+                range(len(coarse)),
+                key=lambda j: math.fsum(
+                    (mat[i][t] - coarse[j][t]) ** 2 for t in range(mat.shape[1])
+                ),
+            )
+            for i in range(n)
+        ]
+    )
+
+    snap_fine = {}
+    for co, cl, v in SEMDEDUP_FINE_SF001:
+        snap_fine.setdefault(co, []).append((cl, np.asarray(v)))
+    for co in sorted(set(casgn)):
+        members = mat[casgn == co]
+        f = max(1, min(math.ceil(len(members) / 64), len(members)))
+        fine, _ = _naive_lloyd(members, f)
+        want = np.stack([v for _, v in sorted(snap_fine[co])])
+        assert np.allclose(fine, want, atol=1e-9), f"coarse cell {co}"
+
+
+def _borderline(v, cos_target=0.96):
+    """A vector at cosine≈cos_target from v: rotate toward a deterministic
+    orthogonal direction (roll minus projection), keep the norm."""
+    vn = v / np.linalg.norm(v)
+    w = np.roll(v, 1)
+    w = w - (w @ vn) * vn
+    w = w / np.linalg.norm(w)
+    out = cos_target * vn + math.sqrt(1.0 - cos_target**2) * w
+    return out * np.linalg.norm(v)
+
+
+def test_planted_borderline_pair_recall(spark):
+    """Verdict r7 #4: the operator's recall story rested on exact clones
+    (sim≈1.0). Plant 20 pairs at cosine≈0.96 — above the 0.95 threshold
+    but NOT identical — and require the trained-cell pipeline to drop the
+    planted partner for ≥90% of them (a cross-cell split is the only miss
+    mode, which trained centroids are exactly there to minimize)."""
+    from custom_python_vectordb_spark.functions.local_relation import local_df
+    from custom_python_vectordb_spark.operators.similarity import (
+        assign_cells_two_level,
+        train_semdedup_centroids,
+        within_cell_neardup_losers,
+    )
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    base = load_table(spark, SF_MED, "embeddings").select("vec_id", "embedding")
+    rows = base.filter("vec_id < 20").collect()
+    planted = [
+        (
+            int(r["vec_id"]) + 200000,
+            [float(x) for x in _borderline(np.asarray(r["embedding"], dtype=np.float64))],
+        )
+        for r in rows
+    ]
+    plant_df = local_df(spark, planted, "vec_id long, embedding array<float>")
+    aug = base.unionByName(plant_df)
+
+    coarse_rows, fine_df = train_semdedup_centroids(aug)
+    coarse_df = local_df(
+        spark, coarse_rows, "cluster int, cvec array<double>"
+    )
+    assigned = assign_cells_two_level(aug, coarse_df, fine_df).localCheckpoint(
+        eager=True
+    )
+    losers = {
+        int(r["vec_id"])
+        for r in within_cell_neardup_losers(assigned, threshold=0.95).collect()
+    }
+    dropped = sum(1 for pid, _ in planted if pid in losers)
+    assert dropped >= 18, f"borderline recall {dropped}/20"
+    # sanity: the float32 round-trip keeps the planted sims above threshold
+    # (otherwise the test would pass vacuously by never forming a pair)
+    assert len(losers) >= dropped
+
+
+def test_assign_two_level_empty_fine_fallback(spark):
+    """A coarse cell whose fine centroids are absent (training sample
+    missed it) must still assign its rows — to the fused
+    ``coarse * CLUSTER_STRIDE`` cluster, not drop them."""
+    from custom_python_vectordb_spark.functions.local_relation import local_df
+    from custom_python_vectordb_spark.operators.similarity import (
+        CLUSTER_STRIDE,
+        assign_cells_two_level,
+    )
+
+    corpus = local_df(
+        spark,
+        [(1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [9.0, 9.0]), (4, [9.1, 9.0])],
+        "vec_id long, embedding array<float>",
+    )
+    coarse_df = local_df(
+        spark, [(0, [0.0, 0.0]), (1, [9.0, 9.0])], "cluster int, cvec array<double>"
+    )
+    # fine centroids only for coarse cell 0
+    fine_df = local_df(
+        spark,
+        [(0, 0 * CLUSTER_STRIDE + 0, [0.05, 0.0])],
+        "coarse int, cluster long, cvec array<double>",
+    )
+    got = {
+        int(r["vec_id"]): int(r["cluster"])
+        for r in assign_cells_two_level(corpus, coarse_df, fine_df).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: CLUSTER_STRIDE, 4: CLUSTER_STRIDE}
