@@ -135,6 +135,38 @@ def _write_vec_shards(path: str, mat) -> None:
         fh.write("ok\n")
 
 
+def _py_bpe_train(word_freq: dict[str, int], min_pair_count: int = 2):
+    """Driver-side BPE trainer for the synthetic K-depth vocab (the bench
+    corpus's 31-word vocabulary cannot yield 500 merges): plain greedy
+    merge loop, deterministic (count desc, pair asc), ~0.1 s at 400
+    words. Semantics match operators/bpe.train_bpe (asserted for the real
+    corpus in tests/test_bpe.py)."""
+    vocab = {w: list(w) + ["</w>"] for w in word_freq}
+    merges = []
+    for rank in range(10_000):
+        counts: dict[tuple, int] = {}
+        for w, f in word_freq.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (left, right), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, left, right, cnt))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
 def _bench_quant_recall_random() -> dict[str, float]:
     """Coarse BQ/PQ recall@10 + ms/q on the RANDOM corpus (20-query batch,
     same methodology as the clustered rows) — comparable to the
@@ -472,6 +504,29 @@ def _bench_knn_100k(spark) -> dict[str, float]:
     out["knn_single_100k_bq_p50_ms"] = round(lat[len(lat) // 2], 4)
     out["knn_single_100k_bq_p99_ms"] = round(lat[int(len(lat) * 0.99) - 1], 4)
 
+    # single-query latency on the SQ and PQ capacity tiers (r8, VERDICT #3:
+    # a tier documented as "measured, stated" belongs in the per-run
+    # artifact, not prose). Expected order-of-magnitude: SQ ~11 ms (full
+    # code-matrix widening per call), PQ ~5 ms (M gathers) — capacity
+    # tiers, not latency tiers; published so the framing stays honest.
+    from custom_python_vectordb_spark.operators.quantization import (
+        PqReplicaHandle,
+        SqReplicaHandle,
+    )
+
+    for tag, handle_cls in (("sq", SqReplicaHandle), ("pq", PqReplicaHandle)):
+        h = handle_cls(shard_files)
+        for v in qvecs[:20]:
+            h.search_one(v, 10)  # warm
+        lat = []
+        for v in qvecs:
+            t0 = time.perf_counter()
+            h.search_one(v, 10)
+            lat.append((time.perf_counter() - t0) * 1000)
+        lat.sort()
+        out[f"knn_single_100k_{tag}_p50_ms"] = round(lat[len(lat) // 2], 4)
+        out[f"knn_single_100k_{tag}_p99_ms"] = round(lat[int(len(lat) * 0.99) - 1], 4)
+
     sharded.unpersist()
     corpus.unpersist()
     return out
@@ -713,6 +768,35 @@ def main() -> None:
     out["bpe_encode_expr_tokens_per_s"] = int(sample_toks / (time.perf_counter() - t0))
     sample.unpersist()
 
+    # tokenizer SCALE row (r8, VERDICT #6): encode with a 500+-merge vocab —
+    # realistic tokenizer depth, where the nested-fold encode_expr is
+    # unbuildable by design (it raises above MAX_EXPR_MERGES) and the Arrow
+    # path with its per-distinct-word cache is the only viable one. The
+    # 31-word bench corpus can't yield 500 merges, so the vocab+corpus are
+    # synthetic (deterministic Zipf-ish word set trained pure-Python in
+    # ~0.1 s); the row measures encode throughput at depth K, not corpus
+    # realism.
+    k500_words = [f"w{i}xyzq{i % 7}" for i in range(400)]
+    k500_merges = _py_bpe_train({w: i + 1 for i, w in enumerate(k500_words)})
+    assert len(k500_merges) >= 500
+    k500_docs = spark.createDataFrame(
+        [(i, " ".join(k500_words[(i * 37) % 400 :] + k500_words[: (i * 37) % 400]))
+         for i in range(200)],
+        "doc_id long, text string",
+    ).persist()
+    from custom_python_vectordb_spark.operators.bpe import encode_udf as _enc_udf
+
+    enc3 = k500_docs.select(_F.size(_enc_udf("text", k500_merges)).alias("n"))
+    k500_toks = enc3.agg(_F.sum("n")).collect()[0][0]  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        enc3.agg(_F.sum("n")).collect()
+        best = min(best, time.perf_counter() - t0)
+    out["bpe_encode_k525_tokens_per_s"] = int(k500_toks / best)
+    out["bpe_encode_k525_merges"] = len(k500_merges)
+    k500_docs.unpersist()
+
     # in-process keyword replica (the reference's in-RAM BM25Index analog):
     # decode+index once, then per-query numpy accumulation — no Spark job
     from custom_python_vectordb_spark.operators.bm25 import keyword_replica_serve
@@ -764,6 +848,7 @@ def main() -> None:
         "knn_batch20_100k_ms_per_query", "knn_batch1k_100k_ms_per_query",
         "knn_ivf_replica_100k_ms_per_query", "knn_ivf_replica_100k_recall_at10",
         "knn_single_100k_ivf_p50_ms", "knn_single_100k_ivf_p99_ms",
+        "knn_single_100k_sq_p50_ms", "knn_single_100k_pq_p50_ms",
         "knn_batch20_100k_filtered_ms_per_query",
         "knn_batch20_100k_rand_bq_recall_at10", "knn_batch20_100k_rand_pq_recall_at10",
         "knn_batch20_100k_sq_ms_per_query", "knn_batch20_100k_sq_rerank_recall_at10",

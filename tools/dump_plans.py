@@ -62,7 +62,7 @@ SHOW = [
     ("nation_trade_volume", "1-row nation filters broadcast below the big joins — supplier/customer shrink ~25x before lineitem touches them"),
     ("bigram_logprob", "pair explode + two partial-combining LM aggregates, AQE-sized LM joins (no broadcast hint on the unbounded vocab)"),
     ("events_anomaly_days", "daily count agg + per-type 1-row stats join, explicit sum/sumsq arithmetic for bit-stable z-scores"),
-    ("semdedup_keep", "cluster-prototype semantic dedup: Arrow-batch GEMM cell assignment (map-only), per-cell GEMM loser detection on the cluster-keyed shuffle (never cross-cell), left-anti keep; cells scale ceil(n/64)"),
+    ("semdedup_keep", "cluster-prototype semantic dedup, two-level trained cells: map-only coarse GEMM (O(sqrt(k)*d) shipped) -> coarse-keyed cogroup fine GEMM -> per-fine-cell loser GEMM on the cluster-keyed shuffle, left-anti keep; O(n*sqrt(k)*d) per level, nothing O(n) collected"),
     ("bpe_encode", "trained merges applied as nested all-JVM greedy folds over per-word symbol arrays — a pure map projection, no shuffle, no Python"),
 ]
 

@@ -30,8 +30,12 @@ import pyarrow.parquet as pq
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, ".bench", "sf1")
 
-# 10x the sf0.1 row counts (region/nation fixed; embeddings follow the
-# driver's own 4x-per-decade curve: 500 -> 2000 -> 8000)
+# 10x the sf0.1 row counts (region/nation fixed). Embeddings deliberately
+# OVERSHOOT the driver's 4x-per-decade curve (500 -> 2000 -> would-be 8000):
+# r7's sweep spanned only 16x on this axis, which let a quadratic assignment
+# term hide under the GEMM constant (the semdedup scale-killer) — 100K rows
+# give the vector family a 200x spread / two full decades on the tail, so
+# super-linear terms in knn/maxsim/semdedup are measurable (r7 VERDICT #2).
 N_CUSTOMER = 150_000
 N_SUPPLIER = 10_000
 N_PART = 200_000
@@ -40,7 +44,7 @@ N_LINEITEM = 6_000_000
 N_EVENTS = 1_000_000
 N_USERS = 1_500  # fixed across sf in the driver data (events/user grows)
 N_DOCS = 50_000
-N_EMB = 8_000
+N_EMB = 100_000
 EMB_DIM = 64
 
 # the sf0.1 documents vocabulary, verbatim (31 words)

@@ -83,6 +83,9 @@ QUERIES = [
     # cluster-prototype semantic dedup (cell-keyed within-cell join)
     ("bpe_train_merges", "documents"),
     ("semdedup_keep", "embeddings"),
+    # round 8: the IVF partition-pruned scan path joins the (now 200x-wide)
+    # embeddings axis alongside knn/maxsim/semdedup
+    ("knn_ivf_pruned", "embeddings"),
 ]
 
 
