@@ -294,9 +294,21 @@ def within_cell_neardup_losers(
         )
         nrm = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.where(nrm == 0, 1.0, nrm)
-        sims = mat @ mat.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        losers = np.unique(ids[ju[sims[iu, ju] >= threshold]])
+        n = len(ids)
+        # row-chunked upper-triangle GEMM: FLOPs are the within-cell
+        # pairwise cost either way (the caller bounds cell sizes by
+        # scaling the cell count), but a DEGENERATE giant cell (e.g. a
+        # corpus of near-identical vectors collapsing into one cell) must
+        # not allocate an n×n sims matrix — peak memory stays
+        # chunk × n doubles
+        loser_mask = np.zeros(n, dtype=bool)
+        cols = np.arange(n)
+        for lo in range(0, n - 1, 4096):
+            hi = min(lo + 4096, n)
+            hit = (mat[lo:hi] @ mat.T) >= threshold
+            hit &= cols[None, :] > np.arange(lo, hi)[:, None]  # strict upper
+            loser_mask |= hit.any(0)
+        losers = ids[loser_mask]
         return pd.DataFrame({id_col: losers})
 
     return assigned.select(cluster_col, id_col, vec_col).groupBy(cluster_col).applyInPandas(

@@ -1208,14 +1208,13 @@ def _duck_dlist(v: list[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in v) + "]"
 
 
-def _semdedup_oracle() -> str | None:
-    """Snapshot oracle: the frozen TRAINED two-level centroids inlined as
-    VALUES, then the same two-level argmin (coarse, then fine within the
-    row's coarse cell; ties → lowest id at both levels) and the same
-    within-fine-cell cosine≥0.95 loser rule the Spark plan computes.
-    Valid at sf0.01 only (pinned) — the query retrains at runtime and
-    training is bit-deterministic, so runtime == snapshot there (pytest
-    retrains and asserts equality)."""
+def _two_level_cte(src: str) -> str | None:
+    """Shared oracle building block: the frozen TRAINED two-level
+    centroids inlined as VALUES + the two-level argmin (coarse, then fine
+    within the row's coarse cell; ties → lowest id at both levels) over a
+    prior CTE `src` with columns (vec_id, v DOUBLE[]). Produces the
+    `fasgn (vec_id, v, cluster)` CTE. sf0.01-pinned by construction —
+    centroids are the sf0.01 training output."""
     try:
         from custom_python_vectordb_spark.queries._semdedup_snapshot import (
             SEMDEDUP_COARSE_SF001,
@@ -1229,13 +1228,7 @@ def _semdedup_oracle() -> str | None:
     fine = ",\n  ".join(
         f"({co}, {cl}, {_duck_dlist(v)})" for co, cl, v in SEMDEDUP_FINE_SF001
     )
-    return f"""
-WITH aug AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  UNION ALL
-  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 10
-),
-coarse(cc, cv) AS (VALUES
+    return f"""coarse(cc, cv) AS (VALUES
   {coarse}
 ),
 fine(fcoarse, fcluster, fv) AS (VALUES
@@ -1244,13 +1237,31 @@ fine(fcoarse, fcluster, fv) AS (VALUES
 casgn AS (SELECT vec_id, v, cc FROM (
     SELECT a.vec_id, a.v, c.cc,
            row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(a.v, c.cv), c.cc) AS rn
-    FROM aug a, coarse c
+    FROM {src} a, coarse c
 ) WHERE rn = 1),
 fasgn AS (SELECT vec_id, v, fcluster AS cluster FROM (
     SELECT a.vec_id, a.v, f.fcluster,
            row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(a.v, f.fv), f.fcluster) AS rn
     FROM casgn a JOIN fine f ON f.fcoarse = a.cc
-) WHERE rn = 1),
+) WHERE rn = 1)"""
+
+
+def _semdedup_oracle() -> str | None:
+    """Snapshot oracle: frozen trained centroids (see :func:`_two_level_cte`)
+    + the within-fine-cell cosine≥0.95 loser rule the Spark plan computes.
+    Valid at sf0.01 only (pinned) — the query retrains at runtime and
+    training is bit-deterministic, so runtime == snapshot there (pytest
+    retrains and asserts equality)."""
+    cte = _two_level_cte("aug")
+    if cte is None:
+        return None
+    return f"""
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 10
+),
+{cte},
 losers AS (
   SELECT DISTINCT b.vec_id
   FROM fasgn a JOIN fasgn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
@@ -1334,3 +1345,70 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster")
         .orderBy("vec_id")
     )
+
+
+_BALANCE_CAP = 32
+
+
+def _cluster_balanced_oracle() -> str | None:
+    from custom_python_vectordb_spark.functions.hashing import duck_hash48
+
+    cte = _two_level_cte("src")
+    if cte is None:
+        return None
+    h = duck_hash48("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH src AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+{cte}
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY {h}, vec_id) AS rk
+  FROM fasgn
+) WHERE rk <= {_BALANCE_CAP}
+ORDER BY vec_id
+"""
+
+
+@query("cluster_balanced_sample", _cluster_balanced_oracle, oracle_sf="sf0.01")
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus subsampling — the data-mixing step curation
+    pipelines run after semantic dedup (D4, Tirumala et al. 2023: dedup,
+    cluster, then re-balance so over-represented regions of embedding
+    space are capped instead of dominating the mixture). Reuses the SAME
+    trained two-level cells as `semdedup_keep` (shared ingest memo —
+    training happens once per session+sf): two-level argmin assignment,
+    then keep at most `_BALANCE_CAP` members per fine cell, chosen by a
+    deterministic engine-identical hash order (`hash48`, the unbiased
+    coin both engines can flip), unique-tie-broken by vec_id.
+
+    100 TB shape: assignment is the semdedup plan's (O(n·√k·d) per
+    level, nothing O(n) shipped); the cap is one per-cluster
+    row_number window — Spark ≥3.5 rewrites it via WindowGroupLimit so
+    each partition locally limits BEFORE the cluster-keyed shuffle, and
+    cell count k ≈ n/64 keeps partitions balanced. No sort of the kept
+    set is needed beyond the window's per-cell one."""
+    from custom_python_vectordb_spark.functions.hashing import hash48
+    from custom_python_vectordb_spark.operators.similarity import (
+        assign_cells_two_level,
+    )
+    from custom_python_vectordb_spark.operators.topk import top_k_per_group
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    # centroids trained on the same aug corpus as semdedup_keep (shared
+    # memo); the sampled corpus here is the PLAIN table — the trained
+    # cells are constants applicable to any corpus
+    coarse_df, fine_df = _semdedup_centroids(spark, emb.unionByName(dupes), sf_dir)
+    assigned = assign_cells_two_level(emb, coarse_df, fine_df)
+    kept = top_k_per_group(
+        assigned.select("vec_id", "cluster"),
+        "cluster",
+        _BALANCE_CAP,
+        hash48(F.col("vec_id").cast("string")).asc(),
+        F.col("vec_id").asc(),
+    )
+    return kept.select("vec_id", "cluster").orderBy("vec_id")

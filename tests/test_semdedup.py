@@ -184,6 +184,55 @@ def test_planted_borderline_pair_recall(spark):
     assert len(losers) >= dropped
 
 
+def test_cluster_balanced_sample_semantics(spark):
+    """Per-cell cap semantics: no cluster exceeds the cap, small clusters
+    keep every member, kept set is a subset of the corpus, and the plan's
+    per-cluster window compiles to WindowGroupLimit (partial limiting
+    below the shuffle — the 100 TB property)."""
+    from custom_python_vectordb_spark.queries.pipeline import (
+        _BALANCE_CAP,
+        cluster_balanced_sample,
+    )
+
+    df = cluster_balanced_sample(spark, SF_MED)
+    assert "WindowGroupLimit" in df._jdf.queryExecution().executedPlan().toString()
+    rows = df.collect()
+    ids = [int(r["vec_id"]) for r in rows]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    assert all(0 <= i < 500 for i in ids)  # plain corpus only, no clones
+    from collections import Counter
+
+    per_cell = Counter(int(r["cluster"]) for r in rows)
+    assert max(per_cell.values()) <= _BALANCE_CAP
+    # every under-cap cell kept all members: total assigned per cell from
+    # the assignment itself
+    from custom_python_vectordb_spark.functions.local_relation import local_df
+    from custom_python_vectordb_spark.operators.similarity import (
+        assign_cells_two_level,
+    )
+    from custom_python_vectordb_spark.queries._semdedup_snapshot import (
+        SEMDEDUP_COARSE_SF001,
+        SEMDEDUP_FINE_SF001,
+    )
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_MED, "embeddings").select("vec_id", "embedding")
+    coarse_df = local_df(
+        spark, [(c, v) for c, v in SEMDEDUP_COARSE_SF001], "cluster int, cvec array<double>"
+    )
+    fine_df = local_df(
+        spark,
+        [(c, cl, v) for c, cl, v in SEMDEDUP_FINE_SF001],
+        "coarse int, cluster long, cvec array<double>",
+    )
+    full = Counter(
+        int(r["cluster"])
+        for r in assign_cells_two_level(emb, coarse_df, fine_df).collect()
+    )
+    for cell, n in full.items():
+        assert per_cell[cell] == min(n, _BALANCE_CAP), f"cell {cell}"
+
+
 def test_assign_two_level_empty_fine_fallback(spark):
     """A coarse cell whose fine centroids are absent (training sample
     missed it) must still assign its rows — to the fused

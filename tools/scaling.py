@@ -86,6 +86,9 @@ QUERIES = [
     # round 8: the IVF partition-pruned scan path joins the (now 200x-wide)
     # embeddings axis alongside knn/maxsim/semdedup
     ("knn_ivf_pruned", "embeddings"),
+    # round 8: per-cell capped subsampling (two-level assignment +
+    # WindowGroupLimit per-cluster cap)
+    ("cluster_balanced_sample", "embeddings"),
 ]
 
 
