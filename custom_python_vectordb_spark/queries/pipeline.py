@@ -185,6 +185,94 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(verified)
 
 
+_DUCK_QUALITY_EXPR = f"""least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + least(CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_filter(toks, x -> list_contains({STOPWORDS['en']}, x))) AS DOUBLE) / len(toks)
+                        ELSE 0.0 END * 3.0, 1.0) * 0.3
+           + (CASE WHEN length(text) > 0
+                   THEN 1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9_\\s]', '', 'g')) AS DOUBLE) / length(text)
+                   ELSE 1.0 END) * 0.3"""
+
+
+@query("dedup_quality_keeper", f"""
+WITH RECURSIVE {DUCK_CORPUS.strip()}, {DUCK_TOKS.strip()}, {DUCK_SHINGLES.strip()},
+{_DUCK_MINHASH_FULL.strip()},
+{_DUCK_JACCARD.strip()},
+verified AS (
+    SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b WHERE j.jaccard >= 0.5
+),
+sym AS (SELECT a AS u, b AS v FROM verified UNION SELECT b, a FROM verified),
+reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+lab AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+q AS (
+    SELECT c.doc_id, ROUND({{qx}}, {ROUND}) AS quality
+    FROM corpus c JOIN tok t ON t.doc_id = c.doc_id
+),
+ranked AS (
+    SELECT l.component AS cluster, l.id, q.quality,
+           row_number() OVER (PARTITION BY l.component ORDER BY q.quality DESC, l.id) AS rn,
+           COUNT(*) OVER (PARTITION BY l.component) AS size
+    FROM lab l JOIN q ON q.doc_id = l.id
+)
+SELECT cluster, size, id AS keeper, quality AS keeper_quality
+FROM ranked WHERE rn = 1
+ORDER BY cluster
+""".replace("{qx}", _DUCK_QUALITY_EXPR.replace("text", "c.text").replace("toks", "t.toks")))
+def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representative selection: same verified
+    near-dup clusters as `dedup_clusters`, but the kept member is the
+    HIGHEST-QUALITY one (heuristic `quality_score`, rank on the ROUNDED
+    score, unique doc_id tie-break) instead of min-id — what a real
+    curation pass does when duplicates differ in cleanliness (keep the
+    clean copy, drop the boilerplate-wrapped one). Exact clones tie on
+    quality and fall back to min-id, so the keeper matches
+    `dedup_clusters` there.
+
+    Scale shape: identical to `dedup_clusters` (pair graph is linear in
+    duplicates, label propagation shuffles only that) plus one map-only
+    quality scan and a per-cluster WindowGroupLimit-style rank over
+    cluster-keyed groups."""
+    from pyspark.sql import Window
+
+    from custom_python_vectordb_spark.functions.text import quality_score
+    from custom_python_vectordb_spark.operators.components import connected_components
+    from custom_python_vectordb_spark.operators.dedup import (
+        doc_shingles,
+        minhash_signatures_wide,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    sh = doc_shingles(corpus).persist()
+    sigs = minhash_signatures_wide(corpus, num_hashes=16, shingles=sh)
+    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, wide=True)
+    verified = jaccard_pairs(
+        corpus, threshold=0.5, restrict_pairs=cands, shingles=sh
+    ).select("a", "b")
+    cc = connected_components(verified)
+    q = corpus.select(
+        F.col("doc_id").alias("id"), F.round(quality_score("text"), ROUND).alias("quality")
+    )
+    members = cc.join(q, "id")
+    wp = Window.partitionBy("component")
+    wr = wp.orderBy(F.col("quality").desc(), F.col("id").asc())
+    return (
+        members.withColumn("rn", F.row_number().over(wr))
+        .withColumn("size", F.count(F.lit(1)).over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("component").alias("cluster"),
+            "size",
+            F.col("id").alias("keeper"),
+            F.col("quality").alias("keeper_quality"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------- dedup: SimHash
 
 _DUCK_SIMHASH_BITS = f"""

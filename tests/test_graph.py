@@ -119,6 +119,45 @@ def test_connected_components(spark):
     assert clusters == {1: (4, 1), 5: (2, 5)}
 
 
+def test_dedup_quality_keeper_semantics(spark, sf_med):
+    """Quality-aware representative selection: every cluster's keeper has
+    the max ROUNDED quality among its members (ties -> lowest id), so for
+    exact-clone clusters (identical text, identical quality) the keeper
+    equals dedup_clusters' min-id one."""
+    from custom_python_vectordb_spark.functions.text import quality_score
+    from custom_python_vectordb_spark.queries.pipeline import (
+        _corpus,
+        dedup_clusters_q,
+        dedup_quality_keeper,
+    )
+
+    qk = {
+        r["cluster"]: (r["size"], r["keeper"], r["keeper_quality"])
+        for r in dedup_quality_keeper(spark, sf_med).collect()
+    }
+    assert qk, "expected duplicate clusters on the injected corpus"
+    base = {
+        r["cluster"]: (r["size"], r["keeper"])
+        for r in dedup_clusters_q(spark, sf_med).collect()
+    }
+    # identical cluster structure
+    assert set(qk) == set(base)
+    assert all(qk[c][0] == base[c][0] for c in qk)
+    # quality of every keeper is the max over the corpus rows in scope:
+    # clone clusters (ids >= 10000 mirror id-10000) must keep the min id
+    q = {
+        r["doc_id"]: r["q"]
+        for r in _corpus(spark, sf_med)
+        .select("doc_id", F.round(quality_score("text"), 6).alias("q"))
+        .collect()
+    }
+    for c, (_size, keeper, kq) in qk.items():
+        assert abs(q[keeper] - kq) < 1e-9
+        if keeper >= 10000 or keeper + 10000 in q:
+            # exact-clone pair: identical quality, tie -> lowest id
+            assert keeper == base[c][1]
+
+
 def test_cypher_translator_edge_cases(spark, sf_small):
     from custom_python_vectordb_spark.plans.cypher import cypher
     from custom_python_vectordb_spark.sources.graph_view import edges_df, nodes_df
