@@ -164,3 +164,32 @@ def load_semdedup_keep(
         losers = spark.read.parquet(losers_dir).select(id_col).distinct()
         kept = kept.join(losers, id_col, "left_anti")
     return kept
+
+
+def load_balanced_sample(
+    spark: SparkSession, index_root: str, cap: int = 32, id_col: str = "vec_id"
+) -> DataFrame:
+    """Ingest-time cluster-balanced subsample OFF the maintained index —
+    the streaming face of `cluster_balanced_sample` (dedup → balance, the
+    curation order): per cell, keep ≤ `cap` of the KEPT (post-dedup)
+    members by the deterministic `hash48` order (unique id tie-break).
+    The same stored cells feed dedup, balancing, and ANN serving — one
+    ingest pipeline, three consumers. Membership rebalances as low-hash
+    rows arrive (an admitted row can later leave the sample: the VIEW is
+    the contract, exactly the rollup-view semantics), and the per-cell
+    rank compiles to WindowGroupLimit over the cluster-keyed store, so
+    the read never materializes more than the store's rows and limits
+    partition-locally before the shuffle."""
+    from pyspark.sql import Window
+
+    from custom_python_vectordb_spark.functions.hashing import hash48
+
+    kept = load_semdedup_keep(spark, index_root, id_col)
+    w = Window.partitionBy("cluster").orderBy(
+        hash48(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        kept.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .select(id_col, "cluster")
+    )

@@ -1072,6 +1072,39 @@ def test_incremental_semdedup_equals_batch(spark, sf_small, tmp_path):
     got2 = {(r["vec_id"], r["cluster"]) for r in load_semdedup_keep(spark, idx).collect()}
     assert got2 == expect
 
+    # balanced-sample view OFF the same maintained index (dedup -> balance,
+    # one ingest pipeline feeding both): per cell <= cap of the KEPT
+    # members by (hash48, id) — must equal the batch rule over the kept set
+    from custom_python_vectordb_spark.functions.hashing import hash48
+    from custom_python_vectordb_spark.streaming.semdedup_maintenance import (
+        load_balanced_sample,
+    )
+
+    cap = 8
+    bal = {
+        (r["vec_id"], r["cluster"])
+        for r in load_balanced_sample(spark, idx, cap=cap).collect()
+    }
+    kept_rows = [
+        (r["vec_id"], r["cluster"], r["h"])
+        for r in load_semdedup_keep(spark, idx)
+        .withColumn("h", hash48(F.col("vec_id").cast("string")))
+        .collect()
+    ]
+    by_cell: dict[int, list] = {}
+    for vid, cl, h in kept_rows:
+        by_cell.setdefault(cl, []).append((h, vid))
+    expect_bal = {
+        (vid, cl)
+        for cl, members in by_cell.items()
+        for _h, vid in sorted(members)[:cap]
+    }
+    assert bal == expect_bal
+    from collections import Counter
+
+    per = Counter(cl for _v, cl in bal)
+    assert max(per.values()) <= cap and sum(per.values()) < len(kept_rows)
+
 
 def test_incremental_vocab_feeds_bpe_training(spark, sf_small, tmp_path):
     """Word counts maintained per micro-batch must merge to exactly the
