@@ -323,25 +323,31 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents are the embedding table's label groups (each label = one doc,
     its vectors = token embeddings); queries are two 4-token bundles.
 
-    Plan shape — the multi-vector twin of exact kNN: broadcast the query
-    tokens, score every (corpus token, query token) pair map-side, then two
-    hash aggregates (max per (query token, doc), sum per (query, doc)).
-    Both aggregates partial-combine before their exchange, so the shuffle
-    carries O(docs · query tokens), never the corpus. Per-token maxima are
-    rounded to 8 decimals before the sum so the cross-engine hash is stable
-    under double addition reordering."""
-    from custom_python_vectordb_spark.functions.distances import cosine_similarity
-
+    Plan shape — the multi-vector twin of exact kNN: the corpus is scanned
+    ONCE map-only by an Arrow-batch GEMM that L2-normalizes each batch,
+    multiplies it against the (tiny, closure-shipped) query-token matrix,
+    and emits only PER-BATCH PARTIAL MAXIMA per (doc label, query token) —
+    a manual map-side combine, so the shuffle carries O(labels-per-batch ·
+    query tokens) rows, never the corpus. (The declarative
+    cosine_similarity twin is interpreter-bound — higher-order folds never
+    codegen — and measured 22 s at 100K×8 pairs where this GEMM path is
+    a few hundred ms; the DuckDB oracle still states the declarative
+    form, so parity is hash-checked at every scale, and a pytest asserts
+    twin equality.) Then one global max per (query token, doc) and a sum
+    per (query, doc). Per-token maxima are rounded to 8 decimals before
+    the sum so the cross-engine hash is stable under double addition
+    reordering (the same round-before-aggregate discipline also absorbs
+    GEMM-vs-fold last-ulp differences)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8).select(
         F.floor(F.col("vec_id") / 4).cast("int").alias("qid"),
         F.col("vec_id").alias("qt_id"),
         F.col("embedding").alias("qvec"),
     )
-    sims = emb.join(F.broadcast(q)).select(
-        "qid", "qt_id", "label", cosine_similarity("embedding", "qvec").alias("sim")
+    partials = _maxsim_partials_gemm(emb, q.collect())
+    per_qt = partials.groupBy("qid", "qt_id", "label").agg(
+        F.round(F.max("m"), 8).alias("m")
     )
-    per_qt = sims.groupBy("qid", "qt_id", "label").agg(F.round(F.max("sim"), 8).alias("m"))
     scores = per_qt.groupBy("qid", "label").agg(F.round(F.sum("m"), 6).alias("score"))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("label"))
     return (
@@ -349,6 +355,63 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "label", "score")
         .orderBy("qid", F.col("score").desc(), "label")
+    )
+
+
+def _maxsim_partials_gemm(emb: DataFrame, q_rows) -> DataFrame:
+    """Map-only per-batch partial maxima for MaxSim: (qid, qt_id, label,
+    m) where m = max cosine over the batch's rows of that label. The
+    query-token matrix is O(tokens·dim) — closure-shipped, normalized
+    once. Output is O(labels-in-batch · tokens) per batch regardless of
+    batch size (the map-side combine that keeps the shuffle tiny)."""
+    import numpy as np
+
+    qids = np.asarray([int(r["qid"]) for r in q_rows], dtype=np.int64)
+    qt_ids = np.asarray([int(r["qt_id"]) for r in q_rows], dtype=np.int64)
+    qmat = np.asarray([np.asarray(r["qvec"], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.where(qn == 0, 1.0, qn)
+
+    def partial_max(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            labels = batch.column(0).to_numpy(zero_copy_only=False)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(n, -1).astype(_np.float64, copy=False)
+            nrm = _np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / _np.where(nrm == 0, 1.0, nrm)
+            sims = mat @ qmat.T  # (n, tokens)
+            uniq = _np.unique(labels)
+            out_label, out_j, out_m = [], [], []
+            for lab in uniq:
+                sub = sims[labels == lab]
+                mx = sub.max(0)  # per-token max within this batch+label
+                out_label.append(_np.full(len(mx), lab, dtype=_np.int64))
+                out_j.append(_np.arange(len(mx)))
+                out_m.append(mx)
+            lab_a = _np.concatenate(out_label)
+            j_a = _np.concatenate(out_j)
+            yield _pa.record_batch(
+                [
+                    _pa.array(qids[j_a].astype(_np.int32), _pa.int32()),
+                    _pa.array(qt_ids[j_a], _pa.int64()),
+                    _pa.array(lab_a.astype(_np.int32), _pa.int32()),
+                    _pa.array(_np.concatenate(out_m), _pa.float64()),
+                ],
+                names=["qid", "qt_id", "label", "m"],
+            )
+
+    src = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    return src.mapInArrow(
+        partial_max, schema="qid int, qt_id long, label int, m double"
     )
 
 

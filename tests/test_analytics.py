@@ -111,6 +111,48 @@ def test_grouped_topk_plan_has_window_group_limit(spark, sf_med):
     assert "WindowGroupLimit" in plan
 
 
+def test_maxsim_gemm_twin_equals_declarative(spark, sf_med):
+    """The Arrow-batch partial-max GEMM path (what late_interaction_maxsim
+    runs — 20x the interpreted fold at 100K rows) must produce the same
+    ranked result as the declarative cosine_similarity form it replaced
+    (per-token maxima round to 8 decimals before the sum, absorbing
+    GEMM-vs-fold last-ulp differences)."""
+    from custom_python_vectordb_spark.functions.distances import cosine_similarity
+    from custom_python_vectordb_spark.queries.analytics import (
+        late_interaction_maxsim,
+    )
+    from custom_python_vectordb_spark.sources.catalog import load_table
+    from pyspark.sql import Window
+
+    got = [tuple(r) for r in late_interaction_maxsim(spark, sf_med).collect()]
+
+    emb = load_table(spark, sf_med, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.floor(F.col("vec_id") / 4).cast("int").alias("qid"),
+        F.col("vec_id").alias("qt_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    sims = emb.join(F.broadcast(q)).select(
+        "qid", "qt_id", "label", cosine_similarity("embedding", "qvec").alias("sim")
+    )
+    per_qt = sims.groupBy("qid", "qt_id", "label").agg(
+        F.round(F.max("sim"), 8).alias("m")
+    )
+    scores = per_qt.groupBy("qid", "label").agg(F.round(F.sum("m"), 6).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("label"))
+    want = [
+        tuple(r)
+        for r in scores.select(
+            "qid", "label", "score", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+        .select("qid", "label", "score")
+        .orderBy("qid", F.col("score").desc(), "label")
+        .collect()
+    ]
+    assert got == want
+
+
 def test_maxsim_pruned_recall_vs_exact(spark, sf_med):
     from custom_python_vectordb_spark.queries.analytics import (
         late_interaction_maxsim,
