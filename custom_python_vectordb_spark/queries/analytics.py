@@ -358,12 +358,20 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _maxsim_partials_gemm(emb: DataFrame, q_rows) -> DataFrame:
+def _maxsim_partials_gemm(emb: DataFrame, q_rows, probe_map=None) -> DataFrame:
     """Map-only per-batch partial maxima for MaxSim: (qid, qt_id, label,
     m) where m = max cosine over the batch's rows of that label. The
     query-token matrix is O(tokens·dim) — closure-shipped, normalized
     once. Output is O(labels-in-batch · tokens) per batch regardless of
-    batch size (the map-side combine that keeps the shuffle tiny)."""
+    batch size (the map-side combine that keeps the shuffle tiny).
+
+    `probe_map`: optional {qt_id: set(cluster)} for IVF-pruned MaxSim —
+    `emb` must then carry a `cluster` column, and a (row, token) pair
+    only participates when the row's cluster is in that token's probe
+    set (a (label, token) with no probed rows emits NOTHING — the
+    standard pruned-MaxSim "missing maxima contribute nothing"
+    semantics). The GEMM still runs dense (BLAS beats gather at these
+    shapes); pruning applies as a -inf mask before the per-label max."""
     import numpy as np
 
     qids = np.asarray([int(r["qid"]) for r in q_rows], dtype=np.int64)
@@ -371,6 +379,11 @@ def _maxsim_partials_gemm(emb: DataFrame, q_rows) -> DataFrame:
     qmat = np.asarray([np.asarray(r["qvec"], dtype=np.float64) for r in q_rows])
     qn = np.linalg.norm(qmat, axis=1, keepdims=True)
     qmat = qmat / np.where(qn == 0, 1.0, qn)
+    probes = (
+        None
+        if probe_map is None
+        else {int(qt): frozenset(int(c) for c in cs) for qt, cs in probe_map.items()}
+    )
 
     def partial_max(batches):
         import numpy as _np
@@ -386,14 +399,21 @@ def _maxsim_partials_gemm(emb: DataFrame, q_rows) -> DataFrame:
             nrm = _np.linalg.norm(mat, axis=1, keepdims=True)
             mat = mat / _np.where(nrm == 0, 1.0, nrm)
             sims = mat @ qmat.T  # (n, tokens)
+            if probes is not None:
+                clusters = batch.column(2).to_numpy(zero_copy_only=False)
+                for j, qt in enumerate(qt_ids):
+                    allowed = probes.get(int(qt), frozenset())
+                    inactive = ~_np.isin(clusters, list(allowed))
+                    sims[inactive, j] = -_np.inf
             uniq = _np.unique(labels)
             out_label, out_j, out_m = [], [], []
             for lab in uniq:
                 sub = sims[labels == lab]
                 mx = sub.max(0)  # per-token max within this batch+label
-                out_label.append(_np.full(len(mx), lab, dtype=_np.int64))
-                out_j.append(_np.arange(len(mx)))
-                out_m.append(mx)
+                keep = _np.isfinite(mx)
+                out_label.append(_np.full(int(keep.sum()), lab, dtype=_np.int64))
+                out_j.append(_np.nonzero(keep)[0])
+                out_m.append(mx[keep])
             lab_a = _np.concatenate(out_label)
             j_a = _np.concatenate(out_j)
             yield _pa.record_batch(
@@ -406,11 +426,13 @@ def _maxsim_partials_gemm(emb: DataFrame, q_rows) -> DataFrame:
                 names=["qid", "qt_id", "label", "m"],
             )
 
-    src = emb.select(
+    cols = [
         F.col("label").cast("long").alias("label"),
         F.col("embedding").cast("array<float>").alias("embedding"),
-    )
-    return src.mapInArrow(
+    ]
+    if probe_map is not None:
+        cols.append(F.col("cluster").cast("long").alias("cluster"))
+    return emb.select(*cols).mapInArrow(
         partial_max, schema="qid int, qt_id long, label int, m double"
     )
 
@@ -460,10 +482,7 @@ def maxsim_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sum (the standard pruned-MaxSim semantics); the oracle states the
     SAME pruned computation, and recall vs the exact `late_interaction_maxsim`
     is asserted in tests."""
-    from custom_python_vectordb_spark.functions.distances import (
-        cosine_similarity,
-        sq_l2_distance,
-    )
+    from custom_python_vectordb_spark.functions.distances import sq_l2_distance
     from custom_python_vectordb_spark.operators.topk import top_k_per_group
     from custom_python_vectordb_spark.queries.pipeline import (
         _ivf_assigned,
@@ -483,13 +502,18 @@ def maxsim_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "qt_id", 2, F.col("d2").asc(), F.col("cluster").asc(),
     ).select("qid", "qt_id", "cluster")
+    # probe sets are O(tokens · nprobe) — resolved driver-side and shipped
+    # as the GEMM twin's -inf mask (same partial-max map-side combine as
+    # the exact path; the candidate JOIN version interpreted its cosine
+    # folds and measured 9.5 s at 100K rows where this is ~1 s)
+    probe_map: dict[int, set] = {}
+    for r in qprobe.collect():
+        probe_map.setdefault(int(r["qt_id"]), set()).add(int(r["cluster"]))
     assigned = _ivf_assigned(spark, sf_dir)
-    sims = (
-        assigned.join(F.broadcast(qprobe), "cluster")
-        .join(F.broadcast(q.select("qt_id", "qvec")), "qt_id")
-        .select("qid", "qt_id", "label", cosine_similarity("embedding", "qvec").alias("sim"))
+    partials = _maxsim_partials_gemm(assigned, q.collect(), probe_map=probe_map)
+    per_qt = partials.groupBy("qid", "qt_id", "label").agg(
+        F.round(F.max("m"), 8).alias("m")
     )
-    per_qt = sims.groupBy("qid", "qt_id", "label").agg(F.round(F.max("sim"), 8).alias("m"))
     scores = per_qt.groupBy("qid", "label").agg(F.round(F.sum("m"), 6).alias("score"))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("label"))
     return (
