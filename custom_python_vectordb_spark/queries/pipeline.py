@@ -1435,6 +1435,37 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("epoch_shuffle", f"""
+SELECT row_number() OVER (ORDER BY h, doc_id) AS position, doc_id
+FROM (SELECT doc_id, {duck_seeded_hash48("CAST(doc_id AS VARCHAR)", 1)} AS h
+      FROM documents)
+ORDER BY position
+""")
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-reproducible global training order: every epoch's data order
+    is the total order of a SEEDED engine-identical hash (seed = epoch
+    number) with a unique id tie-break — the deterministic corpus shuffle
+    a reproducible pretraining run needs (same seed ⇒ same order on any
+    cluster; next epoch ⇒ new seed, new permutation, no state carried).
+
+    100 TB shape: built on `operators/ranking.global_rank` — a
+    distributed range sort on the hash key (uniform ⇒ perfectly balanced
+    ranges) + broadcast per-partition offsets + partition-local windows;
+    no single-partition global window anywhere (the classic scale-killer
+    this operator family exists to avoid)."""
+    from custom_python_vectordb_spark.functions.hashing import seeded_hash48
+    from custom_python_vectordb_spark.operators.ranking import global_rank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "h", seeded_hash48(F.col("doc_id").cast("string"), 1)
+    )
+    ranked = global_rank(
+        keyed, [F.asc("h"), F.asc("doc_id")], rank_col="position"
+    )
+    return ranked.select("position", "doc_id").orderBy("position")
+
+
 _BALANCE_CAP = 32
 
 

@@ -221,6 +221,34 @@ def test_langid_expression_stays_deduplicated(spark, sf_med):
     assert plan.count("split(lower") == 1, plan.count("split(lower")
 
 
+def test_epoch_shuffle_reproducible_permutation(spark, sf_med):
+    """epoch_shuffle: positions are exactly 1..n (a permutation), the
+    same epoch reproduces the identical order across invocations, and a
+    different epoch seed yields a different permutation of the same
+    ids."""
+    from custom_python_vectordb_spark.functions.hashing import seeded_hash48
+    from custom_python_vectordb_spark.operators.ranking import global_rank
+    from custom_python_vectordb_spark.queries.pipeline import epoch_shuffle
+    from custom_python_vectordb_spark.sources.catalog import load_table
+
+    rows = epoch_shuffle(spark, sf_med).collect()
+    n = len(rows)
+    assert [r["position"] for r in rows] == list(range(1, n + 1))
+    order1 = [r["doc_id"] for r in rows]
+    assert sorted(order1) == list(range(n))  # a permutation of all ids
+    again = [r["doc_id"] for r in epoch_shuffle(spark, sf_med).collect()]
+    assert again == order1  # same epoch -> same order
+
+    docs = load_table(spark, sf_med, "documents").select("doc_id")
+    epoch2 = global_rank(
+        docs.withColumn("h", seeded_hash48(F.col("doc_id").cast("string"), 2)),
+        [F.asc("h"), F.asc("doc_id")],
+        rank_col="position",
+    ).orderBy("position")
+    order2 = [r["doc_id"] for r in epoch2.collect()]
+    assert sorted(order2) == sorted(order1) and order2 != order1
+
+
 def test_global_rank_matches_single_window_and_avoids_global_window(spark):
     """global_rank equals the naive single-partition window's ranks on a
     totally ordered key, for partition counts that undersplit and
