@@ -95,6 +95,45 @@ def main() -> None:
     row = enc.agg(F.sum("n").alias("total"), F.round(F.avg("n"), 1).alias("avg")).collect()[0]
     print(f"encoded train split: {row['total']} BPE tokens (avg {row['avg']}/doc)")
 
+    # 6. embedding-space curation: semantic dedup (trained two-level
+    # cells) then cluster-balanced re-sampling — the D4 order
+    from custom_python_vectordb_spark.functions.local_relation import local_df
+    from custom_python_vectordb_spark.operators.similarity import (
+        assign_cells_two_level,
+        train_semdedup_centroids,
+        within_cell_neardup_losers,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_emb = emb.count()
+    coarse_rows, fine_df = train_semdedup_centroids(emb)
+    coarse_df = local_df(spark, coarse_rows, "cluster int, cvec array<double>")
+    assigned = assign_cells_two_level(emb, coarse_df, fine_df).localCheckpoint(eager=True)
+    losers = within_cell_neardup_losers(assigned, threshold=0.95)
+    kept = assigned.join(losers, "vec_id", "left_anti")
+    n_kept = kept.count()
+    print(f"semantic dedup: {n_emb} vectors -> {n_kept} kept "
+          f"({len(coarse_rows)} coarse cells)")
+    cap = 32
+    w2 = Window.partitionBy("cluster").orderBy(
+        hash48(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    balanced = kept.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= cap)
+    print(f"cluster-balanced sample (cap {cap}/cell): {balanced.count()} vectors")
+
+    # 7. epoch-reproducible training order over the curated docs
+    from custom_python_vectordb_spark.functions.hashing import seeded_hash48
+    from custom_python_vectordb_spark.operators.ranking import global_rank
+
+    epoch = 1
+    order = global_rank(
+        train_docs.withColumn("h", seeded_hash48(F.col("doc_id").cast("string"), epoch)),
+        [F.asc("h"), F.asc("doc_id")],
+        rank_col="position",
+    )
+    head = [r["doc_id"] for r in order.orderBy("position").limit(5).collect()]
+    print(f"epoch {epoch} training order starts: {head} (same seed -> same order)")
+
 
 if __name__ == "__main__":
     main()
