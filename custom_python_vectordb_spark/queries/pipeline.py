@@ -1435,6 +1435,60 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("source_quality_cut", f"""
+WITH tok AS (SELECT doc_id, source, text, {TOKS} AS toks FROM documents),
+scored AS (
+    SELECT doc_id, source,
+           ROUND(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + least(CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_filter(toks, x -> list_contains({STOPWORDS['en']}, x))) AS DOUBLE) / len(toks)
+                        ELSE 0.0 END * 3.0, 1.0) * 0.3
+           + (CASE WHEN length(text) > 0
+                   THEN 1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9_\\s]', '', 'g')) AS DOUBLE) / length(text)
+                   ELSE 1.0 END) * 0.3, {ROUND}) AS quality
+    FROM tok
+),
+ranked AS (
+    SELECT doc_id, source, quality,
+           percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS pr
+    FROM scored
+)
+SELECT doc_id, source, quality FROM ranked WHERE pr <= 0.5
+ORDER BY doc_id
+""")
+def source_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile filtering (the FineWeb-style
+    per-dump cut): keep each source's top half by the heuristic quality
+    score, ranked WITHIN the source — a global threshold would gut
+    low-quality sources entirely and keep every doc of high-quality
+    ones; the per-source percentile preserves source diversity while
+    raising the bar everywhere. Rank on the ROUNDED score with a unique
+    id tie-break (the cross-engine discipline); percent_rank =
+    (rank-1)/(n-1) in both engines.
+
+    Scale shape: one map-only tokenize+score scan, then a single
+    source-keyed window — partitions by source (bounded cardinality,
+    skew-tolerant since each group's window is a local sort), no global
+    window anywhere."""
+    from pyspark.sql import Window
+
+    from custom_python_vectordb_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.round(quality_score("text"), ROUND).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.5)
+        .select("doc_id", "source", "quality")
+        .orderBy("doc_id")
+    )
+
+
 @query("epoch_shuffle", f"""
 SELECT row_number() OVER (ORDER BY h, doc_id) AS position, doc_id
 FROM (SELECT doc_id, {duck_seeded_hash48("CAST(doc_id AS VARCHAR)", 1)} AS h

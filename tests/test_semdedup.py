@@ -233,6 +233,46 @@ def test_cluster_balanced_sample_semantics(spark):
         assert per_cell[cell] == min(n, _BALANCE_CAP), f"cell {cell}"
 
 
+def test_assign_two_level_partitioning_invariant(spark):
+    """Two-level assignment is a pure function of (row, centroids): the
+    cluster for every id must be identical whether the corpus arrives in
+    1 partition or 13 — no dependence on batch boundaries, group
+    delivery order, or parallelism (ties break on centroid id, chunking
+    is per-row-window)."""
+    from custom_python_vectordb_spark.functions.local_relation import local_df
+    from custom_python_vectordb_spark.operators.similarity import (
+        assign_cells_two_level,
+    )
+    from custom_python_vectordb_spark.sources.catalog import load_table
+    from custom_python_vectordb_spark.queries._semdedup_snapshot import (
+        SEMDEDUP_COARSE_SF001,
+        SEMDEDUP_FINE_SF001,
+    )
+
+    emb = load_table(spark, SF_MED, "embeddings").select("vec_id", "embedding")
+    coarse_df = local_df(
+        spark, [(c, v) for c, v in SEMDEDUP_COARSE_SF001], "cluster int, cvec array<double>"
+    )
+    fine_df = local_df(
+        spark,
+        [(c, cl, v) for c, cl, v in SEMDEDUP_FINE_SF001],
+        "coarse int, cluster long, cvec array<double>",
+    )
+    base = None
+    for nparts in (1, 13):
+        got = {
+            int(r["vec_id"]): int(r["cluster"])
+            for r in assign_cells_two_level(
+                emb.repartition(nparts), coarse_df, fine_df
+            ).collect()
+        }
+        assert len(got) == 500
+        if base is None:
+            base = got
+        else:
+            assert got == base, f"assignment changed under {nparts} partitions"
+
+
 def test_assign_two_level_empty_fine_fallback(spark):
     """A coarse cell whose fine centroids are absent (training sample
     missed it) must still assign its rows — to the fused
