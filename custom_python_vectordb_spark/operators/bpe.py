@@ -205,12 +205,15 @@ def encode_udf(text_col, merges: list[tuple[int, str, str, int]]) -> F.Column:
     # parity contract with encode_expr if either constant ever changes
     split_pattern = TOKEN_SPLIT
     eow = END_OF_WORD
+    # the word cache lives in the CLOSURE, not the udf body: each worker
+    # process deserializes its own dict once and keeps it across Arrow
+    # batches for the task's lifetime — a body-local dict would re-pay the
+    # K-deep merge loop per batch for every already-seen word (r8 review)
+    cache: dict[str, list[str]] = {}
 
     @pandas_udf("array<string>")
     def encode(texts: pd.Series) -> pd.Series:
         import re
-
-        cache: dict[str, list[str]] = {}
 
         def enc_word(w: str) -> list[str]:
             toks = cache.get(w)

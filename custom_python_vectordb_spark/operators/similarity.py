@@ -503,7 +503,12 @@ def train_semdedup_centroids(
     from custom_python_vectordb_spark.functions.local_relation import local_df
 
     coarse_df = local_df(spark, coarse_rows, "cluster int, cvec array<double>")
-    assigned = assign_cells_gemm(corpus, coarse_df, id_col, vec_col, out_col="coarse")
+    # persisted: both the sizes aggregate and the training sample below
+    # consume it — without this the corpus-wide coarse GEMM runs twice per
+    # training (evictable MEMORY_AND_DISK, ingest-time only)
+    assigned = assign_cells_gemm(
+        corpus, coarse_df, id_col, vec_col, out_col="coarse"
+    ).persist()
     sizes = assigned.groupBy("coarse").agg(F.count(F.lit(1)).alias("__cell_n"))
     gsample = _stride_sample(assigned, n, group_sample_cap * kc, id_col).join(
         F.broadcast(sizes), "coarse"

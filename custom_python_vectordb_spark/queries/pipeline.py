@@ -153,6 +153,25 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("jaccard", F.round("jaccard", ROUND))
 
 
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared near-dup pair pipeline (MinHash wide → LSH candidates →
+    Jaccard ≥ 0.5 verify) consumed by both cluster queries — one
+    definition so a threshold/band change cannot make their cluster
+    structures silently diverge."""
+    from custom_python_vectordb_spark.operators.dedup import (
+        doc_shingles,
+        minhash_signatures_wide,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    sh = doc_shingles(corpus).persist()
+    sigs = minhash_signatures_wide(corpus, num_hashes=16, shingles=sh)
+    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, wide=True)
+    return jaccard_pairs(
+        corpus, threshold=0.5, restrict_pairs=cands, shingles=sh
+    ).select("a", "b")
+
+
 @query("dedup_clusters", f"""
 WITH RECURSIVE {DUCK_CORPUS.strip()}, {DUCK_TOKS.strip()}, {DUCK_SHINGLES.strip()},
 {_DUCK_MINHASH_FULL.strip()},
@@ -175,22 +194,20 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation) → (cluster, size, keeper). The complete dedup
     decision: everything but `keeper` in each cluster is droppable."""
     from custom_python_vectordb_spark.operators.components import dedup_clusters
-    from custom_python_vectordb_spark.operators.dedup import doc_shingles, minhash_signatures_wide
 
-    corpus = _corpus(spark, sf_dir)
-    sh = doc_shingles(corpus).persist()
-    sigs = minhash_signatures_wide(corpus, num_hashes=16, shingles=sh)
-    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, wide=True)
-    verified = jaccard_pairs(corpus, threshold=0.5, restrict_pairs=cands, shingles=sh).select("a", "b")
-    return dedup_clusters(verified)
+    return dedup_clusters(_verified_pairs(spark, sf_dir))
 
 
-_DUCK_QUALITY_EXPR = f"""least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
-           + least(CASE WHEN len(toks) > 0
-                        THEN CAST(len(list_filter(toks, x -> list_contains({STOPWORDS['en']}, x))) AS DOUBLE) / len(toks)
+def _duck_quality_expr(text: str, toks: str) -> str:
+    """The DuckDB twin of functions/text.quality_score over explicit
+    column REFERENCES (never substring substitution — a stopword or
+    identifier containing 'text'/'toks' must not get rewritten)."""
+    return f"""least(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + least(CASE WHEN len({toks}) > 0
+                        THEN CAST(len(list_filter({toks}, x -> list_contains({STOPWORDS['en']}, x))) AS DOUBLE) / len({toks})
                         ELSE 0.0 END * 3.0, 1.0) * 0.3
-           + (CASE WHEN length(text) > 0
-                   THEN 1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9_\\s]', '', 'g')) AS DOUBLE) / length(text)
+           + (CASE WHEN length({text}) > 0
+                   THEN 1.0 - CAST(length(regexp_replace(lower({text}), '[a-z0-9_\\s]', '', 'g')) AS DOUBLE) / length({text})
                    ELSE 1.0 END) * 0.3"""
 
 
@@ -209,7 +226,7 @@ reach(u, v) AS (
 ),
 lab AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
 q AS (
-    SELECT c.doc_id, ROUND({{qx}}, {ROUND}) AS quality
+    SELECT c.doc_id, ROUND({_duck_quality_expr("c.text", "t.toks")}, {ROUND}) AS quality
     FROM corpus c JOIN tok t ON t.doc_id = c.doc_id
 ),
 ranked AS (
@@ -221,7 +238,7 @@ ranked AS (
 SELECT cluster, size, id AS keeper, quality AS keeper_quality
 FROM ranked WHERE rn = 1
 ORDER BY cluster
-""".replace("{qx}", _DUCK_QUALITY_EXPR.replace("text", "c.text").replace("toks", "t.toks")))
+""")
 def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup representative selection: same verified
     near-dup clusters as `dedup_clusters`, but the kept member is the
@@ -240,19 +257,9 @@ def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from custom_python_vectordb_spark.functions.text import quality_score
     from custom_python_vectordb_spark.operators.components import connected_components
-    from custom_python_vectordb_spark.operators.dedup import (
-        doc_shingles,
-        minhash_signatures_wide,
-    )
 
     corpus = _corpus(spark, sf_dir)
-    sh = doc_shingles(corpus).persist()
-    sigs = minhash_signatures_wide(corpus, num_hashes=16, shingles=sh)
-    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, wide=True)
-    verified = jaccard_pairs(
-        corpus, threshold=0.5, restrict_pairs=cands, shingles=sh
-    ).select("a", "b")
-    cc = connected_components(verified)
+    cc = connected_components(_verified_pairs(spark, sf_dir))
     q = corpus.select(
         F.col("doc_id").alias("id"), F.round(quality_score("text"), ROUND).alias("quality")
     )
@@ -1327,10 +1334,14 @@ casgn AS (SELECT vec_id, v, cc FROM (
            row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(a.v, c.cv), c.cc) AS rn
     FROM {src} a, coarse c
 ) WHERE rn = 1),
-fasgn AS (SELECT vec_id, v, fcluster AS cluster FROM (
-    SELECT a.vec_id, a.v, f.fcluster,
+fasgn AS (SELECT vec_id, v, COALESCE(fcluster, cc * 4294967296) AS cluster FROM (
+    -- LEFT join + COALESCE so a coarse cell with no trained fine centroids
+    -- falls back to the fused coarse*CLUSTER_STRIDE cluster, matching
+    -- assign_cells_two_level's empty-fine fallback (an inner join would
+    -- silently DROP those rows and diverge from the Spark twin)
+    SELECT a.vec_id, a.v, a.cc, f.fcluster,
            row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(a.v, f.fv), f.fcluster) AS rn
-    FROM casgn a JOIN fine f ON f.fcoarse = a.cc
+    FROM casgn a LEFT JOIN fine f ON f.fcoarse = a.cc
 ) WHERE rn = 1)"""
 
 
@@ -1439,13 +1450,7 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tok AS (SELECT doc_id, source, text, {TOKS} AS toks FROM documents),
 scored AS (
     SELECT doc_id, source,
-           ROUND(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
-           + least(CASE WHEN len(toks) > 0
-                        THEN CAST(len(list_filter(toks, x -> list_contains({STOPWORDS['en']}, x))) AS DOUBLE) / len(toks)
-                        ELSE 0.0 END * 3.0, 1.0) * 0.3
-           + (CASE WHEN length(text) > 0
-                   THEN 1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9_\\s]', '', 'g')) AS DOUBLE) / length(text)
-                   ELSE 1.0 END) * 0.3, {ROUND}) AS quality
+           ROUND({_duck_quality_expr("text", "toks")}, {ROUND}) AS quality
     FROM tok
 ),
 ranked AS (
