@@ -42,7 +42,7 @@ SHOW = [
     ("retention_cohorts", "distinct(user,day) shuffle reused co-partitioned by the first-day self-join"),
     ("top_docs_per_lang", "grouped top-k: WindowGroupLimit forwards <=3 rows per lang per partition"),
     ("knn_ivf_filtered", "metadata predicate below the probe join — filter-then-rank inside the probed cells"),
-    ("late_interaction_maxsim", "multi-vector MaxSim: broadcast query tokens, two partial-combining aggregates (max per qt x doc, sum per q x doc)"),
+    ("late_interaction_maxsim", "multi-vector MaxSim: map-only Arrow-batch partial-max GEMM (per-batch map-side combine, shuffle O(docs x tokens)), then global max + sum aggregates"),
     ("quality_model_score", "model-based quality filter: trained coefficients folded into one literal sigmoid projection — a pure map-side scoring scan, no shuffle"),
     ("domain_weights_temperature", "alpha-smoothed domain weights: one source-keyed count shuffle + 1-row broadcast normalizers"),
     ("token_budget_sample", "per-source running-sum window: one shuffle on source, partition-local cumulative pass"),
