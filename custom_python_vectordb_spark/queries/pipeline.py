@@ -1446,6 +1446,70 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_topics_oracle() -> str | None:
+    cte = _two_level_cte("src")
+    if cte is None:
+        return None
+    return f"""
+WITH src AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+{cte},
+terms AS (
+    SELECT f.cluster, unnest({TOKS}) AS term
+    FROM fasgn f JOIN documents d ON d.doc_id = f.vec_id
+),
+counts AS (SELECT cluster, term, COUNT(*) AS cnt FROM terms GROUP BY cluster, term),
+ranked AS (
+    SELECT cluster, term, cnt,
+           row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, term) AS rn
+    FROM counts
+)
+SELECT cluster, term, cnt FROM ranked WHERE rn <= 3
+ORDER BY cluster, cnt DESC, term
+"""
+
+
+@query("cluster_topics", _cluster_topics_oracle, oracle_sf="sf0.01")
+def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster annotation: the top-3 terms of the documents living in
+    each trained embedding cell — the 'what is actually IN this cluster'
+    readout a curator runs after semantic dedup / balancing to audit
+    cluster composition (and to spot cells that collapse to boilerplate).
+    Joins the two modalities on the shared id (vec_id = doc_id in the
+    fixture corpus); trained cells come from the same ingest memo as
+    `semdedup_keep`/`cluster_balanced_sample`.
+
+    100 TB shape: the semdedup assignment plan + one broadcast-or-keyed
+    join to the documents table + a tokenize/explode into a map-side-
+    combined (cluster, term) count; top-3 per cluster is a
+    WindowGroupLimit rank over the (small) per-cluster term counts."""
+    from custom_python_vectordb_spark.operators.similarity import (
+        assign_cells_two_level,
+    )
+    from custom_python_vectordb_spark.operators.topk import top_k_per_group
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    coarse_df, fine_df = _semdedup_centroids(spark, emb.unionByName(dupes), sf_dir)
+    assigned = assign_cells_two_level(emb, coarse_df, fine_df).select(
+        "vec_id", "cluster"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = assigned.join(docs, assigned.vec_id == docs.doc_id).select(
+        "cluster", F.explode(tokenize("text")).alias("term")
+    )
+    counts = terms.groupBy("cluster", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    top = top_k_per_group(
+        counts, "cluster", 3, F.col("cnt").desc(), F.col("term").asc()
+    )
+    return top.select("cluster", "term", "cnt").orderBy(
+        "cluster", F.col("cnt").desc(), "term"
+    )
+
+
 @query("source_quality_cut", f"""
 WITH tok AS (SELECT doc_id, source, text, {TOKS} AS toks FROM documents),
 scored AS (
