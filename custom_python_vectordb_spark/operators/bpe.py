@@ -208,8 +208,13 @@ def encode_udf(text_col, merges: list[tuple[int, str, str, int]]) -> F.Column:
     # the word cache lives in the CLOSURE, not the udf body: each worker
     # process deserializes its own dict once and keeps it across Arrow
     # batches for the task's lifetime — a body-local dict would re-pay the
-    # K-deep merge loop per batch for every already-seen word (r8 review)
+    # K-deep merge loop per batch for every already-seen word (r8 review).
+    # Bounded: a high-cardinality corpus (random tokens, multilingual)
+    # would otherwise grow it without limit per worker; clearing at the
+    # cap keeps the hit-rate benefit (natural text repeats words within
+    # a batch far more than 256K distinct forms).
     cache: dict[str, list[str]] = {}
+    cache_cap = 262144
 
     @pandas_udf("array<string>")
     def encode(texts: pd.Series) -> pd.Series:
@@ -227,6 +232,8 @@ def encode_udf(text_col, merges: list[tuple[int, str, str, int]]) -> F.Column:
                         else:
                             out.append(s)
                     syms = out
+                if len(cache) >= cache_cap:
+                    cache.clear()
                 cache[w] = toks = syms
             return toks
 

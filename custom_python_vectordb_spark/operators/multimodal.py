@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 # carries <locals>: cloudpickle then serializes them BY VALUE when a worker
 # closure captures them. Module-level defs would pickle by reference and die
 # with ModuleNotFoundError on workers that don't have this repo on their
-# PYTHONPATH (exactly how the round driver runs — see .claude/skills/verify).
+# PYTHONPATH (any deployment that submits the job without shipping the wheel).
 
 
 def _codec_fns():

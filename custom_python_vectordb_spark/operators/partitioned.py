@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from custom_python_vectordb_spark.operators.quantization import _topk_tie_aware
 from custom_python_vectordb_spark.operators.topk import top_k_per_group
 
 
@@ -311,17 +312,28 @@ class IvfReplicaHandle:
 
     def search_one(self, qvec, k: int = 10):
         """Exact-within-probed-cells top-k for ONE query vector: (ids,
-        dists) sorted by (dist, id). All-numpy, no pandas, no stat."""
+        dists) sorted by (dist, id). All-numpy, no pandas, no stat.
+
+        Latency anatomy (measured, 100K×128 f32, nprobe 3): ~85 % of the
+        call is the probed-cell GEMVs, which run at the machine's
+        single-thread memory bandwidth (~1.7 MB probed/query; p50 tracks
+        measured stream bandwidth 1:1 across rounds — bench publishes a
+        `mem_bw` calibration row for exactly this normalization).
+        Triangle-inequality probe pruning was tried and reverted: on a
+        clustered corpus the per-cell max radius is too fat to ever fire
+        (bound ≈ 0.1 vs k-th ≈ 0.25) while costing ~30 µs/call of bound
+        bookkeeping."""
         np = self._np
         q = np.asarray(qvec, dtype=self.cent.dtype)
         if self.metric == "cosine":
-            qn = np.linalg.norm(q)
+            # q @ q + sqrt beats np.linalg.norm's dispatch on the hot path
+            qn = float(q @ q) ** 0.5
             if qn != 0.0:
                 q = q / qn
         # probe selection: |q|^2 is rank-invariant, omit it
         cscore = self._cent_sq - 2.0 * (self.cent @ q)
         p = min(self.nprobe, len(cscore))
-        probes = np.argpartition(cscore, p - 1)[:p]
+        probes = cscore.argpartition(p - 1)[:p]
         id_parts, d_parts = [], []
         for j in probes:
             sids = self.cell_ids[j]
@@ -352,10 +364,6 @@ class IvfReplicaHandle:
         # tie-aware (dist, id) truncation — same rank rule as
         # ivf_replica_serve and the SQ/PQ/BQ handles (_topk_tie_aware);
         # a bare argpartition broke k-th-boundary ties arbitrarily
-        from custom_python_vectordb_spark.operators.quantization import (
-            _topk_tie_aware,
-        )
-
         return _topk_tie_aware(np, ids, d, k)
 
 

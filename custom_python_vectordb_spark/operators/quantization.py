@@ -913,15 +913,25 @@ def pq_replica_serve(
 
 
 def _topk_tie_aware(np, ids, d, k: int):
-    """(ids, dists) of the k smallest by (dist, id): widen the
-    argpartition boundary to every row at or below the k-th value so
-    distance ties break by id deterministically, then one small lexsort."""
+    """(ids, dists) of the k smallest by (dist, id): distance ties break
+    by id deterministically. Partitioning at both m-1 and m puts the k-th
+    and (k+1)-th order statistics in sorted position, so the common
+    no-boundary-tie case needs only an m-element lexsort; only when the
+    boundary actually ties does the full widening pass
+    (``d <= kth`` scan) run."""
     n = len(ids)
     m = min(k, n)
     if m < n:
-        part = np.argpartition(d, m - 1)[:m]
-        cand = np.nonzero(d <= d[part].max())[0]
-        ids, d = ids[cand], d[cand]
+        # ONE introselect pass at m: positions [:m] hold the m smallest,
+        # position m is the (m+1)-th order statistic in sorted place
+        idx = d.argpartition(m)
+        head = idx[:m]
+        kth = d[head].max()
+        if d[idx[m]] > kth:
+            sel = head
+        else:
+            sel = np.nonzero(d <= kth)[0]
+        ids, d = ids[sel], d[sel]
     order = np.lexsort((ids, d))[:m]
     return ids[order], d[order].astype(np.float64)
 

@@ -409,24 +409,32 @@ def _make_lloyd():
     # worker closure (train_group below) captures it — a plain module-level
     # def would pickle by reference and die with ModuleNotFoundError on
     # executors that can't import this repo (the sys.path-injection gotcha).
-    def lloyd_kmeans(np, mat, k: int, iters: int = 8):
+    def lloyd_kmeans(np, mat, k: int, iters: int = 8, chunk: int = 8192):
         """Deterministic Lloyd k-means on an id-SORTED row matrix: init =
         rows at evenly spaced positions (spread over the sorted sample, no
         RNG), assignment argmin L2 with ties to the lowest centroid index,
         means recomputed in row order; an emptied centroid keeps its
         previous value. Pure-NumPy and order-deterministic, so retraining
         reproduces the frozen snapshot bit-for-bit (the `_pq_snapshot.py`
-        discipline)."""
+        discipline). The assignment d2 matrix is computed in `chunk`-row
+        windows so peak memory is O(chunk·k), not O(n·k) — at a 1e9-row
+        corpus the driver-side coarse call would otherwise hold a ~2 GB
+        sample×√k float64 block per iteration."""
         n = len(mat)
         k = max(1, min(k, n))
         cents = mat[(np.arange(k, dtype=np.int64) * n) // k].astype(np.float64).copy()
+        row_sq = (mat * mat).sum(1)
+        asgn = np.empty(n, dtype=np.int64)
         for _ in range(iters):
-            d2 = (
-                (mat * mat).sum(1)[:, None]
-                - 2.0 * (mat @ cents.T)
-                + (cents * cents).sum(1)[None, :]
-            )
-            asgn = d2.argmin(1)
+            c_sq = (cents * cents).sum(1)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                d2 = (
+                    row_sq[s:e, None]
+                    - 2.0 * (mat[s:e] @ cents.T)
+                    + c_sq[None, :]
+                )
+                asgn[s:e] = d2.argmin(1)
             for j in range(k):
                 members = mat[asgn == j]
                 if len(members):
@@ -505,7 +513,9 @@ def train_semdedup_centroids(
     coarse_df = local_df(spark, coarse_rows, "cluster int, cvec array<double>")
     # persisted: both the sizes aggregate and the training sample below
     # consume it — without this the corpus-wide coarse GEMM runs twice per
-    # training (evictable MEMORY_AND_DISK, ingest-time only)
+    # training. Released (unpersist) at function exit once fine_df is
+    # materialized, so ingest-time training never retains a corpus-scale
+    # cache entry for the session lifetime.
     assigned = assign_cells_gemm(
         corpus, coarse_df, id_col, vec_col, out_col="coarse"
     ).persist()
@@ -526,7 +536,19 @@ def train_semdedup_centroids(
 
         pdf = pdf.sort_values(id_c)
         if len(pdf) > cap_c:
-            pdf = pdf.iloc[:cap_c]
+            # cap by HASH order (splitmix64 of id), not id order: an
+            # id-prefix truncation would train the fine centroids on a
+            # biased (id-correlated) subsample. Deterministic, and the
+            # kept rows are restored to id order for Lloyd.
+            h = pdf[id_c].to_numpy(dtype=_np.int64).astype(_np.uint64)
+            h = h + _np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> _np.uint64(30)
+            h *= _np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> _np.uint64(27)
+            h *= _np.uint64(0x94D049BB133111EB)
+            h ^= h >> _np.uint64(31)
+            keep = _np.sort(_np.argsort(h, kind="stable")[:cap_c])
+            pdf = pdf.iloc[keep]
         cell_n = int(pdf["__cell_n"].iloc[0])
         coarse_id = int(pdf["coarse"].iloc[0])
         f = max(1, min(_math.ceil(cell_n / target_c), len(pdf)))
@@ -543,7 +565,12 @@ def train_semdedup_centroids(
 
     fine_df = gsample.groupBy("coarse").applyInPandas(
         train_group, schema="coarse int, cluster long, cvec array<double>"
-    )
+    ).persist()
+    # materialize the trained centroids (O(k) rows — the index itself)
+    # so the corpus-scale coarse-assignment cache can be released NOW
+    # instead of lingering for the session lifetime
+    fine_df.count()
+    assigned.unpersist()
     return coarse_rows, fine_df
 
 
