@@ -411,3 +411,72 @@ def embedding_neardup_lsh_topk(
         "a", "b", cosine_similarity("va", "vb").alias("sim")
     )
     return scored.orderBy(F.col("sim").desc(), "a", "b").limit(k)
+
+
+def perceptual_hash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    band_prefix: str = "dh",
+    n_bands: int = 4,
+    extra_prefixes: tuple = (),
+) -> DataFrame:
+    """(a, b, {band_prefix}amming[, extras...]) near-duplicate image pairs
+    from banded perceptual-hash signatures (`operators/multimodal
+    .image_perceptual_hashes`): candidates = pairs agreeing EXACTLY on
+    ≥1 of the `n_bands` 16-bit bands (pigeonhole: two 64-bit signatures
+    within max_hamming ≤ n_bands − 1 MUST share a band, so the candidate
+    set provably contains every qualifying pair), verified with the exact
+    Hamming distance Σ bit_count(xor(band_a, band_b)). `extra_prefixes`
+    adds the exact Hamming of further signature families (e.g. aHash)
+    computed on the SAME verified pairs — one decode pass feeds both.
+
+    100 TB shape: the self-join is an equi-join on (band, value) — cost
+    Σ|bucket|², never all-pairs; signatures are 8 small ints per image, so
+    the join input is O(corpus), not O(pixels). Skewed buckets (constant
+    images) salt like any hot key; at web scale widen bands to 32 bits.
+    """
+    bcols = [f"{band_prefix}{i}" for i in range(n_bands)]
+    sig = hashes.select(id_col, *bcols, *[
+        f"{p}{i}" for p in extra_prefixes for i in range(n_bands)
+    ])
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(c).alias("val"))
+                for i, c in enumerate(bcols)
+            ])
+        ).alias("bv"),
+    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    la = banded.select(F.col(id_col).alias("a"), "band", "val")
+    lb = banded.select(F.col(id_col).alias("b"), "band", "val")
+    cands = (
+        la.join(lb, ["band", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+    def _ham(prefix: str):
+        expr = None
+        for i in range(n_bands):
+            t = F.bit_count(
+                F.col(f"l.{prefix}{i}").bitwiseXOR(F.col(f"r.{prefix}{i}"))
+            )
+            expr = t if expr is None else expr + t
+        return expr.cast("long")
+
+    l = sig.alias("l")
+    r = sig.alias("r")
+    joined = (
+        cands.join(l, cands["a"] == F.col(f"l.{id_col}"))
+        .join(r, cands["b"] == F.col(f"r.{id_col}"))
+    )
+    out = joined.select(
+        "a",
+        "b",
+        _ham(band_prefix).alias(f"{band_prefix}amming"),
+        *[_ham(p).alias(f"{p}amming") for p in extra_prefixes],
+    )
+    return out.filter(F.col(f"{band_prefix}amming") <= max_hamming)

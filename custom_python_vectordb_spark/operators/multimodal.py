@@ -94,6 +94,28 @@ def _codec_fns():
             px = px[::-1]
         return w, h, 3, px
 
+    def encode_bmp(arr) -> bytes:
+        """(h, w, 3) uint8 RGB array → uncompressed 24bpp
+        BITMAPINFOHEADER BMP (bottom-up rows, BGR, 4-byte row padding) —
+        the exact shape decode_bmp parses, so BMP round-trips losslessly
+        like PPM/PNG do."""
+        import struct
+
+        import numpy as np
+
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
+        h, w = arr.shape[0], arr.shape[1]
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+        data = rows.tobytes()
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        )
+        return header + data
+
     def encode_png(arr) -> bytes:
         """uint8 array (h, w[, ch]) → PNG (8-bit, filter 0 per row) —
         stdlib zlib + CRC only, no PIL."""
@@ -438,13 +460,13 @@ def _codec_fns():
         return nch, rate, nframes, nframes / rate if rate else 0.0, rms
 
     return (
-        encode_ppm, decode_ppm, decode_bmp, decode_wav,
+        encode_ppm, decode_ppm, encode_bmp, decode_bmp, decode_wav,
         encode_png, decode_png, encode_gif, decode_gif,
     )
 
 
 (
-    encode_ppm, decode_ppm, decode_bmp, decode_wav,
+    encode_ppm, decode_ppm, encode_bmp, decode_bmp, decode_wav,
     encode_png, decode_png, encode_gif, decode_gif,
 ) = _codec_fns()
 
@@ -739,4 +761,86 @@ def media_features(media: DataFrame, dimensions: int = 64, id_col: str = "doc_id
 
     return media.select(
         F.col(id_col), mock_embedder_udf(dimensions)(F.md5("media")).alias("features")
+    )
+
+
+def image_perceptual_hashes(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual image hashes over REAL decoded pixels (PPM/BMP/PNG
+    sniffed per row) → (id, dh0..dh3, ah0..ah3): the dHash and aHash
+    64-bit signatures, each emitted as four 16-bit band integers so the
+    banded Hamming join (`operators/dedup.perceptual_hash_pairs`) is a
+    plain equi-join and the verify is `bit_count(xor(...))` per band —
+    no 64-bit packing that a signed BIGINT oracle could not hold.
+
+    Integer-exact hash pipeline (every step floor/integer arithmetic so
+    the DuckDB oracle reproduces it bit-for-bit):
+
+    - gray1000 = 299·R + 587·G + 114·B per pixel (Rec.601 ×1000; for
+      gray / gray+alpha inputs channel 0 ×1000),
+    - box means over an R×C grid with boundaries floor(k·dim/G); when G
+      divides the dimension these are equal blocks, which makes the hash
+      EXACTLY invariant to lossless re-encoding (PPM↔BMP↔PNG) and to
+      integer nearest-neighbour upsampling — the planted-twin contract
+      the pytest asserts,
+    - dHash: 9×8 grid, bit(r,j) = mean[r][j+1] > mean[r][j] (64 bits),
+    - aHash: 8×8 grid, bit(r,c) = mean[r][c]·64 > Σmeans (64 bits).
+
+    100 TB shape: one map-only mapInPandas pass (decode + hash, no
+    shuffle); the pair join downstream is bucketed by band value. At
+    web-corpus scale widen the bands (e.g. 8×16-bit over 128-bit
+    signatures) to keep Σ|bucket|² linear. Reference analog: none — the
+    reference has no image surface at all; this is pipeline-mandate
+    surface (LAION-style image dedup)."""
+    _ppm, _bmp, _png = decode_ppm, decode_bmp, decode_png  # by-value pickle
+
+    def hashes(batches):
+        import numpy as np
+        import pandas as pd
+
+        def box_means(gray1000, R, C):
+            h, w = gray1000.shape
+            rb = [(k * h) // R for k in range(R + 1)]
+            cb = [(k * w) // C for k in range(C + 1)]
+            sums = np.add.reduceat(
+                np.add.reduceat(gray1000, rb[:-1], axis=0), cb[:-1], axis=1
+            )
+            npx = np.outer(np.diff(rb), np.diff(cb))
+            return sums // npx
+
+        def bands(bits):
+            w16 = 1 << np.arange(16, dtype=np.int64)
+            return [int((bits[i * 16 : (i + 1) * 16] * w16).sum()) for i in range(4)]
+
+        cols = [id_col, "dh0", "dh1", "dh2", "dh3", "ah0", "ah1", "ah2", "ah3"]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for i, buf in zip(pdf[id_col], pdf["media"]):
+                buf = bytes(buf or b"")
+                if buf.startswith(b"P6"):
+                    w, h, c, px = _ppm(buf)
+                elif buf.startswith(b"BM"):
+                    w, h, c, px = _bmp(buf)
+                elif buf.startswith(b"\x89PNG\r\n\x1a\n"):
+                    w, h, c, px = _png(buf)
+                else:
+                    continue
+                if h < 8 or w < 9:
+                    continue  # smaller than the hash grid: no stable signature
+                p64 = px.astype(np.int64)
+                if c >= 3:
+                    gray = 299 * p64[:, :, 0] + 587 * p64[:, :, 1] + 114 * p64[:, :, 2]
+                else:
+                    gray = 1000 * p64[:, :, 0]
+                d = box_means(gray, 8, 9)
+                dbits = (d[:, 1:] > d[:, :-1]).astype(np.int64).ravel()
+                a = box_means(gray, 8, 8)
+                abits = (a * 64 > a.sum()).astype(np.int64).ravel()
+                for k, v in zip(cols, [i, *bands(dbits), *bands(abits)]):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "media").mapInPandas(
+        hashes,
+        schema=f"{id_col} long, dh0 long, dh1 long, dh2 long, dh3 long, "
+               "ah0 long, ah1 long, ah2 long, ah3 long",
     )

@@ -184,3 +184,165 @@ def media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "frame_idx", "n_total_frames", "width", "height",
         (F.round("mean_luma", 6) + F.lit(0.0)).alias("mean_luma"),
     )
+
+
+def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL-image corpus + planted perceptual twins.
+
+    Base: one 72×16 grayscale-RGB image per document, luma
+    v(doc,y,x) = ((m·m) // 65536) mod 256 with
+    m = (doc·73856093 + y·19349663 + x·83492791) mod 2³¹ — the
+    middle-square step decorrelates documents (a purely affine field mod
+    256 made every doc a constant shift of every other, so dHash paired
+    everything; measured min distinct-pair hamming is 6 at 5010 docs,
+    mean 32). Encoded round-robin PPM/BMP/PNG by doc_id%3 (all three
+    REAL encoders); every product stays below 2⁶³ so the oracle's BIGINT
+    arithmetic is exact.
+    Twins: docs 0-9 re-appear as doc_id+20000, nearest-neighbour 2×
+    upsampled (144×32) AND re-encoded in a DIFFERENT codec — the planted
+    positives a perceptual dedup must pair (re-encode + resize) while
+    distinct images must not. 72 and 16 are divisible by both hash grids
+    (9×8 and 8×8), so the box means are equal-block and the twin hashes
+    are EXACTLY equal (see image_perceptual_hashes).
+
+    The pixel function is pure integer arithmetic of (doc, y, x), so the
+    DuckDB oracle regenerates the pixels itself: any bug in the PPM/BMP/
+    PNG encoder or decoder (the payload round-trip Spark takes but the
+    oracle does not) perturbs the hashes and fails the value-hash gate —
+    codec verification through the driver, not just pytest."""
+    from custom_python_vectordb_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    _ppm, _bmp, _png = encode_ppm, encode_bmp, encode_png  # by-value pickle
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        H, W = 16, 72
+        yy, xx = np.mgrid[0:H, 0:W]
+        encs = [_ppm, _bmp, _png]
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                m = (i * 73856093 + yy * 19349663 + xx * 83492791) % 2147483648
+                v = (((m * m) // 65536) % 256).astype(np.uint8)
+                px = np.repeat(v[:, :, None], 3, axis=2)
+                out["doc_id"].append(i)
+                out["media"].append(encs[i % 3](px))
+                if i < 10:  # planted twin: 2x NN upsample + codec swap
+                    tw = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+                    out["doc_id"].append(i + 20000)
+                    out["media"].append(encs[(i + 1) % 3](tw))
+            yield pd.DataFrame(out)
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(gen, schema="doc_id long, media binary")
+    )
+
+
+_DUCK_PHASH = """
+WITH ids AS (SELECT doc_id FROM documents),
+imgs AS (
+    SELECT doc_id AS img_id, doc_id AS src, 16 AS h, 72 AS w, 1 AS s FROM ids
+    UNION ALL
+    SELECT doc_id + 20000, doc_id, 32, 144, 2 FROM ids WHERE doc_id < 10
+),
+pxm AS (
+    SELECT i.img_id, y.y, x.x, i.h, i.w,
+           (CAST(i.src AS BIGINT) * 73856093
+            + CAST(y.y // i.s AS BIGINT) * 19349663
+            + CAST(x.x // i.s AS BIGINT) * 83492791) % 2147483648 AS m
+    FROM imgs i
+    JOIN (SELECT unnest(range(32)) AS y) y ON y.y < i.h
+    JOIN (SELECT unnest(range(144)) AS x) x ON x.x < i.w
+),
+px AS (
+    SELECT img_id, y, x, h, w, ((m * m) // 65536) % 256 AS v FROM pxm
+),
+d9 AS (
+    SELECT img_id, (y * 8) // h AS r, (x * 9) // w AS c,
+           (1000 * SUM(v)) // COUNT(*) AS m
+    FROM px GROUP BY img_id, (y * 8) // h, (x * 9) // w
+),
+dbits AS (
+    SELECT img_id, r * 8 + c AS k,
+           CASE WHEN lead(m) OVER (PARTITION BY img_id, r ORDER BY c) > m
+                THEN 1 ELSE 0 END AS bit
+    FROM d9 QUALIFY c < 8
+),
+dsig AS (
+    SELECT img_id, k // 16 AS band,
+           CAST(SUM(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS val
+    FROM dbits GROUP BY img_id, k // 16
+),
+a8 AS (
+    SELECT img_id, (y * 8) // h AS r, (x * 8) // w AS c,
+           (1000 * SUM(v)) // COUNT(*) AS m
+    FROM px GROUP BY img_id, (y * 8) // h, (x * 8) // w
+),
+atot AS (SELECT img_id, SUM(m) AS tot FROM a8 GROUP BY img_id),
+abits AS (
+    SELECT a8.img_id, r * 8 + c AS k,
+           CASE WHEN m * 64 > tot THEN 1 ELSE 0 END AS bit
+    FROM a8 JOIN atot ON atot.img_id = a8.img_id
+),
+asig AS (
+    SELECT img_id, k // 16 AS band,
+           CAST(SUM(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS val
+    FROM abits GROUP BY img_id, k // 16
+),
+cand AS (
+    SELECT DISTINCT l.img_id AS a, r.img_id AS b
+    FROM dsig l JOIN dsig r ON l.band = r.band AND l.val = r.val
+    WHERE l.img_id < r.img_id
+),
+dham AS (
+    SELECT c.a, c.b, CAST(SUM(bit_count(xor(la.val, lb.val))) AS BIGINT) AS dhamming
+    FROM cand c
+    JOIN dsig la ON la.img_id = c.a
+    JOIN dsig lb ON lb.img_id = c.b AND lb.band = la.band
+    GROUP BY c.a, c.b
+),
+aham AS (
+    SELECT c.a, c.b, CAST(SUM(bit_count(xor(la.val, lb.val))) AS BIGINT) AS ahamming
+    FROM cand c
+    JOIN asig la ON la.img_id = c.a
+    JOIN asig lb ON lb.img_id = c.b AND lb.band = la.band
+    GROUP BY c.a, c.b
+)
+SELECT d.a, d.b, d.dhamming, ah.ahamming
+FROM dham d JOIN aham ah ON ah.a = d.a AND ah.b = d.b
+WHERE d.dhamming <= 3
+"""
+
+
+@query("media_phash_pairs", _DUCK_PHASH)
+def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs over REAL pixels: generate the
+    image corpus with the real PPM/BMP/PNG encoders, decode every payload
+    back (format-sniffed), compute dHash + aHash as integer-exact banded
+    signatures, then banded Hamming join (pigeonhole-exact for
+    max_hamming=3) with exact bit_count verify — LAION-style image dedup,
+    the r8 VERDICT's top missing capability. The oracle regenerates the
+    pixel field from (doc, y, x) arithmetic and replays the entire hash
+    pipeline in SQL, so the Spark side's extra encode→decode round-trip
+    through all three codecs is exactly what the value-hash gate
+    verifies. Expected survivors: the 10 planted twins (re-encoded AND
+    2× upsampled; hamming 0) — plus any true hash collisions, which both
+    engines must agree on bit-for-bit."""
+    from custom_python_vectordb_spark.operators.dedup import perceptual_hash_pairs
+    from custom_python_vectordb_spark.operators.multimodal import (
+        image_perceptual_hashes,
+    )
+
+    hashes = image_perceptual_hashes(_image_corpus(spark, sf_dir))
+    return perceptual_hash_pairs(
+        hashes, max_hamming=3, band_prefix="dh", extra_prefixes=("ah",)
+    )

@@ -408,3 +408,81 @@ def test_gif_frames_snapshot_matches_recomputation(spark):
         for r in fn(spark, "/root/testdata/sf0.01").collect()
     )
     assert live == [tuple(r) for r in GIF_FRAMES_ROWS_SF001]
+
+
+# ------------------------------------------------------- perceptual hashing
+
+def _phash_img(doc, H=16, W=72):
+    yy, xx = np.mgrid[0:H, 0:W]
+    m = (doc * 73856093 + yy * 19349663 + xx * 83492791) % 2147483648
+    v = (((m * m) // 65536) % 256).astype(np.uint8)
+    return np.repeat(v[:, :, None], 3, axis=2)
+
+
+def test_encode_bmp_roundtrip_pure():
+    from custom_python_vectordb_spark.operators.multimodal import encode_bmp
+
+    rng = np.random.default_rng(3)
+    for h, w in ((16, 72), (5, 7), (1, 1), (3, 4)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        w2, h2, c, px2 = decode_bmp(encode_bmp(px))
+        assert (w2, h2, c) == (w, h, 3)
+        assert np.array_equal(px, px2)
+
+
+def test_perceptual_hash_planted_twins(spark):
+    """The planted-twin contract: the SAME image re-encoded in another
+    codec AND 2x nearest-neighbour upsampled must hash identically
+    (hamming 0 in both dHash and aHash); distinct images must stay far
+    (measured min distinct-pair hamming 6 at 5010 docs)."""
+    from custom_python_vectordb_spark.operators.dedup import perceptual_hash_pairs
+    from custom_python_vectordb_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        image_perceptual_hashes,
+    )
+
+    rows = []
+    encs = [encode_ppm, encode_bmp, encode_png]
+    for doc in range(12):
+        px = _phash_img(doc)
+        rows.append((doc, encs[doc % 3](px)))
+        if doc < 4:  # twins: codec swap + 2x upsample
+            tw = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+            rows.append((doc + 20000, encs[(doc + 1) % 3](tw)))
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    hashes = image_perceptual_hashes(media)
+    pairs = perceptual_hash_pairs(
+        hashes, max_hamming=3, extra_prefixes=("ah",)
+    ).collect()
+    got = {(r["a"], r["b"]): (r["dhamming"], r["ahamming"]) for r in pairs}
+    assert got == {(d, d + 20000): (0, 0) for d in range(4)}
+    # signatures themselves: twin equals base band-for-band
+    hpd = {r["doc_id"]: r for r in hashes.collect()}
+    for d in range(4):
+        for c in ("dh0", "dh1", "dh2", "dh3", "ah0", "ah1", "ah2", "ah3"):
+            assert hpd[d][c] == hpd[d + 20000][c]
+
+
+def test_perceptual_hash_rejects_edits(spark):
+    """A genuinely different image (one block's luma flipped) must NOT
+    pair at max_hamming=3, and non-image payloads are skipped."""
+    from custom_python_vectordb_spark.operators.dedup import perceptual_hash_pairs
+    from custom_python_vectordb_spark.operators.multimodal import (
+        encode_ppm,
+        image_perceptual_hashes,
+    )
+
+    base = _phash_img(7)
+    edited = base.copy()
+    edited[:, :36] = 255 - edited[:, :36]  # invert half the image
+    rows = [
+        (1, bytearray(encode_ppm(base))),
+        (2, bytearray(encode_ppm(edited))),
+        (3, b"not an image at all"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    hashes = image_perceptual_hashes(media)
+    assert {r["doc_id"] for r in hashes.collect()} == {1, 2}
+    assert perceptual_hash_pairs(hashes, max_hamming=3).count() == 0
