@@ -346,3 +346,66 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_hash_pairs(
         hashes, max_hamming=3, band_prefix="dh", extra_prefixes=("ah",)
     )
+
+
+def _jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG twin of `_image_corpus`'s base images: the same deterministic
+    72×16 middle-square pixel field, encoded with the pure-NumPy baseline
+    JPEG encoder at quality 75 — real DCT quantization loss, so the only
+    way to reproduce the decoded lumas is to run a CORRECT baseline JPEG
+    decoder over a correct encoder's bytes (the frozen-luma snapshot
+    oracle's whole point)."""
+    from custom_python_vectordb_spark.operators.multimodal import encode_jpeg
+
+    _enc = encode_jpeg  # closure cell → pickled by value
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        H, W = 16, 72
+        yy, xx = np.mgrid[0:H, 0:W]
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                m = (i * 73856093 + yy * 19349663 + xx * 83492791) % 2147483648
+                v = (((m * m) // 65536) % 256).astype(np.uint8)
+                px = np.repeat(v[:, :, None], 3, axis=2)
+                out["doc_id"].append(i)
+                out["media"].append(_enc(px, quality=75))
+            yield pd.DataFrame(out)
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(gen, schema="doc_id long, media binary")
+    )
+
+
+def _jpeg_snapshot_oracle():
+    from custom_python_vectordb_spark.queries._jpeg_snapshot import (
+        jpeg_luma_oracle_sql,
+    )
+
+    return jpeg_luma_oracle_sql()
+
+
+@query("media_jpeg_luma", _jpeg_snapshot_oracle, oracle_sf="sf0.01")
+def media_jpeg_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pipeline, driver-checked end to end: encode the
+    deterministic pixel field as JFIF (pure-NumPy DCT + Huffman), decode
+    it back through the format-sniffing decode_images path, emit per-doc
+    Rec.601 mean luma over the DEQUANTIZED pixels. Encode and decode are
+    both bit-deterministic, so the sf0.01 rows freeze as a snapshot
+    oracle (queries/_jpeg_snapshot.py, the media_gif_frames pattern) and
+    the JPEG codec is verified by the driver gate itself. The luma
+    differs from the lossless field's by the quantization error — a
+    value no shortcut around the DCT path reproduces."""
+    from custom_python_vectordb_spark.operators.multimodal import decode_images
+
+    out = decode_images(_jpeg_corpus(spark, sf_dir))
+    return out.select(
+        "doc_id", "codec", "width", "height", "channels",
+        (F.round("mean_luma", 6) + F.lit(0.0)).alias("mean_luma"),
+    )

@@ -486,3 +486,216 @@ def test_perceptual_hash_rejects_edits(spark):
     hashes = image_perceptual_hashes(media)
     assert {r["doc_id"] for r in hashes.collect()} == {1, 2}
     assert perceptual_hash_pairs(hashes, max_hamming=3).count() == 0
+
+
+# ------------------------------------------------------------ baseline JPEG
+
+def _psnr(a, b):
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_roundtrip_psnr_and_determinism():
+    from custom_python_vectordb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:72]
+    smooth = np.stack([(xx * 3) % 256, (yy * 9) % 256, ((xx + yy) * 2) % 256], 2).astype(np.uint8)
+    buf = encode_jpeg(smooth, quality=90)
+    w, h, c, px = decode_jpeg(buf)
+    assert (w, h, c) == (72, 16, 3)
+    assert _psnr(smooth, px) > 40.0
+    # flat blocks survive quantization exactly
+    flat = np.full((24, 40, 3), 77, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 90))[3], flat)
+    # non-multiple-of-8 dims (edge-padded blocks) + grayscale
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, (17, 23, 3), np.uint8)
+    w, h, c, px = decode_jpeg(encode_jpeg(noise, 95))
+    assert (w, h, c) == (23, 17, 3) and _psnr(noise, px) > 25.0
+    g = ((yy * 5 + xx * 2) % 256).astype(np.uint8)
+    w, h, c, px = decode_jpeg(encode_jpeg(g, 85))
+    assert (w, h, c) == (72, 16, 1) and _psnr(g, px[:, :, 0]) > 40.0
+    # bit-stable: same bytes in, same bytes/pixels out
+    assert encode_jpeg(smooth, 90) == encode_jpeg(smooth, 90)
+    assert np.array_equal(decode_jpeg(buf)[3], decode_jpeg(buf)[3])
+
+
+def _dc_only_420_jpeg(y_dcs_per_mcu, cb_dc, cr_dc, w, h, dri=0):
+    """Hand-built 4:2:0 DC-only baseline JPEG (the 'minimal fixture' path):
+    every block is one DC coefficient + EOB, quant tables all 16, custom
+    2-entry Huffman tables written into DHT. With only the DC coefficient,
+    each 8x8 block decodes to the constant 128 + 2*dc (quant 16 x
+    orthonormal IDCT /8), which the test asserts pixel-exactly."""
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    zzvals = bytes([16] * 64)
+    # DC table: categories 0..5 at code length 3 (000..101); AC: EOB = '0'
+    dc_bits = [0, 0, 6] + [0] * 13
+    dc_vals = list(range(6))
+    ac_bits = [1] + [0] * 15
+    ac_vals = [0x00]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + zzvals)
+    # SOF0: Y 2x2 sampling, Cb/Cr 1x1, all quant table 0
+    out += seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+               + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    out += seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+    if dri:
+        out += seg(0xDD, struct.pack(">H", dri))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
+
+    bits = []
+
+    def put(code, ln):
+        bits.extend((code >> (ln - 1 - i)) & 1 for i in range(ln))
+
+    def put_dc(diff):
+        s = abs(diff).bit_length()
+        assert s <= 5
+        put(s, 3)  # category s has code s at length 3
+        if s:
+            put(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+    def flush():
+        while len(bits) % 8:
+            bits.append(1)
+        by = bytearray()
+        for i in range(0, len(bits), 8):
+            v = 0
+            for b in bits[i : i + 8]:
+                v = (v << 1) | b
+            by.append(v)
+            if v == 0xFF:
+                by.append(0x00)
+        bits.clear()
+        return bytes(by)
+
+    preds = {"y": 0, "cb": 0, "cr": 0}
+    n_mcus = len(y_dcs_per_mcu)
+    for mi, ydcs in enumerate(y_dcs_per_mcu):
+        if dri and mi and mi % dri == 0:
+            out += flush()
+            out += bytes([0xFF, 0xD0 + ((mi // dri - 1) % 8)])
+            preds = {"y": 0, "cb": 0, "cr": 0}
+        for d in ydcs:  # 4 Y blocks: TL TR BL BR
+            put_dc(d - preds["y"])
+            preds["y"] = d
+            put(0, 1)  # EOB
+        put_dc(cb_dc - preds["cb"])
+        preds["cb"] = cb_dc
+        put(0, 1)
+        put_dc(cr_dc - preds["cr"])
+        preds["cr"] = cr_dc
+        put(0, 1)
+    out += flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    """Hand-built 32x16 4:2:0 two-MCU stream with DRI=1 and an RST0
+    between MCUs: quadrant lumas and chroma must land pixel-exactly at
+    128 + 2*dc, chroma upsampled 2x to full res."""
+    from custom_python_vectordb_spark.operators.multimodal import decode_jpeg
+
+    mcu0, mcu1 = [4, 8, 12, 14], [2, 6, 10, 12]
+    buf = _dc_only_420_jpeg([mcu0, mcu1], cb_dc=0, cr_dc=0, w=32, h=16, dri=1)
+    w, h, c, px = decode_jpeg(buf)
+    assert (w, h, c) == (32, 16, 3)
+    # Cb=Cr=128 -> RGB == Y; Y quadrants per MCU (2x2 blocks of 8x8)
+    for mx, ydcs in enumerate((mcu0, mcu1)):
+        for bi, d in enumerate(ydcs):
+            by, bx = divmod(bi, 2)
+            block = px[by * 8 : by * 8 + 8, mx * 16 + bx * 8 : mx * 16 + bx * 8 + 8]
+            assert (block == 128 + 2 * d).all(), (mx, bi)
+    # chroma path: nonzero Cb shifts blue up, red down (one MCU, flat Y)
+    buf2 = _dc_only_420_jpeg([[0, 0, 0, 0]], cb_dc=8, cr_dc=0, w=16, h=16)
+    _, _, _, px2 = decode_jpeg(buf2)
+    assert (px2[:, :, 2].astype(int) - px2[:, :, 0].astype(int) > 20).all()
+    assert np.unique(px2[:, :, 2]).size == 1  # chroma constant over the MCU
+
+
+def test_jpeg_progressive_raises():
+    from custom_python_vectordb_spark.operators.multimodal import decode_jpeg
+
+    import struct
+
+    sof2 = (b"\xff\xd8" + bytes([0xFF, 0xC2]) + struct.pack(">H", 11)
+            + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(sof2)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"nope")
+
+
+def test_decode_images_sniffs_jpeg(spark):
+    from custom_python_vectordb_spark.operators.multimodal import (
+        decode_images,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    img = np.stack([(xx * 7) % 256, (yy * 11) % 256, ((xx * yy) % 256)], 2).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img, 90))), (2, b"not media")],
+        "doc_id long, media binary",
+    )
+    rows = decode_images(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["codec"], r["width"], r["height"], r["channels"]) == ("jpeg", 24, 16, 3)
+    true_luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]).mean()
+    assert abs(r["mean_luma"] - true_luma) < 3.0  # lossy, but close
+
+
+def test_perceptual_hash_survives_jpeg_reencode(spark):
+    """High-quality JPEG re-encode of a SMOOTH image must stay within the
+    dHash pairing threshold of its lossless original — the cross-codec
+    near-dup case perceptual hashing exists for (exact twins are the
+    lossless-codec test above)."""
+    from custom_python_vectordb_spark.operators.dedup import perceptual_hash_pairs
+    from custom_python_vectordb_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_png,
+        image_perceptual_hashes,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:72]
+    v = ((xx * 255) // 71).astype(np.uint8)  # smooth horizontal ramp
+    img = np.repeat(v[:, :, None], 3, axis=2)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(img))), (2, bytearray(encode_jpeg(img, 95)))],
+        "doc_id long, media binary",
+    )
+    pairs = perceptual_hash_pairs(
+        image_perceptual_hashes(media), max_hamming=3
+    ).collect()
+    assert len(pairs) == 1 and (pairs[0]["a"], pairs[0]["b"]) == (1, 2)
+
+
+def test_jpeg_luma_snapshot_matches_recomputation(spark):
+    """Frozen sf0.01 media_jpeg_luma rows (the snapshot oracle for the
+    whole JPEG encode->decode pipeline, quantization loss included) must
+    equal a live recomputation."""
+    from custom_python_vectordb_spark import registry
+    from custom_python_vectordb_spark.queries._jpeg_snapshot import (
+        JPEG_LUMA_ROWS_SF001,
+    )
+
+    registry.load_all()
+    fn = registry.QUERIES["media_jpeg_luma"].__wrapped__
+    live = sorted(
+        (int(r["doc_id"]), r["codec"], int(r["width"]), int(r["height"]),
+         int(r["channels"]), float(r["mean_luma"]))
+        for r in fn(spark, "/root/testdata/sf0.01").collect()
+    )
+    assert live == [tuple(r) for r in JPEG_LUMA_ROWS_SF001]
