@@ -238,12 +238,32 @@ def kcore_nodes(
     state dies with any executor, unrecoverable mid-peel on a cluster).
     `pre_deduped`: the input is ALREADY the distinct undirected (a, b)
     a<b pair set (e.g. a shared materialized edge view) — skip the
-    least/greatest/distinct normalization pass."""
+    least/greatest/distinct normalization pass.
+
+    DELTA PEELING (r9, VERDICT task #7): after the first round the
+    removal sets collapse (measured at sf0.1: round 0 removes the
+    degree-1/2 long tail, round 1 removes 3 nodes, round 2 removes 0),
+    so recomputing the full 2|E|-row degree aggregate per round pays the
+    whole graph for a handful of departures. Rounds whose removal set is
+    small (≤ `delta_threshold`) instead
+    - subtract per-survivor removed-neighbor counts from the RUNNING
+      degree table (deg_{r+1}(v) = deg_r(v) − |edges v→removed|, exact
+      integer arithmetic — identical to recomputing over e_{r+1}),
+    - filter the edge set with two BROADCAST anti-joins against the
+      removed set (map-only, no shuffle),
+    and a round that removes NOTHING ends the loop — every later round
+    of the unrolled oracle is then a provable no-op, so the emitted set
+    is still exactly the oracle's round-R set. Only the node-sized
+    degree table is checkpointed on delta rounds; the r7-measured
+    negative (anti-join vs the HUGE round-0 loser set being 2× slower)
+    is avoided by the threshold — round 0 keeps the semi-join shape."""
 
     def ckpt(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
             return _reliable_ckpt(df, checkpoint_dir)
         return df.localCheckpoint(eager=True)
+
+    delta_threshold = 200_000  # ~1.6 MB of longs — comfortably broadcastable
 
     if pre_deduped:
         cur = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -256,34 +276,64 @@ def kcore_nodes(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-    keep = None
-    for r in range(rounds):
-        deg = (
-            cur.select(F.col("a").alias("v"))
-            .unionAll(cur.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
+    deg = ckpt(
+        cur.select(F.col("a").alias("v"))
+        .unionAll(cur.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keep = deg.filter(F.col("d") >= k).select("v")
+    for r in range(rounds - 1):
+        removed = deg.filter(F.col("d") < k).select("v")
+        n_removed = removed.count()
+        if n_removed == 0:
+            break  # converged: every remaining oracle round is a no-op
+        if n_removed <= delta_threshold:
+            rem = ckpt(removed)  # tiny; pin before the three broadcasts
+            inc = (
+                cur.join(F.broadcast(rem.withColumnRenamed("v", "a")), "a")
+                .select(F.col("b").alias("v"))
+                .unionAll(
+                    cur.join(F.broadcast(rem.withColumnRenamed("v", "b")), "b")
+                    .select(F.col("a").alias("v"))
+                )
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("rm"))
+            )
+            deg = ckpt(
+                deg.filter(F.col("d") >= k)
+                .join(inc, "v", "left")
+                .select(
+                    "v",
+                    (F.col("d") - F.coalesce(F.col("rm"), F.lit(0))).alias("d"),
+                )
+            )
+            # map-only broadcast anti-joins; the edge set itself is NOT
+            # re-materialized on delta rounds (plan depth stays shallow —
+            # at most `rounds` stacked broadcast filters over the last
+            # checkpointed edge set)
+            cur = cur.join(
+                F.broadcast(rem.withColumnRenamed("v", "a")), "a", "left_anti"
+            ).join(F.broadcast(rem.withColumnRenamed("v", "b")), "b", "left_anti")
+        else:
+            # big removal set (round 0's degree-1/2 long tail): the r7
+            # measurement stands — semi-join on keepers + full recompute
+            # beats anti-joining a loser set this large. cur feeds the
+            # next degree union TWICE plus the next filter, so the
+            # uncached chain triples per round (measured 3.4 s at 3
+            # rounds → 77 s at 5); lazy persist() did NOT flatten this
+            # doubly-self-referencing shape, hence the EAGER checkpoint.
+            cur = ckpt(
+                cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+                .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            )
+            deg = ckpt(
+                cur.select(F.col("a").alias("v"))
+                .unionAll(cur.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
         keep = deg.filter(F.col("d") >= k).select("v")
-        if r == rounds - 1:
-            break  # round R emits keep_R (deg over e_{R-1}) — the oracle's kR
-        # cur feeds the next round's degree union TWICE plus the next edge
-        # filter, so the uncached chain triples per round (measured 3.4 s
-        # at 3 rounds → 77 s at 5). Unlike pagerank's linear rank chain,
-        # lazy persist() did NOT flatten this shape (per-round cost still
-        # ~4×'d with caches + eager counts — the doubly-self-referencing
-        # semi-join tree defeats cache substitution), so the peel uses an
-        # EAGER localCheckpoint per round: physically one-round-deep plans,
-        # one small job each (~2 s total at sf0.01), and nothing cached to
-        # leak afterwards.
-        # (Measured negative, r7: anti-joining the LOSERS (deg < k) instead
-        # — hoping AQE broadcasts the smaller side — is ~2× SLOWER at sf1
-        # (21 vs 11.6 s): on this graph the early-round loser sets are huge
-        # (degree-1/2 order/part nodes dominate), so the "small side" isn't.)
-        cur = ckpt(
-            cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
-            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
-        )
     return keep.select(F.col("v").alias("id"))
 
 
