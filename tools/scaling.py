@@ -89,6 +89,11 @@ QUERIES = [
     # round 8: per-cell capped subsampling (two-level assignment +
     # WindowGroupLimit per-cluster cap)
     ("cluster_balanced_sample", "embeddings"),
+    # round 9: perceptual image dedup (decode + dHash/aHash per doc image,
+    # banded Hamming self-join) and the baseline-JPEG encode→decode scan —
+    # both map-heavy codec paths whose data term is the documents axis
+    ("media_phash_pairs", "documents"),
+    ("media_jpeg_luma", "documents"),
 ]
 
 
