@@ -409,3 +409,65 @@ def media_jpeg_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "codec", "width", "height", "channels",
         (F.round("mean_luma", 6) + F.lit(0.0)).alias("mean_luma"),
     )
+
+
+_DUCK_IMGFEATS = """
+WITH ids AS (SELECT doc_id FROM documents),
+imgs AS (
+    SELECT doc_id AS img_id, doc_id AS src, 16 AS h, 72 AS w, 1 AS s FROM ids
+    UNION ALL
+    SELECT doc_id + 20000, doc_id, 32, 144, 2 FROM ids WHERE doc_id < 10
+),
+pxm AS (
+    SELECT i.img_id, y.y, x.x, i.h, i.w,
+           (CAST(i.src AS BIGINT) * 73856093
+            + CAST(y.y // i.s AS BIGINT) * 19349663
+            + CAST(x.x // i.s AS BIGINT) * 83492791) % 2147483648 AS m
+    FROM imgs i
+    JOIN (SELECT unnest(range(32)) AS y) y ON y.y < i.h
+    JOIN (SELECT unnest(range(144)) AS x) x ON x.x < i.w
+),
+px AS (
+    SELECT img_id, y, x, h, w, ((m * m) // 65536) % 256 AS v FROM pxm
+),
+g AS (
+    SELECT img_id, (y * 8) // h AS r, (x * 8) // w AS c,
+           (1000 * SUM(v)) // COUNT(*) AS m
+    FROM px GROUP BY img_id, (y * 8) // h, (x * 8) // w
+)
+SELECT img_id AS doc_id, 64 AS dim,
+       ROUND(MAX(CASE WHEN r = 0 AND c = 0 THEN m END) / 1000.0, 6) + 0.0 AS f0,
+       ROUND(MAX(CASE WHEN r = 3 AND c = 3 THEN m END) / 1000.0, 6) + 0.0 AS f27,
+       ROUND(MAX(CASE WHEN r = 7 AND c = 7 THEN m END) / 1000.0, 6) + 0.0 AS f63,
+       CAST(SUM(m) AS BIGINT) AS luma_total
+FROM g GROUP BY img_id
+"""
+
+
+@query("media_image_features", _DUCK_IMGFEATS)
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL visual features over the real-image corpus (closing the r8
+    'visual features are fake' gap alongside `media_phash_pairs`): each
+    image's 8×8 block-mean luma descriptor via `image_features` —
+    decode (format-sniffed through all three codecs) → integer-exact
+    grid means → float components. The oracle regenerates the pixels
+    from (doc, y, x) arithmetic and recomputes three fixed grid
+    components plus the order-independent INTEGER luma total, so the
+    codec round-trip and descriptor arithmetic are value-hash-verified
+    at every scale (no float-summation-order surface: the only sum is
+    over exact integers)."""
+    from custom_python_vectordb_spark.operators.multimodal import image_features
+
+    feats = image_features(_image_corpus(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        (F.round(F.element_at("features", 1), 6) + F.lit(0.0)).alias("f0"),
+        (F.round(F.element_at("features", 28), 6) + F.lit(0.0)).alias("f27"),
+        (F.round(F.element_at("features", 64), 6) + F.lit(0.0)).alias("f63"),
+        F.aggregate(
+            "features",
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.round(x * 1000).cast("long"),
+        ).alias("luma_total"),
+    )

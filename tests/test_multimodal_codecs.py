@@ -699,3 +699,33 @@ def test_jpeg_luma_snapshot_matches_recomputation(spark):
         for r in fn(spark, "/root/testdata/sf0.01").collect()
     )
     assert live == [tuple(r) for r in JPEG_LUMA_ROWS_SF001]
+
+
+def test_image_features_real_descriptor(spark):
+    """image_features must reflect actual pixel content: a bright image
+    yields higher grid means than a dark one, twins (re-encode + 2x
+    upsample) match exactly, and the descriptor feeds cosine math."""
+    from custom_python_vectordb_spark.operators.multimodal import (
+        encode_png,
+        encode_ppm,
+        image_features,
+    )
+
+    dark = np.full((16, 72, 3), 10, np.uint8)
+    bright = np.full((16, 72, 3), 240, np.uint8)
+    tex = _phash_img(5)
+    tex_twin = np.repeat(np.repeat(tex, 2, axis=0), 2, axis=1)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_ppm(dark))),
+            (2, bytearray(encode_ppm(bright))),
+            (3, bytearray(encode_ppm(tex))),
+            (4, bytearray(encode_png(tex_twin))),
+        ],
+        "doc_id long, media binary",
+    )
+    rows = {r["doc_id"]: r["features"] for r in image_features(media).collect()}
+    assert all(len(v) == 64 for v in rows.values())
+    assert max(rows[1]) < 11 and min(rows[2]) > 239
+    assert rows[3] == rows[4]  # integer-exact twin invariance
+    assert len(set(rows[3])) > 8  # textured image varies across the grid
