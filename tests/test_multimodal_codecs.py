@@ -729,3 +729,63 @@ def test_image_features_real_descriptor(spark):
     assert max(rows[1]) < 11 and min(rows[2]) > 239
     assert rows[3] == rows[4]  # integer-exact twin invariance
     assert len(set(rows[3])) > 8  # textured image varies across the grid
+
+
+def test_image_hash_index_incremental_converges(spark, tmp_path):
+    """The streaming image-hash index twin must converge to the batch
+    path's pair set over the union of all batches: twins split across
+    batches are found when the second member arrives, within-batch twins
+    by the same probe, and a batch REPLAY (crash recovery) leaves the
+    index unchanged."""
+    from custom_python_vectordb_spark.operators.dedup import perceptual_hash_pairs
+    from custom_python_vectordb_spark.operators.multimodal import (
+        encode_png,
+        encode_ppm,
+        image_perceptual_hashes,
+    )
+    from custom_python_vectordb_spark.streaming.media_maintenance import (
+        load_image_pairs,
+        process_image_batch,
+    )
+
+    def img_row(doc, twin_of=None):
+        px = _phash_img(twin_of if twin_of is not None else doc)
+        if twin_of is not None:
+            px = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+            return (doc, bytearray(encode_png(px)))
+        return (doc, bytearray(encode_ppm(px)))
+
+    batches = [
+        [img_row(0), img_row(1), img_row(20000, twin_of=0)],   # within-batch twin
+        [img_row(2), img_row(20001, twin_of=1)],               # cross-batch twin
+        [img_row(3), img_row(20002, twin_of=2)],               # cross-batch twin
+    ]
+    root = str(tmp_path / "imgidx")
+    all_rows = []
+    for bi, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        process_image_batch(df, bi, root)
+        all_rows.extend(rows)
+
+    got = {
+        (r["a"], r["b"], r["dhamming"], r["ahamming"])
+        for r in load_image_pairs(spark, root).collect()
+    }
+    full = spark.createDataFrame(all_rows, "doc_id long, media binary")
+    want = {
+        (r["a"], r["b"], r["dhamming"], r["ahamming"])
+        for r in perceptual_hash_pairs(
+            image_perceptual_hashes(full), max_hamming=3, extra_prefixes=("ah",)
+        ).collect()
+    }
+    assert got == want and len(want) == 3
+
+    # replay batch 1 (crash recovery): idempotent, nothing changes
+    process_image_batch(
+        spark.createDataFrame(batches[1], "doc_id long, media binary"), 1, root
+    )
+    got2 = {
+        (r["a"], r["b"], r["dhamming"], r["ahamming"])
+        for r in load_image_pairs(spark, root).collect()
+    }
+    assert got2 == want
