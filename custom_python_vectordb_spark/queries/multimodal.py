@@ -156,6 +156,12 @@ def _gif_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
+        # hash-repartition BEFORE the codec pass: the documents scan is a
+        # single input split at bench scales, which would serialize every
+        # encode/decode onto one core (found by the r9 sweep: 50K JPEG
+        # encodes on one task). Deterministic (hash of doc_id), and the
+        # generator is per-row, so output is partitioning-invariant.
+        .repartition(64, "doc_id")
         .mapInPandas(gen, schema="doc_id long, media binary")
     )
 
@@ -243,6 +249,12 @@ def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
+        # hash-repartition BEFORE the codec pass: the documents scan is a
+        # single input split at bench scales, which would serialize every
+        # encode/decode onto one core (found by the r9 sweep: 50K JPEG
+        # encodes on one task). Deterministic (hash of doc_id), and the
+        # generator is per-row, so output is partitioning-invariant.
+        .repartition(64, "doc_id")
         .mapInPandas(gen, schema="doc_id long, media binary")
     )
 
@@ -379,6 +391,12 @@ def _jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
+        # hash-repartition BEFORE the codec pass: the documents scan is a
+        # single input split at bench scales, which would serialize every
+        # encode/decode onto one core (found by the r9 sweep: 50K JPEG
+        # encodes on one task). Deterministic (hash of doc_id), and the
+        # generator is per-row, so output is partitioning-invariant.
+        .repartition(64, "doc_id")
         .mapInPandas(gen, schema="doc_id long, media binary")
     )
 
