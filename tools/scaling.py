@@ -211,8 +211,18 @@ def main() -> None:
         f"job. Super-linear (alpha_tail > 1) queries this run: {n_super}.",
         "",
     ]
-    with open("/root/repo/SCALING.md", "w") as f:
-        f.write("\n".join(lines))
+    out = "\n".join(lines)
+    # preserve marker-delimited sections other tools own (the 500K-doc
+    # probe, tools/probe_docs500k.py) across sweep rewrites
+    md = "/root/repo/SCALING.md"
+    if os.path.exists(md):
+        prev = open(md).read()
+        begin, end = "<!-- DOCS500K PROBE BEGIN -->", "<!-- DOCS500K PROBE END -->"
+        if begin in prev and end in prev:
+            block = prev.split(begin)[1].split(end)[0]
+            out = out.rstrip() + "\n\n" + begin + block + end + "\n"
+    with open(md, "w") as f:
+        f.write(out)
     print(f"wrote SCALING.md ({len(results)} queries x {len(SFS)} scales)")
 
 
