@@ -489,3 +489,74 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + F.round(x * 1000).cast("long"),
         ).alias("luma_total"),
     )
+
+
+def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MJPEG-in-AVI corpus: each document yields a 3-frame
+    24×16 AVI whose frames are the middle-square pixel field shifted per
+    frame, JPEG-encoded at quality 80 — real container (RIFF/AVI), real
+    frame codec (baseline JPEG), zero fixtures."""
+    from custom_python_vectordb_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    _avi, _jpg = encode_avi_mjpeg, encode_jpeg  # by-value pickle
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        H, W = 16, 24
+        yy, xx = np.mgrid[0:H, 0:W]
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                frames = []
+                for f in range(3):
+                    m = ((i * 3 + f) * 73856093 + yy * 19349663
+                         + xx * 83492791) % 2147483648
+                    v = (((m * m) // 65536) % 256).astype(np.uint8)
+                    frames.append(_jpg(np.repeat(v[:, :, None], 3, axis=2), 80))
+                out["doc_id"].append(i)
+                out["media"].append(_avi(frames, W, H, fps=12))
+            yield pd.DataFrame(out)
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(64, "doc_id")
+        .mapInPandas(gen, schema="doc_id long, media binary")
+    )
+
+
+def _video_snapshot_oracle():
+    from custom_python_vectordb_spark.queries._video_snapshot import (
+        video_frames_oracle_sql,
+    )
+
+    return video_frames_oracle_sql()
+
+
+@query("media_video_frames", _video_snapshot_oracle, oracle_sf="sf0.01")
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline, driver-checked end to end: build a 3-frame
+    MJPEG-in-AVI per document (RIFF container writer + baseline JPEG
+    frames), parse the container back, sample 2 evenly spaced frames
+    through the JPEG decoder, emit per-frame pixel luma. Every stage is
+    deterministic, so the sf0.01 rows freeze as a snapshot oracle
+    (queries/_video_snapshot.py — the media_gif_frames / media_jpeg_luma
+    pattern): the decoded lumas carry each frame's DCT quantization
+    error, which only a correct container walk + frame decode
+    reproduces. MP4's inter-frame codecs stay honestly out of scope
+    (decode_media raises); MJPEG is the video container this runtime can
+    do for real."""
+    from custom_python_vectordb_spark.operators.multimodal import video_frame_sample
+
+    out = video_frame_sample(_video_corpus(spark, sf_dir), 2)
+    return out.select(
+        "doc_id", "frame_idx", "n_total_frames", "width", "height",
+        (F.round("fps", 4) + F.lit(0.0)).alias("fps"),
+        (F.round("mean_luma", 6) + F.lit(0.0)).alias("mean_luma"),
+    )

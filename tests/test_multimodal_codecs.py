@@ -789,3 +789,58 @@ def test_image_hash_index_incremental_converges(spark, tmp_path):
         for r in load_image_pairs(spark, root).collect()
     }
     assert got2 == want
+
+
+# ------------------------------------------------------------ MJPEG-in-AVI
+
+def test_avi_mjpeg_roundtrip_and_sampling(spark):
+    from custom_python_vectordb_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        video_frame_sample,
+    )
+
+    frames = [_phash_img(s, H=16, W=24) for s in range(5)]
+    avi = encode_avi_mjpeg([encode_jpeg(f, 85) for f in frames], 24, 16, fps=12)
+    w, h, fps, dec = decode_avi_mjpeg(avi)
+    assert (w, h, len(dec)) == (24, 16, 5) and abs(fps - 12) < 0.01
+    for a, b in zip(frames, dec):
+        assert _psnr(a, b) > 30.0
+    # container is independent of frame payload order bugs: frame 3 ≠ frame 0
+    assert not np.array_equal(dec[0], dec[3])
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+    # Spark-side sampling: 2 of 5 evenly spaced (endpoints), real lumas
+    media = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, b"not a video")], "doc_id long, media binary"
+    )
+    rows = video_frame_sample(media, 2).collect()
+    assert [(r["doc_id"], r["frame_idx"], r["n_total_frames"]) for r in rows] == [
+        (1, 0, 5), (1, 4, 5),
+    ]
+    for r in rows:
+        true = frames[r["frame_idx"]]
+        luma = (0.299 * true[:, :, 0] + 0.587 * true[:, :, 1]
+                + 0.114 * true[:, :, 2]).mean()
+        assert abs(r["mean_luma"] - luma) < 3.0  # lossy frames, close luma
+
+
+def test_video_frames_snapshot_matches_recomputation(spark):
+    """Frozen sf0.01 media_video_frames rows (the snapshot oracle for the
+    whole AVI-container + JPEG-frame pipeline) must equal a live
+    recomputation."""
+    from custom_python_vectordb_spark import registry
+    from custom_python_vectordb_spark.queries._video_snapshot import (
+        VIDEO_FRAMES_ROWS_SF001,
+    )
+
+    registry.load_all()
+    fn = registry.QUERIES["media_video_frames"].__wrapped__
+    live = sorted(
+        (int(r["doc_id"]), int(r["frame_idx"]), int(r["n_total_frames"]),
+         int(r["width"]), int(r["height"]), float(r["fps"]), float(r["mean_luma"]))
+        for r in fn(spark, "/root/testdata/sf0.01").collect()
+    )
+    assert live == [tuple(r) for r in VIDEO_FRAMES_ROWS_SF001]
