@@ -462,6 +462,28 @@ def _codec_fns():
         rms = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
         return nch, rate, nframes, nframes / rate if rate else 0.0, rms
 
+    def decode_wav_samples(buf: bytes):
+        """WAV → (n_channels, sample_rate, samples int32 ndarray) — the
+        raw-PCM sibling of decode_wav (which returns aggregates only);
+        8-bit unsigned is centred to signed like there."""
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(buf)) as wf:
+            nch, sw, rate, nframes = (
+                wf.getnchannels(), wf.getsampwidth(), wf.getframerate(), wf.getnframes(),
+            )
+            raw = wf.readframes(nframes)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+        if dtype is None:
+            raise ValueError(f"sample width {sw} not supported")
+        samples = np.frombuffer(raw, dtype=dtype).astype(np.int32)
+        if sw == 1:
+            samples -= 128
+        return nch, rate, samples
+
     def _jpeg_zigzag():
         import numpy as np
 
@@ -999,6 +1021,7 @@ def _codec_fns():
         encode_ppm, decode_ppm, encode_bmp, decode_bmp, decode_wav,
         encode_png, decode_png, encode_gif, decode_gif,
         encode_jpeg, decode_jpeg, encode_avi_mjpeg, decode_avi_mjpeg,
+        decode_wav_samples,
     )
 
 
@@ -1006,6 +1029,7 @@ def _codec_fns():
     encode_ppm, decode_ppm, encode_bmp, decode_bmp, decode_wav,
     encode_png, decode_png, encode_gif, decode_gif,
     encode_jpeg, decode_jpeg, encode_avi_mjpeg, decode_avi_mjpeg,
+    decode_wav_samples,
 ) = _codec_fns()
 
 
@@ -1496,4 +1520,56 @@ def video_frame_sample(media: DataFrame, n_frames: int = 4, id_col: str = "doc_i
         sample,
         schema=f"{id_col} long, frame_idx int, n_total_frames int, "
                "width int, height int, fps double, mean_luma double",
+    )
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    n_windows: int = 65,
+    window: int = 32,
+) -> DataFrame:
+    """Volume-invariant audio fingerprints over REAL decoded PCM: (id,
+    fp0..fp3) — a 64-bit energy-delta signature as four 16-bit band ints
+    (the audio sibling of image dHash; same banded-Hamming dedup join).
+
+    bit(i) = energy(window i+1) > energy(window i), where energy is the
+    INTEGER Σ s² over `window` consecutive samples of the first channel
+    (first `n_windows`·`window` samples). Integer-exact, so the DuckDB
+    oracle reproduces it from the corpus sample function, and EXACTLY
+    invariant to uniform integer gain (samples ×g scale every energy by
+    g² — comparisons unchanged) and to trailing content beyond the
+    fingerprint span (the planted-twin contract). Clips shorter than the
+    span emit no signature. Map-only mapInPandas; pairs via
+    `operators/dedup.perceptual_hash_pairs(band_prefix='fp')`."""
+    _wavs = decode_wav_samples  # closure cell → pickled by value
+    need = n_windows * window
+
+    def fp(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = [id_col, "fp0", "fp1", "fp2", "fp3"]
+        w16 = 1 << np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for i, buf in zip(pdf[id_col], pdf["media"]):
+                buf = bytes(buf or b"")
+                if not buf.startswith(b"RIFF") or buf[8:12] != b"WAVE":
+                    continue
+                nch, _rate, samples = _wavs(buf)
+                mono = samples[::nch][:need].astype(np.int64)
+                if len(mono) < need:
+                    continue
+                e = (mono.reshape(n_windows, window) ** 2).sum(1)
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                bands = [
+                    int((bits[b * 16 : (b + 1) * 16] * w16).sum()) for b in range(4)
+                ]
+                for k, v in zip(cols, [i, *bands]):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "media").mapInPandas(
+        fp, schema=f"{id_col} long, fp0 long, fp1 long, fp2 long, fp3 long"
     )

@@ -560,3 +560,124 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("fps", 4) + F.lit(0.0)).alias("fps"),
         (F.round("mean_luma", 6) + F.lit(0.0)).alias("mean_luma"),
     )
+
+
+def _audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WAV corpus + planted audio twins: per document a
+    16-bit mono 8 kHz clip whose samples come from a double middle-square
+    of (doc, t) — s(doc,t) = ((m2·m2)//65536) mod 16001 − 8000 with
+    m2 = (m1·m1) mod 2³¹, m1 = (doc·73856093 + t·40503 + 12345) mod 2³¹
+    (one squaring left doc-correlated energy sequences: measured min
+    distinct-pair hamming 0; two squarings give 9 at 5010 docs). Docs
+    0-9 re-appear as doc_id+20000 at DOUBLE GAIN with different trailing
+    content — the two invariances a real audio fingerprint must have
+    (uniform gain scales every window energy by g², trailing samples lie
+    beyond the fingerprint span). Samples stay within ±8000 so the ×2
+    twin cannot clip."""
+
+    def gen(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        def wav_bytes(arr) -> bytes:
+            b = io.BytesIO()
+            with wave.open(b, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(8000)
+                wf.writeframes(arr.astype("<i2").tobytes())
+            return b.getvalue()
+
+        t = np.arange(2112, dtype=np.int64)
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                m1 = (i * 73856093 + t * 40503 + 12345) % 2147483648
+                m2 = (m1 * m1) % 2147483648
+                s = ((m2 * m2) // 65536) % 16001 - 8000
+                out["doc_id"].append(i)
+                out["media"].append(wav_bytes(s))
+                if i < 10:  # twin: x2 gain over the span + silent tail
+                    tw = np.concatenate([2 * s[:2080], np.zeros(64, np.int64)])
+                    out["doc_id"].append(i + 20000)
+                    out["media"].append(wav_bytes(tw))
+            yield pd.DataFrame(out)
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(64, "doc_id")
+        .mapInPandas(gen, schema="doc_id long, media binary")
+    )
+
+
+_DUCK_AUDIOFP = """
+WITH ids AS (SELECT doc_id FROM documents),
+clips AS (
+    SELECT doc_id AS clip_id, doc_id AS src, CAST(1 AS BIGINT) AS g FROM ids
+    UNION ALL
+    SELECT doc_id + 20000, doc_id, 2 FROM ids WHERE doc_id < 10
+),
+sm AS (
+    SELECT c.clip_id, t.t, c.g,
+           (CAST(c.src AS BIGINT) * 73856093 + t.t * 40503 + 12345)
+               % 2147483648 AS m1
+    FROM clips c JOIN (SELECT unnest(range(2080)) AS t) t ON TRUE
+),
+sv AS (SELECT clip_id, t, g, (m1 * m1) % 2147483648 AS m2 FROM sm),
+sw AS (
+    SELECT clip_id, t,
+           g * (((m2 * m2) // 65536) % 16001 - 8000) AS s
+    FROM sv
+),
+en AS (
+    SELECT clip_id, t // 32 AS w, SUM(s * s) AS e
+    FROM sw GROUP BY clip_id, t // 32
+),
+bits AS (
+    SELECT clip_id, w AS k,
+           CASE WHEN lead(e) OVER (PARTITION BY clip_id ORDER BY w) > e
+                THEN 1 ELSE 0 END AS bit
+    FROM en QUALIFY w < 64
+),
+sig AS (
+    SELECT clip_id, k // 16 AS band,
+           CAST(SUM(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS val
+    FROM bits GROUP BY clip_id, k // 16
+),
+cand AS (
+    SELECT DISTINCT l.clip_id AS a, r.clip_id AS b
+    FROM sig l JOIN sig r ON l.band = r.band AND l.val = r.val
+    WHERE l.clip_id < r.clip_id
+),
+ham AS (
+    SELECT c.a, c.b, CAST(SUM(bit_count(xor(la.val, lb.val))) AS BIGINT) AS fpamming
+    FROM cand c
+    JOIN sig la ON la.clip_id = c.a
+    JOIN sig lb ON lb.clip_id = c.b AND lb.band = la.band
+    GROUP BY c.a, c.b
+)
+SELECT a, b, fpamming FROM ham WHERE fpamming <= 3
+"""
+
+
+@query("media_audio_fp_pairs", _DUCK_AUDIOFP)
+def media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over REAL decoded PCM: WAV corpus with
+    planted gain-doubled twins → window-energy fingerprints
+    (`audio_fingerprint`) → the SAME banded Hamming join the image
+    hashes use (`perceptual_hash_pairs(band_prefix='fp')`) — audio joins
+    text/embeddings/images as a deduped modality. The oracle regenerates
+    the PCM from (doc, t) arithmetic and replays fingerprinting in SQL
+    (integer energies — no float surface), so the stdlib-wave
+    encode→decode round-trip is what the value-hash gate verifies.
+    Expected survivors: the 10 planted twins at hamming 0."""
+    from custom_python_vectordb_spark.operators.dedup import perceptual_hash_pairs
+    from custom_python_vectordb_spark.operators.multimodal import audio_fingerprint
+
+    hashes = audio_fingerprint(_audio_corpus(spark, sf_dir))
+    return perceptual_hash_pairs(hashes, max_hamming=3, band_prefix="fp")

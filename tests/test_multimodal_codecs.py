@@ -844,3 +844,50 @@ def test_video_frames_snapshot_matches_recomputation(spark):
         for r in fn(spark, "/root/testdata/sf0.01").collect()
     )
     assert live == [tuple(r) for r in VIDEO_FRAMES_ROWS_SF001]
+
+
+# ------------------------------------------------------------ audio dedup
+
+def test_audio_fingerprint_invariances(spark):
+    """The fingerprint must be EXACTLY invariant to uniform integer gain
+    and to trailing content beyond its span, and must reject different
+    audio; non-WAV payloads are skipped."""
+    import io
+    import wave
+
+    from custom_python_vectordb_spark.operators.dedup import perceptual_hash_pairs
+    from custom_python_vectordb_spark.operators.multimodal import audio_fingerprint
+
+    def wav_bytes(arr):
+        b = io.BytesIO()
+        with wave.open(b, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(arr.astype("<i2").tobytes())
+        return b.getvalue()
+
+    def pcm(seed, n=2112):
+        t = np.arange(n, dtype=np.int64)
+        m1 = (seed * 73856093 + t * 40503 + 12345) % 2147483648
+        m2 = (m1 * m1) % 2147483648
+        return ((m2 * m2) // 65536) % 16001 - 8000
+
+    base = pcm(3)
+    rows = [
+        (1, bytearray(wav_bytes(base))),
+        (2, bytearray(wav_bytes(2 * base))),                       # x2 gain
+        (3, bytearray(wav_bytes(np.concatenate([base[:2080], np.full(500, 7000)])))),  # new tail
+        (4, bytearray(wav_bytes(pcm(4)))),                         # different audio
+        (5, bytearray(wav_bytes(pcm(3)[:100]))),                   # too short: skipped
+        (6, b"not audio"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    hashes = audio_fingerprint(media)
+    by_id = {r["doc_id"]: (r["fp0"], r["fp1"], r["fp2"], r["fp3"]) for r in hashes.collect()}
+    assert set(by_id) == {1, 2, 3, 4}
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[4] != by_id[1]
+    pairs = {(r["a"], r["b"]): r["fpamming"]
+             for r in perceptual_hash_pairs(hashes, max_hamming=3, band_prefix="fp").collect()}
+    assert pairs == {(1, 2): 0, (1, 3): 0, (2, 3): 0}
