@@ -64,6 +64,8 @@ SHOW = [
     ("events_anomaly_days", "daily count agg + per-type 1-row stats join, explicit sum/sumsq arithmetic for bit-stable z-scores"),
     ("semdedup_keep", "cluster-prototype semantic dedup, two-level trained cells: map-only coarse GEMM (O(sqrt(k)*d) shipped) -> coarse-keyed cogroup fine GEMM -> per-fine-cell loser GEMM on the cluster-keyed shuffle, left-anti keep; O(n*sqrt(k)*d) per level, nothing O(n) collected"),
     ("bpe_encode", "trained merges applied as nested all-JVM greedy folds over per-word symbol arrays — a pure map projection, no shuffle, no Python"),
+    ("media_phash_pairs", "perceptual image dedup: one map-only decode+hash pass (mapInPandas), band explode a projection, (band, val) bucket self-join + bit_count(xor) verify — Σ|bucket|², never all-pairs"),
+    ("media_audio_fp_pairs", "audio fingerprint dedup: map-only PCM decode + window-energy bands, then the SAME banded-Hamming join as images"),
 ]
 
 MARKERS = [
