@@ -40,6 +40,11 @@ from pyspark.sql import functions as F
 
 
 def _codec_fns():
+    # shared across decode_jpeg calls within one factory instantiation
+    # (per worker process after by-value pickling): Huffman LUTs keyed by
+    # table content — see decode_jpeg._lut
+    _JPEG_LUTS: dict = {}
+
     def encode_ppm(arr) -> bytes:
         """(h, w, 3) uint8 array → binary PPM (P6)."""
         h, w = arr.shape[0], arr.shape[1]
@@ -620,38 +625,68 @@ def _codec_fns():
             i += 1
         segments.append(bytes(cur))
 
-        state = [segments[0], 0, 0, 0]  # bytes, byte_i, bit_i, seg_idx
+        # 16-bit lookup-table Huffman decode (r9 speedup, same symbol
+        # stream as the per-bit walk): every canonical code of length L
+        # owns a 2^(16−L) slice of the table, so one peek + one lookup
+        # decodes a symbol. Segments are 1-padded past the end (the
+        # spec's byte-alignment padding), so tail peeks stay in-bounds;
+        # overrun past the real bits raises.
+        def _lut(key):
+            # cached by table CONTENT across decode calls (the factory-
+            # level dict below): a corpus of same-table streams (every
+            # encode_jpeg output, most real-world JPEGs) builds the four
+            # 65536-entry tables once per worker, not once per image
+            sig = (key, tuple(sorted(huffs[key].items())))
+            ent = _JPEG_LUTS.get(sig)
+            if ent is None:
+                lut_val = [0] * 65536
+                lut_len = [0] * 65536
+                for (lnb, code), val in huffs[key].items():
+                    lo = code << (16 - lnb)
+                    span = 1 << (16 - lnb)
+                    lut_val[lo : lo + span] = [val] * span
+                    lut_len[lo : lo + span] = [lnb] * span
+                if len(_JPEG_LUTS) >= 64:  # bound: 64 tables ≈ 35 MB
+                    _JPEG_LUTS.clear()
+                ent = _JPEG_LUTS[sig] = (lut_val, lut_len)
+            return ent
+
+        state = [b"", 0, 0, -1]  # padded bytes, bitpos, total_bits, seg_idx
 
         def next_segment():
             state[3] += 1
-            state[0], state[1], state[2] = segments[state[3]], 0, 0
+            seg_bytes = segments[state[3]]
+            state[0] = seg_bytes + b"\xff\xff\xff"
+            state[1] = 0
+            state[2] = len(seg_bytes) * 8
 
-        def read_bit():
-            data, bi, shift = state[0], state[1], state[2]
-            if bi >= len(data):
-                raise ValueError("truncated JPEG entropy stream")
-            bit = (data[bi] >> (7 - shift)) & 1
-            shift += 1
-            if shift == 8:
-                state[1], state[2] = bi + 1, 0
-            else:
-                state[2] = shift
-            return bit
+        next_segment()
+
+        def _peek16():
+            bp = state[1]
+            byi = bp >> 3
+            w = int.from_bytes(state[0][byi : byi + 3], "big")
+            return (w >> (8 - (bp & 7))) & 0xFFFF
 
         def read_bits(n):
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | read_bit()
-            return v
+            if not n:
+                return 0
+            bp = state[1]
+            if bp + n > state[2]:
+                raise ValueError("truncated JPEG entropy stream")
+            state[1] = bp + n
+            byi = bp >> 3
+            w = int.from_bytes(state[0][byi : byi + 3], "big")
+            return (w >> (24 - (bp & 7) - n)) & ((1 << n) - 1)
 
-        def decode_huff(codes):
-            code = 0
-            for lnb in range(1, 18):
-                code = (code << 1) | read_bit()
-                v = codes.get((lnb, code))
-                if v is not None:
-                    return v
-            raise ValueError("invalid Huffman code in JPEG stream")
+        def decode_huff(lut):
+            lut_val, lut_len = lut
+            v16 = _peek16()
+            lnb = lut_len[v16]
+            if lnb == 0 or state[1] + lnb > state[2]:
+                raise ValueError("invalid Huffman code in JPEG stream")
+            state[1] += lnb
+            return lut_val[v16]
 
         def extend(v, t):
             return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
@@ -667,7 +702,9 @@ def _codec_fns():
         # gather dequantized blocks per component, IDCT vectorized at the end
         blocks = {cid: [] for cid, *_ in comps}
         places = {cid: [] for cid, *_ in comps}
-        scan_by_cid = {cs: (td, ta) for cs, td, ta in scan}
+        # resolve each component's LUT pair ONCE (the content-keyed cache
+        # lookup sorts the table items — far too hot for the MCU loop)
+        luts_by_cid = {cs: (_lut((0, td)), _lut((1, ta))) for cs, td, ta in scan}
         pred = {cid: 0 for cid, *_ in comps}
         n_mcus = mcus_x * mcus_y
         for mi in range(n_mcus):
@@ -676,8 +713,7 @@ def _codec_fns():
                 pred = {cid: 0 for cid, *_ in comps}
             my, mx = divmod(mi, mcus_x)
             for cid, ch, cv, tq in comps:
-                td, ta = scan_by_cid[cid]
-                dc_codes, ac_codes = huffs[(0, td)], huffs[(1, ta)]
+                dc_codes, ac_codes = luts_by_cid[cid]
                 qtbl = qt[tq]
                 for by in range(cv):
                     for bx in range(ch):
