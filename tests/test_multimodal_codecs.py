@@ -891,3 +891,50 @@ def test_audio_fingerprint_invariances(spark):
     pairs = {(r["a"], r["b"]): r["fpamming"]
              for r in perceptual_hash_pairs(hashes, max_hamming=3, band_prefix="fp").collect()}
     assert pairs == {(1, 2): 0, (1, 3): 0, (2, 3): 0}
+
+
+def test_image_hash_replica_handle(spark, tmp_path):
+    """The in-process dedup probe must agree with the batch banded join:
+    an incoming re-encoded/resized/JPEG'd image finds its indexed
+    original; a distinct image finds nothing; refresh() picks up new
+    index shards."""
+    from custom_python_vectordb_spark.operators.multimodal import (
+        ImageHashReplicaHandle,
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+        encode_ppm,
+        image_perceptual_hashes,
+    )
+
+    rows = [(d, bytearray(encode_ppm(_phash_img(d)))) for d in range(8)]
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    sig_dir = str(tmp_path / "sigs")
+    image_perceptual_hashes(media).coalesce(1).write.parquet(sig_dir)
+    import glob
+
+    shards = sorted(glob.glob(sig_dir + "/part-*.parquet"))
+    h = ImageHashReplicaHandle(shards)
+
+    base = _phash_img(3)
+    for probe in (
+        encode_png(base),                                   # codec swap
+        encode_bmp(np.repeat(np.repeat(base, 2, 0), 2, 1)), # resized
+        encode_jpeg(base, 95),                              # lossy re-encode
+    ):
+        ids, ham = h.search_one(probe, max_hamming=3)
+        assert list(ids) == [3] and ham[0] <= 1, (list(ids), list(ham))
+    ids, _ = h.search_one(encode_ppm(_phash_img(99)), max_hamming=3)
+    assert len(ids) == 0
+    with pytest.raises(ValueError, match="not a decodable image"):
+        h.search_one(b"junk")
+
+    # write-visibility: new shard appears after refresh()
+    more = spark.createDataFrame(
+        [(99, bytearray(encode_ppm(_phash_img(99))))], "doc_id long, media binary"
+    )
+    sig_dir2 = str(tmp_path / "sigs2")
+    image_perceptual_hashes(more).coalesce(1).write.parquet(sig_dir2)
+    h2 = ImageHashReplicaHandle(shards + sorted(glob.glob(sig_dir2 + "/part-*.parquet")))
+    ids, ham = h2.search_one(encode_png(_phash_img(99)), max_hamming=3)
+    assert list(ids) == [99] and ham[0] == 0
