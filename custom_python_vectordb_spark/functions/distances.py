@@ -16,9 +16,19 @@ Design rules:
   drift between engines.
 - Scores are *distances* (lower = better), matching the reference's contract
   (hnswlib convention, ``vectordb_optimized.py:49-53``).
+- **One py4j call per kernel.** When operands are plain column names, the
+  kernel is emitted as a single ``F.expr(...)`` SQL string parsed JVM-side
+  — the Column-API lambda path costs ~40 py4j round trips PER higher-order
+  function (~13 ms each, measured; plan build rivaled plan exec on the knn
+  family before r10). The SQL parses to the same Catalyst nodes
+  (ArrayTransform / ZipWith / ArrayAggregate) with the same arithmetic
+  order, so results are bit-identical (asserted in tests/test_distances
+  parity cases). Column operands fall back to the lambda path.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -27,22 +37,52 @@ from custom_python_vectordb_spark.functions.expr import let_once
 
 ColumnOrName = Column | str
 
+_PLAIN_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
 
 def _c(col: ColumnOrName) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def _ref(col: ColumnOrName) -> str | None:
+    """Backtick-quoted SQL reference for a plain column name; None for
+    Column objects / dotted / exotic names (→ lambda-path fallback)."""
+    if isinstance(col, str) and _PLAIN_NAME.match(col):
+        return f"`{col}`"
+    return None
+
+
+def _refs(*cols: ColumnOrName) -> list[str] | None:
+    out = [_ref(c) for c in cols]
+    return None if any(r is None for r in out) else out  # type: ignore[return-value]
 
 
 def _dbl(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _dbl_sql(ref: str) -> str:
+    return f"transform({ref}, x -> CAST(x AS DOUBLE))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({_dbl_sql(a)}, {_dbl_sql(b)}, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def dot_product(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Σ a_i·b_i in double precision (sequential fold, oracle-reproducible)."""
+    if refs := _refs(a, b):
+        return F.expr(_dot_sql(*refs))
     prods = F.zip_with(_dbl(_c(a)), _dbl(_c(b)), lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def l2_norm(a: ColumnOrName) -> Column:
+    if (r := _ref(a)) is not None:
+        return F.expr(f"sqrt({_dot_sql(r, r)})")
     return F.sqrt(dot_product(a, a))
 
 
@@ -58,6 +98,20 @@ def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
     let-bound: HOF-bearing expressions evaluate interpreted (no CSE), so
     referencing `s` three times without the binding would re-run the whole
     fold three times per row."""
+    if refs := _refs(a, b):
+        ra, rb = refs
+        return F.expr(
+            "element_at(transform(array(aggregate("
+            f"zip_with({_dbl_sql(ra)}, {_dbl_sql(rb)}, "
+            "(x, y) -> named_struct('x', x, 'y', y)), "
+            "named_struct('ab', 0.0D, 'aa', 0.0D, 'bb', 0.0D), "
+            "(acc, p) -> named_struct("
+            "'ab', acc.ab + p.x * p.y, "
+            "'aa', acc.aa + p.x * p.x, "
+            "'bb', acc.bb + p.y * p.y))), "
+            "s -> CASE WHEN (sqrt(s.aa) * sqrt(s.bb)) > 0.0D "
+            "THEN s.ab / (sqrt(s.aa) * sqrt(s.bb)) ELSE 0.0D END), 1)"
+        )
     zipped = F.zip_with(
         _dbl(_c(a)), _dbl(_c(b)), lambda x, y: F.struct(x.alias("x"), y.alias("y"))
     )
@@ -96,20 +150,37 @@ def cosine_distance_prenormed(
     join instead of re-aggregated per PAIR — in a Q-query kNN cross join
     this cuts the per-pair array passes from 3 (dot + both norms) to 1,
     and the corpus-side norm from N·Q aggregations to N."""
+    if refs := _refs(a, b, a_norm, b_norm):
+        ra, rb, rn, qn = refs
+        return F.expr(
+            f"1.0D - (CASE WHEN ({rn} * {qn}) > 0.0D "
+            f"THEN {_dot_sql(ra, rb)} / ({rn} * {qn}) ELSE 0.0D END)"
+        )
     denom = _c(a_norm) * _c(b_norm)
     return F.lit(1.0) - F.when(
         denom > 0.0, dot_product(a, b) / denom
     ).otherwise(F.lit(0.0))
 
 
+def _sq_l2_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({_dbl_sql(a)}, {_dbl_sql(b)}, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Euclidean distance (``vectordb_optimized.py:677-680``)."""
+    if refs := _refs(a, b):
+        return F.expr(f"sqrt({_sq_l2_sql(*refs)})")
     diffs = F.zip_with(_dbl(_c(a)), _dbl(_c(b)), lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
 
 
 def sq_l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Squared L2 — cheaper when only ordering matters."""
+    if refs := _refs(a, b):
+        return F.expr(_sq_l2_sql(*refs))
     diffs = F.zip_with(_dbl(_c(a)), _dbl(_c(b)), lambda x, y: (x - y) * (x - y))
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -126,6 +197,14 @@ def l2_normalize(a: ColumnOrName) -> Column:
     Both the vector cast and the norm are let-bound: un-bound, the norm
     subtree (itself a full array fold) sits inside the divide lambda and
     interpreted HOF evaluation recomputes it PER ELEMENT — O(D²) per row."""
+    if (r := _ref(a)) is not None:
+        return F.expr(
+            f"element_at(transform(array({_dbl_sql(r)}), v -> "
+            "element_at(transform(array(sqrt(aggregate("
+            "zip_with(v, v, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))), "
+            "n -> CASE WHEN n = 0.0D THEN v "
+            "ELSE transform(v, x -> x / n) END), 1)), 1)"
+        )
 
     def _norm_then(vec: Column) -> Column:
         norm = F.sqrt(
@@ -143,6 +222,12 @@ def hamming_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Popcount of XOR over arrays of packed 64-bit words
     (``quantization.py:356-374`` packs bits with np.packbits; we pack into
     BIGINT words — `bit_count(x ^ y)` is a single codegen intrinsic)."""
+    if refs := _refs(a, b):
+        ra, rb = refs
+        return F.expr(
+            f"aggregate(zip_with({ra}, {rb}, (x, y) -> bit_count(x ^ y)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT))"
+        )
     words = F.zip_with(_c(a), _c(b), lambda x, y: F.bit_count(x.bitwiseXOR(y)))
     return F.aggregate(words, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
 

@@ -316,6 +316,7 @@ def semantic_graph_search(
     label_filter: list[str] | None = None,
     prop_filter: Column | None = None,
     round_to: int | None = None,
+    resolve_seeds: bool = False,
 ) -> DataFrame:
     """D8 — the reference's RuVector-style hybrid
     (``hybrid_graph_vector.py:337-453``), exact semantics:
@@ -330,19 +331,65 @@ def semantic_graph_search(
     - label/property filters applied AFTER expansion, then top-k desc.
 
     `node_vectors`: (id, embedding). `query_vec`: 1-row (qvec).
-    """
+
+    `resolve_seeds=True` materializes the 2k-row seed set driver-side in
+    ONE job and feeds BFS a LocalRelation frontier — the reference's own
+    in-process shape (``hybrid_graph_vector.py:384-399``). MEASURED SLOWER
+    at bench scale (r10: 1.56 vs 1.28 s total warm): the extra collect
+    round costs more than the persisted-seed subtree it replaces, so the
+    lazy one-plan form stays the default; the resolved twin is kept for
+    serving paths that already have seeds in hand. Scores are bit-identical
+    either way: collect round-trips exact IEEE doubles, and max is a
+    selection, not arithmetic (asserted in tests/test_graph.py)."""
     sim = (F.lit(1.0) - distance_expr("cosine", "embedding", "qvec")).alias("sim")
-    seeds = (
+    seed_plan = (
         node_vectors.crossJoin(F.broadcast(query_vec))
         .select("id", sim)
         .orderBy(F.col("sim").desc(), F.col("id"))
         .limit(2 * k)
     )
-    # reused 3× (scores, max, BFS): persist caches the top-2k scan after the
-    # first action without spawning checkpoint jobs (whose late accumulator
-    # updates surfaced as DAGScheduler errors in the round-1 bench tail)
-    seeds = seeds.persist()
-    max_sim = seeds.agg(F.max("sim").alias("max_sim"))
+    if resolve_seeds:
+        from custom_python_vectordb_spark.functions.local_relation import local_df
+
+        rows = seed_plan.collect()
+        seeds = local_df(
+            edges.sparkSession,
+            [(r["id"], r["sim"]) for r in rows],
+            "id string, sim double",
+        )
+        max_sim_lit = F.lit(max((r["sim"] for r in rows), default=0.0))
+        # try_divide, not `/`: the LocalRelation seed plan lets Catalyst
+        # push this projection into the BFS union's hop=0 branch, where
+        # ANSI constant folding evaluates w_g/0 at OPTIMIZATION time and
+        # throws — even though the hop>0 filter discards that branch at
+        # runtime. try_divide folds to null there and is bit-identical to
+        # `/` on every surviving (hop ≥ 1) row.
+        mk_expanded = lambda hops_df: hops_df.select(  # noqa: E731
+            "id",
+            (max_sim_lit / (1.0 + F.col("hop"))).alias("vector_score"),
+            F.col("hop").alias("graph_distance"),
+            (
+                vector_weight * max_sim_lit / (1.0 + F.col("hop"))
+                + F.try_divide(F.lit(graph_weight), F.col("hop"))
+            ).alias("combined_score"),
+        )
+    else:
+        # reused 3× (scores, max, BFS): persist caches the top-2k scan after
+        # the first action without spawning checkpoint jobs (whose late
+        # accumulator updates surfaced as DAGScheduler errors in round 1)
+        seeds = seed_plan.persist()
+        max_sim = seeds.agg(F.max("sim").alias("max_sim"))
+        mk_expanded = lambda hops_df: hops_df.crossJoin(  # noqa: E731
+            F.broadcast(max_sim)
+        ).select(
+            "id",
+            (F.col("max_sim") / (1.0 + F.col("hop"))).alias("vector_score"),
+            F.col("hop").alias("graph_distance"),
+            (
+                vector_weight * F.col("max_sim") / (1.0 + F.col("hop"))
+                + graph_weight / F.col("hop")
+            ).alias("combined_score"),
+        )
 
     # ≤3 hops: skip per-hop checkpoints/emptiness actions — the lineage
     # stays shallow and each skipped checkpoint saves a full job round
@@ -356,19 +403,7 @@ def semantic_graph_search(
         F.lit(0).alias("graph_distance"),
         F.col("sim").alias("combined_score"),
     )
-    expanded = (
-        hops.filter(F.col("hop") > 0)
-        .crossJoin(F.broadcast(max_sim))
-        .select(
-            "id",
-            (F.col("max_sim") / (1.0 + F.col("hop"))).alias("vector_score"),
-            F.col("hop").alias("graph_distance"),
-            (
-                vector_weight * F.col("max_sim") / (1.0 + F.col("hop"))
-                + graph_weight / F.col("hop")
-            ).alias("combined_score"),
-        )
-    )
+    expanded = mk_expanded(hops.filter(F.col("hop") > 0))
     scored = seed_scored.unionByName(expanded)
     flt = nodes
     if label_filter:

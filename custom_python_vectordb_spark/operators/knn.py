@@ -79,9 +79,7 @@ def knn(
             cnorm, qnorm = cnorm + "_", qnorm + "_"
         corpus = corpus.withColumn(cnorm, l2_norm(vec_col))
         queries = queries.withColumn(qnorm, l2_norm(query_vec_col))
-        dist = cosine_distance_prenormed(
-            vec_col, query_vec_col, F.col(cnorm), F.col(qnorm)
-        )
+        dist = cosine_distance_prenormed(vec_col, query_vec_col, cnorm, qnorm)
     else:
         dist = distance_expr(metric, vec_col, query_vec_col)
     scored = corpus.join(F.broadcast(queries)).select(*cols, dist.alias(dist_col))

@@ -34,8 +34,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from custom_python_vectordb_spark.functions.distances import distance_expr
+from custom_python_vectordb_spark.functions.distances import _ref as _sqlref
 from custom_python_vectordb_spark.operators.topk import top_k_per_group
 from custom_python_vectordb_spark.functions.local_relation import local_df
+
+ColumnOrName = Column | str
 
 # ------------------------------------------------------------------ SQ
 
@@ -67,33 +70,61 @@ def sq_model(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def sq_encode_expr(vec: Column) -> Column:
+def sq_encode_expr(vec: ColumnOrName) -> Column:
     """E1 — requires `minv`/`scale` columns in scope (join sq_model first).
-    floor() pins NumPy's truncating uint8 cast in both engines."""
+    floor() pins NumPy's truncating uint8 cast in both engines. Plain-name
+    operands emit one F.expr (see functions/distances.py: the lambda path
+    costs ~13 ms of py4j chatter per HOF at plan-build time)."""
+    if (r := _sqlref(vec)) is not None:
+        return F.expr(
+            f"transform(zip_with(zip_with({r}, minv, (x, m) -> CAST(x AS DOUBLE) - m), "
+            "scale, (x, s) -> x / s * 255.0D), "
+            "x -> CAST(floor(least(greatest(x, 0.0D), 255.0D)) AS INT))"
+        )
     norm = F.zip_with(vec, F.col("minv"), lambda x, m: x.cast("double") - m)
     scaled = F.zip_with(norm, F.col("scale"), lambda x, s: x / s * 255.0)
     return F.transform(scaled, lambda x: F.floor(F.least(F.greatest(x, F.lit(0.0)), F.lit(255.0))).cast("int"))
 
 
-def sq_decode_expr(codes: Column) -> Column:
+def _sq_decode_sql(codes_ref: str) -> str:
+    return (
+        f"zip_with(zip_with({codes_ref}, scale, (c, s) -> CAST(c AS DOUBLE) / 255.0D * s), "
+        "minv, (x, m) -> x + m)"
+    )
+
+
+def sq_decode_expr(codes: ColumnOrName) -> Column:
     """E2 — inverse affine."""
+    if (r := _sqlref(codes)) is not None:
+        return F.expr(_sq_decode_sql(r))
     un = F.zip_with(codes, F.col("scale"), lambda c, s: c.cast("double") / 255.0 * s)
     return F.zip_with(un, F.col("minv"), lambda x, m: x + m)
 
 
 def sq_encode(vectors: DataFrame, model: DataFrame, vec_col: str = "embedding", out_col: str = "codes") -> DataFrame:
-    return vectors.crossJoin(F.broadcast(model)).withColumn(out_col, sq_encode_expr(F.col(vec_col)))
+    return vectors.crossJoin(F.broadcast(model)).withColumn(out_col, sq_encode_expr(vec_col))
 
 
-def sq_l2_dist_expr(codes_a: Column, codes_b: Column) -> Column:
+def sq_l2_dist_expr(codes_a: ColumnOrName, codes_b: ColumnOrName) -> Column:
     """D5 — ``sqrt(Σ((Δcode·scale/255)²))`` (int16 trick ≡ exact int diff)."""
+    if (ra := _sqlref(codes_a)) is not None and (rb := _sqlref(codes_b)) is not None:
+        return F.expr(
+            f"sqrt(aggregate(zip_with(zip_with({ra}, {rb}, "
+            "(a, b) -> CAST(a - b AS DOUBLE)), scale, (d, s) -> d * s / 255.0D), "
+            "0.0D, (acc, x) -> acc + x * x))"
+        )
     diff = F.zip_with(codes_a, codes_b, lambda a, b: (a - b).cast("double"))
     scaled = F.zip_with(diff, F.col("scale"), lambda d, s: d * s / 255.0)
     return F.sqrt(F.aggregate(scaled, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def sq_dot_dist_expr(codes_a: Column, codes_b: Column) -> Column:
+def sq_dot_dist_expr(codes_a: ColumnOrName, codes_b: ColumnOrName) -> Column:
     """D6 — reconstruct both sides, −dot."""
+    if (ra := _sqlref(codes_a)) is not None and (rb := _sqlref(codes_b)) is not None:
+        return F.expr(
+            f"-aggregate(zip_with({_sq_decode_sql(ra)}, {_sq_decode_sql(rb)}, "
+            "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
     rec_a = sq_decode_expr(codes_a)
     rec_b = sq_decode_expr(codes_b)
     prods = F.zip_with(rec_a, rec_b, lambda x, y: x * y)
@@ -111,8 +142,12 @@ def bq_train(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def bq_encode_expr(vec: Column) -> Column:
+def bq_encode_expr(vec: ColumnOrName) -> Column:
     """E3 — bit per dim: v > threshold (requires `thresholds` in scope)."""
+    if (r := _sqlref(vec)) is not None:
+        return F.expr(
+            f"zip_with({r}, thresholds, (x, t) -> CAST(CAST(x AS DOUBLE) > t AS INT))"
+        )
     return F.zip_with(vec, F.col("thresholds"), lambda x, t: (x.cast("double") > t).cast("int"))
 
 
@@ -133,8 +168,14 @@ def bq_pack_expr(bits: Column, n_words: int) -> Column:
     return F.array(*[word(w) for w in range(n_words)])
 
 
-def hamming_bits_expr(bits_a: Column, bits_b: Column) -> Column:
+def hamming_bits_expr(bits_a: ColumnOrName, bits_b: ColumnOrName) -> Column:
     """D4 over unpacked bits: Σ (a≠b)."""
+    if (ra := _sqlref(bits_a)) is not None and (rb := _sqlref(bits_b)) is not None:
+        return F.expr(
+            f"aggregate(zip_with({ra}, {rb}, "
+            "(a, b) -> CASE WHEN a != b THEN 1 ELSE 0 END), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT))"
+        )
     return F.aggregate(
         F.zip_with(bits_a, bits_b, lambda a, b: F.when(a != b, 1).otherwise(0)),
         F.lit(0).cast("long"),
@@ -270,7 +311,7 @@ def quantized_rerank(
     coded_queries = (
         queries.withColumnRenamed("qvec", "embedding")
         .crossJoin(F.broadcast(model))
-        .withColumn("qcodes", sq_encode_expr(F.col("embedding")))
+        .withColumn("qcodes", sq_encode_expr("embedding"))
         .select("qid", F.col("embedding").alias("qvec"), "qcodes")
     )
     stage1 = (
@@ -278,7 +319,7 @@ def quantized_rerank(
         .crossJoin(F.broadcast(model))
         .select(
             "qid", id_col, vec_col,
-            sq_l2_dist_expr(F.col("qcodes"), F.col("codes")).alias("qdist"),
+            sq_l2_dist_expr("qcodes", "codes").alias("qdist"),
         )
     )
     cands = top_k_per_group(stage1, "qid", candidates, F.col("qdist").asc(), F.col(id_col).asc())

@@ -88,7 +88,7 @@ def sq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_python_vectordb_spark.operators.quantization import sq_decode_expr
 
     emb = _t(spark, sf_dir, "embeddings")
-    coded = sq_encode(emb, sq_model(emb)).withColumn("recon", sq_decode_expr(F.col("codes")))
+    coded = sq_encode(emb, sq_model(emb)).withColumn("recon", sq_decode_expr("codes"))
     err = coded.select(
         F.explode(F.zip_with("embedding", "recon", lambda a, b: F.abs(a.cast("double") - b))).alias("ae")
     )
@@ -127,7 +127,7 @@ def knn_sq_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         coded.join(F.broadcast(qcoded))
         .crossJoin(F.broadcast(model))
-        .select("qid", "vec_id", sq_l2_dist_expr(F.col("qcodes"), F.col("codes")).alias("dist"))
+        .select("qid", "vec_id", sq_l2_dist_expr("qcodes", "codes").alias("dist"))
     )
     out = top_k_per_group(scored, "qid", 10, F.col("dist").asc(), F.col("vec_id").asc())
     return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0)).orderBy("qid", "dist", "vec_id")
@@ -157,7 +157,7 @@ def knn_sq_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         coded.join(F.broadcast(qcoded))
         .crossJoin(F.broadcast(model))
-        .select("qid", "vec_id", sq_dot_dist_expr(F.col("qcodes"), F.col("codes")).alias("dist"))
+        .select("qid", "vec_id", sq_dot_dist_expr("qcodes", "codes").alias("dist"))
     )
     out = top_k_per_group(scored, "qid", 10, F.col("dist").asc(), F.col("vec_id").asc())
     return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0)).orderBy("qid", "dist", "vec_id")
@@ -194,13 +194,13 @@ def knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     model = bq_train(emb)
     bits = emb.crossJoin(F.broadcast(model)).select(
-        "vec_id", bq_encode_expr(F.col("embedding")).alias("bits")
+        "vec_id", bq_encode_expr("embedding").alias("bits")
     )
     qbits = bits.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("bits").alias("qb")
     )
     scored = bits.join(F.broadcast(qbits)).select(
-        "qid", "vec_id", hamming_bits_expr(F.col("qb"), F.col("bits")).alias("dist")
+        "qid", "vec_id", hamming_bits_expr("qb", "bits").alias("dist")
     )
     return top_k_per_group(scored, "qid", 10, F.col("dist").asc(), F.col("vec_id").asc()).orderBy(
         "qid", "dist", "vec_id"
@@ -317,7 +317,7 @@ def recall_sq_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = top_k_per_group(
         coded.join(F.broadcast(qcoded))
         .crossJoin(F.broadcast(model))
-        .select("qid", "vec_id", sq_l2_dist_expr(F.col("qcodes"), F.col("codes")).alias("dist")),
+        .select("qid", "vec_id", sq_l2_dist_expr("qcodes", "codes").alias("dist")),
         "qid", 10, F.col("dist").asc(), F.col("vec_id").asc(),
     ).select("qid", "vec_id")
     truth = knn(emb, queries, k=10, metric="l2").select("qid", "vec_id")

@@ -67,3 +67,81 @@ def test_hamming(spark):
     got = {r["id"]: r["h"] for r in df.select("id", hamming_distance("a", "b").alias("h")).collect()}
     assert got[0] == 2
     assert got[1] == 64
+
+
+def test_sql_fast_path_bit_identical(pairs_df):
+    """Plain-name operands emit a one-shot F.expr SQL string (r10 build-cost
+    fix); Column operands keep the lambda path. Same Catalyst nodes, same
+    fold order — results must be BIT-identical, not approx-equal, including
+    the zero-vector guard rows."""
+    from custom_python_vectordb_spark.functions.distances import (
+        cosine_distance_prenormed,
+        cosine_similarity,
+        l2_norm,
+        sq_l2_distance,
+    )
+
+    df, _ = pairs_df
+    # add zero-vector rows to exercise the denom guard on both paths
+    zdf = df.sparkSession.createDataFrame(
+        [(100, [0.0] * 16, [1.0] * 16), (101, [0.0] * 16, [0.0] * 16)],
+        "id long, a array<float>, b array<float>",
+    )
+    full = df.unionByName(zdf)
+    kernels = [
+        ("dot", dot_product),
+        ("cos", cosine_distance),
+        ("sim", cosine_similarity),
+        ("l2", l2_distance),
+        ("sq", sq_l2_distance),
+        ("ip", dot_distance),
+    ]
+    sql_cols, col_cols = [], []
+    for tag, fn in kernels:
+        sql_col = fn("a", "b")
+        col_col = fn(F.col("a"), F.col("b"))  # Column operand -> lambda path
+        sql_cols.append(sql_col.alias(f"s_{tag}"))
+        col_cols.append(col_col.alias(f"c_{tag}"))
+    sql_cols.append(l2_norm("a").alias("s_norm"))
+    col_cols.append(l2_norm(F.col("a")).alias("c_norm"))
+    rows = full.select("id", *sql_cols, *col_cols).collect()
+    for r in rows:
+        for tag in ("dot", "cos", "sim", "l2", "sq", "ip", "norm"):
+            assert r[f"s_{tag}"] == r[f"c_{tag}"], (r["id"], tag)
+
+    # prenormed twin: names vs Columns, incl. zero norms
+    withn = full.select(
+        "id", "a", "b",
+        l2_norm("a").alias("na"), l2_norm("b").alias("nb"),
+    )
+    rows = withn.select(
+        "id",
+        cosine_distance_prenormed("a", "b", "na", "nb").alias("s"),
+        cosine_distance_prenormed(
+            F.col("a"), F.col("b"), F.col("na"), F.col("nb")
+        ).alias("c"),
+    ).collect()
+    for r in rows:
+        assert r["s"] == r["c"], r["id"]
+
+    # normalize: element-wise bit equality
+    rows = full.select(
+        "id",
+        l2_normalize("a").alias("s"),
+        l2_normalize(F.col("a")).alias("c"),
+    ).collect()
+    for r in rows:
+        assert r["s"] == r["c"], r["id"]
+
+
+def test_hamming_sql_fast_path(spark):
+    df = spark.createDataFrame(
+        [(0, [0b1010, 0b1111], [0b0110, 0b1111]), (1, [0, 0], [-1, 0])],
+        "id long, a array<long>, b array<long>",
+    )
+    rows = df.select(
+        hamming_distance("a", "b").alias("s"),
+        hamming_distance(F.col("a"), F.col("b")).alias("c"),
+    ).collect()
+    for r in rows:
+        assert r["s"] == r["c"]

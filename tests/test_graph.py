@@ -364,3 +364,24 @@ def test_iterative_ops_reliable_checkpoint(spark, tmp_path):
         for r in weighted_shortest_paths(wedges, "a", 3, checkpoint_dir=ckdir).collect()
     }
     assert d_r == d_d
+
+
+def test_semantic_search_resolved_equals_lazy(spark, sf_med):
+    """resolve_seeds=True (driver-side seed materialization, r10) must be
+    BIT-identical to the lazy one-plan twin — collect round-trips exact
+    IEEE doubles and max is a selection, so scores cannot drift."""
+    from custom_python_vectordb_spark.operators.graph import semantic_graph_search
+    from custom_python_vectordb_spark.sources.catalog import load_table
+    from custom_python_vectordb_spark.sources.graph_view import edges_df, nodes_df
+
+    nodes, edges = nodes_df(spark, sf_med), edges_df(spark, sf_med)
+    emb = load_table(spark, sf_med, "embeddings")
+    nv = emb.select(
+        F.concat(F.lit("c:"), F.col("vec_id").cast("string")).alias("id"), "embedding"
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    kw = dict(k=10, expand_hops=2, vector_weight=0.7, graph_weight=0.3)
+    fast = semantic_graph_search(nodes, edges, nv, qv, resolve_seeds=True, **kw).collect()
+    lazy = semantic_graph_search(nodes, edges, nv, qv, resolve_seeds=False, **kw).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in lazy]
+    assert len(fast) == 10
