@@ -539,6 +539,12 @@ def _codec_fns():
                 pos += 1
                 continue
             marker = buf[pos + 1]
+            if marker == 0xFF:
+                # legal 0xFF fill byte(s) before a marker code (ITU-T T.81
+                # B.1.1.2) — advance one byte so the LAST fill pairs with
+                # the real code, instead of misreading 0xFF as a marker
+                pos += 1
+                continue
             pos += 2
             if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
                 continue
@@ -751,8 +757,14 @@ def _codec_fns():
         out_planes = []
         for cid, ch, cv, _tq in comps:
             pl = planes[cid]
-            pl = np.repeat(np.repeat(pl, vmax // cv, axis=0), hmax // ch, axis=1)
-            out_planes.append(pl[:h_img, :w_img])
+            # index-map nearest upsample: output pixel (r, c) reads plane
+            # sample ((r·cv)//vmax, (c·ch)//hmax). Identical to np.repeat
+            # for divisor ratios (the common 4:2:0/4:2:2 cases) and correct
+            # for the fractional sampling factors the spec also allows
+            # (e.g. h=3 with h=2), which repeat() would mis-size.
+            rows = (np.arange(h_img) * cv) // vmax
+            cols = (np.arange(w_img) * ch) // hmax
+            out_planes.append(pl[rows[:, None], cols[None, :]])
         if len(out_planes) == 1:
             px = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
             return w_img, h_img, 1, px[:, :, None]
@@ -1019,12 +1031,11 @@ def _codec_fns():
         payload = b"AVI " + hdrl + movi + idx1
         return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
-    def decode_avi_mjpeg(buf: bytes):
-        """MJPEG-in-AVI → (w, h, fps, frames list of (h, w, 3) uint8).
-        RIFF chunk walk (hdrl for dims/rate, movi for 00dc/00db frame
-        payloads), each frame through the pure-NumPy baseline JPEG
-        decoder. The one VIDEO container that needs no ffmpeg — MP4's
-        inter-frame codecs still honestly raise."""
+    def decode_avi_frames(buf: bytes):
+        """MJPEG-in-AVI container walk ONLY → (w, h, fps, frame payload
+        bytes list). No JPEG decode happens here — frame-sampling callers
+        (``video_frame_sample``) pick indices first and decode only the
+        picked payloads, so the per-clip cost is O(sampled), not O(all)."""
         import struct
 
         if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
@@ -1050,21 +1061,31 @@ def _codec_fns():
 
         walk(12, len(buf))
         fps = 1_000_000 / usec_per_frame if usec_per_frame else 0.0
-        frames = []
-        for fb in frame_bufs:
-            fw, fh, c, px = decode_jpeg(fb)
-            if c == 1:
-                import numpy as np
+        return w, h, fps, frame_bufs
 
-                px = np.repeat(px, 3, axis=2)
-            frames.append(px)
-        return w, h, fps, frames
+    def decode_frame_rgb(fb: bytes):
+        """One JPEG frame payload → (h, w, 3) uint8 (gray widened)."""
+        import numpy as np
+
+        fw, fh, c, px = decode_jpeg(fb)
+        if c == 1:
+            px = np.repeat(px, 3, axis=2)
+        return px
+
+    def decode_avi_mjpeg(buf: bytes):
+        """MJPEG-in-AVI → (w, h, fps, frames list of (h, w, 3) uint8).
+        RIFF chunk walk (hdrl for dims/rate, movi for 00dc/00db frame
+        payloads), each frame through the pure-NumPy baseline JPEG
+        decoder. The one VIDEO container that needs no ffmpeg — MP4's
+        inter-frame codecs still honestly raise."""
+        w, h, fps, frame_bufs = decode_avi_frames(buf)
+        return w, h, fps, [decode_frame_rgb(fb) for fb in frame_bufs]
 
     return (
         encode_ppm, decode_ppm, encode_bmp, decode_bmp, decode_wav,
         encode_png, decode_png, encode_gif, decode_gif,
         encode_jpeg, decode_jpeg, encode_avi_mjpeg, decode_avi_mjpeg,
-        decode_wav_samples,
+        decode_wav_samples, decode_avi_frames, decode_frame_rgb,
     )
 
 
@@ -1072,7 +1093,7 @@ def _codec_fns():
     encode_ppm, decode_ppm, encode_bmp, decode_bmp, decode_wav,
     encode_png, decode_png, encode_gif, decode_gif,
     encode_jpeg, decode_jpeg, encode_avi_mjpeg, decode_avi_mjpeg,
-    decode_wav_samples,
+    decode_wav_samples, decode_avi_frames, decode_frame_rgb,
 ) = _codec_fns()
 
 
@@ -1526,10 +1547,13 @@ def video_frame_sample(media: DataFrame, n_frames: int = 4, id_col: str = "doc_i
     included), decode each through the baseline JPEG decoder and emit
     per-frame Rec.601 pixel luma — the video twin of gif_frame_sample.
     Map-only mapInPandas; at 100 TB each worker decodes only the frames
-    it samples (the container walk skips unsampled 00dc payloads). MP4
-    still raises honestly via decode_media."""
+    it samples — the container walk (`decode_avi_frames`) collects raw
+    00dc payload slices without JPEG-decoding them, and only the picked
+    indices go through the decoder. MP4 still raises honestly via
+    decode_media."""
     nf = n_frames
-    _avi = decode_avi_mjpeg  # closure cell → pickled by value
+    # closure cells → pickled by value
+    _walk, _dec = decode_avi_frames, decode_frame_rgb
 
     def sample(batches):
         import pandas as pd
@@ -1541,14 +1565,14 @@ def video_frame_sample(media: DataFrame, n_frames: int = 4, id_col: str = "doc_i
                 buf = bytes(buf or b"")
                 if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
                     continue
-                w, h, fps, frames = _avi(buf)
-                n = len(frames)
+                w, h, fps, frame_bufs = _walk(buf)
+                n = len(frame_bufs)
                 if n == 0:
                     continue
                 k = min(nf, n)
                 picks = [0] if k == 1 else [round(j * (n - 1) / (k - 1)) for j in range(k)]
                 for fi in picks:
-                    px = frames[fi]
+                    px = _dec(frame_bufs[fi])
                     luma = (
                         0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
                     ).mean()
@@ -1634,13 +1658,16 @@ class ImageHashReplicaHandle:
     pipeline calls before admitting a row. Index shards are the parquet
     the streaming twin (`streaming/media_maintenance.py`) appends."""
 
-    __slots__ = ("_paths", "_np", "ids", "bands", "_pop16")
+    __slots__ = ("_paths", "_np", "ids", "bands", "_pop16", "_id_col")
 
-    def __init__(self, sig_paths):
+    def __init__(self, sig_paths, id_col: str = "doc_id"):
         import numpy as np
 
         self._np = np
         self._paths = list(sig_paths)
+        # must match the id_col the index was WRITTEN with
+        # (streaming/media_maintenance.process_image_batch accepts one too)
+        self._id_col = id_col
         n16 = np.arange(65536, dtype=np.uint16)
         pop = np.zeros(65536, dtype=np.uint8)
         for b in range(16):
@@ -1654,8 +1681,8 @@ class ImageHashReplicaHandle:
         np = self._np
         ids_parts, band_parts = [], []
         for p in self._paths:
-            t = pq.read_table(p, columns=["doc_id", "dh0", "dh1", "dh2", "dh3"])
-            ids_parts.append(t["doc_id"].to_numpy().astype(np.int64))
+            t = pq.read_table(p, columns=[self._id_col, "dh0", "dh1", "dh2", "dh3"])
+            ids_parts.append(t[self._id_col].to_numpy().astype(np.int64))
             band_parts.append(
                 np.stack([t[f"dh{i}"].to_numpy().astype(np.int64) for i in range(4)], 1)
             )

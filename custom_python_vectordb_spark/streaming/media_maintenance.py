@@ -78,20 +78,18 @@ def process_image_batch(
     sigs = image_perceptual_hashes(batch_media, id_col=id_col).persist()
 
     sig_dir = _sig_path(index_root)
-    history_exists = os.path.isdir(sig_dir) and any(
-        d.startswith("batch_id=") for d in os.listdir(sig_dir)
-    )
-    if history_exists:
+    # discover history THROUGH Spark (r9 ADVICE: os.listdir only sees local
+    # filesystems — an HDFS/S3 index_root would silently read no history
+    # and miss every cross-batch pair). AnalysisException ⇒ first batch.
+    try:
+        hist_all = spark.read.parquet(sig_dir)
+    except Exception:
+        all_sigs = sigs
+    else:
         # exclude THIS batch's partition: a replay must not treat its own
         # previous (about-to-be-overwritten) rows as history
-        hist = (
-            spark.read.parquet(sig_dir)
-            .filter(F.col("batch_id") != batch_id)
-            .drop("batch_id")
-        )
+        hist = hist_all.filter(F.col("batch_id") != batch_id).drop("batch_id")
         all_sigs = hist.unionByName(sigs)
-    else:
-        all_sigs = sigs
 
     new_b = _banded(sigs, id_col)
     probe_b = _banded(all_sigs, id_col)

@@ -938,3 +938,57 @@ def test_image_hash_replica_handle(spark, tmp_path):
     h2 = ImageHashReplicaHandle(shards + sorted(glob.glob(sig_dir2 + "/part-*.parquet")))
     ids, ham = h2.search_one(encode_png(_phash_img(99)), max_hamming=3)
     assert list(ids) == [99] and ham[0] == 0
+
+
+def test_jpeg_ff_fill_bytes_before_markers():
+    """0xFF fill byte(s) before a marker code are legal padding (ITU-T
+    T.81 B.1.1.2); the header scan must skip them, not read a bogus
+    length (r9 ADVICE). Decoded pixels must be identical to the
+    unpadded stream."""
+    from custom_python_vectordb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    buf = encode_jpeg(img, quality=85)
+    _, _, _, base = decode_jpeg(buf)
+    # inject fill bytes before the DQT and SOF0 markers
+    for marker in (b"\xff\xdb", b"\xff\xc0"):
+        i = buf.index(marker)
+        padded = buf[:i] + b"\xff" * 3 + buf[i:]
+        w, h, c, px = decode_jpeg(padded)
+        assert (w, h, c) == (24, 16, 3)
+        assert np.array_equal(px, base)
+
+
+def test_video_frame_sample_decodes_only_picked(spark):
+    """The container walk returns raw payload slices; only picked indices
+    go through the JPEG decoder (the docstring's 100 TB claim, r9 ADVICE).
+    Proven by planting a CORRUPT frame at an unsampled index: sampling
+    must still succeed, full decode must raise."""
+    from custom_python_vectordb_spark.operators.multimodal import (
+        decode_avi_frames,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    frames = [encode_jpeg(np.full((8, 8, 3), 40 * (i + 1), np.uint8)) for i in range(5)]
+    avi = encode_avi_mjpeg(frames, 8, 8, fps=10)
+    w, h, fps, bufs = decode_avi_frames(avi)
+    assert (w, h, len(bufs)) == (8, 8, 5)
+    # corrupt frame index 2 (never picked when sampling endpoints of 2)
+    bad_payload = b"\xff\xd8" + b"\x00" * 10
+    bad = avi.replace(bufs[2], bad_payload.ljust(len(bufs[2]), b"\x00"))
+    _, _, _, bufs2 = decode_avi_frames(bad)
+    assert len(bufs2) == 5
+    with pytest.raises(Exception):
+        decode_avi_mjpeg(bad)  # eager decode hits the corrupt frame
+
+    from custom_python_vectordb_spark.operators.multimodal import video_frame_sample
+
+    media = spark.createDataFrame([(1, bytearray(bad))], "doc_id long, media binary")
+    rows = video_frame_sample(media, n_frames=2).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 4]
