@@ -311,6 +311,11 @@ class Client:
     def delete_collection(self, name: str) -> bool:
         return self._request("DELETE", f"/collections/{name}")["deleted"]
 
+    def reset(self) -> bool:
+        """Delete ALL collections (``fastpyvectordb/client.py:698-708``).
+        Destructive and cannot be undone."""
+        return self._request("POST", "/reset")["reset"]
+
     def __enter__(self) -> "Client":
         return self
 

@@ -401,6 +401,14 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
             }
         if graph is not None and parts and parts[0] == "graph":
             return _graph_routes(graph, method, parts, body, qs)
+        if parts == ["reset"] and method == "POST":
+            # Client.reset parity (fastpyvectordb/client.py:698-708): drop
+            # every collection; destructive, cannot be undone
+            names = list(db.list_collections())
+            for name in names:
+                db.delete_collection(name)
+                publish(name, "drop_collection")
+            return 200, {"reset": True, "dropped": len(names)}
         if parts == ["collections"]:
             if method == "GET":
                 return 200, {"collections": db.list_collections()}

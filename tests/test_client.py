@@ -164,3 +164,14 @@ def test_time_travel_peek_over_http(vclient):
     assert past == {"a"}
     with pytest.raises(ClientError):
         c.peek(version=999)
+
+
+def test_reset_drops_all_collections(client):
+    """Client.reset parity (fastpyvectordb/client.py:698-708): create →
+    reset → list == []; destructive, idempotent on an empty DB."""
+    client.create_collection("one", dimensions=64)
+    client.create_collection("two", dimensions=64)
+    assert sorted(client.list_collections()) == ["one", "two"]
+    assert client.reset() is True
+    assert client.list_collections() == []
+    assert client.reset() is True  # empty reset is fine
