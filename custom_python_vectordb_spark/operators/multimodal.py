@@ -506,20 +506,43 @@ def _codec_fns():
         t[0] *= 1 / np.sqrt(2)
         return t  # orthonormal 8x8 DCT-II: coef = T @ block @ T.T
 
+    def _jpeg_lut(huffs, key):
+        """16-bit Huffman LUT for table `key`, cached by CONTENT across
+        decode calls (_JPEG_LUTS): every canonical code of length L owns
+        a 2^(16−L) slice, so one peek + one lookup decodes a symbol."""
+        sig = (key, tuple(sorted(huffs[key].items())))
+        ent = _JPEG_LUTS.get(sig)
+        if ent is None:
+            lut_val = [0] * 65536
+            lut_len = [0] * 65536
+            for (lnb, code), val in huffs[key].items():
+                lo = code << (16 - lnb)
+                span = 1 << (16 - lnb)
+                lut_val[lo : lo + span] = [val] * span
+                lut_len[lo : lo + span] = [lnb] * span
+            if len(_JPEG_LUTS) >= 64:  # bound: 64 tables ≈ 35 MB
+                _JPEG_LUTS.clear()
+            ent = _JPEG_LUTS[sig] = (lut_val, lut_len)
+        return ent
+
     def decode_jpeg(buf: bytes):
-        """Baseline JFIF decode → (w, h, channels, pixels uint8).
+        """Baseline + progressive JFIF decode → (w, h, channels, pixels
+        uint8).
 
         Pure stdlib+NumPy (r8 VERDICT missing #2: the 'needs libjpeg'
         claim was overstated — baseline JPEG is Huffman + dequant + IDCT
         + YCbCr, the same effort class as the shipped GIF LZW / PNG
-        inflate decoders). Supported: SOF0/SOF1 sequential, 8-bit,
-        grayscale or YCbCr with any h/v subsampling the spec allows
-        (upsample via sample replication), restart markers, stuffed
-        bytes, multi-table DQT/DHT segments. Progressive (SOF2) and
-        arithmetic coding raise honestly. Huffman tables are read FROM
-        THE STREAM, never assumed. Deterministic: float64 IDCT with a
-        fixed operation order, so decoded pixels are bit-stable across
-        runs (the frozen-luma snapshot oracle relies on this)."""
+        inflate decoders). Supported: SOF0/SOF1 sequential AND SOF2
+        progressive (r10 — spectral selection + successive approximation,
+        DC/AC first and refinement passes per T.81 G.1.2, routed here by
+        the SOF marker), 8-bit, grayscale or YCbCr with any h/v
+        subsampling the spec allows (nearest upsample via index map),
+        restart markers, stuffed bytes, multi-table DQT/DHT segments.
+        Arithmetic coding and hierarchical modes raise honestly. Huffman
+        tables are read FROM THE STREAM, never assumed. Deterministic:
+        float64 IDCT with a fixed operation order, so decoded pixels are
+        bit-stable across runs (the frozen-luma snapshot oracle relies
+        on this)."""
         import struct
 
         import numpy as np
@@ -574,7 +597,7 @@ def _codec_fns():
                     comps.append([cid, hv >> 4, hv & 15, tq])
                 frame = (h_img, w_img, comps)
             elif marker == 0xC2:
-                raise ValueError("progressive JPEG (SOF2) not supported — baseline only")
+                return decode_jpeg_progressive(buf)
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(f"JPEG SOF{marker - 0xC0} not supported — baseline only")
             elif marker == 0xC4:
@@ -638,24 +661,7 @@ def _codec_fns():
         # spec's byte-alignment padding), so tail peeks stay in-bounds;
         # overrun past the real bits raises.
         def _lut(key):
-            # cached by table CONTENT across decode calls (the factory-
-            # level dict below): a corpus of same-table streams (every
-            # encode_jpeg output, most real-world JPEGs) builds the four
-            # 65536-entry tables once per worker, not once per image
-            sig = (key, tuple(sorted(huffs[key].items())))
-            ent = _JPEG_LUTS.get(sig)
-            if ent is None:
-                lut_val = [0] * 65536
-                lut_len = [0] * 65536
-                for (lnb, code), val in huffs[key].items():
-                    lo = code << (16 - lnb)
-                    span = 1 << (16 - lnb)
-                    lut_val[lo : lo + span] = [val] * span
-                    lut_len[lo : lo + span] = [lnb] * span
-                if len(_JPEG_LUTS) >= 64:  # bound: 64 tables ≈ 35 MB
-                    _JPEG_LUTS.clear()
-                ent = _JPEG_LUTS[sig] = (lut_val, lut_len)
-            return ent
+            return _jpeg_lut(huffs, key)  # content-keyed worker-shared cache
 
         state = [b"", 0, 0, -1]  # padded bytes, bitpos, total_bits, seg_idx
 
@@ -762,6 +768,339 @@ def _codec_fns():
             # for divisor ratios (the common 4:2:0/4:2:2 cases) and correct
             # for the fractional sampling factors the spec also allows
             # (e.g. h=3 with h=2), which repeat() would mis-size.
+            rows = (np.arange(h_img) * cv) // vmax
+            cols = (np.arange(w_img) * ch) // hmax
+            out_planes.append(pl[rows[:, None], cols[None, :]])
+        if len(out_planes) == 1:
+            px = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+            return w_img, h_img, 1, px[:, :, None]
+        y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=2,
+        )
+        return w_img, h_img, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    def decode_jpeg_progressive(buf: bytes):
+        """SOF2 progressive decode → (w, h, channels, pixels uint8).
+
+        Multi-scan coefficient accumulation per ITU-T T.81 G.1.2 (the
+        published jdphuff algorithm): DC first/refinement scans (the DC
+        first scan may interleave components in MCU order), AC first/
+        refinement scans (always one component, addressed on the
+        component's OWN block grid, not the MCU-padded one), EOB runs,
+        ZRL, point transform (Al) shifts, restart intervals resetting
+        predictors AND the EOB run, and between-scan DHT redefinition
+        (tables are snapshot per scan). After the last scan the
+        accumulated zigzag coefficients go through the SAME dequant /
+        IDCT / upsample / YCbCr tail as the baseline path — identical
+        math, so a progressive re-encode of the same quantized
+        coefficients decodes to pixel-identical output (asserted in
+        tests against encode_jpeg_progressive)."""
+        import struct
+
+        import numpy as np
+
+        zz = _jpeg_zigzag()
+        qt: dict = {}
+        huffs: dict = {}
+        frame = None
+        dri = 0
+        scans: list = []
+        pos = 2
+        while pos + 1 < len(buf):
+            if buf[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = buf[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            pos += 2
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:
+                break
+            ln = struct.unpack_from(">H", buf, pos)[0]
+            seg = buf[pos + 2 : pos + ln]
+            pos += ln
+            if marker == 0xDB:
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    if pq:
+                        qt[tq] = np.frombuffer(seg, ">u2", 64, i).astype(np.int64)
+                        i += 128
+                    else:
+                        qt[tq] = np.frombuffer(seg, "u1", 64, i).astype(np.int64)
+                        i += 64
+            elif marker == 0xC2:
+                h_img = struct.unpack_from(">H", seg, 1)[0]
+                w_img = struct.unpack_from(">H", seg, 3)[0]
+                nc = seg[5]
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                    comps.append([cid, hv >> 4, hv & 15, tq])
+                frame = (h_img, w_img, comps)
+            elif marker == 0xC4:
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    counts = list(seg[i : i + 16])
+                    i += 16
+                    nvals = sum(counts)
+                    vals = list(seg[i : i + nvals])
+                    i += nvals
+                    codes = {}
+                    code = 0
+                    k = 0
+                    for lnb in range(1, 17):
+                        for _ in range(counts[lnb - 1]):
+                            codes[(lnb, code)] = vals[k]
+                            k += 1
+                            code += 1
+                        code <<= 1
+                    huffs[(tc, th)] = codes
+            elif marker == 0xDD:
+                dri = struct.unpack_from(">H", seg, 0)[0]
+            elif marker == 0xDA:
+                ns = seg[0]
+                sc = [
+                    (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(ns)
+                ]
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+                # entropy data: de-stuff, split at restarts, stop at the
+                # next true marker (left in `pos` for the outer walk)
+                segments, cur, i = [], bytearray(), pos
+                while i < len(buf):
+                    b = buf[i]
+                    if b == 0xFF:
+                        nxt = buf[i + 1] if i + 1 < len(buf) else 0xD9
+                        if nxt == 0x00:
+                            cur.append(0xFF)
+                            i += 2
+                            continue
+                        if 0xD0 <= nxt <= 0xD7:
+                            segments.append(bytes(cur))
+                            cur = bytearray()
+                            i += 2
+                            continue
+                        break
+                    cur.append(b)
+                    i += 1
+                segments.append(bytes(cur))
+                pos = i
+                # snapshot the LUTs THIS scan needs (DHT may redefine
+                # tables between scans)
+                luts = {
+                    cs: (
+                        _jpeg_lut(huffs, (0, td)) if ss == 0 else None,
+                        _jpeg_lut(huffs, (1, ta)) if se > 0 else None,
+                    )
+                    for cs, td, ta in sc
+                }
+                scans.append((sc, ss, se, ah, al, segments, luts, dri))
+        if frame is None or not scans:
+            raise ValueError("progressive JPEG without SOF2/SOS")
+        h_img, w_img, comps = frame
+        comp_by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-w_img // (8 * hmax))
+        mcus_y = -(-h_img // (8 * vmax))
+        # zigzag-ordered coefficient store, MCU-padded grid per component
+        coefz = {
+            cid: np.zeros((mcus_y * v, mcus_x * h, 64), np.int64)
+            for cid, h, v, _tq in comps
+        }
+
+        def extend(v, t):
+            return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+        for sc, ss, se, ah, al, segments, luts, dri_s in scans:
+            state = [b"", 0, 0, -1]  # padded bytes, bitpos, total_bits, seg
+
+            def next_segment():
+                state[3] += 1
+                seg_bytes = segments[state[3]]
+                state[0] = seg_bytes + b"\xff\xff\xff"
+                state[1] = 0
+                state[2] = len(seg_bytes) * 8
+
+            def read_bits(n):
+                if not n:
+                    return 0
+                bp = state[1]
+                if bp + n > state[2]:
+                    raise ValueError("truncated JPEG entropy stream")
+                state[1] = bp + n
+                byi = bp >> 3
+                w = int.from_bytes(state[0][byi : byi + 3], "big")
+                return (w >> (24 - (bp & 7) - n)) & ((1 << n) - 1)
+
+            def decode_huff(lut):
+                lut_val, lut_len = lut
+                bp = state[1]
+                byi = bp >> 3
+                w = int.from_bytes(state[0][byi : byi + 3], "big")
+                v16 = (w >> (8 - (bp & 7))) & 0xFFFF
+                lnb = lut_len[v16]
+                if lnb == 0 or bp + lnb > state[2]:
+                    raise ValueError("invalid Huffman code in JPEG stream")
+                state[1] = bp + lnb
+                return lut_val[v16]
+
+            next_segment()
+            eobrun = 0
+            pred = {cs: 0 for cs, _td, _ta in sc}
+            p1, m1 = 1 << al, -1 << al
+
+            def dc_first(block, cs, dc_lut):
+                t = decode_huff(dc_lut)
+                pred[cs] += extend(read_bits(t), t) if t else 0
+                block[0] = pred[cs] << al
+
+            def dc_refine(block):
+                if read_bits(1):
+                    block[0] |= p1
+
+            def ac_first(block, ac_lut):
+                nonlocal eobrun
+                if eobrun > 0:
+                    eobrun -= 1
+                    return
+                k = ss
+                while k <= se:
+                    rs = decode_huff(ac_lut)
+                    r, s = rs >> 4, rs & 15
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past spectral band")
+                        block[k] = extend(read_bits(s), s) << al
+                        k += 1
+                    else:
+                        if r != 15:
+                            eobrun = (1 << r) - 1 + (read_bits(r) if r else 0)
+                            break
+                        k += 16
+            def ac_refine(block, ac_lut):
+                # T.81 G.1.2.3 / jdphuff decode_mcu_AC_refine: correction
+                # bits for already-nonzero coefficients, newly-nonzero
+                # insertions, EOB runs carrying corrections
+                nonlocal eobrun
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = decode_huff(ac_lut)
+                        r, s = rs >> 4, rs & 15
+                        sval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) + (read_bits(r) if r else 0)
+                                break
+                        else:
+                            sval = p1 if read_bits(1) else m1
+                        while k <= se:
+                            tc = block[k]
+                            if tc != 0:
+                                if read_bits(1) and (tc & p1) == 0:
+                                    block[k] = tc + (p1 if tc >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if sval and k <= se:
+                            block[k] = sval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        tc = block[k]
+                        if tc != 0:
+                            if read_bits(1) and (tc & p1) == 0:
+                                block[k] = tc + (p1 if tc >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+            def restart():
+                nonlocal eobrun
+                next_segment()
+                eobrun = 0
+                for cs in pred:
+                    pred[cs] = 0
+
+            if len(sc) > 1:
+                # interleaved scan (DC only in progressive): MCU order
+                if ss != 0:
+                    raise ValueError("interleaved AC scan is illegal in SOF2")
+                for mi in range(mcus_x * mcus_y):
+                    if dri_s and mi and mi % dri_s == 0:
+                        restart()
+                    my, mx = divmod(mi, mcus_x)
+                    for cs, _td, _ta in sc:
+                        h, v, _tq = comp_by_id[cs]
+                        dc_lut = luts[cs][0]
+                        for by in range(v):
+                            for bx in range(h):
+                                block = coefz[cs][my * v + by, mx * h + bx]
+                                if ah == 0:
+                                    dc_first(block, cs, dc_lut)
+                                else:
+                                    dc_refine(block)
+            else:
+                # single-component scan on the component's own block grid
+                cs, _td, _ta = sc[0]
+                h, v, _tq = comp_by_id[cs]
+                csw = -(-w_img * h // hmax)  # component width in samples
+                csh = -(-h_img * v // vmax)
+                bw = -(-csw // 8)
+                bh = -(-csh // 8)
+                dc_lut, ac_lut = luts[cs]
+                for ui in range(bw * bh):
+                    if dri_s and ui and ui % dri_s == 0:
+                        restart()
+                    by, bx = divmod(ui, bw)
+                    block = coefz[cs][by, bx]
+                    if ss == 0:
+                        if ah == 0:
+                            dc_first(block, cs, dc_lut)
+                        else:
+                            dc_refine(block)
+                    elif ah == 0:
+                        ac_first(block, ac_lut)
+                    else:
+                        ac_refine(block, ac_lut)
+
+        # shared tail: dequant + IDCT (same float64 op order as baseline)
+        tmat = _jpeg_dct_matrix()
+        planes = {}
+        for cid, h, v, tq in comps:
+            grid = coefz[cid]
+            bh, bw = grid.shape[0], grid.shape[1]
+            flat = grid.reshape(bh * bw, 64).astype(np.float64)
+            nat = np.zeros((bh * bw, 64), np.float64)
+            nat[:, zz] = flat * qt[tq][None, :]
+            stack = nat.reshape(bh * bw, 8, 8)
+            spatial = np.einsum("ij,bjk,lk->bil", tmat.T, stack, tmat.T) + 128.0
+            pl = np.zeros((bh * 8, bw * 8), np.float64)
+            for bi in range(bh * bw):
+                ry, cx = divmod(bi, bw)
+                pl[ry * 8 : ry * 8 + 8, cx * 8 : cx * 8 + 8] = spatial[bi]
+            planes[cid] = pl
+        out_planes = []
+        for cid, ch, cv, _tq in comps:
+            pl = planes[cid]
             rows = (np.arange(h_img) * cv) // vmax
             cols = (np.arange(w_img) * ch) // hmax
             out_planes.append(pl[rows[:, None], cols[None, :]])
@@ -993,6 +1332,288 @@ def _codec_fns():
         head += seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
         return bytes(head) + out + b"\xff\xd9"
 
+    def encode_jpeg_progressive(arr, quality: int = 90) -> bytes:
+        """(h, w[, 3]) uint8 → SOF2 progressive JFIF bytes (4:4:4).
+
+        Same quantization tables, color conversion, DCT and rounding as
+        ``encode_jpeg`` — the two streams carry IDENTICAL quantized
+        coefficients, so decoding both must give pixel-identical output
+        (the round-trip test's equality oracle). Scan script: interleaved
+        DC first pass at Al=1 + DC refinement, then per component AC
+        bands 1-5 and 6-63 first passes at Al=1 and the two matching
+        refinement passes — exercising spectral selection, successive
+        approximation, EOB runs, ZRL and correction bits on both sides
+        (emission follows the published jcphuff algorithm, T.81 G.1.2).
+        Per-scan Huffman tables are canonical uniform-length codes built
+        from each scan's emitted symbols (the all-ones codeword stays
+        unused, as C.2 requires) and written as a DHT before each SOS."""
+        import struct
+
+        import numpy as np
+
+        arr = np.asarray(arr, dtype=np.float64)
+        gray = arr.ndim == 2 or arr.shape[2] == 1
+        if arr.ndim == 3 and arr.shape[2] == 1:
+            arr = arr[:, :, 0]
+        h_img, w_img = arr.shape[0], arr.shape[1]
+        zz = _jpeg_zigzag()
+        base_luma = np.array([
+            16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+            14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+            18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+            49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+        ], np.float64)
+        base_chroma = np.array([
+            17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+            24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+            99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+            99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        ], np.float64)
+        q = max(1, min(100, int(quality)))
+        scale = 5000 / q if q < 50 else 200 - 2 * q
+        qluma = np.clip(np.floor((base_luma * scale + 50) / 100), 1, 255)
+        qchroma = np.clip(np.floor((base_chroma * scale + 50) / 100), 1, 255)
+
+        tmat = _jpeg_dct_matrix()
+
+        def component_blocks(plane, qtbl):
+            ph = -(-plane.shape[0] // 8) * 8
+            pw = -(-plane.shape[1] // 8) * 8
+            padded = np.pad(
+                plane,
+                ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                mode="edge",
+            ) - 128.0
+            nby, nbx = ph // 8, pw // 8
+            blk = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+            coefs = np.einsum("ij,yxjk,lk->yxil", tmat, blk, tmat)
+            qz = np.round(coefs / qtbl.reshape(8, 8)).astype(np.int64)
+            return qz.reshape(nby * nbx, 64)
+
+        if gray:
+            planes = [(arr, qluma)]
+        else:
+            r_, g_, b_ = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+            y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+            cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+            cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+            planes = [(y, qluma), (cb, qchroma), (cr, qchroma)]
+        ncomp = len(planes)
+        comp_zz = [component_blocks(p, qt_)[:, zz] for p, qt_ in planes]
+        n_blocks = comp_zz[0].shape[0]
+
+        def category(v):
+            a = abs(int(v))
+            s = a.bit_length()
+            bits = int(v) if v > 0 else int(v) + (1 << s) - 1
+            return s, bits
+
+        # tokens per scan: ("s", symbol) huffman-coded / ("r", val, nbits) raw
+        def pack_scan(tokens) -> tuple[bytes, bytes]:
+            """→ (DHT segment or b"", packed entropy bytes). Uniform-length
+            canonical codes over the scan's symbol set; n+1 ≤ 2^L keeps the
+            all-ones codeword unused (C.2, and the decoder's 1-padding
+            overrun guard relies on it)."""
+            syms = sorted({t[1] for t in tokens if t[0] == "s"})
+            enc = {}
+            dht_payload = b""
+            if syms:
+                n = len(syms)
+                lnb = max(1, n.bit_length())
+                counts = [0] * 16
+                counts[lnb - 1] = n
+                enc = {s: (i, lnb) for i, s in enumerate(syms)}
+                dht_payload = bytes(counts) + bytes(syms)
+            fields_v, fields_n = [], []
+            for t in tokens:
+                if t[0] == "s":
+                    code, ln_ = enc[t[1]]
+                    fields_v.append(code)
+                    fields_n.append(ln_)
+                else:
+                    fields_v.append(t[1])
+                    fields_n.append(t[2])
+            if not fields_v:
+                return dht_payload, b""
+            vals = np.asarray(fields_v, dtype=np.int64)
+            lens = np.asarray(fields_n, dtype=np.int64)
+            keep = lens > 0
+            vals, lens = vals[keep], lens[keep]
+            total = int(lens.sum())
+            nbits = -(-total // 8) * 8
+            starts = np.cumsum(lens) - lens
+            bit_arr = np.ones(nbits, dtype=np.uint8)  # pad bits are 1s
+            pos = np.arange(total) - np.repeat(starts, lens)
+            shift = np.repeat(lens, lens) - 1 - pos
+            bit_arr[:total] = (np.repeat(vals, lens) >> shift) & 1
+            packed = np.packbits(bit_arr)
+            ff = np.nonzero(packed == 0xFF)[0]
+            if len(ff):
+                packed = np.insert(packed, ff + 1, 0)  # byte stuffing
+            return dht_payload, packed.tobytes()
+
+        scans: list = []  # (comp_ids 0-based, ss, se, ah, al, tokens)
+
+        # ---- DC first (interleaved, Al=1) + refinement (Ah=1, Al=0)
+        al_dc = 1
+        toks: list = []
+        preds = [0] * ncomp
+        for bi in range(n_blocks):
+            for ci in range(ncomp):
+                val = int(comp_zz[ci][bi][0]) >> al_dc  # arithmetic shift
+                diff = val - preds[ci]
+                preds[ci] = val
+                s, bits = category(diff) if diff else (0, 0)
+                toks.append(("s", s))
+                if s:
+                    toks.append(("r", bits, s))
+        scans.append((list(range(ncomp)), 0, 0, 0, al_dc, toks))
+        toks = []
+        for bi in range(n_blocks):
+            for ci in range(ncomp):
+                toks.append(("r", int(comp_zz[ci][bi][0]) & 1, 1))
+        scans.append((list(range(ncomp)), 0, 0, al_dc, 0, toks))
+
+        # ---- AC scans per component: two spectral bands, Al=1 then refine
+        def ac_first_tokens(czz, ss_, se_, al_):
+            toks: list = []
+            eobrun = 0
+
+            def flush():
+                nonlocal eobrun
+                if eobrun:
+                    nb = eobrun.bit_length() - 1
+                    toks.append(("s", nb << 4))
+                    if nb:
+                        toks.append(("r", eobrun - (1 << nb), nb))
+                    eobrun = 0
+
+            for bi in range(czz.shape[0]):
+                row = czz[bi]
+                r = 0
+                started = False
+                for k in range(ss_, se_ + 1):
+                    t = int(row[k])
+                    mag = (t if t >= 0 else -t) >> al_
+                    if mag == 0:
+                        r += 1
+                        continue
+                    if not started:
+                        flush()
+                        started = True
+                    while r > 15:
+                        toks.append(("s", 0xF0))
+                        r -= 16
+                    s = mag.bit_length()
+                    v = mag if t >= 0 else -mag
+                    bits = v if v > 0 else v + (1 << s) - 1
+                    toks.append(("s", (r << 4) | s))
+                    toks.append(("r", bits, s))
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+            flush()
+            return toks
+
+        def ac_refine_tokens(czz, ss_, se_, al_):
+            toks: list = []
+            eobrun = 0
+            be: list = []  # correction bits pending with the EOB run
+
+            def flush():
+                nonlocal eobrun, be
+                if eobrun:
+                    nb = eobrun.bit_length() - 1
+                    toks.append(("s", nb << 4))
+                    if nb:
+                        toks.append(("r", eobrun - (1 << nb), nb))
+                    toks.extend(("r", b, 1) for b in be)
+                    eobrun, be = 0, []
+
+            for bi in range(czz.shape[0]):
+                row = czz[bi]
+                absv = [
+                    ((int(row[k]) if row[k] >= 0 else -int(row[k])) >> al_)
+                    for k in range(ss_, se_ + 1)
+                ]
+                eobpos = -1
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eobpos = i
+                r = 0
+                br: list = []
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eobpos:
+                        flush()
+                        toks.append(("s", 0xF0))
+                        toks.extend(("r", b, 1) for b in br)
+                        br = []
+                        r -= 16
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    flush()
+                    toks.append(("s", (r << 4) | 1))
+                    toks.append(("r", 0 if int(row[ss_ + i]) < 0 else 1, 1))
+                    toks.extend(("r", b, 1) for b in br)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush()
+            flush()
+            return toks
+
+        bands = [(1, 5), (6, 63)]
+        for ci in range(ncomp):
+            for ss_, se_ in bands:
+                scans.append(
+                    ([ci], ss_, se_, 0, 1, ac_first_tokens(comp_zz[ci], ss_, se_, 1))
+                )
+        for ci in range(ncomp):
+            for ss_, se_ in bands:
+                scans.append(
+                    ([ci], ss_, se_, 1, 0, ac_refine_tokens(comp_zz[ci], ss_, se_, 0))
+                )
+
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+        head = bytearray()
+        head += b"\xff\xd8"
+        head += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        head += seg(0xDB, bytes([0]) + bytes(int(v) for v in qluma[zz]))
+        if not gray:
+            head += seg(0xDB, bytes([1]) + bytes(int(v) for v in qchroma[zz]))
+        sof_comps = b"".join(
+            bytes([cid, 0x11, 0 if cid == 1 else 1]) for cid in range(1, ncomp + 1)
+        )
+        head += seg(
+            0xC2,
+            bytes([8]) + struct.pack(">HH", h_img, w_img) + bytes([ncomp]) + sof_comps,
+        )
+        out = bytearray(head)
+        for comp_ids, ss_, se_, ah_, al_, tokens in scans:
+            dht_payload, entropy = pack_scan(tokens)
+            tc = 0 if ss_ == 0 else 1
+            if dht_payload:
+                out += seg(0xC4, bytes([(tc << 4) | 0]) + dht_payload)
+            sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in comp_ids)
+            out += seg(
+                0xDA,
+                bytes([len(comp_ids)]) + sos_comps + bytes([ss_, se_, (ah_ << 4) | al_]),
+            )
+            out += entropy
+        out += b"\xff\xd9"
+        return bytes(out)
+
     def encode_avi_mjpeg(jpeg_frames, w: int, h: int, fps: int = 10) -> bytes:
         """List of already-encoded JPEG frame payloads → minimal
         spec-correct MJPEG-in-AVI (RIFF: hdrl/avih/strl/strh/strf, movi
@@ -1086,6 +1707,7 @@ def _codec_fns():
         encode_png, decode_png, encode_gif, decode_gif,
         encode_jpeg, decode_jpeg, encode_avi_mjpeg, decode_avi_mjpeg,
         decode_wav_samples, decode_avi_frames, decode_frame_rgb,
+        encode_jpeg_progressive,
     )
 
 
@@ -1094,6 +1716,7 @@ def _codec_fns():
     encode_png, decode_png, encode_gif, decode_gif,
     encode_jpeg, decode_jpeg, encode_avi_mjpeg, decode_avi_mjpeg,
     decode_wav_samples, decode_avi_frames, decode_frame_rgb,
+    encode_jpeg_progressive,
 ) = _codec_fns()
 
 

@@ -624,17 +624,54 @@ def test_jpeg_420_subsampling_and_restart_markers():
     assert np.unique(px2[:, :, 2]).size == 1  # chroma constant over the MCU
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_progressive_decodes_and_bad_magic_raises():
+    """SOF2 routes to the progressive decoder as of r10 (a header-only
+    SOF2 stream now fails for lack of scans, not for being progressive);
+    non-JPEG magic still raises immediately."""
     from custom_python_vectordb_spark.operators.multimodal import decode_jpeg
 
     import struct
 
     sof2 = (b"\xff\xd8" + bytes([0xFF, 0xC2]) + struct.pack(">H", 11)
             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="without SOF2/SOS"):
         decode_jpeg(sof2)
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"nope")
+
+
+def test_jpeg_progressive_roundtrip_equals_baseline():
+    """encode_jpeg_progressive carries the SAME quantized coefficients as
+    encode_jpeg (same tables, DCT, rounding), so decoding both streams
+    must be pixel-IDENTICAL — this one equality exercises spectral
+    selection, successive approximation (DC and AC first + refinement),
+    EOB runs, ZRL and correction bits end to end."""
+    from custom_python_vectordb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(42)
+    cases = []
+    yy, xx = np.mgrid[0:33, 0:41]
+    grad = np.clip(((yy * 3 + xx * 2) % 256)[..., None]
+                   + rng.randint(-40, 40, (33, 41, 3)), 0, 255).astype(np.uint8)
+    cases.append((grad, 75))
+    cases.append((np.full((48, 56, 3), 77, np.uint8), 90))     # flat: max EOB runs
+    sparse = np.zeros((40, 40, 3), np.uint8)
+    sparse[::7, ::11] = 255                                    # ZRL + long runs
+    cases.append((sparse, 85))
+    cases.append((rng.randint(0, 256, (21, 13)).astype(np.uint8), 90))  # grayscale
+    chk = (((yy[:32, :32] + xx[:32, :32]) % 2) * 255).astype(np.uint8)  # dense tail
+    cases.append((chk, 95))
+    for img, q in cases:
+        base = decode_jpeg(encode_jpeg(img, q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, q))
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3]), (img.shape, q)
+    # magic sniffing: progressive bytes still start FF D8 -> same path
+    assert encode_jpeg_progressive(grad, 75)[:2] == b"\xff\xd8"
 
 
 def test_decode_images_sniffs_jpeg(spark):
