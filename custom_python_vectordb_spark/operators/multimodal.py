@@ -15,10 +15,11 @@ Media are opaque BINARY columns with typed metadata. Two codec tiers:
   library.
 - **Fake codec** (`decode_media(codec='fake')`): deterministic arithmetic
   on payload length, used by the oracle-checked `media_*` queries (the
-  driver tables carry text-derived payloads, not real images). MP4
-  still raises — video containers genuinely need ffmpeg, absent from
-  this runtime; the mapInPandas plumbing is codec-agnostic so it plugs
-  into the same body.
+  driver tables carry text-derived payloads, not real images). Video
+  containers decode for real — MJPEG-in-AVI (r9) and JPEG-track MP4
+  (ISO BMFF box walk + sample tables, r10); only INTER-FRAME codecs
+  (avc1/hvc1/vp09…) raise, because those genuinely need ffmpeg, absent
+  from this runtime.
 
 Scale notes: binary payloads ride the same Parquet scans as everything else
 (column pruning skips them unless referenced); decode is mapInPandas so
@@ -1697,9 +1698,210 @@ def _codec_fns():
         """MJPEG-in-AVI → (w, h, fps, frames list of (h, w, 3) uint8).
         RIFF chunk walk (hdrl for dims/rate, movi for 00dc/00db frame
         payloads), each frame through the pure-NumPy baseline JPEG
-        decoder. The one VIDEO container that needs no ffmpeg — MP4's
-        inter-frame codecs still honestly raise."""
+        decoder. MP4 JPEG tracks decode via decode_mp4_mjpeg (r10);
+        inter-frame codecs (avc1/hev1/vp09…) still honestly raise."""
         w, h, fps, frame_bufs = decode_avi_frames(buf)
+        return w, h, fps, [decode_frame_rgb(fb) for fb in frame_bufs]
+
+    def encode_mp4_mjpeg(jpeg_frames, w: int, h: int, fps: int = 10) -> bytes:
+        """List of already-encoded JPEG frame payloads → minimal ISO BMFF
+        (MP4) with one 'jpeg' video track: ftyp + mdat + moov(mvhd, trak
+        (tkhd, mdia(mdhd, hdlr 'vide', minf(vmhd, dinf, stbl(stsd 'jpeg',
+        stts, stsc, stsz, stco))))). Frames are whole samples in one
+        chunk; stco carries the absolute mdat payload offset (moov is
+        written after mdat so offsets are exact). Container only — the
+        frame codec stays encode_jpeg, same separation as the AVI twin."""
+        import struct
+
+        def box(fourcc: bytes, payload: bytes) -> bytes:
+            return struct.pack(">I", len(payload) + 8) + fourcc + payload
+
+        def full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+            return box(fourcc, struct.pack(">I", (version << 24) | flags) + payload)
+
+        n = len(jpeg_frames)
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+        mdat_payload = b"".join(jpeg_frames)
+        mdat = box(b"mdat", mdat_payload)
+        first_sample_off = len(ftyp) + 8  # mdat header is 8 bytes
+
+        ts = int(fps)
+        mvhd = full(b"mvhd", 0, 0, struct.pack(
+            ">IIII", 0, 0, ts, n
+        ) + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+            + b"\x00" * 10
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24 + struct.pack(">I", 2))
+        tkhd = full(b"tkhd", 0, 3, struct.pack(">IIIII", 0, 0, 1, 0, n)
+                    + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+                    + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                    + struct.pack(">II", w << 16, h << 16))
+        mdhd = full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, ts, n)
+                    + struct.pack(">HH", 0x55C4, 0))  # 'und' language
+        hdlr = full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                    + b"VideoHandler\x00")
+        vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        dref = full(b"dref", 0, 0, struct.pack(">I", 1) + full(b"url ", 0, 1, b""))
+        dinf = box(b"dinf", dref)
+        # VisualSampleEntry, format 'jpeg' (ISO 14496-12 §12.1.3)
+        sample_entry = (
+            b"\x00" * 6 + struct.pack(">H", 1)            # reserved, dref idx
+            + b"\x00" * 16                                 # pre_defined/reserved
+            + struct.pack(">HH", w, h)
+            + struct.pack(">II", 0x00480000, 0x00480000)   # 72 dpi
+            + b"\x00" * 4 + struct.pack(">H", 1)           # frame_count
+            + b"\x00" * 32                                 # compressorname
+            + struct.pack(">Hh", 24, -1)                   # depth, pre_defined
+        )
+        stsd = full(b"stsd", 0, 0, struct.pack(">I", 1)
+                    + box(b"jpeg", sample_entry))
+        stts = full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+        stsc = full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+        stsz = full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                    + b"".join(struct.pack(">I", len(f)) for f in jpeg_frames))
+        stco = full(b"stco", 0, 0, struct.pack(">II", 1, first_sample_off))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", vmhd + dinf + stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        return ftyp + mdat + moov
+
+    def decode_mp4_frames(buf: bytes):
+        """ISO BMFF (MP4) container walk → (w, h, fps, JPEG payload bytes
+        list). Parses the box tree (ftyp/moov/trak/mdia/minf/stbl), picks
+        the first 'vide' track, and reads its sample tables (stsd for the
+        codec + dims, stsz sizes, stco/co64 chunk offsets, stsc sample-to-
+        chunk runs, mdhd+stts for fps) to slice every sample out of mdat
+        WITHOUT decoding it — the same walk-only discipline as
+        decode_avi_frames, so frame sampling stays O(picked). JPEG sample
+        formats ('jpeg'/'mjpa'/'mjpb'/'MJPG') are supported; inter-frame
+        codecs (avc1/hvc1/vp09…) raise honestly — THOSE genuinely need a
+        video codec library this runtime doesn't have."""
+        import struct
+
+        if len(buf) < 12 or buf[4:8] != b"ftyp":
+            raise ValueError("not an MP4 payload")
+
+        def walk(pos: int, end: int):
+            """Yield (fourcc, payload_start, payload_end) of child boxes."""
+            while pos + 8 <= end:
+                size = struct.unpack_from(">I", buf, pos)[0]
+                fourcc = buf[pos + 4 : pos + 8]
+                data_start = pos + 8
+                if size == 1:  # 64-bit largesize
+                    size = struct.unpack_from(">Q", buf, pos + 8)[0]
+                    data_start = pos + 16
+                elif size == 0:  # to end of file
+                    size = end - pos
+                if size < 8 or pos + size > end:
+                    raise ValueError("malformed MP4 box")
+                yield fourcc, data_start, pos + size
+                pos += size
+
+        def child(pos, end, fourcc):
+            for fc, s, e in walk(pos, end):
+                if fc == fourcc:
+                    return s, e
+            return None
+
+        moov = child(0, len(buf), b"moov")
+        if moov is None:
+            raise ValueError("MP4 without moov")
+        video = None
+        for fc, s, e in walk(*moov):
+            if fc != b"trak":
+                continue
+            mdia = child(s, e, b"mdia")
+            if mdia is None:
+                continue
+            hdlr = child(*mdia, b"hdlr")
+            if hdlr is None or buf[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+                continue
+            video = mdia
+            break
+        if video is None:
+            raise ValueError("MP4 without a video track")
+        mdhd = child(*video, b"mdhd")
+        timescale = struct.unpack_from(">I", buf, mdhd[0] + 12)[0] if mdhd else 0
+        minf = child(*video, b"minf")
+        stbl = child(*minf, b"stbl")
+        if stbl is None:
+            raise ValueError("MP4 video track without stbl")
+
+        def full_payload(fourcc):
+            c = child(*stbl, fourcc)
+            return None if c is None else (c[0] + 4, c[1])  # skip version+flags
+
+        # stsd: codec + dimensions
+        stsd = full_payload(b"stsd")
+        if stsd is None:
+            raise ValueError("MP4 without stsd")
+        entry_start = stsd[0] + 4  # past entry_count
+        fmt = buf[entry_start + 4 : entry_start + 8]
+        if fmt not in (b"jpeg", b"mjpa", b"mjpb", b"MJPG", b"mjpg"):
+            raise ValueError(
+                f"MP4 video codec {fmt.decode('latin1')!r} needs an inter-"
+                "frame decoder (ffmpeg) — only JPEG-track MP4 is supported"
+            )
+        se = entry_start + 8  # VisualSampleEntry body
+        w = struct.unpack_from(">H", buf, se + 24)[0]
+        h = struct.unpack_from(">H", buf, se + 26)[0]
+
+        # stts: fps = timescale / first sample delta
+        stts = full_payload(b"stts")
+        fps = 0.0
+        if stts and struct.unpack_from(">I", buf, stts[0])[0] > 0:
+            delta = struct.unpack_from(">I", buf, stts[0] + 8)[0]
+            if delta and timescale:
+                fps = timescale / delta
+
+        # stsz: per-sample sizes
+        p, _e = full_payload(b"stsz")
+        fixed, count = struct.unpack_from(">II", buf, p)
+        sizes = (
+            [fixed] * count
+            if fixed
+            else list(struct.unpack_from(f">{count}I", buf, p + 8))
+        )
+
+        # stco/co64: chunk offsets
+        co = full_payload(b"stco")
+        if co is not None:
+            nch = struct.unpack_from(">I", buf, co[0])[0]
+            offsets = list(struct.unpack_from(f">{nch}I", buf, co[0] + 4))
+        else:
+            co = full_payload(b"co64")
+            if co is None:
+                raise ValueError("MP4 without stco/co64")
+            nch = struct.unpack_from(">I", buf, co[0])[0]
+            offsets = list(struct.unpack_from(f">{nch}Q", buf, co[0] + 4))
+
+        # stsc: sample-to-chunk runs → per-chunk sample counts
+        p, _e = full_payload(b"stsc")
+        nruns = struct.unpack_from(">I", buf, p)[0]
+        runs = [
+            struct.unpack_from(">III", buf, p + 4 + 12 * i) for i in range(nruns)
+        ]
+        per_chunk = []
+        for i, (first, spc, _sdi) in enumerate(runs):
+            last = runs[i + 1][0] - 1 if i + 1 < nruns else len(offsets)
+            per_chunk.extend([spc] * (last - first + 1))
+
+        payloads, si = [], 0
+        for ci, off in enumerate(offsets):
+            pos = off
+            for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+                if si >= count:
+                    break
+                payloads.append(buf[pos : pos + sizes[si]])
+                pos += sizes[si]
+                si += 1
+        return w, h, fps, payloads
+
+    def decode_mp4_mjpeg(buf: bytes):
+        """JPEG-track MP4 → (w, h, fps, frames list of (h, w, 3) uint8)."""
+        w, h, fps, frame_bufs = decode_mp4_frames(buf)
         return w, h, fps, [decode_frame_rgb(fb) for fb in frame_bufs]
 
     return (
@@ -1708,6 +1910,7 @@ def _codec_fns():
         encode_jpeg, decode_jpeg, encode_avi_mjpeg, decode_avi_mjpeg,
         decode_wav_samples, decode_avi_frames, decode_frame_rgb,
         encode_jpeg_progressive,
+        encode_mp4_mjpeg, decode_mp4_frames, decode_mp4_mjpeg,
     )
 
 
@@ -1717,6 +1920,7 @@ def _codec_fns():
     encode_jpeg, decode_jpeg, encode_avi_mjpeg, decode_avi_mjpeg,
     decode_wav_samples, decode_avi_frames, decode_frame_rgb,
     encode_jpeg_progressive,
+    encode_mp4_mjpeg, decode_mp4_frames, decode_mp4_mjpeg,
 ) = _codec_fns()
 
 
@@ -1912,8 +2116,9 @@ def decode_media(media: DataFrame, id_col: str = "doc_id", codec: str = "fake") 
             f"codec {codec!r}: this entry point drives the oracle-checked "
             "queries over text-derived payloads. Real decoding lives in "
             "decode_images (PPM/BMP/PNG/baseline JPEG, all pure-NumPy), "
-            "decode_audio (WAV) and resize_ppm_pixels; MP4 genuinely "
-            "needs ffmpeg, absent here"
+            "decode_audio (WAV), resize_ppm_pixels, decode_avi_mjpeg and "
+            "decode_mp4_mjpeg (JPEG-track MP4); only inter-frame video "
+            "codecs genuinely need ffmpeg, absent here"
         )
 
     def decode(batches):
@@ -2170,13 +2375,14 @@ def video_frame_sample(media: DataFrame, n_frames: int = 4, id_col: str = "doc_i
     included), decode each through the baseline JPEG decoder and emit
     per-frame Rec.601 pixel luma — the video twin of gif_frame_sample.
     Map-only mapInPandas; at 100 TB each worker decodes only the frames
-    it samples — the container walk (`decode_avi_frames`) collects raw
-    00dc payload slices without JPEG-decoding them, and only the picked
-    indices go through the decoder. MP4 still raises honestly via
-    decode_media."""
+    it samples — the container walk (`decode_avi_frames` for RIFF/AVI,
+    `decode_mp4_frames` for ISO BMFF, sniffed per row) collects raw
+    payload slices without JPEG-decoding them, and only the picked
+    indices go through the decoder. Inter-frame MP4 codecs still raise
+    honestly inside the MP4 walk."""
     nf = n_frames
     # closure cells → pickled by value
-    _walk, _dec = decode_avi_frames, decode_frame_rgb
+    _walk_avi, _walk_mp4, _dec = decode_avi_frames, decode_mp4_frames, decode_frame_rgb
 
     def sample(batches):
         import pandas as pd
@@ -2186,7 +2392,11 @@ def video_frame_sample(media: DataFrame, n_frames: int = 4, id_col: str = "doc_i
                                    "width", "height", "fps", "mean_luma")}
             for i, buf in zip(pdf[id_col], pdf["media"]):
                 buf = bytes(buf or b"")
-                if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+                if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+                    _walk = _walk_avi
+                elif len(buf) >= 12 and buf[4:8] == b"ftyp":
+                    _walk = _walk_mp4
+                else:
                     continue
                 w, h, fps, frame_bufs = _walk(buf)
                 n = len(frame_bufs)

@@ -1029,3 +1029,42 @@ def test_video_frame_sample_decodes_only_picked(spark):
     media = spark.createDataFrame([(1, bytearray(bad))], "doc_id long, media binary")
     rows = video_frame_sample(media, n_frames=2).collect()
     assert sorted(r["frame_idx"] for r in rows) == [0, 4]
+
+
+def test_mp4_jpeg_track_roundtrip_and_sampling(spark):
+    """JPEG-track MP4 (r10): container round trip slices the exact frame
+    bytes back out of mdat via the sample tables; decoded frames equal
+    the AVI twin's; video_frame_sample sniffs ISO BMFF next to RIFF; a
+    non-JPEG codec fourcc raises at the walk, not mid-decode."""
+    from custom_python_vectordb_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        decode_mp4_frames,
+        decode_mp4_mjpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_mp4_mjpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    pxs = [rng.randint(0, 256, (16, 24, 3)).astype(np.uint8) for _ in range(4)]
+    frames = [encode_jpeg(px, 80) for px in pxs]
+    mp4 = encode_mp4_mjpeg(frames, 24, 16, fps=12)
+    w, h, fps, bufs = decode_mp4_frames(mp4)
+    assert (w, h, fps) == (24, 16, 12.0)
+    assert bufs == frames  # exact payload slices out of mdat
+    _, _, _, dec_mp4 = decode_mp4_mjpeg(mp4)
+    _, _, _, dec_avi = decode_avi_mjpeg(encode_avi_mjpeg(frames, 24, 16, fps=12))
+    for a, b in zip(dec_mp4, dec_avi):
+        assert np.array_equal(a, b)
+
+    with pytest.raises(ValueError, match="avc1"):
+        decode_mp4_frames(mp4.replace(b"\x00\x00\x00\x56jpeg", b"\x00\x00\x00\x56avc1"))
+    with pytest.raises(ValueError, match="not an MP4"):
+        decode_mp4_frames(b"\x00\x00\x00\x08free")
+
+    from custom_python_vectordb_spark.operators.multimodal import video_frame_sample
+
+    media = spark.createDataFrame([(1, bytearray(mp4))], "doc_id long, media binary")
+    rows = video_frame_sample(media, n_frames=2).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 3]
+    assert all(r["n_total_frames"] == 4 and r["width"] == 24 for r in rows)
