@@ -111,6 +111,32 @@ def query(
     return deco
 
 
+# (name, sf suffix e.g. 'sf0.1') -> SQL string or lazy builder. Additional
+# per-SCALE snapshot oracles for ORACLE_SF-pinned queries (r10, VERDICT
+# missing #3: 15 queries were only ever value-verified at one scale).
+# The DRIVER contract (oracle_sql) still carries the pinned-scale oracle;
+# the local sweep (tools/check.py) consults this table before declaring a
+# pinned query 'scoped' at another scale.
+SCALE_ORACLES: dict[tuple[str, str], str | Callable[[], str | None]] = {}
+
+
+def scale_oracle(name: str, sf: str, oracle: str | Callable[[], str | None]) -> None:
+    """Register an extra snapshot oracle for `name` at scale `sf`."""
+    SCALE_ORACLES[(name, sf)] = oracle
+
+
+def resolve_scale_oracle(name: str, sf: str) -> str | None:
+    """SQL for (name, sf) or None (unregistered / fixture missing)."""
+    o = SCALE_ORACLES.get((name, sf))
+    if callable(o):
+        o = o()
+        if o is None:
+            del SCALE_ORACLES[(name, sf)]
+        else:
+            SCALE_ORACLES[(name, sf)] = o
+    return o
+
+
 def resolved_oracles() -> dict[str, str]:
     """ORACLES with lazy builders resolved (memoized back into the dict).
     A builder returning None means the snapshot inputs are unavailable on
@@ -253,6 +279,7 @@ def load_all() -> None:
         "cleaning",
         "extras",
         "analytics",
+        "scale_snapshots",  # per-scale parquet oracle registration (r10)
     ):
         __import__(f"custom_python_vectordb_spark.queries.{mod}")
 

@@ -107,3 +107,27 @@ def test_catalog_and_view_memoization(spark, sf_small):
     assert edges_df(spark, sf_small) is edges_df(spark, sf_small)
     other = "/root/testdata/sf0.01"
     assert load_table(spark, other, "orders") is not load_table(spark, sf_small, "orders")
+
+
+def test_scale_snapshot_fixtures_match_recompute(spark):
+    """The per-scale parquet snapshot oracles (r10) must equal a fresh
+    recompute — pins fixture drift (Spark/NumPy version, testdata regen)
+    in pytest before it can fail the sweep. Cheap queries only; the heavy
+    ones are covered by the committed CHECK artifacts."""
+    import duckdb
+
+    from custom_python_vectordb_spark import registry
+
+    registry.load_all()
+    for name in ("embed_mock", "bpe_train_merges", "media_features"):
+        for sf in ("sf0.1", "sf0.001"):
+            sql = registry.resolve_scale_oracle(name, sf)
+            assert sql is not None, (name, sf)
+            frozen = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+            fresh = sorted(
+                tuple(r)
+                for r in registry.QUERIES[name](spark, f"/root/testdata/{sf}").collect()
+            )
+            assert [tuple(map(str, r)) for r in frozen] == [
+                tuple(map(str, r)) for r in fresh
+            ], (name, sf)

@@ -104,15 +104,23 @@ def main() -> int:
             record(rec)
             continue
         pinned = registry.ORACLE_SF.get(name)
+        oracle_sql_str = oracles[name]
         if pinned and not sf_dir.rstrip("/").endswith(pinned):
-            # snapshot-built oracle pinned to another scale: a mismatch here
-            # is the documented loudness, not a correctness failure — the
-            # driver's gate runs at the pinned scale, where it is strict
-            rec.update(status="scoped", detail=f"oracle pinned to {pinned}, rows={len(srows)}")
-            record(rec)
-            continue
+            # snapshot-built oracle pinned to another scale. r10: consult
+            # the per-scale fixture oracles first (parquet snapshots,
+            # queries/scale_snapshots.py) — only when none is registered
+            # does the row stay 'scoped' (the documented loudness, not a
+            # correctness failure; the driver's gate runs at the pinned
+            # scale, where it is strict).
+            suffix = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+            alt = registry.resolve_scale_oracle(name, suffix)
+            if alt is None:
+                rec.update(status="scoped", detail=f"oracle pinned to {pinned}, rows={len(srows)}")
+                record(rec)
+                continue
+            oracle_sql_str = alt
         try:
-            rel = con.sql(oracles[name])
+            rel = con.sql(oracle_sql_str)
             ocols = rel.columns
             orows = rel.fetchall()
         except Exception as e:
