@@ -66,6 +66,8 @@ SHOW = [
     ("bpe_encode", "trained merges applied as nested all-JVM greedy folds over per-word symbol arrays — a pure map projection, no shuffle, no Python"),
     ("media_phash_pairs", "perceptual image dedup: one map-only decode+hash pass (mapInPandas), band explode a projection, (band, val) bucket self-join + bit_count(xor) verify — Σ|bucket|², never all-pairs"),
     ("media_audio_fp_pairs", "audio fingerprint dedup: map-only PCM decode + window-energy bands, then the SAME banded-Hamming join as images"),
+    ("media_jpeg_progressive_luma", "SOF2 progressive JPEG end to end: map-only mapInPandas encode+decode (multi-scan coefficient accumulation), pinned by the baseline stream's frozen snapshot"),
+    ("media_mp4_frames", "JPEG-track MP4: ISO BMFF box walk + sample tables slice frames out of mdat without decoding; only sampled indices hit the JPEG decoder — map-only, O(sampled)"),
 ]
 
 MARKERS = [
