@@ -303,11 +303,16 @@ def quantized_rerank(
     metric: str = "l2",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coded_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """K5 — SQ-coded coarse scan → top-`candidates` per query → exact
     distance on the candidate set → top-k. Two-stage plan: stage 1 reads
-    codes only (4× less data), stage 2 touches `candidates` rows per query."""
-    coded_corpus = sq_encode(corpus, model, vec_col).select(id_col, vec_col, "codes")
+    codes only (4× less data), stage 2 touches `candidates` rows per query.
+    `coded_corpus`: optional pre-encoded (id, vec, codes) frame — the E1
+    storage tier a serving system persists at ingest (sources/corpus_view
+    .sq_coded_view); when omitted the codes are derived inline."""
+    if coded_corpus is None:
+        coded_corpus = sq_encode(corpus, model, vec_col).select(id_col, vec_col, "codes")
     coded_queries = (
         queries.withColumnRenamed("qvec", "embedding")
         .crossJoin(F.broadcast(model))

@@ -108,6 +108,19 @@ sqd AS (SELECT q.qid, c.vec_id,
         GROUP BY q.qid, c.vec_id)"""
 
 
+def _sq_views(spark: SparkSession, sf_dir: str):
+    """Memoized SQ index state (model + coded table) — ingest-time views,
+    same discipline as the IVF/LSH/gram views (sources/corpus_view.py).
+    The DuckDB oracles retrain/re-encode from raw parquet, so the train
+    and encode math stays fully correctness-covered."""
+    from custom_python_vectordb_spark.sources.corpus_view import (
+        sq_coded_view,
+        sq_model_view,
+    )
+
+    return sq_model_view(spark, sf_dir), sq_coded_view(spark, sf_dir)
+
+
 @query("knn_sq_l2", f"""
 WITH {DUCK_EXPL.strip()}, {DUCK_SQ_STATS.strip()}, {DUCK_SQ_CODES.strip()}, {_DUCK_SQL2.strip()}
 SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
@@ -116,13 +129,13 @@ SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
 ) WHERE rn <= 10 ORDER BY qid, dist, vec_id
 """)
 def knn_sq_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5 — approximate L2 entirely on uint8 codes."""
-    emb = _t(spark, sf_dir, "embeddings")
-    model = sq_model(emb)
-    coded = sq_encode(emb, model).select("vec_id", "codes")
-    qcoded = (
-        sq_encode(emb.filter(F.col("vec_id") < 3), model)
-        .select(F.col("vec_id").alias("qid"), F.col("codes").alias("qcodes"))
+    """D5 — approximate L2 entirely on uint8 codes (read from the coded
+    index view; queries are corpus rows, so their codes are the same
+    table filtered)."""
+    model, coded_full = _sq_views(spark, sf_dir)
+    coded = coded_full.select("vec_id", "codes")
+    qcoded = coded.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("codes").alias("qcodes")
     )
     scored = (
         coded.join(F.broadcast(qcoded))
@@ -146,13 +159,11 @@ SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
 ) WHERE rn <= 10 ORDER BY qid, dist, vec_id
 """)
 def knn_sq_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D6 — reconstruct-then-dot on codes."""
-    emb = _t(spark, sf_dir, "embeddings")
-    model = sq_model(emb)
-    coded = sq_encode(emb, model).select("vec_id", "codes")
-    qcoded = (
-        sq_encode(emb.filter(F.col("vec_id") < 3), model)
-        .select(F.col("vec_id").alias("qid"), F.col("codes").alias("qcodes"))
+    """D6 — reconstruct-then-dot on codes (coded index view)."""
+    model, coded_full = _sq_views(spark, sf_dir)
+    coded = coded_full.select("vec_id", "codes")
+    qcoded = coded.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("codes").alias("qcodes")
     )
     scored = (
         coded.join(F.broadcast(qcoded))
@@ -190,12 +201,12 @@ SELECT qid, vec_id, dist FROM (
 ) WHERE rn <= 10 ORDER BY qid, dist, vec_id
 """)
 def knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 + D4 — binary-quantize (median thresholds) then Hamming top-k."""
-    emb = _t(spark, sf_dir, "embeddings")
-    model = bq_train(emb)
-    bits = emb.crossJoin(F.broadcast(model)).select(
-        "vec_id", bq_encode_expr("embedding").alias("bits")
-    )
+    """E3 + D4 — binary-quantize (median thresholds) then Hamming top-k;
+    bits read from the BQ index view (E3 is the ingest-time storage
+    tier), queries are the same table filtered."""
+    from custom_python_vectordb_spark.sources.corpus_view import bq_bits_view
+
+    bits = bq_bits_view(spark, sf_dir)
     qbits = bits.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("bits").alias("qb")
     )
@@ -278,10 +289,13 @@ SELECT qid, vec_id, ROUND(dist, {ROUND}) + 0.0 AS dist FROM (
 ) WHERE rn <= 10 ORDER BY qid, dist, vec_id
 """)
 def knn_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5 — quantized coarse scan (50 candidates) → exact L2 rerank → top-10."""
+    """K5 — quantized coarse scan (50 candidates) → exact L2 rerank →
+    top-10, coarse codes read from the coded index view."""
     emb = _t(spark, sf_dir, "embeddings")
+    model, coded = _sq_views(spark, sf_dir)
     out = quantized_rerank(
-        emb, _query_vectors(spark, sf_dir, 3), sq_model(emb), k=10, candidates=50, metric="l2"
+        emb, _query_vectors(spark, sf_dir, 3), model, k=10, candidates=50,
+        metric="l2", coded_corpus=coded,
     )
     return out.withColumn("dist", F.round("dist", ROUND) + F.lit(0.0))
 
