@@ -94,6 +94,11 @@ QUERIES = [
     # both map-heavy codec paths whose data term is the documents axis
     ("media_phash_pairs", "documents"),
     ("media_jpeg_luma", "documents"),
+    # round 10: progressive JPEG (multi-scan decode per doc image) and the
+    # MP4 sample-table walk + sampled-frame decode — both map-only codec
+    # passes on the documents axis
+    ("media_jpeg_progressive_luma", "documents"),
+    ("media_mp4_frames", "documents"),
 ]
 
 
