@@ -1333,7 +1333,7 @@ def _codec_fns():
         head += seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
         return bytes(head) + out + b"\xff\xd9"
 
-    def encode_jpeg_progressive(arr, quality: int = 90) -> bytes:
+    def encode_jpeg_progressive(arr, quality: int = 90, dri: int = 0) -> bytes:
         """(h, w[, 3]) uint8 → SOF2 progressive JFIF bytes (4:4:4).
 
         Same quantization tables, color conversion, DCT and rounding as
@@ -1347,7 +1347,11 @@ def _codec_fns():
         (emission follows the published jcphuff algorithm, T.81 G.1.2).
         Per-scan Huffman tables are canonical uniform-length codes built
         from each scan's emitted symbols (the all-ones codeword stays
-        unused, as C.2 requires) and written as a DHT before each SOS."""
+        unused, as C.2 requires) and written as a DHT before each SOS.
+        `dri` > 0 emits a restart interval: every scan's entropy stream
+        splits into RSTn-delimited segments of `dri` MCUs/blocks with DC
+        predictors and EOB runs reset per segment — the restart shape
+        real web JPEGs carry."""
         import struct
 
         import numpy as np
@@ -1409,13 +1413,16 @@ def _codec_fns():
             bits = int(v) if v > 0 else int(v) + (1 << s) - 1
             return s, bits
 
-        # tokens per scan: ("s", symbol) huffman-coded / ("r", val, nbits) raw
-        def pack_scan(tokens) -> tuple[bytes, bytes]:
+        # tokens per scan: ("s", symbol) huffman-coded / ("r", val, nbits)
+        # raw; a scan is a LIST of per-restart-interval token segments
+        def pack_scan(segments) -> tuple[bytes, bytes]:
             """→ (DHT segment or b"", packed entropy bytes). Uniform-length
-            canonical codes over the scan's symbol set; n+1 ≤ 2^L keeps the
-            all-ones codeword unused (C.2, and the decoder's 1-padding
-            overrun guard relies on it)."""
-            syms = sorted({t[1] for t in tokens if t[0] == "s"})
+            canonical codes over the whole scan's symbol set; n+1 ≤ 2^L
+            keeps the all-ones codeword unused (C.2, and the decoder's
+            1-padding overrun guard relies on it). Segments are packed
+            independently (byte-aligned, 1-padded) and joined with
+            RST0..RST7 cycling markers."""
+            syms = sorted({t[1] for seg in segments for t in seg if t[0] == "s"})
             enc = {}
             dht_payload = b""
             if syms:
@@ -1425,58 +1432,77 @@ def _codec_fns():
                 counts[lnb - 1] = n
                 enc = {s: (i, lnb) for i, s in enumerate(syms)}
                 dht_payload = bytes(counts) + bytes(syms)
-            fields_v, fields_n = [], []
-            for t in tokens:
-                if t[0] == "s":
-                    code, ln_ = enc[t[1]]
-                    fields_v.append(code)
-                    fields_n.append(ln_)
-                else:
-                    fields_v.append(t[1])
-                    fields_n.append(t[2])
-            if not fields_v:
-                return dht_payload, b""
-            vals = np.asarray(fields_v, dtype=np.int64)
-            lens = np.asarray(fields_n, dtype=np.int64)
-            keep = lens > 0
-            vals, lens = vals[keep], lens[keep]
-            total = int(lens.sum())
-            nbits = -(-total // 8) * 8
-            starts = np.cumsum(lens) - lens
-            bit_arr = np.ones(nbits, dtype=np.uint8)  # pad bits are 1s
-            pos = np.arange(total) - np.repeat(starts, lens)
-            shift = np.repeat(lens, lens) - 1 - pos
-            bit_arr[:total] = (np.repeat(vals, lens) >> shift) & 1
-            packed = np.packbits(bit_arr)
-            ff = np.nonzero(packed == 0xFF)[0]
-            if len(ff):
-                packed = np.insert(packed, ff + 1, 0)  # byte stuffing
-            return dht_payload, packed.tobytes()
 
-        scans: list = []  # (comp_ids 0-based, ss, se, ah, al, tokens)
+            def pack_one(tokens) -> bytes:
+                fields_v, fields_n = [], []
+                for t in tokens:
+                    if t[0] == "s":
+                        code, ln_ = enc[t[1]]
+                        fields_v.append(code)
+                        fields_n.append(ln_)
+                    else:
+                        fields_v.append(t[1])
+                        fields_n.append(t[2])
+                if not fields_v:
+                    return b""
+                vals = np.asarray(fields_v, dtype=np.int64)
+                lens = np.asarray(fields_n, dtype=np.int64)
+                keep = lens > 0
+                vals, lens = vals[keep], lens[keep]
+                total = int(lens.sum())
+                nbits = -(-total // 8) * 8
+                starts = np.cumsum(lens) - lens
+                bit_arr = np.ones(nbits, dtype=np.uint8)  # pad bits are 1s
+                pos = np.arange(total) - np.repeat(starts, lens)
+                shift = np.repeat(lens, lens) - 1 - pos
+                bit_arr[:total] = (np.repeat(vals, lens) >> shift) & 1
+                packed = np.packbits(bit_arr)
+                ff = np.nonzero(packed == 0xFF)[0]
+                if len(ff):
+                    packed = np.insert(packed, ff + 1, 0)  # byte stuffing
+                return packed.tobytes()
+
+            out = bytearray()
+            for i, seg in enumerate(segments):
+                if i:
+                    out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+                out += pack_one(seg)
+            return dht_payload, bytes(out)
+
+        scans: list = []  # (comp_ids 0-based, ss, se, ah, al, segments)
+        step = dri if dri else n_blocks  # restart interval in MCUs/blocks
+
+        def intervals(n):
+            return [range(lo, min(lo + step, n)) for lo in range(0, n, step)]
 
         # ---- DC first (interleaved, Al=1) + refinement (Ah=1, Al=0)
         al_dc = 1
-        toks: list = []
-        preds = [0] * ncomp
-        for bi in range(n_blocks):
-            for ci in range(ncomp):
-                val = int(comp_zz[ci][bi][0]) >> al_dc  # arithmetic shift
-                diff = val - preds[ci]
-                preds[ci] = val
-                s, bits = category(diff) if diff else (0, 0)
-                toks.append(("s", s))
-                if s:
-                    toks.append(("r", bits, s))
-        scans.append((list(range(ncomp)), 0, 0, 0, al_dc, toks))
-        toks = []
-        for bi in range(n_blocks):
-            for ci in range(ncomp):
-                toks.append(("r", int(comp_zz[ci][bi][0]) & 1, 1))
-        scans.append((list(range(ncomp)), 0, 0, al_dc, 0, toks))
+        segs: list = []
+        for rng_ in intervals(n_blocks):
+            toks: list = []
+            preds = [0] * ncomp  # predictors reset at each restart
+            for bi in rng_:
+                for ci in range(ncomp):
+                    val = int(comp_zz[ci][bi][0]) >> al_dc  # arithmetic shift
+                    diff = val - preds[ci]
+                    preds[ci] = val
+                    s, bits = category(diff) if diff else (0, 0)
+                    toks.append(("s", s))
+                    if s:
+                        toks.append(("r", bits, s))
+            segs.append(toks)
+        scans.append((list(range(ncomp)), 0, 0, 0, al_dc, segs))
+        segs = []
+        for rng_ in intervals(n_blocks):
+            toks = []
+            for bi in rng_:
+                for ci in range(ncomp):
+                    toks.append(("r", int(comp_zz[ci][bi][0]) & 1, 1))
+            segs.append(toks)
+        scans.append((list(range(ncomp)), 0, 0, al_dc, 0, segs))
 
         # ---- AC scans per component: two spectral bands, Al=1 then refine
-        def ac_first_tokens(czz, ss_, se_, al_):
+        def ac_first_tokens(czz, ss_, se_, al_, rng_):
             toks: list = []
             eobrun = 0
 
@@ -1489,7 +1515,7 @@ def _codec_fns():
                         toks.append(("r", eobrun - (1 << nb), nb))
                     eobrun = 0
 
-            for bi in range(czz.shape[0]):
+            for bi in rng_:
                 row = czz[bi]
                 r = 0
                 started = False
@@ -1518,7 +1544,7 @@ def _codec_fns():
             flush()
             return toks
 
-        def ac_refine_tokens(czz, ss_, se_, al_):
+        def ac_refine_tokens(czz, ss_, se_, al_, rng_):
             toks: list = []
             eobrun = 0
             be: list = []  # correction bits pending with the EOB run
@@ -1533,7 +1559,7 @@ def _codec_fns():
                     toks.extend(("r", b, 1) for b in be)
                     eobrun, be = 0, []
 
-            for bi in range(czz.shape[0]):
+            for bi in rng_:
                 row = czz[bi]
                 absv = [
                     ((int(row[k]) if row[k] >= 0 else -int(row[k])) >> al_)
@@ -1575,14 +1601,16 @@ def _codec_fns():
         bands = [(1, 5), (6, 63)]
         for ci in range(ncomp):
             for ss_, se_ in bands:
-                scans.append(
-                    ([ci], ss_, se_, 0, 1, ac_first_tokens(comp_zz[ci], ss_, se_, 1))
-                )
+                scans.append(([ci], ss_, se_, 0, 1, [
+                    ac_first_tokens(comp_zz[ci], ss_, se_, 1, rng_)
+                    for rng_ in intervals(n_blocks)
+                ]))
         for ci in range(ncomp):
             for ss_, se_ in bands:
-                scans.append(
-                    ([ci], ss_, se_, 1, 0, ac_refine_tokens(comp_zz[ci], ss_, se_, 0))
-                )
+                scans.append(([ci], ss_, se_, 1, 0, [
+                    ac_refine_tokens(comp_zz[ci], ss_, se_, 0, rng_)
+                    for rng_ in intervals(n_blocks)
+                ]))
 
         def seg(marker, payload):
             return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -1601,8 +1629,10 @@ def _codec_fns():
             bytes([8]) + struct.pack(">HH", h_img, w_img) + bytes([ncomp]) + sof_comps,
         )
         out = bytearray(head)
-        for comp_ids, ss_, se_, ah_, al_, tokens in scans:
-            dht_payload, entropy = pack_scan(tokens)
+        if dri:
+            out += seg(0xDD, struct.pack(">H", dri))
+        for comp_ids, ss_, se_, ah_, al_, segments in scans:
+            dht_payload, entropy = pack_scan(segments)
             tc = 0 if ss_ == 0 else 1
             if dht_payload:
                 out += seg(0xC4, bytes([(tc << 4) | 0]) + dht_payload)

@@ -1068,3 +1068,107 @@ def test_mp4_jpeg_track_roundtrip_and_sampling(spark):
     rows = video_frame_sample(media, n_frames=2).collect()
     assert sorted(r["frame_idx"] for r in rows) == [0, 3]
     assert all(r["n_total_frames"] == 4 and r["width"] == 24 for r in rows)
+
+
+def test_jpeg_progressive_restart_intervals():
+    """Progressive streams with DRI (every real web encoder emits them):
+    per-segment DC-predictor and EOB-run resets must round-trip to the
+    exact baseline pixels at several interval lengths, including dri=1
+    (a restart between every MCU in every scan)."""
+    from custom_python_vectordb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(5)
+    yy, xx = np.mgrid[0:40, 0:48]
+    img = np.clip(
+        ((yy * 3 + xx * 2) % 256)[..., None] + rng.randint(-40, 40, (40, 48, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, 80))[3]
+    for dri in (1, 2, 5, 7):
+        buf = encode_jpeg_progressive(img, 80, dri=dri)
+        assert b"\xff\xdd" in buf  # DRI marker present
+        assert np.array_equal(decode_jpeg(buf)[3], base), dri
+    # flat image: restart mid-EOB-run (the run must not span segments)
+    flat = np.full((24, 24, 3), 99, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat, 85, dri=2))[3],
+        decode_jpeg(encode_jpeg(flat, 85))[3],
+    )
+
+
+def _dc_only_420_progressive(y_dcs_per_mcu, cb_dc, cr_dc, w, h):
+    """SOF2 twin of _dc_only_420_jpeg: ONE interleaved DC-first scan
+    (Ss=Se=0, Ah=Al=0) and no AC scans — legal progressive (undefined
+    coefficients decode as zero), exercising the interleaved DC path
+    with 2x2/1x1 sampling factors."""
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    zzvals = bytes([16] * 64)
+    dc_bits = [0, 0, 6] + [0] * 13
+    dc_vals = list(range(6))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + zzvals)
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", h, w)
+               + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    out += seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x00\x00")
+
+    bits = []
+
+    def put(code, ln):
+        bits.extend((code >> (ln - 1 - i)) & 1 for i in range(ln))
+
+    def put_dc(diff):
+        s = abs(diff).bit_length()
+        assert s <= 5
+        put(s, 3)
+        if s:
+            put(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+    preds = {"y": 0, "cb": 0, "cr": 0}
+    for ydcs in y_dcs_per_mcu:
+        for d in ydcs:
+            put_dc(d - preds["y"])
+            preds["y"] = d
+        put_dc(cb_dc - preds["cb"])
+        preds["cb"] = cb_dc
+        put_dc(cr_dc - preds["cr"])
+        preds["cr"] = cr_dc
+    while len(bits) % 8:
+        bits.append(1)
+    by = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for b in bits[i : i + 8]:
+            v = (v << 1) | b
+        by.append(v)
+        if v == 0xFF:
+            by.append(0x00)
+    return bytes(out) + bytes(by) + b"\xff\xd9"
+
+
+def test_jpeg_progressive_420_interleaved_dc():
+    """Hand-built 4:2:0 SOF2 with one interleaved DC scan: quadrant
+    lumas land pixel-exactly at 128 + 2*dc, same as the baseline 4:2:0
+    fixture — proves the progressive interleaved-MCU addressing handles
+    h=v=2 against 1x1 components."""
+    from custom_python_vectordb_spark.operators.multimodal import decode_jpeg
+
+    mcu0, mcu1 = [4, 8, 12, 14], [2, 6, 10, 12]
+    buf = _dc_only_420_progressive([mcu0, mcu1], cb_dc=0, cr_dc=0, w=32, h=16)
+    w, h, c, px = decode_jpeg(buf)
+    assert (w, h, c) == (32, 16, 3)
+    for mx, ydcs in enumerate((mcu0, mcu1)):
+        for bi, d in enumerate(ydcs):
+            by, bx = divmod(bi, 2)
+            block = px[by * 8 : by * 8 + 8, mx * 16 + bx * 8 : mx * 16 + bx * 8 + 8]
+            assert (block == 128 + 2 * d).all(), (mx, bi)
