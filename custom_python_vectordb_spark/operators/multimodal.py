@@ -2453,6 +2453,74 @@ def video_frame_sample(media: DataFrame, n_frames: int = 4, id_col: str = "doc_i
     )
 
 
+def video_frame_hashes(
+    media: DataFrame, n_frames: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-sampled-frame perceptual hashes over REAL decoded video frames
+    → (id, frame_idx, dh0..dh3): container sniffed per row (RIFF/AVI or
+    ISO-BMFF MP4), up to `n_frames` evenly spaced frames walked out of
+    the container WITHOUT decoding the rest, each picked JPEG payload
+    decoded and dHashed with the SAME integer-exact 9×8 grid pipeline as
+    `image_perceptual_hashes` — so the signature is EXACTLY invariant to
+    the container (an AVI and an MP4 of the same frame bytes hash
+    identically: the re-mux dedup contract `media_video_phash_pairs`
+    asserts against a pure-SQL planted-twin oracle).
+
+    100 TB shape: one map-only mapInPandas pass; downstream pairing is
+    the banded Hamming join keyed by (frame_idx, band, val) — candidate
+    blowup is Σ|bucket|² per frame slot, never all-pairs."""
+    nf = n_frames
+    _walk_avi, _walk_mp4, _dec = decode_avi_frames, decode_mp4_frames, decode_frame_rgb
+
+    def hashes(batches):
+        import numpy as np
+        import pandas as pd
+
+        w16 = 1 << np.arange(16, dtype=np.int64)
+        cols = [id_col, "frame_idx", "dh0", "dh1", "dh2", "dh3"]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for i, buf in zip(pdf[id_col], pdf["media"]):
+                buf = bytes(buf or b"")
+                if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+                    _walk = _walk_avi
+                elif len(buf) >= 12 and buf[4:8] == b"ftyp":
+                    _walk = _walk_mp4
+                else:
+                    continue
+                _w, _h, _fps, frame_bufs = _walk(buf)
+                n = len(frame_bufs)
+                if n == 0:
+                    continue
+                k = min(nf, n)
+                picks = [0] if k == 1 else [round(j * (n - 1) / (k - 1)) for j in range(k)]
+                for fi in picks:
+                    px = _dec(frame_bufs[fi])
+                    h, w = px.shape[0], px.shape[1]
+                    if h < 8 or w < 9:
+                        continue
+                    p64 = px.astype(np.int64)
+                    gray = 299 * p64[:, :, 0] + 587 * p64[:, :, 1] + 114 * p64[:, :, 2]
+                    rb = [(q * h) // 8 for q in range(9)]
+                    cb = [(q * w) // 9 for q in range(10)]
+                    sums = np.add.reduceat(
+                        np.add.reduceat(gray, rb[:-1], axis=0), cb[:-1], axis=1
+                    )
+                    m = sums // np.outer(np.diff(rb), np.diff(cb))
+                    bits = (m[:, 1:] > m[:, :-1]).astype(np.int64).ravel()
+                    vals = [int((bits[q * 16 : (q + 1) * 16] * w16).sum()) for q in range(4)]
+                    for key, v in ((id_col, i), ("frame_idx", fi),
+                                   ("dh0", vals[0]), ("dh1", vals[1]),
+                                   ("dh2", vals[2]), ("dh3", vals[3])):
+                        out[key].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "media").mapInPandas(
+        hashes,
+        schema=f"{id_col} long, frame_idx int, dh0 long, dh1 long, dh2 long, dh3 long",
+    )
+
+
 def audio_fingerprint(
     media: DataFrame,
     id_col: str = "doc_id",

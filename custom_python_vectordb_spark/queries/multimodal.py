@@ -680,6 +680,111 @@ def media_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mixed_video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-container near-dup video corpus: every document yields its
+    3-frame MJPEG AVI (same recipe as `_video_corpus`), and docs 0-19
+    ADDITIONALLY yield an MP4 twin at doc_id+20000 boxing the IDENTICAL
+    JPEG frame payloads — the re-mux duplicate every video pipeline must
+    catch (same content, different container)."""
+    from custom_python_vectordb_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_mp4_mjpeg,
+    )
+
+    _avi, _mp4, _jpg = encode_avi_mjpeg, encode_mp4_mjpeg, encode_jpeg
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        H, W = 16, 24
+        yy, xx = np.mgrid[0:H, 0:W]
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                frames = []
+                for f in range(3):
+                    m = ((i * 3 + f) * 73856093 + yy * 19349663
+                         + xx * 83492791) % 2147483648
+                    v = (((m * m) // 65536) % 256).astype(np.uint8)
+                    frames.append(_jpg(np.repeat(v[:, :, None], 3, axis=2), 80))
+                out["doc_id"].append(i)
+                out["media"].append(_avi(frames, W, H, fps=12))
+                if i < 20:
+                    out["doc_id"].append(i + 20000)
+                    out["media"].append(_mp4(frames, W, H, fps=12))
+            yield pd.DataFrame(out)
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(64, "doc_id")
+        .mapInPandas(gen, schema="doc_id long, media binary")
+    )
+
+
+@query("media_video_phash_pairs", """
+SELECT doc_id AS a, doc_id + 20000 AS b,
+       2 AS n_frames, CAST(0 AS BIGINT) AS max_hamming
+FROM documents WHERE doc_id < 20 ORDER BY a
+""")
+def media_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-invariant VIDEO near-dup (r10): sample 2 frames per
+    video through the lazy container walk (AVI and MP4 sniffed per
+    row), dHash each decoded frame, banded Hamming self-join keyed by
+    (frame_idx, band, val), verify a pair only when EVERY sampled frame
+    slot matches within the threshold. The corpus plants 20 re-muxed
+    twins (same JPEG payloads boxed as AVI and as MP4), whose frame
+    hashes are bit-equal — so the ORACLE is pure SQL over the planted
+    structure, not a snapshot: the engine must find exactly the 20
+    cross-container pairs and ZERO false pairs among the 5000+
+    pseudorandom-field videos (two independent 64-bit dHashes landing
+    within Hamming 3 on both slots does not happen in this corpus —
+    scale-generic, checked at all three sfs). 100 TB shape: map-only
+    hash pass, banded candidates Σ|bucket|² per frame slot, never
+    all-pairs."""
+    from custom_python_vectordb_spark.operators.multimodal import video_frame_hashes
+
+    sigs = video_frame_hashes(_mixed_video_corpus(spark, sf_dir), 2).persist()
+    b = sigs.select(
+        "doc_id", "frame_idx",
+        F.posexplode(F.array("dh0", "dh1", "dh2", "dh3")).alias("band", "val"),
+    )
+    cands = (
+        b.select(F.col("doc_id").alias("a"), "frame_idx", "band", "val")
+        .join(
+            b.select(F.col("doc_id").alias("b"), "frame_idx", "band", "val"),
+            ["frame_idx", "band", "val"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    left = sigs.alias("l")
+    right = sigs.alias("r")
+    ham = sum(
+        F.bit_count(F.col(f"l.dh{i}").bitwiseXOR(F.col(f"r.dh{i}"))) for i in range(4)
+    ).cast("long")
+    per_frame = (
+        cands.join(left, cands["a"] == F.col("l.doc_id"))
+        .join(
+            right,
+            (cands["b"] == F.col("r.doc_id"))
+            & (F.col("l.frame_idx") == F.col("r.frame_idx")),
+        )
+        .select("a", "b", ham.alias("h"))
+    )
+    return (
+        per_frame.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.max("h").alias("max_hamming"))
+        .filter((F.col("n_frames") == 2) & (F.col("max_hamming") <= 3))
+        .withColumn("n_frames", F.col("n_frames").cast("int"))
+        .orderBy("a")
+    )
+
+
 def _audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic WAV corpus + planted audio twins: per document a
     16-bit mono 8 kHz clip whose samples come from a double middle-square

@@ -1172,3 +1172,34 @@ def test_jpeg_progressive_420_interleaved_dc():
             by, bx = divmod(bi, 2)
             block = px[by * 8 : by * 8 + 8, mx * 16 + bx * 8 : mx * 16 + bx * 8 + 8]
             assert (block == 128 + 2 * d).all(), (mx, bi)
+
+
+def test_video_frame_hashes_container_invariant(spark):
+    """The SAME JPEG frame payloads boxed as AVI and as MP4 must produce
+    bit-equal per-frame dHashes (the re-mux dedup contract), and a video
+    with DIFFERENT content must not collide."""
+    from custom_python_vectordb_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_mp4_mjpeg,
+        video_frame_hashes,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = [encode_jpeg(rng.randint(0, 256, (16, 24, 3)).astype(np.uint8), 80)
+              for _ in range(3)]
+    other = [encode_jpeg(rng.randint(0, 256, (16, 24, 3)).astype(np.uint8), 80)
+             for _ in range(3)]
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_avi_mjpeg(frames, 24, 16, fps=12))),
+            (2, bytearray(encode_mp4_mjpeg(frames, 24, 16, fps=12))),
+            (3, bytearray(encode_avi_mjpeg(other, 24, 16, fps=12))),
+        ],
+        "doc_id long, media binary",
+    )
+    rows = {(r["doc_id"], r["frame_idx"]): tuple(r[f"dh{i}"] for i in range(4))
+            for r in video_frame_hashes(media, 2).collect()}
+    assert set(rows) == {(1, 0), (1, 2), (2, 0), (2, 2), (3, 0), (3, 2)}
+    assert rows[(1, 0)] == rows[(2, 0)] and rows[(1, 2)] == rows[(2, 2)]
+    assert rows[(3, 0)] != rows[(1, 0)]
