@@ -160,3 +160,115 @@ def load_image_pairs(spark: SparkSession, index_root: str) -> DataFrame:
     """All verified perceptual near-dup pairs found so far (distinct
     across batches; a replayed batch overwrites its own partition)."""
     return spark.read.parquet(_pairs_path(index_root)).drop("batch_id").distinct()
+
+
+# ---------------------------------------------------------------- video twin
+
+def _video_sig_path(root: str) -> str:
+    return os.path.join(root, "vsigs")
+
+
+def _video_pairs_path(root: str) -> str:
+    return os.path.join(root, "vpairs")
+
+
+def process_video_batch(
+    batch_media: DataFrame,
+    batch_id: int,
+    index_root: str,
+    *,
+    n_frames: int = 2,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> None:
+    """Video twin of :func:`process_image_batch`: maintain the sampled-
+    frame dHash index incrementally and emit cross-container video
+    near-dup pairs per micro-batch. Same arc — hash ONLY this batch's
+    videos (lazy container walk, picked frames decoded), probe the
+    stored (frame_idx, band, val) index for candidates among everything
+    ingested so far, verify from the STORED signatures (a pair survives
+    only if EVERY sampled frame slot is within `max_hamming`), append
+    signatures and pairs replay-idempotently (batch_id partitions).
+    Converges to `media_video_phash_pairs`'s batch pair set over the
+    union of all batches (asserted in tests)."""
+    from custom_python_vectordb_spark.operators.multimodal import video_frame_hashes
+
+    spark = batch_media.sparkSession
+    sigs = video_frame_hashes(batch_media, n_frames, id_col=id_col).persist()
+
+    sig_dir = _video_sig_path(index_root)
+    try:
+        hist_all = spark.read.parquet(sig_dir)
+    except Exception:
+        all_sigs = sigs
+    else:
+        hist = hist_all.filter(F.col("batch_id") != batch_id).drop("batch_id")
+        all_sigs = hist.unionByName(sigs)
+
+    def banded(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(alias), "frame_idx",
+            F.posexplode(F.array("dh0", "dh1", "dh2", "dh3")).alias("band", "val"),
+        )
+
+    cands = (
+        banded(sigs, "__new")
+        .join(banded(all_sigs, "__other"), ["frame_idx", "band", "val"])
+        .filter(F.col("__new") != F.col("__other"))
+        .select(
+            F.least("__new", "__other").alias("a"),
+            F.greatest("__new", "__other").alias("b"),
+        )
+        .distinct()
+    )
+
+    left = all_sigs.alias("l")
+    right = all_sigs.alias("r")
+    ham = sum(
+        F.bit_count(F.col(f"l.dh{i}").bitwiseXOR(F.col(f"r.dh{i}"))) for i in range(4)
+    ).cast("long")
+    pairs = (
+        cands.join(left, cands["a"] == F.col(f"l.{id_col}"))
+        .join(
+            right,
+            (cands["b"] == F.col(f"r.{id_col}"))
+            & (F.col("l.frame_idx") == F.col("r.frame_idx")),
+        )
+        .select("a", "b", ham.alias("h"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.max("h").alias("max_hamming"))
+        .filter(
+            (F.col("n_frames") == n_frames) & (F.col("max_hamming") <= max_hamming)
+        )
+        .withColumn("n_frames", F.col("n_frames").cast("int"))
+    )
+
+    def _write(df: DataFrame, path: str) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    # pairs reads the sigs dir lazily -> must materialize before the sigs
+    # partition overwrite (same replay-order note as the image twin)
+    _write(pairs, _video_pairs_path(index_root))
+    _write(sigs, sig_dir)
+    sigs.unpersist()
+
+
+def maintain_video_hash_index(media_stream: DataFrame, index_root: str, **kwargs):
+    """foreachBatch writer keeping the video frame-hash index current."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        process_video_batch(batch_df, batch_id, index_root, **kwargs)
+
+    return media_stream.writeStream.foreachBatch(write_batch)
+
+
+def load_video_pairs(spark: SparkSession, index_root: str) -> DataFrame:
+    """All verified video near-dup pairs found so far (distinct across
+    batches; a replayed batch overwrites its own partition)."""
+    return spark.read.parquet(_video_pairs_path(index_root)).drop("batch_id").distinct()

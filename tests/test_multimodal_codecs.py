@@ -1203,3 +1203,49 @@ def test_video_frame_hashes_container_invariant(spark):
     assert set(rows) == {(1, 0), (1, 2), (2, 0), (2, 2), (3, 0), (3, 2)}
     assert rows[(1, 0)] == rows[(2, 0)] and rows[(1, 2)] == rows[(2, 2)]
     assert rows[(3, 0)] != rows[(1, 0)]
+
+
+def test_video_hash_index_incremental_converges(spark, tmp_path):
+    """Streaming video frame-hash index twin: re-muxed AVI/MP4 twins
+    split ACROSS batches pair up when the second container arrives,
+    within-batch twins by the same probe, non-twins never pair, and a
+    batch replay leaves the pair set unchanged."""
+    from custom_python_vectordb_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_mp4_mjpeg,
+    )
+    from custom_python_vectordb_spark.streaming.media_maintenance import (
+        load_video_pairs,
+        process_video_batch,
+    )
+
+    rng = np.random.RandomState(11)
+
+    def clip(seed):
+        r = np.random.RandomState(seed)
+        return [encode_jpeg(r.randint(0, 256, (16, 24, 3)).astype(np.uint8), 80)
+                for _ in range(3)]
+
+    c1, c2, c3 = clip(1), clip(2), clip(3)
+    # batch 0: AVI of c1, AVI+MP4 of c2 (within-batch twin), AVI of c3
+    b0 = [
+        (10, bytearray(encode_avi_mjpeg(c1, 24, 16, fps=12))),
+        (20, bytearray(encode_avi_mjpeg(c2, 24, 16, fps=12))),
+        (21, bytearray(encode_mp4_mjpeg(c2, 24, 16, fps=12))),
+        (30, bytearray(encode_avi_mjpeg(c3, 24, 16, fps=12))),
+    ]
+    # batch 1: the MP4 twin of c1 arrives later (cross-batch pair)
+    b1 = [(11, bytearray(encode_mp4_mjpeg(c1, 24, 16, fps=12)))]
+    root = str(tmp_path / "vidx")
+    for bi, rows in enumerate((b0, b1)):
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        process_video_batch(df, bi, root)
+    pairs = {(r["a"], r["b"]) for r in load_video_pairs(spark, root).collect()}
+    assert pairs == {(20, 21), (10, 11)}
+    # replay batch 1 (crash recovery): same pair set, no duplicates
+    process_video_batch(
+        spark.createDataFrame(b1, "doc_id long, media binary"), 1, root
+    )
+    pairs2 = [(r["a"], r["b"]) for r in load_video_pairs(spark, root).collect()]
+    assert sorted(pairs2) == sorted(pairs)
