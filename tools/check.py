@@ -119,6 +119,10 @@ def main() -> int:
                 record(rec)
                 continue
             oracle_sql_str = alt
+            # r11 (r10 ADVICE): a per-scale parquet fixture is the engine's
+            # own prior output — regression PINNING, not an independent
+            # DuckDB derivation. Preserve that distinction in the artifact.
+            rec["detail"] = "pinned"
         try:
             rel = con.sql(oracle_sql_str)
             ocols = rel.columns
@@ -142,7 +146,11 @@ def main() -> int:
         if problems:
             rec.update(status="fail", detail="; ".join(problems))
         else:
-            rec["status"] = "ok"
+            # hash-verified against an engine-authored fixture vs an
+            # independently-derived DuckDB oracle are DIFFERENT evidence
+            # classes — label the former 'pinned-ok' so sweep artifacts
+            # never conflate them (r10 ADVICE).
+            rec["status"] = "pinned-ok" if rec.get("detail") == "pinned" else "ok"
         record(rec)
 
     if sink is not None:
@@ -159,7 +167,8 @@ def main() -> int:
         for r in recs:
             counts[r["status"]] = counts.get(r["status"], 0) + 1
         print(
-            f"\n{counts.get('ok', 0)} ok, {counts.get('weak', 0)} weak, "
+            f"\n{counts.get('ok', 0)} ok, {counts.get('pinned-ok', 0)} pinned-ok, "
+            f"{counts.get('weak', 0)} weak, "
             f"{counts.get('scoped', 0)} scoped, {counts.get('fail', 0)} failed "
             f"({len(recs)} records, registry size {len(qs)}) -> {out_path}"
         )
