@@ -39,6 +39,14 @@ _NAMES = [
     "semantic_text_search",
     "quality_model_score",
     "semdedup_keep",
+    # r11: the k-means/partition-layout family — cross-process determinism
+    # at both scales proven (two fresh sessions, identical value hashes)
+    # before freezing; see tools/gen_scale_snapshots.py
+    "knn_partitioned",
+    "recall_partitioned_vs_exact",
+    "pq_kmeans_recall",
+    "cluster_topics",
+    "cluster_balanced_sample",
 ]
 
 

@@ -80,7 +80,7 @@ def main() -> int:
             sink.flush()
         status, name = rec["status"], rec["name"]
         tail = rec.get("detail") or f"rows={rec.get('rows')} ({rec.get('secs')}s)"
-        print(f"{status:<6}{name}: {tail}")
+        print(f"{status:<10}{name}: {tail}")
 
     n_checked = 0
     for name, fn in qs.items():

@@ -11,7 +11,8 @@ same epistemics as the literal snapshot modules (regression pinning), in
 a format that stays compact at 10x the rows.
 
 Usage:
-    python tools/gen_scale_snapshots.py [sf_dir ...]   # default sf0.1 + sf0.001
+    python tools/gen_scale_snapshots.py [sf_dir ...] [--only name ...]
+    # sf_dirs default to sf0.1 + sf0.001; --only regenerates a subset
 """
 
 from __future__ import annotations
@@ -36,6 +37,16 @@ NAMES = [
     "semantic_text_search",
     "quality_model_score",
     "semdedup_keep",
+    # r11: the last 5 'scoped' rows — k-means/partition-layout queries whose
+    # outputs were proven cross-process deterministic at sf0.1 AND sf0.001
+    # (two fresh sessions, identical value hashes) before freezing. Fixed
+    # file layout + seeded inits + fixed-order reductions make the layout
+    # snapshots scale-stable the same way the media/bpe families are.
+    "knn_partitioned",
+    "recall_partitioned_vs_exact",
+    "pq_kmeans_recall",
+    "cluster_topics",
+    "cluster_balanced_sample",
 ]
 
 
@@ -50,11 +61,17 @@ def main() -> int:
     registry.load_all()
     spark = get_spark("gen_scale_snapshots")
     spark.sparkContext.setLogLevel("ERROR")
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/root/testdata/sf0.001"]
+    argv = sys.argv[1:]
+    names = NAMES
+    if "--only" in argv:
+        i = argv.index("--only")
+        names = argv[i + 1 :]
+        argv = argv[:i]
+    sf_dirs = argv or ["/root/testdata/sf0.1", "/root/testdata/sf0.001"]
     os.makedirs(SNAP_DIR, exist_ok=True)
     for sf_dir in sf_dirs:
         sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        for name in NAMES:
+        for name in names:
             fn = registry.QUERIES[name]
             pdf = fn(spark, sf_dir).toPandas()
             path = os.path.join(SNAP_DIR, f"{name}__{sf}.parquet")
