@@ -361,21 +361,23 @@ def semantic_graph_search(
             [(r["id"], r["sim"]) for r in rows],
             f"id {id_type}, sim double",
         )
-        max_sim_lit = F.lit(max((r["sim"] for r in rows), default=0.0))
+        max_sim = max((r["sim"] for r in rows), default=0.0)
         # try_divide, not `/`: the LocalRelation seed plan lets Catalyst
         # push this projection into the BFS union's hop=0 branch, where
         # ANSI constant folding evaluates w_g/0 at OPTIMIZATION time and
         # throws — even though the hop>0 filter discards that branch at
         # runtime. try_divide folds to null there and is bit-identical to
-        # `/` on every surviving (hop ≥ 1) row.
-        mk_expanded = lambda hops_df: hops_df.select(  # noqa: E731
+        # `/` on every surviving (hop ≥ 1) row. (`!r` round-trips the
+        # doubles exactly; the `d` suffix keeps SQL literals DOUBLE, never
+        # DECIMAL.) One selectExpr per branch: plan-build py4j ops cost
+        # ~10 ms each here (r10 HOF finding), so expression trees are
+        # folded into single parsed strings.
+        mk_expanded = lambda hops_df: hops_df.selectExpr(  # noqa: E731
             "id",
-            (max_sim_lit / (1.0 + F.col("hop"))).alias("vector_score"),
-            F.col("hop").alias("graph_distance"),
-            (
-                vector_weight * max_sim_lit / (1.0 + F.col("hop"))
-                + F.try_divide(F.lit(graph_weight), F.col("hop"))
-            ).alias("combined_score"),
+            f"{max_sim!r}d / (1.0d + hop) AS vector_score",
+            "hop AS graph_distance",
+            f"{vector_weight!r}d * {max_sim!r}d / (1.0d + hop)"
+            f" + try_divide({graph_weight!r}d, hop) AS combined_score",
         )
     else:
         # reused 3× (scores, max, BFS): persist caches the top-2k scan after
@@ -385,29 +387,71 @@ def semantic_graph_search(
         max_sim = seeds.agg(F.max("sim").alias("max_sim"))
         mk_expanded = lambda hops_df: hops_df.crossJoin(  # noqa: E731
             F.broadcast(max_sim)
-        ).select(
+        ).selectExpr(
             "id",
-            (F.col("max_sim") / (1.0 + F.col("hop"))).alias("vector_score"),
-            F.col("hop").alias("graph_distance"),
-            (
-                vector_weight * F.col("max_sim") / (1.0 + F.col("hop"))
-                + graph_weight / F.col("hop")
-            ).alias("combined_score"),
+            "max_sim / (1.0d + hop) AS vector_score",
+            "hop AS graph_distance",
+            f"{vector_weight!r}d * max_sim / (1.0d + hop)"
+            f" + {graph_weight!r}d / hop AS combined_score",
         )
 
-    # ≤3 hops: skip per-hop checkpoints/emptiness actions — the lineage
-    # stays shallow and each skipped checkpoint saves a full job round
-    hops = bfs_hops(
-        edges, seeds.select("id"), expand_hops, direction="both",
-        checkpoint_each_hop=expand_hops > 3,
+    # Expansion (r11): for the bounded hop counts this operator uses, the
+    # frontier is the 2·k-seed neighborhood — workload-bounded, not
+    # data-bounded — so each hop joins the persisted adjacency against a
+    # BROADCAST frontier and the 2|E|-row pair set never shuffles (the
+    # generic bfs_hops pays a sort-merge exchange of the full pair set per
+    # hop: 2.7 M rows ×2 at bench scale, 100× that at 100×). The r3
+    # broadcast-is-slower measurement does not apply here: every broadcast
+    # side below is either the persisted seed scan or a persisted previous
+    # frontier, so materializing it re-reads cache instead of re-running
+    # lineage. Min-hop semantics are preserved by anti-joining each level
+    # against all previous levels (first-reached level wins) — identical
+    # sets to bfs_hops, parity-asserted in tests and by the DuckDB oracle.
+    # Measured (bench protocol, fresh plans, sf0.1): 1.30-1.48 s total →
+    # 0.96-1.04 s, exec 1.0-1.2 → 0.67-0.74 s. Hub-heavy frontiers that
+    # would out-size a broadcast fall back to the shuffle-based bfs_hops
+    # via expand_hops > 3 (same cutoff as the checkpoint heuristic).
+    if expand_hops <= 3:
+        # one spark.sql per level instead of ~11 DataFrame ops: temp views
+        # resolve EAGERLY at sql() time, so fixed view names are safe even
+        # when two searches are built back to back in one session (each
+        # plan binds its views before the next build replaces them)
+        sess = edges.sparkSession
+        pairs = _adjacency(edges, "both", None)
+        pairs.createOrReplaceTempView("_gss_pairs")
+        seeds.createOrReplaceTempView("_gss_h0")
+        prev = ["_gss_h0"]
+        level_frames = []
+        for h in range(1, expand_hops + 1):
+            antis = " ".join(
+                f"LEFT ANTI JOIN {p} ON d.id = {p}.id" for p in prev
+            )
+            hints = ", ".join(prev)
+            nxt = sess.sql(f"""
+                SELECT /*+ BROADCAST({hints}) */ d.id, {h} AS hop FROM (
+                  SELECT /*+ BROADCAST(f) */ DISTINCT p.`to` AS id
+                  FROM _gss_pairs p JOIN {prev[-1]} f ON p.frm = f.id
+                ) d {antis}""")
+            if h < expand_hops:
+                nxt = nxt.persist()  # broadcast at hop h+1 fills the cache
+            nxt.createOrReplaceTempView(f"_gss_h{h}")
+            level_frames.append(nxt)
+            prev.append(f"_gss_h{h}")
+        hops_pos = level_frames[0]
+        for lf in level_frames[1:]:
+            hops_pos = hops_pos.unionByName(lf)
+    else:
+        # deep expansions: frontier size is unbounded — keep the shuffle
+        # join + per-hop checkpoint discipline of the generic BFS
+        hops_pos = bfs_hops(
+            edges, seeds.select("id"), expand_hops, direction="both",
+            checkpoint_each_hop=True,
+        ).filter(F.col("hop") > 0)
+    seed_scored = seeds.selectExpr(
+        "id", "sim AS vector_score", "0 AS graph_distance",
+        "sim AS combined_score",
     )
-    seed_scored = seeds.select(
-        "id",
-        F.col("sim").alias("vector_score"),
-        F.lit(0).alias("graph_distance"),
-        F.col("sim").alias("combined_score"),
-    )
-    expanded = mk_expanded(hops.filter(F.col("hop") > 0))
+    expanded = mk_expanded(hops_pos)
     scored = seed_scored.unionByName(expanded)
     flt = nodes
     if label_filter:
@@ -418,6 +462,10 @@ def semantic_graph_search(
         scored = scored.join(flt.select("id"), "id", "left_semi")
     out = scored.orderBy(F.col("combined_score").desc(), F.col("id")).limit(k)
     if round_to is not None:
-        for c in ("vector_score", "combined_score"):
-            out = out.withColumn(c, F.round(F.col(c), round_to) + F.lit(0.0))
+        out = out.selectExpr(
+            "id",
+            f"ROUND(vector_score, {round_to}) + 0.0d AS vector_score",
+            "graph_distance",
+            f"ROUND(combined_score, {round_to}) + 0.0d AS combined_score",
+        )
     return out
