@@ -240,23 +240,30 @@ def kcore_nodes(
     a<b pair set (e.g. a shared materialized edge view) — skip the
     least/greatest/distinct normalization pass.
 
-    DELTA PEELING (r9, VERDICT task #7): after the first round the
-    removal sets collapse (measured at sf0.1: round 0 removes the
-    degree-1/2 long tail, round 1 removes 3 nodes, round 2 removes 0),
-    so recomputing the full 2|E|-row degree aggregate per round pays the
-    whole graph for a handful of departures. Rounds whose removal set is
-    small (≤ `delta_threshold`) instead
-    - subtract per-survivor removed-neighbor counts from the RUNNING
-      degree table (deg_{r+1}(v) = deg_r(v) − |edges v→removed|, exact
-      integer arithmetic — identical to recomputing over e_{r+1}),
-    - filter the edge set with two BROADCAST anti-joins against the
-      removed set (map-only, no shuffle),
-    and a round that removes NOTHING ends the loop — every later round
-    of the unrolled oracle is then a provable no-op, so the emitted set
-    is still exactly the oracle's round-R set. Only the node-sized
-    degree table is checkpointed on delta rounds; the r7-measured
-    negative (anti-join vs the HUGE round-0 loser set being 2× slower)
-    is avoided by the threshold — round 0 keeps the semi-join shape."""
+    DEGREE-ONLY PEELING (r11, generalizing the r9 delta rounds): the edge
+    set is NEVER rebuilt. Every round — including round 0's huge
+    degree-1/2 long tail — subtracts per-survivor removed-neighbor counts
+    from the RUNNING degree table:
+
+        deg_{r+1}(v) = deg_r(v) − |edges v→removed_r|   for v surviving r
+
+    This is exact against the ORIGINAL pair set: an edge whose other
+    endpoint was removed in an EARLIER round only ever produces a
+    subtraction row for that earlier-removed endpoint, which the
+    survivors join (deg ≥ k) drops — so counting removed-neighbor edges
+    over the original `cur` equals counting over the peeled e_r, without
+    maintaining e_r at all (integer arithmetic, identical to the unrolled
+    oracle's per-round recompute; parity held by the same oracle).
+    The r9 shape checkpointed a peeled |E|-row edge set AND re-ran the
+    2|E|-row degree aggregate on big rounds — both gone; per round only
+    the |V|-row degree table is checkpointed, and the removal join is
+    BROADCAST when the removal set is small (every round after the
+    first, measured) or a plain shuffled join on round 0's long tail
+    (the r7 broadcast-a-huge-set negative still avoided). Measured at
+    the generated sf1 (13.7 M edges): 16.3 s → see SCALING.md r11 row.
+    A round that removes NOTHING ends the loop — every later round of
+    the unrolled oracle is then a provable no-op, so the emitted set is
+    still exactly the oracle's round-R set."""
 
     def ckpt(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
@@ -276,65 +283,45 @@ def kcore_nodes(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
+    # both directions generated in ONE pass over the pair set: the r9 form
+    # unioned two separate scans of `cur` per aggregate (the checkpointed
+    # edge blocks were read twice per round — measured as the round cost
+    # driver at sf1); posexplode-free inline_outer keeps it map-side
+    both = cur.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("frm"), F.col("b").alias("to")),
+                F.struct(F.col("b").alias("frm"), F.col("a").alias("to")),
+            )
+        ).alias("e")
+    ).select("e.frm", "e.to")
     deg = ckpt(
-        cur.select(F.col("a").alias("v"))
-        .unionAll(cur.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
+        both.groupBy(F.col("frm").alias("v")).agg(F.count(F.lit(1)).alias("d"))
     )
-    keep = deg.filter(F.col("d") >= k).select("v")
     for r in range(rounds - 1):
         removed = deg.filter(F.col("d") < k).select("v")
         n_removed = removed.count()
         if n_removed == 0:
             break  # converged: every remaining oracle round is a no-op
-        if n_removed <= delta_threshold:
-            rem = ckpt(removed)  # tiny; pin before the three broadcasts
-            inc = (
-                cur.join(F.broadcast(rem.withColumnRenamed("v", "a")), "a")
-                .select(F.col("b").alias("v"))
-                .unionAll(
-                    cur.join(F.broadcast(rem.withColumnRenamed("v", "b")), "b")
-                    .select(F.col("a").alias("v"))
-                )
-                .groupBy("v")
-                .agg(F.count(F.lit(1)).alias("rm"))
+        small = n_removed <= delta_threshold
+        # rem feeds exactly ONE join now — no checkpoint: the broadcast
+        # build re-reads the checkpointed degree table, which is cheap
+        rem = removed
+        hint = F.broadcast if small else (lambda df: df)
+        inc = (
+            both.join(hint(rem.withColumnRenamed("v", "frm")), "frm")
+            .groupBy(F.col("to").alias("v"))
+            .agg(F.count(F.lit(1)).alias("rm"))
+        )
+        deg = ckpt(
+            deg.filter(F.col("d") >= k)
+            .join(inc, "v", "left")
+            .select(
+                "v",
+                (F.col("d") - F.coalesce(F.col("rm"), F.lit(0))).alias("d"),
             )
-            deg = ckpt(
-                deg.filter(F.col("d") >= k)
-                .join(inc, "v", "left")
-                .select(
-                    "v",
-                    (F.col("d") - F.coalesce(F.col("rm"), F.lit(0))).alias("d"),
-                )
-            )
-            # map-only broadcast anti-joins; the edge set itself is NOT
-            # re-materialized on delta rounds (plan depth stays shallow —
-            # at most `rounds` stacked broadcast filters over the last
-            # checkpointed edge set)
-            cur = cur.join(
-                F.broadcast(rem.withColumnRenamed("v", "a")), "a", "left_anti"
-            ).join(F.broadcast(rem.withColumnRenamed("v", "b")), "b", "left_anti")
-        else:
-            # big removal set (round 0's degree-1/2 long tail): the r7
-            # measurement stands — semi-join on keepers + full recompute
-            # beats anti-joining a loser set this large. cur feeds the
-            # next degree union TWICE plus the next filter, so the
-            # uncached chain triples per round (measured 3.4 s at 3
-            # rounds → 77 s at 5); lazy persist() did NOT flatten this
-            # doubly-self-referencing shape, hence the EAGER checkpoint.
-            cur = ckpt(
-                cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
-                .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
-            )
-            deg = ckpt(
-                cur.select(F.col("a").alias("v"))
-                .unionAll(cur.select(F.col("b").alias("v")))
-                .groupBy("v")
-                .agg(F.count(F.lit(1)).alias("d"))
-            )
-        keep = deg.filter(F.col("d") >= k).select("v")
-    return keep.select(F.col("v").alias("id"))
+        )
+    return deg.filter(F.col("d") >= k).select(F.col("v").alias("id"))
 
 
 def duck_kcore_sql(k: int = 3, rounds: int = 5) -> str:

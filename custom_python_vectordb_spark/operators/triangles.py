@@ -90,30 +90,56 @@ def oriented_edges(
     return oriented.localCheckpoint(eager=True) if materialize else oriented
 
 
-def triangles_from_oriented(oriented: DataFrame) -> DataFrame:
-    """One row (n_triangles,) from a degree-ordered oriented edge set.
-
-    Edge-iterator formulation: build each node's out-neighbor array (size
-    O(√m) by the orientation), join it onto both endpoints of every
-    oriented edge, and sum |N⁺(u) ∩ N⁺(v)| — for a triangle u→v, u→w,
-    v→w only the (u,v) edge sees w in both sets, so each triangle counts
-    exactly once.  Equivalent to the wedge self-join + closing join but
-    the O(m·√m) wedge set is never materialized or shuffled: the
-    intersection happens in-task over two sorted-ish arrays (Spark's
-    ArrayIntersect is hash-based, O(|a|+|b|)).  Measured at sf0.1
-    co-purchase (1 M edges, 1.88 M triangles): 4.4 s → 1.2 s vs the
-    wedge-join plan.  Shuffles: one aggregate + two 1 M-row joins against
-    a |V|-row adjacency table, none carrying wedge-scale data."""
+def adjacency_from_oriented(
+    oriented: DataFrame, materialize: bool = True
+) -> DataFrame:
+    """(src, nbrs): each node's out-neighbor array over a degree-ordered
+    oriented edge set — O(√m)-bounded arrays, |V| rows, m values total.
+    This IS the triangle pass's working set, so it is what gets
+    materialized (r11): checkpointing the |E|-row oriented set AND
+    re-deriving the adjacency per consumer paid a 12 M-row checkpoint
+    plus an extra shuffle at sf1 for no reuse the adjacency can't give."""
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    return adj.localCheckpoint(eager=True) if materialize else adj
+
+
+def triangles_from_adjacency(adj: DataFrame) -> DataFrame:
+    """One row (n_triangles,) from an out-neighbor adjacency table.
+
+    Edge-iterator formulation with ONE join (r11; was two): the edge
+    stream is re-derived map-side from the adjacency itself —
+    explode(nbrs) yields every oriented edge (u, v) ALREADY carrying
+    N⁺(u), so only N⁺(v) needs a join. Σ |N⁺(u) ∩ N⁺(v)| counts each
+    triangle u→v, u→w, v→w exactly once at its (u, v) edge. The one
+    remaining shuffle of wedge-scale bytes (each edge row carries its
+    O(√m) nu array to v's partition) is hash-partitioned, NOT sort-merge:
+    SHUFFLE_HASH on the |V|-row adjacency side keeps the wide stream from
+    being SORTED by dst — measured at sf1 co-purchase (12 M edges,
+    413 M oriented wedges, 16.3 M triangles) the sort was the dominant
+    cost of the two-join r6 plan. Spark's ArrayIntersect is hash-based,
+    O(|a|+|b|) per row."""
+    stream = adj.select(
+        "src", F.col("nbrs").alias("nu"), F.explode("nbrs").alias("dst")
+    )
     return (
-        oriented.select("src", "dst")
-        .join(adj.select(F.col("src").alias("_u"), F.col("nbrs").alias("nu")),
-              F.col("src") == F.col("_u"))
-        .join(adj.select(F.col("src").alias("_v"), F.col("nbrs").alias("nv")),
-              F.col("dst") == F.col("_v"))
+        stream.join(
+            adj.select(F.col("src").alias("_v"), F.col("nbrs").alias("nv")).hint(
+                "shuffle_hash"
+            ),
+            F.col("dst") == F.col("_v"),
+        )
         .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
         # empty edge set → SUM is NULL; the count contract says 0
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
+    )
+
+
+def triangles_from_oriented(oriented: DataFrame) -> DataFrame:
+    """One row (n_triangles,) from a degree-ordered oriented edge set.
+    Kept for callers holding an oriented set; builds the adjacency lazily
+    and defers to :func:`triangles_from_adjacency`."""
+    return triangles_from_adjacency(
+        adjacency_from_oriented(oriented, materialize=False)
     )
 
 
@@ -122,11 +148,19 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     edges (one row per edge; endpoint order irrelevant, self-loops must be
     absent).  Returns one row: (n_edges, n_triangles).
 
-    Plan shape: one degree aggregation, one re-orientation projection
-    materialized once (see module note), a wedge self-join on src
-    (out-degrees are O(√m) after orientation), and a closing semi-join —
-    three shuffles total, none skewed.
+    Plan shape (r11): one degree aggregation, a lazy re-orientation
+    projection, ONE materialized |V|-row adjacency (see
+    adjacency_from_oriented), and the single hash-partitioned
+    intersection join — the |E|-row oriented set is never checkpointed
+    and n_edges falls out of the adjacency for free.
     """
-    oriented = oriented_edges(edges, a, b)
-    n_edges = oriented.select(F.count(F.lit(1)).alias("n_edges"))
-    return n_edges.crossJoin(triangles_from_oriented(oriented))
+    # deg is referenced by both rank sides of the orientation — pin it so
+    # the lazy oriented projection doesn't run the degree aggregate twice
+    deg = degree_table(edges, a, b).localCheckpoint(eager=True)
+    adj = adjacency_from_oriented(
+        oriented_edges(edges, a, b, deg=deg, materialize=False)
+    )
+    n_edges = adj.agg(
+        F.coalesce(F.sum(F.size("nbrs")), F.lit(0)).cast("long").alias("n_edges")
+    )
+    return n_edges.crossJoin(triangles_from_adjacency(adj))

@@ -593,16 +593,20 @@ def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     (triangle term) and the wedge sum — previously each consumer re-derived
     the lineitem self-join under recompute (measured 6.5 s → ~1 s sf0.1)."""
     from custom_python_vectordb_spark.operators.triangles import (
+        adjacency_from_oriented,
         degree_table,
         oriented_edges,
-        triangles_from_oriented,
+        triangles_from_adjacency,
     )
     from custom_python_vectordb_spark.sources.graph_view import copurchase_pairs
 
     edges = copurchase_pairs(spark, sf_dir)
     deg = degree_table(edges).localCheckpoint(eager=True)
-    oriented = oriented_edges(edges, deg=deg)
-    tri = triangles_from_oriented(oriented)
+    # r11: materialize the |V|-row adjacency instead of the |E|-row
+    # oriented set — the triangle pass re-derives its edge stream from
+    # the adjacency map-side (see triangles_from_adjacency)
+    adj = adjacency_from_oriented(oriented_edges(edges, deg=deg, materialize=False))
+    tri = triangles_from_adjacency(adj)
     wed = deg.select(F.col("n").alias("v"), F.col("deg").alias("d")).agg(
         F.expr("sum(d * (d - 1)) div 2").cast("long").alias("n_wedges")
     )
