@@ -190,6 +190,7 @@ def _ivf_resolve(
     n_cells: int,
     assign_r: int,
     train_sample_cap: int = 131_072,
+    train_iters: int = 5,
 ):
     """Resolve (building if stale/absent) the cached IVF index for a shard
     set: (stat_key, centroids, [cell ids], [cell matrices]), or None when
@@ -221,7 +222,7 @@ def _ivf_resolve(
 
     paths = tuple(sorted(shard_paths))
     stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
-    ck = (paths, dtype, n_cells, assign_r, metric, train_sample_cap)
+    ck = (paths, dtype, n_cells, assign_r, metric, train_sample_cap, train_iters)
     entry = _IVF_REPLICA_CACHE.get(ck)
     if entry is not None and entry[0] == stat_key:
         return entry
@@ -258,7 +259,7 @@ def _ivf_resolve(
             tmat = mat
         cent = tmat[:c].copy()
         sq_t = (tmat * tmat).sum(1)[:, None]
-        for _ in range(5):
+        for _ in range(train_iters):
             assign = (sq_t + (cent * cent).sum(1)[None, :] - 2.0 * (tmat @ cent.T)).argmin(1)
             sums = np.zeros_like(cent)
             np.add.at(sums, assign, tmat)
@@ -326,6 +327,7 @@ class IvfReplicaHandle:
         *,
         id_col: str = "vec_id",
         dtype: str = "float64",
+        train_sample_cap: int = 131_072,
     ):
         import numpy as np
 
@@ -334,6 +336,7 @@ class IvfReplicaHandle:
         self._kw = dict(
             id_col=id_col, dtype=dtype, metric=metric,
             n_cells=n_cells, assign_r=assign_r,
+            train_sample_cap=train_sample_cap,
         )
         self.metric = metric
         self.nprobe = nprobe
@@ -430,6 +433,7 @@ def ivf_replica_serve(
     id_col: str = "vec_id",
     dist_col: str = "dist",
     dtype: str = "float64",
+    train_sample_cap: int = 131_072,
 ):
     """Serving twin of :func:`knn_partitioned` — the ANN answer to the
     reference's in-process HNSW latency (``vectordb_optimized.py:271-280``):
@@ -457,7 +461,7 @@ def ivf_replica_serve(
 
     entry = _ivf_resolve(
         shard_paths, id_col=id_col, dtype=dtype, metric=metric,
-        n_cells=n_cells, assign_r=assign_r,
+        n_cells=n_cells, assign_r=assign_r, train_sample_cap=train_sample_cap,
     )
     if entry is None:
         return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
