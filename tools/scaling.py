@@ -217,15 +217,20 @@ def main() -> None:
         "",
     ]
     out = "\n".join(lines)
-    # preserve marker-delimited sections other tools own (the 500K-doc
-    # probe, tools/probe_docs500k.py) across sweep rewrites
+    # preserve EVERY marker-delimited section another tool owns (the
+    # 500K-doc probe, the 1M-vector probe, any future axis probe) across
+    # sweep rewrites — r11 nearly lost the VEC1M block to a hardcoded
+    # single-marker list
     md = "/root/repo/SCALING.md"
     if os.path.exists(md):
+        import re as _re
+
         prev = open(md).read()
-        begin, end = "<!-- DOCS500K PROBE BEGIN -->", "<!-- DOCS500K PROBE END -->"
-        if begin in prev and end in prev:
-            block = prev.split(begin)[1].split(end)[0]
-            out = out.rstrip() + "\n\n" + begin + block + end + "\n"
+        for begin in _re.findall(r"<!-- [A-Z0-9]+ PROBE BEGIN -->", prev):
+            end = begin.replace("BEGIN", "END")
+            if end in prev:
+                block = prev.split(begin)[1].split(end)[0]
+                out = out.rstrip() + "\n\n" + begin + block + end + "\n"
     with open(md, "w") as f:
         f.write(out)
     print(f"wrote SCALING.md ({len(results)} queries x {len(SFS)} scales)")
