@@ -27,10 +27,10 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-N_ROWS = 1_000_000
 DIM = 128
 SHARDS = 32
 OUT = os.path.join(_REPO, ".bench", "vec1m_128d_c256")
+OUT2M = os.path.join(_REPO, ".bench", "vec2m_128d_c256")
 V100K = os.path.join(_REPO, ".bench", "vec100k_128d_c256")
 
 # IVF geometry per scale: cells grow with the corpus so the probed
@@ -41,6 +41,9 @@ V100K = os.path.join(_REPO, ".bench", "vec100k_128d_c256")
 CFG = {
     "100K": dict(n_cells=384, nprobe=3, assign_r=1, dtype="float32"),
     "1M": dict(n_cells=1024, nprobe=8, assign_r=1, dtype="float32"),
+    # 2M = the reference's "extreme" preset; cells ~ sqrt growth keeps the
+    # probed fraction bounded, nprobe swept recall-first in-process
+    "2M": dict(n_cells=1448, nprobe=8, assign_r=1, dtype="float32"),
 }
 # 1M nprobe swept in-process (recall vs exact truth, 200 queries):
 # 4 -> 0.9665, 5 -> 0.9870, 6 -> 0.9975, 8 -> 1.0000 at p50 0.78 ms —
@@ -48,18 +51,18 @@ CFG = {
 NQ_TRUTH = 200  # exact truth + recall basis (1M x 200 scores = 800 MB peak)
 
 
-def gen_corpus() -> None:
+def gen_corpus(out_dir: str, n_rows: int, seed: int) -> None:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    done = os.path.join(OUT, "_DONE")
+    done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return
-    os.makedirs(OUT, exist_ok=True)
-    rng = np.random.default_rng(1042)
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
     centers = rng.standard_normal((256, DIM), dtype=np.float32)
-    rows_per = N_ROWS // SHARDS
+    rows_per = n_rows // SHARDS
     for s in range(SHARDS):
         lo, hi = s * rows_per, (s + 1) * rows_per
         assign = rng.integers(0, 256, hi - lo)
@@ -72,7 +75,7 @@ def gen_corpus() -> None:
                 pa.array(mat.reshape(-1)), DIM
             ),
         })
-        pq.write_table(tbl, os.path.join(OUT, f"part-{s:05d}.parquet"),
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{s:05d}.parquet"),
                        row_group_size=100_000)
     with open(done, "w") as fh:
         fh.write("ok\n")
@@ -85,7 +88,10 @@ def main() -> int:
     import pandas as pd
     import pyarrow.parquet as pq
 
-    gen_corpus()
+    gen_corpus(OUT, 1_000_000, 1042)
+    with_2m = "--no-2m" not in sys.argv
+    if with_2m:
+        gen_corpus(OUT2M, 2_000_000, 2042)
     if not glob.glob(os.path.join(V100K, "part-*.parquet")):
         print("run bench.py once first (builds the 100K corpus)")
         return 1
@@ -97,7 +103,8 @@ def main() -> int:
     )
 
     results: dict[str, dict[str, float]] = {}
-    for tag, root in (("100K", V100K), ("1M", OUT)):
+    scales = [("100K", V100K), ("1M", OUT)] + ([("2M", OUT2M)] if with_2m else [])
+    for tag, root in scales:
         shard_files = sorted(glob.glob(os.path.join(root, "part-*.parquet")))
         t0 = pq.read_table(shard_files[0])
         emb = np.stack(
@@ -151,24 +158,47 @@ def main() -> int:
         row["ivf_single_p50_ms"] = p50s[len(p50s) // 2]
         results[tag] = row
 
-    hdr = ("| metric | 100K | 1M | alpha_1M |", "|---|---|---|---|")
+    tags = [t for t, _ in scales]
+    if with_2m:
+        hdr = ("| metric | 100K | 1M | 2M | alpha_1M | alpha_2M |",
+               "|---|---|---|---|---|---|")
+    else:
+        hdr = ("| metric | 100K | 1M | alpha_1M |", "|---|---|---|---|")
     lines = list(hdr)
     for key in ("exact_gemm_ms_per_q", "ivf_build_s", "ivf_batch_ms_per_q",
                 "ivf_single_p50_ms", "ivf_recall_at10"):
-        a, b = results["100K"][key], results["1M"][key]
-        alpha = "" if key == "ivf_recall_at10" or a <= 0 else f"{math.log10(b / a):.2f}"
-        lines.append(f"| {key} | {a:.4f} | {b:.4f} | {alpha} |")
+        vals = [results[t][key] for t in tags]
+        cells = "".join(f" {v:.4f} |" for v in vals)
+        alphas = ""
+        if key != "ivf_recall_at10":
+            # per-step exponent normalized by that step's row ratio:
+            # 100K->1M is 10x, 1M->2M is 2x
+            a1 = math.log10(vals[1] / vals[0]) if vals[0] > 0 else float("nan")
+            alphas = f" {a1:.2f} |"
+            if with_2m:
+                a2 = (math.log(vals[2] / vals[1]) / math.log(2.0)
+                      if vals[1] > 0 else float("nan"))
+                alphas += f" {a2:.2f} |"
+        elif with_2m:
+            alphas = "  |  |"
+        else:
+            alphas = "  |"
+        lines.append(f"| {key} |{cells}{alphas}")
         print(lines[-1], flush=True)
 
     block = "\n".join(lines)
     begin, end = "<!-- VEC1M PROBE BEGIN -->", "<!-- VEC1M PROBE END -->"
     section = (
-        f"{begin}\n\n## Fourth decade, embeddings axis (1M-vector probe)\n\n"
-        "tools/probe_vec1m.py: the knn/IVF serving family measured one\n"
-        "decade past the 100K baseline corpus (same clustered recipe,\n"
-        f"{CFG['1M']['n_cells']} cells / nprobe {CFG['1M']['nprobe']} at 1M"
+        f"{begin}\n\n## Fourth decade, embeddings axis (1M/2M-vector probe)\n\n"
+        "tools/probe_vec1m.py: the knn/IVF serving family measured past\n"
+        "the 100K baseline corpus to the reference's own 1M ('stress')\n"
+        "and 2M ('extreme') bench presets (examples/benchmark.py:44-51;\n"
+        "same clustered recipe,\n"
+        f"{CFG['1M']['n_cells']} cells / nprobe {CFG['1M']['nprobe']} at 1M, "
+        f"{CFG['2M']['n_cells']} / {CFG['2M']['nprobe']} at 2M"
         " — cells grow with the corpus so the probed fraction stays\n"
-        "bounded; alpha_1M = log10 time ratio across the 10x step, 1.0 =\n"
+        "bounded; alpha_1M = log10 time ratio across the 10x step,\n"
+        "alpha_2M = log2 ratio across the 2x step; 1.0 =\n"
         "linear, <1 sub-linear; recall@10 measured vs exact truth at each\n"
         "scale in the same run).\n\n"
         "Reading: build is LINEAR since r11 (Lloyd trains on a 131k\n"
