@@ -561,9 +561,10 @@ def _bench_knn_100k(spark) -> dict[str, float]:
 
     # single-query latency on the SQ and PQ capacity tiers (r8, VERDICT #3:
     # a tier documented as "measured, stated" belongs in the per-run
-    # artifact, not prose). Expected order-of-magnitude: SQ ~11 ms (full
-    # code-matrix widening per call), PQ ~5 ms (M gathers) — capacity
-    # tiers, not latency tiers; published so the framing stays honest.
+    # artifact, not prose). Expected order-of-magnitude: SQ ~7 ms
+    # (code-matrix widening per call, L2-chunked since r11), PQ ~5 ms
+    # (M gathers) — capacity tiers, not latency tiers; published so the
+    # framing stays honest.
     from custom_python_vectordb_spark.operators.quantization import (
         PqReplicaHandle,
         SqReplicaHandle,

@@ -989,19 +989,27 @@ class SqReplicaHandle:
     :func:`sq_replica_serve`'s own cache, so the code tier and model are
     bit-identical to the batch path's.
 
-    Latency economics (measured at 100K×128): ~11 ms/query — the coarse
-    scan must widen the full code matrix to float64 per call, and unlike
-    BQ/IVF nothing amortizes at batch 1. SQ is the CAPACITY tier (4×
-    corpus per node); latency-sensitive single-query traffic belongs on
-    the IVF handle (~0.14 ms) or BQ (~1.2 ms), with this tier serving
+    Latency economics (measured at 100K×128): ~7 ms/query — the coarse
+    scan must widen the code matrix to float64 per call (in L2-resident
+    chunks since r11, so only the uint8 codes stream from DRAM), and
+    unlike BQ/IVF nothing amortizes at batch 1. SQ is the CAPACITY tier
+    (4× corpus per node); latency-sensitive single-query traffic belongs
+    on the IVF handle (~0.1 ms) or BQ (~1.2 ms), with this tier serving
     batched/offline reads — which is why bench publishes its batch row
     only."""
 
     __slots__ = ("_paths", "_id_col", "_np", "_chunk", "ids", "codes", "minv", "s", "s2", "wa2")
 
-    def __init__(self, shard_paths: list[str], *, id_col: str = "vec_id", chunk_rows: int = 16384):
+    def __init__(self, shard_paths: list[str], *, id_col: str = "vec_id", chunk_rows: int = 512):
         import numpy as np
 
+        # chunk_rows 512 (r11): the per-chunk float64 widened block is
+        # 512×D×8 B ≈ 0.5 MB at D=128 — L2-resident, so the widening
+        # write + GEMV read never round-trip DRAM; only the uint8 codes
+        # stream from memory. Swept in-process: 16384 → 512 halves p50
+        # (11.97 → 6.7-8.8 ms, box-state spread); 256/128 gain nothing
+        # more (python loop overhead catches up). Values bit-identical
+        # at every chunk size (per-row dot order is unchanged).
         self._np = np
         self._paths = list(shard_paths)
         self._id_col = id_col
