@@ -45,9 +45,12 @@ CFG = {
     # probed fraction bounded, nprobe swept recall-first in-process
     "2M": dict(n_cells=1448, nprobe=8, assign_r=1, dtype="float32"),
 }
-# 1M nprobe swept in-process (recall vs exact truth, 200 queries):
-# 4 -> 0.9665, 5 -> 0.9870, 6 -> 0.9975, 8 -> 1.0000 at p50 0.78 ms —
-# recall-first, same discipline as the 100K bench config.
+# 1M nprobe swept in-process (recall vs exact truth, 200 queries; full-
+# matrix trainer): 4 -> 0.9665, 5 -> 0.9870, 6 -> 0.9975, 8 -> 1.0000 —
+# recall-first, same discipline as the 100K bench config. With the r11
+# sampled trainer the same nprobe 8 measures 0.9990 at 1M and 2M (the
+# published rows) — the sample costs 1 hit in 2,000 for a 4x faster,
+# linear-alpha build.
 NQ_TRUTH = 200  # exact truth + recall basis (1M x 200 scores = 800 MB peak)
 
 
