@@ -267,3 +267,55 @@ def test_within_cell_neardup_losers_known_geometry(spark):
         for r in within_cell_neardup_losers(assigned, threshold=0.95).collect()
     }
     assert losers == {11, 41, 42}
+
+
+def test_ivf_resolve_grouping_matches_boolean_scan(tmp_path):
+    """The r11 argsort-grouped cell construction in _ivf_resolve must
+    reproduce the per-cell boolean-scan form it replaced: for every cell,
+    the SAME member rows in the SAME (increasing-id) order — property-
+    tested over randomized shapes incl. multi-assignment, empty cells
+    (c > distinct assigned), and corpora above the training-sample cap."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.operators.partitioned import _ivf_resolve
+
+    rng = np.random.default_rng(7)
+    for case, (n, d, n_cells, assign_r, cap) in enumerate([
+        (50, 8, 16, 1, 131_072),
+        (200, 4, 32, 2, 131_072),
+        (333, 6, 64, 3, 131_072),   # many empty cells
+        (400, 4, 8, 2, 100),        # sampled training path (n > cap)
+    ]):
+        mat = rng.standard_normal((n, d)).astype(np.float32)
+        ids = rng.permutation(n).astype(np.int64)  # unsorted on disk
+        p = str(tmp_path / f"g{case}.parquet")
+        pq.write_table(pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1).astype(np.float64)), d
+            ),
+        }), p)
+        entry = _ivf_resolve(
+            [p], id_col="vec_id", dtype="float64", metric="l2",
+            n_cells=n_cells, assign_r=assign_r, train_sample_cap=cap,
+        )
+        _, cent, cell_ids, cell_mats = entry
+        c = len(cell_ids)
+        # reconstruct the id-sorted matrix the builder worked from
+        order = np.argsort(ids, kind="stable")
+        sids, smat = ids[order], mat[order].astype(np.float64)
+        # reference multi-assignment from the RETURNED centroids (the
+        # grouping is what's under test, not the training)
+        d2 = ((smat * smat).sum(1)[:, None] + (cent * cent).sum(1)[None, :]
+              - 2.0 * (smat @ cent.T))
+        r = min(assign_r, c)
+        multi = np.argpartition(d2, r - 1, axis=1)[:, :r]
+        total = 0
+        for j in range(c):
+            msel = np.nonzero((multi == j).any(axis=1))[0]  # boolean-scan form
+            assert np.array_equal(cell_ids[j], sids[msel]), (case, j)
+            assert np.array_equal(cell_mats[j], smat[msel]), (case, j)
+            total += len(msel)
+        assert total == n * r  # every (row, slot) landed in exactly one cell
