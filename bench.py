@@ -573,6 +573,32 @@ def _bench_knn_100k(spark) -> dict[str, float]:
     for tag, handle_cls in (("sq", SqReplicaHandle), ("pq", PqReplicaHandle)):
         _p50_p99(tag, handle_cls(shard_files).search_one, warm_n=20, reps=2)
 
+    # IVF-PQ single-query tier (r11): cell-pruned ADC over fused PQ codes
+    # + exact rerank from the disk-resident mmap float tier — the
+    # FAISS-IVFPQ serving shape: 32× compression RESIDENT (codes only)
+    # at cell-pruned latency, unlike the full-scan SQ/PQ capacity rows
+    # above. Same 384/3 probe geometry as the IVF tier; fetch_k=300
+    # matches the PQ rerank row. Recall@10 measured vs the exact L2
+    # truth on the same 200 queries, never assumed.
+    from custom_python_vectordb_spark.operators.knn import knn_replica_serve as _krs
+    from custom_python_vectordb_spark.operators.partitioned import IvfPqReplicaHandle
+
+    mmdir2 = os.path.join(path, "..", "mmap_cache")
+    ivfpq = IvfPqReplicaHandle(
+        shard_files, n_cells=384, nprobe=3, assign_r=1, rerank_mmap_dir=mmdir2
+    )
+    _p50_p99("ivfpq", lambda v, k: ivfpq.search_one(v, k, fetch_k=300))
+    q200 = qpd.iloc[:200]
+    tl2_200 = _krs(shard_files, q200, k=10, dtype="float32", metric="l2")
+    t200: dict[int, set] = {}
+    for q, v in zip(tl2_200["qid"], tl2_200["vec_id"]):
+        t200.setdefault(q, set()).add(v)
+    hits = 0
+    for qid, v in zip(q200["qid"], q200["qvec"]):
+        ids, _d = ivfpq.search_one(v, 10, fetch_k=300)
+        hits += len(set(int(i) for i in ids) & t200.get(qid, set()))
+    out["knn_single_100k_ivfpq_rerank_recall_at10"] = round(hits / len(tl2_200), 4)
+
     # the serving tiers above are memory-bound: this calibration row is
     # what their latencies normalize against across rounds (co-tenant
     # memory traffic moves it 10-16 GB/s on this box, and p50 follows)
@@ -943,6 +969,7 @@ def main() -> None:
         "knn_batch20_100k_ms_per_query", "knn_batch1k_100k_ms_per_query",
         "knn_ivf_replica_100k_ms_per_query", "knn_ivf_replica_100k_recall_at10",
         "knn_single_100k_ivf_p50_ms", "knn_single_100k_ivf_p99_ms",
+        "knn_single_100k_ivfpq_p50_ms", "knn_single_100k_ivfpq_rerank_recall_at10",
         "mem_bw_gbps", "py4j_rtt_us", "spark_job_floor_ms",
         "knn_single_100k_sq_p50_ms", "knn_single_100k_pq_p50_ms",
         "knn_batch20_100k_filtered_ms_per_query",

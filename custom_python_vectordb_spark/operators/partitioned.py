@@ -181,51 +181,12 @@ def knn_partitioned(
 _IVF_REPLICA_CACHE: dict = {}
 
 
-def _ivf_resolve(
-    shard_paths: list[str],
-    *,
-    id_col: str,
-    dtype: str,
-    metric: str,
-    n_cells: int,
-    assign_r: int,
-    train_sample_cap: int = 131_072,
-    train_iters: int = 5,
-):
-    """Resolve (building if stale/absent) the cached IVF index for a shard
-    set: (stat_key, centroids, [cell ids], [cell matrices]), or None when
-    the shards hold no rows. Staleness is detected by (path, mtime_ns,
-    size) — the cache-coherence contract the chaos test exercises.
-
-    Build cost is kept LINEAR in the corpus (the r10 1M probe measured the
-    full-matrix Lloyd at alpha 1.71 — N×c distance blocks 5× over, plus two
-    O(N·c) per-cell python loops):
-
-    - Lloyd trains on a deterministic evenly-spaced row sample of at most
-      `train_sample_cap` rows (positions from the id-sorted matrix, the
-      k-means sample-training standard — FAISS trains IVF codebooks the
-      same way); corpora at or under the cap train on every row, so the
-      serving-scale bench index is built from the same data as before.
-    - Centroid updates are one `np.add.at` scatter + bincount, not a
-      per-cell member scan.
-    - The full-corpus assignment runs once, in row chunks sized so the
-      chunk×c distance block stays ~256 MB, and cells are grouped by one
-      argsort over the flattened (row, cell) list instead of c boolean
-      scans of all N rows.
-    """
-    import os as _os
-
+def _load_shards_id_sorted(paths, id_col: str, dtype: str):
+    """(ids, mat) id-sorted from a shard set, or None when empty — the
+    shared loader for every in-process index build (IVF, IVF-PQ)."""
     import numpy as np
     import pyarrow.parquet as _pq
 
-    from custom_python_vectordb_spark.operators.knn import _blas_threads
-
-    paths = tuple(sorted(shard_paths))
-    stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
-    ck = (paths, dtype, n_cells, assign_r, metric, train_sample_cap, train_iters)
-    entry = _IVF_REPLICA_CACHE.get(ck)
-    if entry is not None and entry[0] == stat_key:
-        return entry
     ids_parts, mat_parts = [], []
     for p in paths:
         names = _pq.read_schema(p).names
@@ -243,55 +204,115 @@ def _ivf_resolve(
     ids = np.concatenate(ids_parts)
     mat = np.concatenate(mat_parts)
     order = np.argsort(ids, kind="stable")  # centroid seeding by lowest id
-    ids, mat = ids[order], mat[order]
-    if metric == "cosine":
-        mn = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.where(mn == 0, 1.0, mn)
-    n = len(ids)
+    return ids[order], mat[order]
+
+
+def _train_assign_cells(np, mat, n_cells: int, assign_r: int,
+                        train_sample_cap: int, train_iters: int):
+    """(cent, multi): sampled Lloyd + one chunked full-corpus
+    multi-assignment. Caller wraps in _blas_threads. Build cost is LINEAR
+    in the corpus (the r10 1M probe measured the full-matrix Lloyd at
+    alpha 1.71 — N×c distance blocks train_iters× over plus two O(N·c)
+    per-cell python loops):
+
+    - Lloyd trains on a deterministic evenly-spaced row sample of at most
+      `train_sample_cap` rows (positions from the id-sorted matrix, the
+      k-means sample-training standard — FAISS trains IVF codebooks the
+      same way); corpora at or under the cap train on every row, so the
+      serving-scale bench index is built from the same data as before.
+    - Centroid updates are one `np.add.at` scatter + bincount, not a
+      per-cell member scan.
+    - The full-corpus assignment runs once, in row chunks sized so the
+      chunk×c distance block stays ~256 MB."""
+    n = len(mat)
     c = min(n_cells, n)
-    with _blas_threads(16):
-        if n > train_sample_cap:
-            # evenly spaced positions over the id-sorted matrix: stable
-            # across runs, no RNG, covers every id range
-            tsel = np.linspace(0, n - 1, train_sample_cap).astype(np.int64)
-            tmat = np.ascontiguousarray(mat[tsel])
-        else:
-            tmat = mat
-        cent = tmat[:c].copy()
-        sq_t = (tmat * tmat).sum(1)[:, None]
-        for _ in range(train_iters):
-            assign = (sq_t + (cent * cent).sum(1)[None, :] - 2.0 * (tmat @ cent.T)).argmin(1)
-            sums = np.zeros_like(cent)
-            np.add.at(sums, assign, tmat)
-            counts = np.bincount(assign, minlength=c)
-            nz = counts > 0
-            cent[nz] = sums[nz] / counts[nz, None]
-        # one full-corpus assignment pass, chunked so the chunk×c distance
-        # block stays bounded (~256 MB at float64)
-        r = min(assign_r, c)
-        chunk = max(1, 32_000_000 // max(c, 1))
-        multi = np.empty((n, r), dtype=np.int64)
-        cent_sq = (cent * cent).sum(1)[None, :]
-        for s in range(0, n, chunk):
-            blk = mat[s : s + chunk]
-            d2 = (blk * blk).sum(1)[:, None] + cent_sq - 2.0 * (blk @ cent.T)
-            multi[s : s + chunk] = np.argpartition(d2, r - 1, axis=1)[:, :r]
-    # group rows by cell via one argsort of the flattened (row, cell) list;
-    # row-major flattening keeps each cell's member rows in increasing id
-    # order, matching the per-cell boolean-scan form this replaces
+    if n > train_sample_cap:
+        # evenly spaced positions over the id-sorted matrix: stable
+        # across runs, no RNG, covers every id range
+        tsel = np.linspace(0, n - 1, train_sample_cap).astype(np.int64)
+        tmat = np.ascontiguousarray(mat[tsel])
+    else:
+        tmat = mat
+    cent = tmat[:c].copy()
+    sq_t = (tmat * tmat).sum(1)[:, None]
+    for _ in range(train_iters):
+        assign = (sq_t + (cent * cent).sum(1)[None, :] - 2.0 * (tmat @ cent.T)).argmin(1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, tmat)
+        counts = np.bincount(assign, minlength=c)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
+    r = min(assign_r, c)
+    chunk = max(1, 32_000_000 // max(c, 1))
+    multi = np.empty((n, r), dtype=np.int64)
+    cent_sq = (cent * cent).sum(1)[None, :]
+    for s in range(0, n, chunk):
+        blk = mat[s : s + chunk]
+        d2 = (blk * blk).sum(1)[:, None] + cent_sq - 2.0 * (blk @ cent.T)
+        multi[s : s + chunk] = np.argpartition(d2, r - 1, axis=1)[:, :r]
+    return cent, multi
+
+
+def _group_rows_by_cell(np, multi, c: int):
+    """[increasing row-index array per cell] via one argsort of the
+    flattened (row, cell) list; row-major flattening keeps each cell's
+    member rows in increasing id order, matching the per-cell
+    boolean-scan form this replaced (property-tested)."""
+    n, r = multi.shape
     flat_cells = multi.ravel()
     flat_rows = np.repeat(np.arange(n, dtype=np.int64), r)
     gorder = np.argsort(flat_cells, kind="stable")
     gcells = flat_cells[gorder]
     grows = flat_rows[gorder]
     bounds = np.flatnonzero(np.r_[True, gcells[1:] != gcells[:-1], True])
-    cell_ids = [np.empty(0, dtype=ids.dtype)] * c
-    cell_mats = [np.empty((0, mat.shape[1]), dtype=mat.dtype)] * c
+    rowlists = [np.empty(0, dtype=np.int64)] * c
     for b in range(len(bounds) - 1):
-        j = int(gcells[bounds[b]])
-        rows = grows[bounds[b] : bounds[b + 1]]
-        cell_ids[j] = ids[rows]
-        cell_mats[j] = np.ascontiguousarray(mat[rows])
+        rowlists[int(gcells[bounds[b]])] = grows[bounds[b] : bounds[b + 1]]
+    return rowlists
+
+
+def _ivf_resolve(
+    shard_paths: list[str],
+    *,
+    id_col: str,
+    dtype: str,
+    metric: str,
+    n_cells: int,
+    assign_r: int,
+    train_sample_cap: int = 131_072,
+    train_iters: int = 5,
+):
+    """Resolve (building if stale/absent) the cached IVF index for a shard
+    set: (stat_key, centroids, [cell ids], [cell matrices]), or None when
+    the shards hold no rows. Staleness is detected by (path, mtime_ns,
+    size) — the cache-coherence contract the chaos test exercises. Build
+    is linear in the corpus: see :func:`_train_assign_cells`."""
+    import os as _os
+
+    import numpy as np
+
+    from custom_python_vectordb_spark.operators.knn import _blas_threads
+
+    paths = tuple(sorted(shard_paths))
+    stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
+    ck = (paths, dtype, n_cells, assign_r, metric, train_sample_cap, train_iters)
+    entry = _IVF_REPLICA_CACHE.get(ck)
+    if entry is not None and entry[0] == stat_key:
+        return entry
+    loaded = _load_shards_id_sorted(paths, id_col, dtype)
+    if loaded is None:
+        return None
+    ids, mat = loaded
+    if metric == "cosine":
+        mn = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(mn == 0, 1.0, mn)
+    with _blas_threads(16):
+        cent, multi = _train_assign_cells(
+            np, mat, n_cells, assign_r, train_sample_cap, train_iters
+        )
+    rowlists = _group_rows_by_cell(np, multi, len(cent))
+    cell_ids = [ids[rows] for rows in rowlists]
+    cell_mats = [np.ascontiguousarray(mat[rows]) for rows in rowlists]
     entry = (stat_key, cent, cell_ids, cell_mats)
     _IVF_REPLICA_CACHE[ck] = entry
     return entry
@@ -545,3 +566,189 @@ def ivf_replica_serve(
     starts = np.repeat(grp_start, np.diff(np.r_[grp_start, len(qa)]))
     sel = (np.arange(len(qa)) - starts) < k
     return pd.DataFrame({"qid": qa[sel], id_col: ia[sel], dist_col: da[sel]})
+
+
+# ------------------------------------------------- in-process IVF-PQ replica
+
+# {(paths, id_col, n_cells, assign_r, M, K, cap, iters):
+#   (stat_key, cent, books, [cell ids], [cell fused-code arrays], mmap pos)}
+_IVFPQ_REPLICA_CACHE: dict = {}
+
+
+class IvfPqReplicaHandle:
+    """Pre-resolved single-query path over a cell-pruned PQ index — the
+    FAISS-IVFPQ serving shape, completing the replica matrix: IVF prunes
+    WHICH rows are scored (nprobe/cells of the corpus), PQ compresses
+    WHAT is resident (M uint8 codes per row, 32× at D=128/M=16). The
+    full-scan PQ handle reads every code per query; here the ADC gather
+    touches only the probed cells' codes, so the per-query cost is the
+    centroid GEMV + an (M, K) LUT + ~nprobe·N/cells gathers.
+
+    Build: the SAME sampled-Lloyd coarse cells as :class:`IvfReplicaHandle`
+    (:func:`_train_assign_cells` — linear in the corpus) and the SAME
+    deterministic PQ codebooks as ``pq_replica_serve``
+    (``quantization._train_pq_books``), trained on the raw vectors (not
+    residuals — matching the repo's PQ distance semantics so the recall
+    harness and oracles carry over). After build only centroids, books,
+    per-cell ids and per-cell uint8 codes are resident; the float matrix
+    is released (this class deliberately does NOT share
+    ``_IVF_REPLICA_CACHE``, which pins float cell matrices).
+
+    Coarse ADC recall on a clustered corpus is PQ-bounded (~0.2-0.3
+    @10 at M=16 — within-cluster detail quantizes away), so serving
+    traffic uses ``rerank_mmap_dir`` + ``fetch_k``: candidates gather
+    exact float rows from the DISK-resident mmap tier (RAM still holds
+    only codes) — the same K5 two-stage contract as the SQ/BQ/PQ serves,
+    recall measured in bench next to the latency, never assumed.
+
+    Same ``refresh()`` staleness contract as the sibling handles."""
+
+    __slots__ = (
+        "_paths", "_np", "nprobe", "metric",
+        "_n_cells", "_assign_r", "_m", "_kc", "_cap", "_iters", "_id_col",
+        "cent", "books", "books_sq", "cell_ids", "cell_codes",
+        "_cent_sq", "_mmap_dir", "_mmap_mat", "_mmap_pos",
+    )
+
+    def __init__(
+        self,
+        shard_paths: list[str],
+        n_cells: int = 64,
+        nprobe: int = 6,
+        assign_r: int = 2,
+        num_subspaces: int = 16,
+        num_centroids: int = 256,
+        *,
+        id_col: str = "vec_id",
+        train_sample_cap: int = 131_072,
+        train_iters: int = 5,
+        rerank_mmap_dir: str | None = None,
+    ):
+        import numpy as np
+
+        if num_centroids > 256:
+            raise ValueError(
+                f"num_centroids={num_centroids} exceeds the uint8 code range (max 256)"
+            )
+        self._np = np
+        self._paths = list(shard_paths)
+        self.nprobe = nprobe
+        self.metric = "l2"  # ADC approximates L2; cosine callers pre-normalize
+        self._n_cells, self._assign_r = n_cells, assign_r
+        self._m, self._kc = num_subspaces, num_centroids
+        self._cap, self._iters = train_sample_cap, train_iters
+        self._id_col = id_col
+        self._mmap_dir = rerank_mmap_dir
+        self.refresh()
+
+    def refresh(self) -> None:
+        import os as _os
+
+        np = self._np
+        from custom_python_vectordb_spark.operators.knn import (
+            _blas_threads,
+            _build_mmap_replica,
+        )
+        from custom_python_vectordb_spark.operators.quantization import _train_pq_books
+
+        paths = tuple(sorted(self._paths))
+        stat_key = tuple(
+            (p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths)
+        )
+        ck = (paths, self._id_col, self._n_cells, self._assign_r,
+              self._m, self._kc, self._cap, self._iters)
+        entry = _IVFPQ_REPLICA_CACHE.get(ck)
+        if entry is None or entry[0] != stat_key:
+            loaded = _load_shards_id_sorted(paths, self._id_col, "float32")
+            if loaded is None:
+                raise ValueError("empty shard set")
+            ids, mat = loaded
+            with _blas_threads(16):
+                cent, multi = _train_assign_cells(
+                    np, mat, self._n_cells, self._assign_r, self._cap, self._iters
+                )
+            books, codes = _train_pq_books(np, mat, self._m, self._kc)
+            rowlists = _group_rows_by_cell(np, multi, len(cent))
+            cell_ids = [ids[rows] for rows in rowlists]
+            # subspace-major OFFSET codes per cell: code[mi] + mi·K, so the
+            # ADC is ONE gather from the flattened (M·K)-entry LUT + one
+            # axis-0 sum — 16 per-subspace gathers of sub-ms payloads cost
+            # ~4× the arithmetic in numpy call overhead (measured r11).
+            # M·K = 4096 fits uint16 comfortably.
+            off = (np.arange(self._m, dtype=np.uint16) * np.uint16(self._kc))[:, None]
+            cell_codes = [
+                np.ascontiguousarray(codes[rows].T.astype(np.uint16) + off)
+                for rows in rowlists
+            ]
+            del mat  # only codes stay resident — the 32× claim
+            entry = (stat_key, cent, books, cell_ids, cell_codes)
+            _IVFPQ_REPLICA_CACHE.clear()  # one live index per process
+            _IVFPQ_REPLICA_CACHE[ck] = entry
+        _, self.cent, self.books, self.cell_ids, self.cell_codes = entry
+        self._cent_sq = (self.cent * self.cent).sum(1)
+        self.books_sq = (self.books * self.books).sum(2)
+        if self._mmap_dir is not None:
+            built = _build_mmap_replica(
+                paths, stat_key, self._mmap_dir, self._id_col, "float64"
+            )
+            m_ids, self._mmap_mat, _n, _s = built
+            # vectorized id→row lookup (sorted ids + searchsorted): a
+            # 300-entry python dict-comp per call measured ~40 µs of the
+            # rerank, and the fancy gather wants an ndarray index anyway
+            m_ids = np.asarray(m_ids)
+            sorter = np.argsort(m_ids, kind="stable")
+            self._mmap_pos = (m_ids[sorter], sorter)
+        else:
+            self._mmap_mat = self._mmap_pos = None
+
+    def search_one(self, qvec, k: int = 10, fetch_k: int | None = None):
+        """Cell-pruned ADC top-k for ONE query: (ids, dists) sorted by
+        (dist, id). With a rerank tier configured, `fetch_k` (default
+        8·k) coarse candidates are re-scored EXACTLY from the mmap float
+        rows, and the returned distances are true L2."""
+        np = self._np
+        q = np.asarray(qvec, dtype=np.float32)
+        # probe selection: |q|^2 is rank-invariant, omit it
+        cscore = self._cent_sq - 2.0 * (self.cent @ q)
+        p = min(self.nprobe, len(cscore))
+        probes = cscore.argpartition(p - 1)[:p]
+        m, kc, sub_d = self.books.shape
+        qsub = q.reshape(m, sub_d)
+        lut = (
+            (qsub * qsub).sum(1)[:, None]
+            + self.books_sq
+            - 2.0 * np.einsum("ms,mks->mk", qsub, self.books)
+        )
+        # concatenate the probed cells' offset-code blocks, then ONE gather
+        # from the flattened LUT + one float64 axis-0 sum — per-subspace
+        # gather loops cost ~4× the arithmetic in numpy call overhead
+        live = [j for j in probes if len(self.cell_ids[j])]
+        if not live:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        ids = np.concatenate([self.cell_ids[j] for j in live])
+        ct = (
+            self.cell_codes[live[0]]
+            if len(live) == 1
+            else np.concatenate([self.cell_codes[j] for j in live], axis=1)
+        )
+        d = lut.ravel()[ct].sum(0, dtype=np.float64)
+        np.maximum(d, 0.0, out=d)
+        np.sqrt(d, out=d)
+        if self._assign_r > 1:
+            # same (id)-keyed dedup rule as IvfReplicaHandle: multi-assigned
+            # rows reachable via several probed cells keep one copy (ADC
+            # distance is identical either way — same codes, same LUT)
+            order = np.lexsort((d, ids))
+            ids, d = ids[order], d[order]
+            keep = np.r_[True, ids[1:] != ids[:-1]]
+            ids, d = ids[keep], d[keep]
+        if self._mmap_pos is not None:
+            fk = min(fetch_k or 8 * k, len(ids))
+            cand = ids[np.argpartition(d, fk - 1)[:fk]] if fk < len(ids) else ids
+            sorted_ids, sorter = self._mmap_pos
+            rowidx = sorter[np.searchsorted(sorted_ids, cand)]
+            rows = self._mmap_mat[rowidx]
+            diff = np.asarray(rows, dtype=np.float64) - q.astype(np.float64)
+            ex = np.sqrt(np.maximum((diff * diff).sum(1), 0.0))
+            return _topk_tie_aware(np, cand, ex, k)
+        return _topk_tie_aware(np, ids, d, k)

@@ -772,6 +772,39 @@ def bq_replica_serve(
 _PQ_REPLICA_CACHE: dict = {}
 
 
+def _train_pq_books(np, mat, num_subspaces: int, num_centroids: int):
+    """(books (M, K, sub_d) float32, codes (N, M) uint8): deterministic
+    per-subspace NumPy Lloyd (5 iterations, centroids seeded from the
+    lowest-id rows — the ivf_replica_serve recipe, so rebuilds are
+    bit-identical). Shared by the PQ and IVF-PQ replica builds."""
+    from custom_python_vectordb_spark.operators.knn import _blas_threads
+
+    n, d = mat.shape
+    m = num_subspaces
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by num_subspaces {m}")
+    sub_d = d // m
+    kc = min(num_centroids, n)
+    books = np.empty((m, kc, sub_d), dtype=np.float32)
+    codes = np.empty((n, m), dtype=np.uint8)
+    with _blas_threads(16):
+        for mi in range(m):
+            x = np.ascontiguousarray(mat[:, mi * sub_d : (mi + 1) * sub_d])
+            cent = x[:kc].copy()
+            x2 = (x * x).sum(1)[:, None]
+            for _ in range(5):
+                d2 = x2 + (cent * cent).sum(1)[None, :] - 2.0 * (x @ cent.T)
+                assign = d2.argmin(1)
+                for j in range(kc):
+                    members = x[assign == j]
+                    if len(members):
+                        cent[j] = members.mean(0)
+            d2 = x2 + (cent * cent).sum(1)[None, :] - 2.0 * (x @ cent.T)
+            books[mi] = cent
+            codes[:, mi] = d2.argmin(1).astype(np.uint8)
+    return books, codes
+
+
 def pq_replica_serve(
     shard_paths: list[str],
     queries_pd,
@@ -841,31 +874,7 @@ def pq_replica_serve(
         mat = np.concatenate(mat_parts)
         order = np.argsort(ids, kind="stable")
         ids, mat = ids[order], mat[order]
-        n, d = mat.shape
-        m = num_subspaces
-        if d % m:
-            raise ValueError(f"dim {d} not divisible by num_subspaces {m}")
-        sub_d = d // m
-        kc = min(num_centroids, n)
-        from custom_python_vectordb_spark.operators.knn import _blas_threads
-
-        books = np.empty((m, kc, sub_d), dtype=np.float32)
-        codes = np.empty((n, m), dtype=np.uint8)
-        with _blas_threads(16):
-            for mi in range(m):
-                x = np.ascontiguousarray(mat[:, mi * sub_d : (mi + 1) * sub_d])
-                cent = x[:kc].copy()
-                x2 = (x * x).sum(1)[:, None]
-                for _ in range(5):
-                    d2 = x2 + (cent * cent).sum(1)[None, :] - 2.0 * (x @ cent.T)
-                    assign = d2.argmin(1)
-                    for j in range(kc):
-                        members = x[assign == j]
-                        if len(members):
-                            cent[j] = members.mean(0)
-                d2 = x2 + (cent * cent).sum(1)[None, :] - 2.0 * (x @ cent.T)
-                books[mi] = cent
-                codes[:, mi] = d2.argmin(1).astype(np.uint8)
+        books, codes = _train_pq_books(np, mat, num_subspaces, num_centroids)
         entry = (stat_key, ids, codes, books)
         _PQ_REPLICA_CACHE[ck] = entry
     _, ids, codes, books = entry

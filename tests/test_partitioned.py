@@ -319,3 +319,75 @@ def test_ivf_resolve_grouping_matches_boolean_scan(tmp_path):
             assert np.array_equal(cell_mats[j], smat[msel]), (case, j)
             total += len(msel)
         assert total == n * r  # every (row, slot) landed in exactly one cell
+
+
+def test_ivfpq_handle_coarse_parity_and_rerank(tmp_path):
+    """IvfPqReplicaHandle: (a) coarse ADC distances over the probed cells
+    must equal a brute-force reconstruction from the handle's own cells,
+    LUT arithmetic included; (b) with the mmap rerank tier and fetch_k
+    covering the corpus, results must equal the exact L2 replica top-k;
+    (c) fresh handles are deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from custom_python_vectordb_spark.operators.knn import knn_replica_serve
+    from custom_python_vectordb_spark.operators.partitioned import IvfPqReplicaHandle
+
+    shard = "/root/testdata/sf0.1/embeddings.parquet"
+    import pyarrow.parquet as _pq
+
+    head = _pq.read_table(shard, columns=["vec_id", "embedding"]).slice(0, 5)
+    qv = [np.asarray(v, dtype=np.float32) for v in head.column("embedding").to_pylist()]
+    qids = head.column("vec_id").to_numpy()
+
+    kw = dict(n_cells=16, nprobe=4, assign_r=2, num_subspaces=8)
+    h = IvfPqReplicaHandle([shard], **kw)
+
+    # (a) brute-force reconstruction from the handle's own state
+    for q in qv[:3]:
+        ids, d = h.search_one(q, k=10)
+        cscore = (h.cent * h.cent).sum(1) - 2.0 * (h.cent @ q)
+        probes = cscore.argpartition(h.nprobe - 1)[: h.nprobe]
+        m, kc, sub_d = h.books.shape
+        qsub = q.reshape(m, sub_d)
+        lut = ((qsub * qsub).sum(1)[:, None] + (h.books * h.books).sum(2)
+               - 2.0 * np.einsum("ms,mks->mk", qsub, h.books))
+        ref = {}
+        for j in probes:
+            # handle state stores OFFSET codes (code[mi] + mi*K); recover
+            # the plain per-subspace codes so the reference sums the LUT
+            # independently of the flattened-gather implementation
+            ct = h.cell_codes[j] - (np.arange(m, dtype=np.int64)[:, None] * kc)
+            if not ct.shape[1]:
+                continue
+            acc = sum(lut[mi][ct[mi]] for mi in range(m))
+            for i, vid in enumerate(h.cell_ids[j]):
+                ref.setdefault(int(vid), np.sqrt(max(float(acc[i]), 0.0)))
+        want = sorted(ref.items(), key=lambda t: (t[1], t[0]))[:10]
+        assert [int(v) for v in ids] == [v for v, _ in want]
+        assert np.allclose(d, [dd for _, dd in want], atol=1e-4)
+
+    # (b) exact rerank with every cell probed AND full-coverage fetch_k ==
+    # exact L2 top-k (nprobe < n_cells can legitimately drop a true
+    # neighbour living in an unprobed cell — that loss is the measured
+    # recall trade, not a rerank defect)
+    hr = IvfPqReplicaHandle(
+        [shard], rerank_mmap_dir=str(tmp_path / "mm"),
+        **{**kw, "nprobe": kw["n_cells"]},
+    )
+    qpd = pd.DataFrame({"qid": qids, "qvec": qv})
+    exact = knn_replica_serve([shard], qpd, k=5, metric="l2", dtype="float64")
+    for i in range(5):
+        ids, d = hr.search_one(qv[i], k=5, fetch_k=10_000_000)
+        ex = exact[exact["qid"] == qids[i]]
+        assert list(ids) == list(ex["vec_id"])
+        # diff-form rerank vs the replica's expansion form: identical to
+        # ~1e-7 (the expansion loses ~sqrt(eps) near zero, the diff doesn't)
+        assert np.allclose(d, ex["dist"].to_numpy(), atol=1e-6)
+
+    # (c) determinism across fresh builds (cache cleared by second handle)
+    h2 = IvfPqReplicaHandle([shard], **kw)
+    for q in qv[:2]:
+        a_ids, a_d = h.search_one(q, 10)
+        b_ids, b_d = h2.search_one(q, 10)
+        assert np.array_equal(a_ids, b_ids) and np.array_equal(a_d, b_d)
