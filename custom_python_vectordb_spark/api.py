@@ -431,6 +431,60 @@ class Collection:
             out[int(qid)].append({"id": vid, "dist": float(dist)})
         return out
 
+    def ivfpq_serve(
+        self,
+        query_texts: list[str] | None = None,
+        query_embeddings: list[list[float]] | None = None,
+        n_results: int = 10,
+        n_cells: int = 64,
+        nprobe: int = 6,
+        fetch_k: int | None = None,
+    ) -> list[list[dict]]:
+        """Cell-pruned PQ serving (round 11) — the FAISS-IVFPQ tier over
+        ``operators/partitioned.IvfPqReplicaHandle``: coarse IVF cells
+        prune which rows are scored, resident PQ codes (32× at D=128)
+        bound what RAM holds, and ``fetch_k`` adds the disk-mmap exact-L2
+        rerank (recall is measured in bench, never assumed). APPROXIMATE
+        by contract on both axes (unprobed cells + quantized ranking).
+        Falls back to the exact serving path while deletion vectors are
+        active, like :meth:`ann_serve`/:meth:`bq_serve`."""
+        from custom_python_vectordb_spark.operators.partitioned import (
+            IvfPqReplicaHandle,
+        )
+
+        if (query_texts is None) == (query_embeddings is None):
+            raise ValueError("provide exactly one of query_texts / query_embeddings")
+        if query_embeddings is None:
+            query_embeddings = [
+                mock_embed_one(t, self.dimensions).tolist() for t in query_texts
+            ]
+        try:
+            paths = self.db.warehouse.shard_paths(self.name)
+        except RuntimeError:
+            return self.query_serve(
+                query_embeddings=query_embeddings, n_results=n_results, metric="l2"
+            )
+        if not paths:
+            return [[] for _ in query_embeddings]
+        kw: dict[str, Any] = {}
+        if fetch_k is not None:
+            import os
+
+            kw["rerank_mmap_dir"] = os.path.join(
+                self.db.warehouse.root, ".bq_rerank_cache", self.name
+            )
+        handle = IvfPqReplicaHandle(
+            paths, n_cells=n_cells, nprobe=nprobe, id_col="id", **kw
+        )
+        out: list[list[dict]] = []
+        for v in query_embeddings:
+            ids, dists = handle.search_one(
+                [float(x) for x in v], k=n_results,
+                **({"fetch_k": int(fetch_k)} if fetch_k is not None else {}),
+            )
+            out.append([{"id": i, "dist": float(d)} for i, d in zip(ids, dists)])
+        return out
+
     def keyword_search(self, query: str, k: int = 10) -> DataFrame:
         return bm25_topk(self.df(), query, k=k, id_col="id", text_col="_document")
 

@@ -674,8 +674,10 @@ class IvfPqReplicaHandle:
             # ADC is ONE gather from the flattened (M·K)-entry LUT + one
             # axis-0 sum — 16 per-subspace gathers of sub-ms payloads cost
             # ~4× the arithmetic in numpy call overhead (measured r11).
-            # M·K = 4096 fits uint16 comfortably.
-            off = (np.arange(self._m, dtype=np.uint16) * np.uint16(self._kc))[:, None]
+            # M·K = 4096 fits uint16 comfortably. K here is the TRAINED
+            # book size (min(num_centroids, n) on tiny corpora), which is
+            # the flattened-LUT stride.
+            off = (np.arange(self._m, dtype=np.uint16) * np.uint16(books.shape[1]))[:, None]
             cell_codes = [
                 np.ascontiguousarray(codes[rows].T.astype(np.uint16) + off)
                 for rows in rowlists

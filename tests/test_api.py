@@ -340,3 +340,28 @@ def test_bq_serve_hamming_tier(coll):
     coll.delete(["d2"])  # rewrite -> replica re-keys on shard stats
     after = coll.bq_serve(query_texts=["shuffle strategies"], n_results=4)
     assert "d2" not in {h["id"] for h in after[0]}
+
+
+def test_ivfpq_serve_tier(coll):
+    """The cell-pruned PQ serving tier (r11): positional contract,
+    ascending distances, full-probe + full fetch_k rerank equals the
+    exact-L2 serving path, and deletions re-key the replica (stat-keyed
+    cache)."""
+    texts = ["shuffle strategies", "fox"]
+    # tiny corpus: probe every cell so only the PQ ranking is approximate
+    pq = coll.ivfpq_serve(query_texts=texts, n_results=2, n_cells=2, nprobe=2)
+    assert len(pq) == 2 and all(len(h) == 2 for h in pq)
+    for hits in pq:
+        ds = [h["dist"] for h in hits]
+        assert ds == sorted(ds)
+    exact = coll.query_serve(query_texts=texts, n_results=2, metric="l2")
+    rer = coll.ivfpq_serve(
+        query_texts=texts, n_results=2, n_cells=2, nprobe=2, fetch_k=50
+    )
+    for e_hits, r_hits in zip(exact, rer):
+        assert [h["id"] for h in r_hits] == [h["id"] for h in e_hits]
+    coll.delete(["d2"])
+    after = coll.ivfpq_serve(
+        query_texts=["shuffle strategies"], n_results=4, n_cells=2, nprobe=2
+    )
+    assert "d2" not in {h["id"] for h in after[0]}
