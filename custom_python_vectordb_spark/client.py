@@ -132,6 +132,7 @@ class Collection:
         where: dict | None = None,
         ann: bool = False,
         bq: bool = False,
+        ivfpq: bool = False,
         fetch_k: int | None = None,
     ) -> list[list[dict]]:
         """Batch kNN; results[i] corresponds to input query i (positional
@@ -140,7 +141,10 @@ class Collection:
         by contract, measured-recall; incompatible with ``where``).
         ``bq=True`` routes to the binary-quantized 32×-compression tier
         (Hamming ranking; ``fetch_k`` adds the server-side exact rerank;
-        also incompatible with ``where``)."""
+        also incompatible with ``where``). ``ivfpq=True`` routes to the
+        cell-pruned PQ tier (round 11: 32× resident compression at
+        cell-pruned latency; same ``fetch_k`` rerank and ``where``
+        incompatibility)."""
         body: dict[str, Any] = {"n_results": n_results}
         if query_texts is not None:
             body["query_texts"] = query_texts
@@ -152,8 +156,10 @@ class Collection:
             body["ann"] = True
         if bq:
             body["bq"] = True
-            if fetch_k is not None:
-                body["fetch_k"] = int(fetch_k)
+        if ivfpq:
+            body["ivfpq"] = True
+        if (bq or ivfpq) and fetch_k is not None:
+            body["fetch_k"] = int(fetch_k)
         return self._client._request(
             "POST", f"/collections/{self.name}/query", body
         )["results"]

@@ -591,6 +591,26 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                             n_results=int(body.get("n_results", 10)),
                         )
                     }
+                # "ivfpq": true routes to the cell-pruned PQ replica
+                # (api.ivfpq_serve, round 11) — 32x resident compression
+                # AT cell-pruned latency; optional "fetch_k" adds the
+                # exact mmap rerank
+                if body.get("ivfpq"):
+                    if body.get("where") is not None:
+                        raise ValueError(
+                            "ivfpq queries do not support where-filters; "
+                            "use the exact path"
+                        )
+                    return 200, {
+                        "results": coll.ivfpq_serve(
+                            query_texts=body.get("query_texts"),
+                            query_embeddings=body.get("query_embeddings"),
+                            n_results=int(body.get("n_results", 10)),
+                            n_cells=int(body.get("n_cells", 64)),
+                            nprobe=int(body.get("nprobe", 6)),
+                            fetch_k=body.get("fetch_k"),
+                        )
+                    }
                 # "bq": true routes to the binary-quantized replica
                 # (api.bq_serve) — the 32x-compression tier; optional
                 # "fetch_k" adds the exact rerank over coarse candidates

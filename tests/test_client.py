@@ -48,6 +48,10 @@ def test_full_crud_query_cycle(client):
     assert [h["id"] for h in hits[0]] == ["c"]
     # a filter matching nothing still yields a positional (empty) slot
     assert coll.query(query_texts=["x"], n_results=2, where={"lang": "fr"}) == [[]]
+    # accelerated tiers route through the same positional contract; on a
+    # corpus this tiny every cell is probed and the rerank is exact
+    hits = coll.query(query_texts=["spark joins data"], n_results=1, ivfpq=True, fetch_k=10)
+    assert hits[0][0]["id"] == "a"
 
     # get / peek carry the document and metadata
     got = coll.get("a")

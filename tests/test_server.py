@@ -73,6 +73,19 @@ def test_rest_roundtrip(served):
         {"query_texts": ["x"], "bq": True, "where": {"a": 1}},
     )
     assert status == 400
+    # cell-pruned PQ tier (r11): "ivfpq": true + fetch_k matches the
+    # exact top hit (2 cells, both probed); same where contract error
+    status, ivfpq = call(
+        port, "POST", "/collections/kb/query",
+        {"query_texts": ["spark joins data"], "n_results": 1, "ivfpq": True,
+         "n_cells": 2, "nprobe": 2, "fetch_k": 10},
+    )
+    assert status == 200 and ivfpq["results"][0][0]["id"] == "x"
+    status, _ = call(
+        port, "POST", "/collections/kb/query",
+        {"query_texts": ["x"], "ivfpq": True, "where": {"a": 1}},
+    )
+    assert status == 400
     assert call(port, "DELETE", "/collections/kb")[1] == {"deleted": True}
     assert call(port, "GET", "/collections")[1] == {"collections": []}
 
