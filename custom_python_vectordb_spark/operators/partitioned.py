@@ -585,14 +585,16 @@ class IvfPqReplicaHandle:
     centroid GEMV + an (M, K) LUT + ~nprobe·N/cells gathers.
 
     Build: the SAME sampled-Lloyd coarse cells as :class:`IvfReplicaHandle`
-    (:func:`_train_assign_cells` — linear in the corpus) and the SAME
-    deterministic PQ codebooks as ``pq_replica_serve``
-    (``quantization._train_pq_books``), trained on the raw vectors (not
-    residuals — matching the repo's PQ distance semantics so the recall
-    harness and oracles carry over). After build only centroids, books,
-    per-cell ids and per-cell uint8 codes are resident; the float matrix
-    is released (this class deliberately does NOT share
-    ``_IVF_REPLICA_CACHE``, which pins float cell matrices).
+    (:func:`_train_assign_cells` — linear in the corpus), with PQ books
+    trained on RESIDUALS x − cent[cell] (the FAISS IVFPQ design,
+    ``quantization._train_pq_books`` recipe): residual spread is the cell
+    radius, not the corpus spread, so ADC separates within-cell
+    neighbours that plain-vector PQ quantizes together — at 1M on the
+    bench-shaped corpus plain codes needed fetch_k≈4000 for recall 1.0
+    where residual codes need ~300 (measured, probe rows). After build
+    only centroids, books, per-cell ids and per-cell uint8 codes are
+    resident; the float matrix is released (this class deliberately does
+    NOT share ``_IVF_REPLICA_CACHE``, which pins float cell matrices).
 
     Coarse ADC recall on a clustered corpus is PQ-bounded (~0.2-0.3
     @10 at M=16 — within-cluster detail quantizes away), so serving
@@ -659,6 +661,10 @@ class IvfPqReplicaHandle:
               self._m, self._kc, self._cap, self._iters)
         entry = _IVFPQ_REPLICA_CACHE.get(ck)
         if entry is None or entry[0] != stat_key:
+            from custom_python_vectordb_spark.operators.quantization import (
+                _pq_encode,
+            )
+
             loaded = _load_shards_id_sorted(paths, self._id_col, "float32")
             if loaded is None:
                 raise ValueError("empty shard set")
@@ -667,21 +673,41 @@ class IvfPqReplicaHandle:
                 cent, multi = _train_assign_cells(
                     np, mat, self._n_cells, self._assign_r, self._cap, self._iters
                 )
-            books, codes = _train_pq_books(np, mat, self._m, self._kc)
-            rowlists = _group_rows_by_cell(np, multi, len(cent))
-            cell_ids = [ids[rows] for rows in rowlists]
-            # subspace-major OFFSET codes per cell: code[mi] + mi·K, so the
-            # ADC is ONE gather from the flattened (M·K)-entry LUT + one
-            # axis-0 sum — 16 per-subspace gathers of sub-ms payloads cost
-            # ~4× the arithmetic in numpy call overhead (measured r11).
-            # M·K = 4096 fits uint16 comfortably. K here is the TRAINED
-            # book size (min(num_centroids, n) on tiny corpora), which is
-            # the flattened-LUT stride.
-            off = (np.arange(self._m, dtype=np.uint16) * np.uint16(books.shape[1]))[:, None]
-            cell_codes = [
-                np.ascontiguousarray(codes[rows].T.astype(np.uint16) + off)
-                for rows in rowlists
-            ]
+                cent = cent.astype(np.float32, copy=False)
+                # RESIDUAL encoding (the FAISS IVFPQ design): books are
+                # trained on x − cent[first_assigned_cell] over the same
+                # evenly-spaced sample as the cell trainer, and each cell
+                # stores codes of ITS residuals. Residual spread is the
+                # cell radius, not the corpus spread, so ADC separates
+                # within-cell neighbours that plain-vector PQ quantizes
+                # together — measured at 1M (this corpus, M=16,
+                # fetch_k=300): recall@10 0.63 plain → see bench/probe
+                # rows for the residual numbers.
+                n = len(ids)
+                if n > self._cap:
+                    tsel = np.linspace(0, n - 1, self._cap).astype(np.int64)
+                else:
+                    tsel = np.arange(n, dtype=np.int64)
+                res_sample = mat[tsel] - cent[multi[tsel, 0]]
+                books, _ = _train_pq_books(np, res_sample, self._m, self._kc)
+                rowlists = _group_rows_by_cell(np, multi, len(cent))
+                cell_ids = [ids[rows] for rows in rowlists]
+                # subspace-major OFFSET codes per cell: code[mi] + mi·K,
+                # so the per-cell ADC is ONE gather from that cell's
+                # flattened (M·K)-entry LUT + one axis-0 sum (per-subspace
+                # gather loops measured ~4× the arithmetic in numpy call
+                # overhead). K is the TRAINED book size (min(K, sample))
+                # — the flattened-LUT stride. M·K ≤ 4096 fits uint16.
+                off = (
+                    np.arange(self._m, dtype=np.uint16) * np.uint16(books.shape[1])
+                )[:, None]
+                cell_codes = [
+                    np.ascontiguousarray(
+                        _pq_encode(np, mat[rows] - cent[j], books).T.astype(np.uint16)
+                        + off
+                    )
+                    for j, rows in enumerate(rowlists)
+                ]
             del mat  # only codes stay resident — the 32× claim
             entry = (stat_key, cent, books, cell_ids, cell_codes)
             _IVFPQ_REPLICA_CACHE.clear()  # one live index per process
@@ -715,25 +741,24 @@ class IvfPqReplicaHandle:
         p = min(self.nprobe, len(cscore))
         probes = cscore.argpartition(p - 1)[:p]
         m, kc, sub_d = self.books.shape
-        qsub = q.reshape(m, sub_d)
-        lut = (
-            (qsub * qsub).sum(1)[:, None]
-            + self.books_sq
-            - 2.0 * np.einsum("ms,mks->mk", qsub, self.books)
-        )
-        # concatenate the probed cells' offset-code blocks, then ONE gather
-        # from the flattened LUT + one float64 axis-0 sum — per-subspace
-        # gather loops cost ~4× the arithmetic in numpy call overhead
+        # residual ADC: each probed cell gets its OWN LUT from the query
+        # residual q − cent[j] (nprobe small einsums), then one flattened-
+        # LUT gather over that cell's offset codes
         live = [j for j in probes if len(self.cell_ids[j])]
         if not live:
             return np.empty(0, dtype=np.int64), np.empty(0)
-        ids = np.concatenate([self.cell_ids[j] for j in live])
-        ct = (
-            self.cell_codes[live[0]]
-            if len(live) == 1
-            else np.concatenate([self.cell_codes[j] for j in live], axis=1)
-        )
-        d = lut.ravel()[ct].sum(0, dtype=np.float64)
+        id_parts, d_parts = [], []
+        for j in live:
+            qsub = (q - self.cent[j]).reshape(m, sub_d)
+            lut = (
+                (qsub * qsub).sum(1)[:, None]
+                + self.books_sq
+                - 2.0 * np.einsum("ms,mks->mk", qsub, self.books)
+            )
+            id_parts.append(self.cell_ids[j])
+            d_parts.append(lut.ravel()[self.cell_codes[j]].sum(0, dtype=np.float64))
+        ids = np.concatenate(id_parts)
+        d = np.concatenate(d_parts)
         np.maximum(d, 0.0, out=d)
         np.sqrt(d, out=d)
         if self._assign_r > 1:

@@ -772,11 +772,21 @@ def bq_replica_serve(
 _PQ_REPLICA_CACHE: dict = {}
 
 
-def _train_pq_books(np, mat, num_subspaces: int, num_centroids: int):
+def _train_pq_books(np, mat, num_subspaces: int, num_centroids: int,
+                    train_sample_cap: int = 131_072):
     """(books (M, K, sub_d) float32, codes (N, M) uint8): deterministic
     per-subspace NumPy Lloyd (5 iterations, centroids seeded from the
     lowest-id rows — the ivf_replica_serve recipe, so rebuilds are
-    bit-identical). Shared by the PQ and IVF-PQ replica builds."""
+    bit-identical). Shared by the PQ and IVF-PQ replica builds.
+
+    Linear in the corpus (r11, the same fix as the IVF trainer): Lloyd
+    trains on a deterministic evenly-spaced row sample of at most
+    `train_sample_cap` rows (corpora at or under the cap — including the
+    100K bench corpus — train on every row), centroid updates are one
+    `np.add.at` scatter + bincount instead of K member scans, and the
+    final full-corpus encode runs once in ~256 MB chunks. The old
+    full-matrix form cost M × (N·K distance blocks ×5 + K boolean scans
+    of N) — minutes at 1M rows."""
     from custom_python_vectordb_spark.operators.knn import _blas_threads
 
     n, d = mat.shape
@@ -787,22 +797,53 @@ def _train_pq_books(np, mat, num_subspaces: int, num_centroids: int):
     kc = min(num_centroids, n)
     books = np.empty((m, kc, sub_d), dtype=np.float32)
     codes = np.empty((n, m), dtype=np.uint8)
+    if n > train_sample_cap:
+        tsel = np.linspace(0, n - 1, train_sample_cap).astype(np.int64)
+    else:
+        tsel = None
     with _blas_threads(16):
         for mi in range(m):
             x = np.ascontiguousarray(mat[:, mi * sub_d : (mi + 1) * sub_d])
-            cent = x[:kc].copy()
-            x2 = (x * x).sum(1)[:, None]
+            t = x if tsel is None else np.ascontiguousarray(x[tsel])
+            cent = t[:kc].copy()
+            t2 = (t * t).sum(1)[:, None]
             for _ in range(5):
-                d2 = x2 + (cent * cent).sum(1)[None, :] - 2.0 * (x @ cent.T)
-                assign = d2.argmin(1)
-                for j in range(kc):
-                    members = x[assign == j]
-                    if len(members):
-                        cent[j] = members.mean(0)
-            d2 = x2 + (cent * cent).sum(1)[None, :] - 2.0 * (x @ cent.T)
+                assign = (t2 + (cent * cent).sum(1)[None, :] - 2.0 * (t @ cent.T)).argmin(1)
+                sums = np.zeros_like(cent)
+                np.add.at(sums, assign, t)
+                counts = np.bincount(assign, minlength=kc)
+                nz = counts > 0
+                cent[nz] = sums[nz] / counts[nz, None]
             books[mi] = cent
-            codes[:, mi] = d2.argmin(1).astype(np.uint8)
+            codes[:, mi] = _pq_encode_subspace(np, x, cent)
     return books, codes
+
+
+def _pq_encode_subspace(np, x, cent):
+    """uint8 nearest-centroid codes for ONE subspace's rows against its
+    book, in ~256 MB distance chunks (shared by training-time encode and
+    the IVF-PQ residual encode)."""
+    kc = len(cent)
+    chunk = max(1, 32_000_000 // max(kc, 1))
+    out = np.empty(len(x), dtype=np.uint8)
+    cent_sq = (cent * cent).sum(1)[None, :]
+    for s in range(0, len(x), chunk):
+        blk = x[s : s + chunk]
+        d2 = (blk * blk).sum(1)[:, None] + cent_sq - 2.0 * (blk @ cent.T)
+        out[s : s + chunk] = d2.argmin(1).astype(np.uint8)
+    return out
+
+
+def _pq_encode(np, mat, books):
+    """(N, M) uint8 codes for `mat` against trained `books` — the
+    encode-only twin of :func:`_train_pq_books` (the IVF-PQ replica
+    encodes per-cell RESIDUALS against globally trained books)."""
+    m, kc, sub_d = books.shape
+    codes = np.empty((len(mat), m), dtype=np.uint8)
+    for mi in range(m):
+        x = np.ascontiguousarray(mat[:, mi * sub_d : (mi + 1) * sub_d])
+        codes[:, mi] = _pq_encode_subspace(np, x, books[mi])
+    return codes
 
 
 def pq_replica_serve(

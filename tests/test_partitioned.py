@@ -349,20 +349,24 @@ def test_ivfpq_handle_coarse_parity_and_rerank(tmp_path):
         cscore = (h.cent * h.cent).sum(1) - 2.0 * (h.cent @ q)
         probes = cscore.argpartition(h.nprobe - 1)[: h.nprobe]
         m, kc, sub_d = h.books.shape
-        qsub = q.reshape(m, sub_d)
-        lut = ((qsub * qsub).sum(1)[:, None] + (h.books * h.books).sum(2)
-               - 2.0 * np.einsum("ms,mks->mk", qsub, h.books))
         ref = {}
         for j in probes:
-            # handle state stores OFFSET codes (code[mi] + mi*K); recover
+            # RESIDUAL ADC: the per-cell LUT comes from q - cent[j];
+            # handle state stores OFFSET codes (code[mi] + mi*K) — recover
             # the plain per-subspace codes so the reference sums the LUT
             # independently of the flattened-gather implementation
+            qsub = (q - h.cent[j]).reshape(m, sub_d)
+            lut = ((qsub * qsub).sum(1)[:, None] + (h.books * h.books).sum(2)
+                   - 2.0 * np.einsum("ms,mks->mk", qsub, h.books))
             ct = h.cell_codes[j] - (np.arange(m, dtype=np.int64)[:, None] * kc)
             if not ct.shape[1]:
                 continue
             acc = sum(lut[mi][ct[mi]] for mi in range(m))
             for i, vid in enumerate(h.cell_ids[j]):
-                ref.setdefault(int(vid), np.sqrt(max(float(acc[i]), 0.0)))
+                # multi-assigned rows have a residual code PER CELL; the
+                # handle's dedup keeps the smaller distance estimate
+                dd = np.sqrt(max(float(acc[i]), 0.0))
+                ref[int(vid)] = min(ref.get(int(vid), np.inf), dd)
         want = sorted(ref.items(), key=lambda t: (t[1], t[0]))[:10]
         assert [int(v) for v in ids] == [v for v, _ in want]
         assert np.allclose(d, [dd for _, dd in want], atol=1e-4)
