@@ -280,7 +280,11 @@ def main() -> int:
         f"start, {_mem_bw_gbps()} after the sweep.\n\n"
         "Reading: build is LINEAR since r11 (Lloyd trains on a 131k\n"
         "evenly-spaced sample, assignment is one chunked pass — was\n"
-        "alpha 1.71 full-matrix). Single-query p50 tracking ~1.0 is BY\n"
+        "alpha 1.71 full-matrix); build cells are ONE-SHOT timings of\n"
+        "an ingest-time step and swing up to 3x with co-tenant\n"
+        "bandwidth (1M build across six r11 runs: 16.6-50.3 s; read\n"
+        "them against the anchors above, not as exponents).\n"
+        "Single-query p50 tracking ~1.0 is BY\n"
         "DESIGN at constant probed fraction (nprobe/cells held at\n"
         "~0.8%): probed bytes grow with the corpus; holding latency\n"
         "sub-linear instead costs recall or a deeper index (IVF-PQ —\n"
