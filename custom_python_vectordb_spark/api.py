@@ -473,9 +473,17 @@ class Collection:
             kw["rerank_mmap_dir"] = os.path.join(
                 self.db.warehouse.root, ".bq_rerank_cache", self.name
             )
-        handle = IvfPqReplicaHandle(
-            paths, n_cells=n_cells, nprobe=nprobe, id_col="id", **kw
-        )
+        try:
+            handle = IvfPqReplicaHandle(
+                paths, n_cells=n_cells, nprobe=nprobe, id_col="id", **kw
+            )
+        except ValueError as e:
+            # shard paths can be non-empty while every parquet file holds
+            # zero rows (Spark writes empty part files); match the
+            # bq_serve/ann_serve contract and return empty result lists
+            if "empty shard set" in str(e):
+                return [[] for _ in query_embeddings]
+            raise
         out: list[list[dict]] = []
         for v in query_embeddings:
             ids, dists = handle.search_one(

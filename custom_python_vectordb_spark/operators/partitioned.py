@@ -572,7 +572,15 @@ def ivf_replica_serve(
 
 # {(paths, id_col, n_cells, assign_r, M, K, cap, iters):
 #   (stat_key, cent, books, [cell ids], [cell fused-code arrays], mmap pos)}
+# Bounded LRU (insertion-ordered dict, hit = pop+reinsert): the r11
+# `.clear()`-on-rebuild policy meant one live index per process, so the
+# REST path alternating two collections (or two build-param sets on one
+# collection) re-trained Lloyd + re-encoded residual PQ on EVERY request
+# — a serving-latency cliff of seconds at 1M rows. Codes are 32×
+# compressed, so a few resident entries are cheap; stale entries for the
+# SAME key are still replaced in place on mtime change.
 _IVFPQ_REPLICA_CACHE: dict = {}
+_IVFPQ_CACHE_CAP = 4
 
 
 class IvfPqReplicaHandle:
@@ -659,8 +667,10 @@ class IvfPqReplicaHandle:
         )
         ck = (paths, self._id_col, self._n_cells, self._assign_r,
               self._m, self._kc, self._cap, self._iters)
-        entry = _IVFPQ_REPLICA_CACHE.get(ck)
-        if entry is None or entry[0] != stat_key:
+        entry = _IVFPQ_REPLICA_CACHE.pop(ck, None)  # pop → reinsert = LRU touch
+        if entry is not None and entry[0] == stat_key:
+            _IVFPQ_REPLICA_CACHE[ck] = entry
+        else:
             from custom_python_vectordb_spark.operators.quantization import (
                 _pq_encode,
             )
@@ -710,7 +720,8 @@ class IvfPqReplicaHandle:
                 ]
             del mat  # only codes stay resident — the 32× claim
             entry = (stat_key, cent, books, cell_ids, cell_codes)
-            _IVFPQ_REPLICA_CACHE.clear()  # one live index per process
+            while len(_IVFPQ_REPLICA_CACHE) >= _IVFPQ_CACHE_CAP:
+                _IVFPQ_REPLICA_CACHE.pop(next(iter(_IVFPQ_REPLICA_CACHE)))
             _IVFPQ_REPLICA_CACHE[ck] = entry
         _, self.cent, self.books, self.cell_ids, self.cell_codes = entry
         self._cent_sq = (self.cent * self.cent).sum(1)
@@ -762,9 +773,11 @@ class IvfPqReplicaHandle:
         np.maximum(d, 0.0, out=d)
         np.sqrt(d, out=d)
         if self._assign_r > 1:
-            # same (id)-keyed dedup rule as IvfReplicaHandle: multi-assigned
-            # rows reachable via several probed cells keep one copy (ADC
-            # distance is identical either way — same codes, same LUT)
+            # same (id)-keyed dedup rule as IvfReplicaHandle, but under
+            # residual encoding a multi-assigned row has a DIFFERENT code
+            # and LUT per cell, so the two estimates genuinely differ:
+            # lexsort by (id, dist) and keep the first = keep the smaller
+            # per-cell residual-ADC estimate (parity test documents this)
             order = np.lexsort((d, ids))
             ids, d = ids[order], d[order]
             keep = np.r_[True, ids[1:] != ids[:-1]]

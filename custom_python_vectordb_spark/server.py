@@ -601,13 +601,27 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                             "ivfpq queries do not support where-filters; "
                             "use the exact path"
                         )
+                    n_cells = int(body.get("n_cells", 64))
+                    nprobe = int(body.get("nprobe", 6))
+                    # contract-validate BEFORE index construction: n_cells=0
+                    # would train k-means on an empty centroid set and die
+                    # with an opaque numpy error; bound above so a request
+                    # can't key an absurd build that thrashes the LRU
+                    if not (1 <= n_cells <= 65536):
+                        raise ValueError(
+                            f"n_cells must be in [1, 65536], got {n_cells}"
+                        )
+                    if not (1 <= nprobe <= n_cells):
+                        raise ValueError(
+                            f"nprobe must be in [1, n_cells={n_cells}], got {nprobe}"
+                        )
                     return 200, {
                         "results": coll.ivfpq_serve(
                             query_texts=body.get("query_texts"),
                             query_embeddings=body.get("query_embeddings"),
                             n_results=int(body.get("n_results", 10)),
-                            n_cells=int(body.get("n_cells", 64)),
-                            nprobe=int(body.get("nprobe", 6)),
+                            n_cells=n_cells,
+                            nprobe=nprobe,
                             fetch_k=body.get("fetch_k"),
                         )
                     }

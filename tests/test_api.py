@@ -365,3 +365,26 @@ def test_ivfpq_serve_tier(coll):
         query_texts=["shuffle strategies"], n_results=4, n_cells=2, nprobe=2
     )
     assert "d2" not in {h["id"] for h in after[0]}
+
+
+def test_ivfpq_serve_all_empty_shards(db):
+    """r12 (ADVICE r11): shard paths can be non-empty while every parquet
+    file holds zero rows (Spark writes empty part files). ivfpq_serve must
+    match its bq_serve/ann_serve siblings — empty result lists, not a
+    ValueError('empty shard set') surfaced as a 400."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    c = db.create_collection("hollow", dimensions=8)
+    schema = pa.schema(
+        [("id", pa.string()), ("embedding", pa.list_(pa.float32()))]
+    )
+    pq.write_table(
+        pa.Table.from_pylist([], schema=schema),
+        os.path.join(db.warehouse.root, "hollow", "part-empty.parquet"),
+    )
+    assert db.warehouse.shard_paths("hollow")  # the premise: paths exist
+    out = c.ivfpq_serve(query_embeddings=[[0.0] * 8, [1.0] * 8], n_results=3)
+    assert out == [[], []]

@@ -389,9 +389,44 @@ def test_ivfpq_handle_coarse_parity_and_rerank(tmp_path):
         # ~1e-7 (the expansion loses ~sqrt(eps) near zero, the diff doesn't)
         assert np.allclose(d, ex["dist"].to_numpy(), atol=1e-6)
 
-    # (c) determinism across fresh builds (cache cleared by second handle)
+    # (c) determinism across fresh builds — force a genuine retrain by
+    # emptying the LRU cache first (entries are otherwise shared by key)
+    from custom_python_vectordb_spark.operators.partitioned import (
+        _IVFPQ_REPLICA_CACHE,
+    )
+
+    _IVFPQ_REPLICA_CACHE.clear()
     h2 = IvfPqReplicaHandle([shard], **kw)
     for q in qv[:2]:
         a_ids, a_d = h.search_one(q, 10)
         b_ids, b_d = h2.search_one(q, 10)
         assert np.array_equal(a_ids, b_ids) and np.array_equal(a_d, b_d)
+
+
+def test_ivfpq_cache_bounded_lru():
+    """r12 (ADVICE r11): the IVF-PQ replica cache holds SEVERAL live
+    indexes — alternating handles over two collections (or two build-param
+    sets) must NOT retrain per construction. Eviction is bounded-LRU, not
+    clear-the-world."""
+    from custom_python_vectordb_spark.operators import partitioned as P
+
+    shard = "/root/testdata/sf0.001/embeddings.parquet"
+    P._IVFPQ_REPLICA_CACHE.clear()
+    P.IvfPqReplicaHandle([shard], n_cells=4, nprobe=2, num_subspaces=8)
+    P.IvfPqReplicaHandle([shard], n_cells=8, nprobe=2, num_subspaces=8)
+    assert len(P._IVFPQ_REPLICA_CACHE) == 2
+    entries = {k: id(v) for k, v in P._IVFPQ_REPLICA_CACHE.items()}
+    # re-constructing either handle reuses the cached entry (no retrain)
+    P.IvfPqReplicaHandle([shard], n_cells=4, nprobe=2, num_subspaces=8)
+    P.IvfPqReplicaHandle([shard], n_cells=8, nprobe=2, num_subspaces=8)
+    assert {k: id(v) for k, v in P._IVFPQ_REPLICA_CACHE.items()} == entries
+    # filling past the cap evicts the LEAST-recently-used key only
+    first_key = next(iter(P._IVFPQ_REPLICA_CACHE))  # oldest touch = n_cells=4
+    for nc in (12, 16, 20):
+        P.IvfPqReplicaHandle([shard], n_cells=nc, nprobe=2, num_subspaces=8)
+    assert len(P._IVFPQ_REPLICA_CACHE) == P._IVFPQ_CACHE_CAP
+    assert first_key not in P._IVFPQ_REPLICA_CACHE
+    # the most-recent keys survive
+    live_ncells = {k[2] for k in P._IVFPQ_REPLICA_CACHE}
+    assert live_ncells == {8, 12, 16, 20}
+    P._IVFPQ_REPLICA_CACHE.clear()

@@ -131,3 +131,30 @@ def test_scale_snapshot_fixtures_match_recompute(spark):
             assert [tuple(map(str, r)) for r in frozen] == [
                 tuple(map(str, r)) for r in fresh
             ], (name, sf)
+
+
+def test_pinned_tolerance_compare():
+    """r12 (VERDICT r11 task 4): fixture comparison for pinned rows is
+    tolerance-based — a last-ulp float drift (the r11 media_features
+    re-freeze class) passes, a real value change fails, and non-float
+    fields stay strict."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("check_tool", "/root/repo/tools/check.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    eq = mod.pinned_values_equal
+
+    cols = ["doc_id", "f0"]
+    base = [(668, -0.240894), (1, 0.5)]
+    # the exact r11 flip: 6th-decimal boundary ulp drift -> equal now
+    assert eq(base, cols, [(668, -0.240895), (1, 0.5)], cols)
+    # real regression (drift far beyond ulp) -> still caught
+    assert not eq(base, cols, [(668, -0.2415), (1, 0.5)], cols)
+    # non-float fields strict; row order irrelevant; column order by name
+    assert eq(base, cols, [(0.5, 1), (-0.2408941, 668)], ["f0", "doc_id"])
+    assert not eq(base, cols, [(669, -0.240894), (1, 0.5)], cols)
+    # nested arrays flatten; NaN == NaN; None strict
+    assert eq([(1, [0.1, float("nan")])], cols, [(1, [0.10004, float("nan")])], cols)
+    assert not eq([(1, None)], cols, [(1, 0.0)], cols)
+    assert not eq(base, cols, base[:1], cols)

@@ -86,6 +86,19 @@ def test_rest_roundtrip(served):
         {"query_texts": ["x"], "ivfpq": True, "where": {"a": 1}},
     )
     assert status == 400
+    # r12 (ADVICE r11): build params are contract-validated BEFORE index
+    # construction — n_cells=0 / nprobe=0 get an explicit 400, not an
+    # opaque numpy error from an empty k-means
+    status, err = call(
+        port, "POST", "/collections/kb/query",
+        {"query_texts": ["x"], "ivfpq": True, "n_cells": 0},
+    )
+    assert status == 400 and "n_cells" in err["error"]
+    status, err = call(
+        port, "POST", "/collections/kb/query",
+        {"query_texts": ["x"], "ivfpq": True, "n_cells": 2, "nprobe": 0},
+    )
+    assert status == 400 and "nprobe" in err["error"]
     assert call(port, "DELETE", "/collections/kb")[1] == {"deleted": True}
     assert call(port, "GET", "/collections")[1] == {"collections": []}
 

@@ -1155,3 +1155,80 @@ def test_incremental_vocab_feeds_bpe_training(spark, sf_small, tmp_path):
     process_vocab_batch(b1, 0, root)
     got2 = {(r["word"], r["freq"]) for r in load_word_counts(spark, root).collect()}
     assert got2 == expect
+
+
+def test_wire_broker_source_to_sink(spark):
+    """r12 (VERDICT r11 task 2): the Kafka wire path driven source-to-sink
+    with an embedded TCP broker — no broker binary. Insert/delete change
+    events published in the wire schema reach a subscription-filtered
+    memory sink through the SAME `parse_kafka_events` projection a real
+    Kafka reader uses; events published BEFORE the query starts arrive via
+    the broker's earliest-offset replay (the reference bus's late-joiner
+    replay, realtime.py:132-137); replay_tail orders the materialized
+    history."""
+    import time
+
+    from custom_python_vectordb_spark.streaming.events import (
+        replay_tail,
+        subscription_filter,
+    )
+    from custom_python_vectordb_spark.streaming.wire_broker import (
+        EmbeddedWireBroker,
+        read_event_stream_wire,
+    )
+
+    broker = EmbeddedWireBroker()
+    base = 1_700_000_000_000_000  # epoch micros
+    # published BEFORE the stream exists — must arrive via replay
+    broker.publish_change(1, base + 1_000_000, 7, "insert", 1.0, {"src": "crawler"})
+    broker.publish_change(2, base + 2_000_000, 8, "delete", 0.0, {"src": "crawler"})
+    broker.publish_change(3, base + 3_000_000, 7, "insert", 2.0, {"src": "manual"})
+
+    stream = read_event_stream_wire(spark, "127.0.0.1", broker.port)
+    sub = stream.filter(
+        subscription_filter(
+            event_types=["insert", "delete"], metadata={"src": "crawler"}
+        )
+    )
+    q = (
+        sub.writeStream.format("memory")
+        .queryName("wire_sub")
+        .outputMode("append")
+        .start()
+    )
+
+    def wait_rows(n, timeout=90.0):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout:
+            if spark.sql("select * from wire_sub").count() >= n:
+                return
+            time.sleep(0.25)
+        raise AssertionError(
+            f"sink never reached {n} rows; have "
+            f"{spark.sql('select * from wire_sub').count()}"
+        )
+
+    try:
+        wait_rows(2)  # replayed 1, 2 (3 fails the metadata constraint)
+        # live publishes after the subscriber connected
+        broker.publish_change(4, base + 4_000_000, 9, "insert", 3.0, {"src": "crawler"})
+        broker.publish_change(5, base + 5_000_000, 9, "update", 3.0, {"src": "crawler"})
+        wait_rows(3)  # 4 matches; 5 fails the event-type constraint
+        time.sleep(1.0)  # let any (wrongly) matching row 3/5 land
+        got = {
+            (r["event_id"], r["event_type"], r["user_id"])
+            for r in spark.sql("select * from wire_sub").collect()
+        }
+        assert got == {(1, "insert", 7), (2, "delete", 8), (4, "insert", 9)}
+        # wire parse produced real event-time timestamps, not strings
+        ts = {
+            r["event_id"]: r["ts"]
+            for r in spark.sql("select event_id, ts from wire_sub").collect()
+        }
+        assert ts[4].second - ts[1].second == 3
+        # R4 replay tail over the materialized history: newest first
+        tail = replay_tail(spark.table("wire_sub"), 2).collect()
+        assert [r["event_id"] for r in tail] == [4, 2]
+    finally:
+        q.stop()
+        broker.close()

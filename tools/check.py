@@ -44,6 +44,59 @@ def normalize(rows, columns):
     return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
 
 
+def pinned_values_equal(srows, scols, orows, ocols, atol=5e-4) -> bool:
+    """Tolerance compare for engine-authored per-scale fixtures (r12,
+    VERDICT r11 task 4): a pinned fixture is the engine's OWN prior
+    output, so a BLAS last-ulp drift across containers (r11: media_features
+    doc 668, sdot −0.240894 → −0.240895 exactly on the 6-decimal rounding
+    boundary) must not read as a regression and force a re-freeze. Rows
+    are aligned by sorting on a COARSE key (floats at 3 decimals — a flip
+    needs ~1e-4 of drift to move the key, 4 orders above ulp noise), then
+    floats compare with absolute tolerance and everything else strictly.
+    Any residual mismatch is loud, never absorbed. Strict hashing still
+    applies at the pinned scale itself (the driver's gate) and to every
+    independently-derived DuckDB oracle."""
+    if len(srows) != len(orows):
+        return False
+    os_ = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+    oo = sorted(range(len(ocols)), key=lambda i: ocols[i].lower())
+
+    def flat(v, out):
+        # flatten nested arrays so float elements compare with tolerance
+        if isinstance(v, (list, tuple)):
+            out.append("[")
+            for x in v:
+                flat(x, out)
+            out.append("]")
+        else:
+            out.append(v)
+        return out
+
+    def canon(rows, order):
+        def key(fr):
+            return tuple(
+                ("nan" if math.isnan(v) else f"{v:+.3f}")
+                if isinstance(v, float)
+                else ("\x00" if v is None else str(v))
+                for v in fr
+            )
+
+        return sorted(([x for i in order for x in flat(r[i], [])] for r in rows), key=key)
+
+    for ra, rb in zip(canon(srows, os_), canon(orows, oo)):
+        if len(ra) != len(rb):
+            return False
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                if math.isnan(va) and math.isnan(vb):
+                    continue
+                if not abs(va - vb) <= atol:  # NaN-vs-number fails here
+                    return False
+            elif va != vb:
+                return False
+    return True
+
+
 def main() -> int:
     import duckdb
 
@@ -139,10 +192,19 @@ def main() -> int:
         ):
             problems.append(f"columns spark={sorted(scols)} duck={sorted(ocols)}")
         if not problems:
-            a, b = normalize(srows, scols), normalize(orows, ocols)
-            if a != b:
-                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                problems.append(f"values differ, first diffs: {diff}")
+            if rec.get("detail") == "pinned":
+                # engine-authored fixture at a non-pinned scale: tolerance
+                # compare (see pinned_values_equal) — strict hashing would
+                # re-raise the r11 ulp-flip class on every fresh container
+                if not pinned_values_equal(srows, scols, orows, ocols):
+                    a, b = normalize(srows, scols), normalize(orows, ocols)
+                    diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                    problems.append(f"pinned values differ beyond tol: {diff}")
+            else:
+                a, b = normalize(srows, scols), normalize(orows, ocols)
+                if a != b:
+                    diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                    problems.append(f"values differ, first diffs: {diff}")
         if problems:
             rec.update(status="fail", detail="; ".join(problems))
         else:
