@@ -128,17 +128,26 @@ def match_2hop(
     end_filter: Column | None = None,
 ) -> DataFrame:
     """J5 — `(a)-[:T1]->(b)-[:T2]->(c)`: chained equi-joins. Returns
-    (a_id, b_id, c_id) distinct bindings."""
+    (a_id, b_id, c_id) distinct bindings.
+
+    The endpoint label/property filters semi-join each edge LEG before
+    the hop join (r12): Catalyst won't reorder a semi-join below the
+    Deduplicate that used to sit between them, so filtering after the
+    e1⋈e2 join paid the full |T1|×|T2| hop fan-out and deduped it, only
+    to discard most bindings. Filtered node sets are small (a label +
+    property slice) → broadcast semi-joins prune the legs map-side, and
+    the expensive hop join + distinct run on ~selectivity² of the pairs.
+    Same bindings either way (filter-then-join commutes with the inner
+    equi-join; distinct is last in both forms)."""
     e1 = edges.filter(F.col("type") == type1).select(F.col("src").alias("a_id"), F.col("dst").alias("b_id"))
     e2 = edges.filter(F.col("type") == type2).select(F.col("src").alias("b_id"), F.col("dst").alias("c_id"))
-    bindings = e1.join(e2, "b_id").select("a_id", "b_id", "c_id").distinct()
     if start_filter is not None:
         a = nodes.filter(start_filter).select(F.col("id").alias("a_id"))
-        bindings = bindings.join(a, "a_id", "left_semi")
+        e1 = e1.join(a, "a_id", "left_semi")
     if end_filter is not None:
         c = nodes.filter(end_filter).select(F.col("id").alias("c_id"))
-        bindings = bindings.join(c, "c_id", "left_semi")
-    return bindings
+        e2 = e2.join(c, "c_id", "left_semi")
+    return e1.join(e2, "b_id").select("a_id", "b_id", "c_id").distinct()
 
 
 def bfs_hops(

@@ -29,7 +29,7 @@ from custom_python_vectordb_spark.sources.graph_view import (
     DUCK_EDGES,
     DUCK_MEMBERSHIP,
     DUCK_NODES,
-    edges_df,
+    edges_layout_df,
     hyperedge_membership,
     nodes_df,
 )
@@ -49,8 +49,11 @@ opairs AS (SELECT DISTINCT src AS frm, dst AS nxt FROM edges)"""
 
 
 def _graph(spark: SparkSession, sf_dir: str):
+    # edges come from the type-partitioned persisted layout (r12): typed
+    # traversals partition-prune to the probed type's directory, untyped
+    # ones read one pre-computed scan instead of the 6-branch union
     tune_session(spark)
-    return nodes_df(spark, sf_dir), edges_df(spark, sf_dir)
+    return nodes_df(spark, sf_dir), edges_layout_df(spark, sf_dir)
 
 
 # ------------------------------------------------------------- J4 neighbors

@@ -120,6 +120,33 @@ def edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memoized(spark, sf_dir, "edges", lambda: _edges_df(spark, sf_dir))
 
 
+def edges_layout_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-partitioned PERSISTED edge layout — the reference's edge-type
+    secondary index (``graph.py:253-488``) as a storage layout instead of
+    an in-RAM dict (r12, VERDICT r11 task 5; same move as
+    ``similarity.write_ivf_layout`` for IVF cells).
+
+    Written once per (session, sf): ``.../type=CONTAINS/...`` etc. Every
+    traversal that filters on edge type then prunes to the probed type's
+    directory at PLANNING time (PartitionFilters in the scan) — at 100 TB
+    this is the difference between listing one type's files and scanning
+    the whole edge set, and it is the ingest-time layout a production
+    graph would maintain (the module docstring has promised exactly this
+    since r3). Untyped traversals read all partitions of the SAME data —
+    one pre-computed parquet scan instead of re-deriving the 6-branch
+    union + id-concat per query. Session-scoped index state like
+    ``copurchase_pairs``: lives in _VIEW_MEMO, not the plan memos."""
+
+    def build() -> DataFrame:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="edge_layout_")
+        _edges_df(spark, sf_dir).write.mode("overwrite").partitionBy("type").parquet(root)
+        return spark.read.parquet(root)
+
+    return _memoized(spark, sf_dir, "edges_layout", build)
+
+
 def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified edge table: (src, dst, type, qty). Multi-edges allowed
     (one CONTAINS/SUPPLIED_BY edge per lineitem), as in the reference."""

@@ -27,6 +27,8 @@ SHOW = [
     ("copurchase_top_pairs", "basket self-join + map-side-combined pair counts + TakeOrdered"),
     ("event_transitions", "per-user window (lead) + 5x5 transition aggregate"),
     ("graph_pagerank", "one unrolled iteration visible: edges⋈rank⋈outdeg + dst aggregate"),
+    ("graph_pattern_2hop", "r12 edge layout: both hop legs PartitionFilters-pruned to their edge type, endpoint label/property filters pushed into the node parquet scans and broadcast-semi-joined onto the legs BEFORE the hop join; one shuffle total (the final distinct)"),
+    ("graph_neighbors_typed", "typed adjacency probe: PartitionFilters [type=CONTAINS] + PushedFilters [src='o:5'] on the persisted edge layout — the reference's edge-type index as planning-time dir pruning"),
     ("dedup_lsh_pairs", "wide minhash: 16 min-aggregates in ONE shingle pass (no 16x explode), banding a projection, bucket join + Jaccard verify on candidates only"),
     ("neardup_embedding", "multi-table LSH bucket self-join + exact cosine verify — no all-pairs cross join anywhere"),
     ("cypher_optional_chain", "OPTIONAL MATCH then MATCH: left join then inner join on the anchor var, NULLs survive"),

@@ -148,6 +148,36 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             results[name][sf] = best
 
+    # r12 (VERDICT r11 task 6): co-tenant noise produced phantom
+    # super-linear tails in two consecutive rounds (r10/r11:
+    # shipping_priority / quality_model_score sf1 cells), each caught by a
+    # hand re-run. Automate that recheck: any query whose tail exponent
+    # exceeds 1.15 gets BOTH tail cells re-measured 3x in-process right
+    # away; the table carries the min (re-measurement can only strip
+    # noise — a real super-linear plan stays super-linear under min), and
+    # the original number is recorded next to it so the artifact shows
+    # what was re-measured and by how much.
+    remeasured: dict[str, dict[str, float]] = {}
+    for name, tbl in QUERIES:
+        r = results[name]
+        tail_ratio = sizes[SFS[3]][tbl] / sizes[SFS[2]][tbl]
+        if not (r[SFS[2]] > 0 and tail_ratio > 1):
+            continue
+        if math.log(r[SFS[3]] / r[SFS[2]]) / math.log(tail_ratio) <= 1.15:
+            continue
+        fn = getattr(registry.QUERIES[name], "__wrapped__", registry.QUERIES[name])
+        for sf in (SFS[2], SFS[3]):
+            registry.clear_plan_memos()
+            fn(spark, sf).collect()
+            best = r[sf]
+            for _ in range(3):
+                registry.clear_plan_memos()
+                t0 = time.perf_counter()
+                fn(spark, sf).collect()
+                best = min(best, time.perf_counter() - t0)
+            remeasured.setdefault(name, {})[sf] = r[sf]
+            results[name][sf] = best
+
     lines = [
         "# SCALING — measured wall-clock across a 1000x data spread",
         "(generated by tools/scaling.py; local[32], warm best-of-2 per cell)",
@@ -190,9 +220,12 @@ def main() -> None:
             if t2 > 0 and tail_ratio > 1
             else float("nan")
         )
+        marks = remeasured.get(name, {})
+        c2 = f"{r[SFS[2]]:.3f}" + ("†" if SFS[2] in marks else "")
+        c3 = f"{r[SFS[3]]:.3f}" + ("†" if SFS[3] in marks else "")
         lines.append(
             f"| {name} | {tbl} ({ratio:.0f}x) | {r[SFS[0]]:.3f} | {r[SFS[1]]:.3f} "
-            f"| {r[SFS[2]]:.3f} | {r[SFS[3]]:.3f} | {alpha:.2f} | {atail:.2f} |"
+            f"| {c2} | {c3} | {alpha:.2f} | {atail:.2f} |"
         )
     n_super = sum(
         1
@@ -216,6 +249,20 @@ def main() -> None:
         f"job. Super-linear (alpha_tail > 1) queries this run: {n_super}.",
         "",
     ]
+    if remeasured:
+        lines += [
+            "† cell re-measured in-process (first-pass tail exponent exceeded",
+            "1.15 — the automated co-tenant-noise recheck; min of all runs is",
+            "what the table carries). First-pass values:",
+            "",
+        ]
+        for name, cells in remeasured.items():
+            orig = ", ".join(
+                f"{'sf1' if sf == SF1 else sf.rsplit('sf', 1)[-1]}: {v:.3f}s"
+                for sf, v in cells.items()
+            )
+            lines.append(f"- {name}: {orig}")
+        lines.append("")
     out = "\n".join(lines)
     # preserve EVERY marker-delimited section another tool owns (the
     # 500K-doc probe, the 1M-vector probe, any future axis probe) across
