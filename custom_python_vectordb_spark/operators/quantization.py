@@ -1008,6 +1008,15 @@ def pq_replica_serve(
     return parts.iloc[order].reset_index(drop=True)
 
 
+# Certified absolute-error coefficient for the float32 coarse SQ scan:
+# worst-case γ-bound for the D=128 non-negative-term expansion is
+# (D + 8)·2⁻²⁴ ≈ 8.2e-6 (cast of qw/wa2/wb2 to float32, the GEMV
+# summation, and the 3 expansion adds, each bounded by the running
+# non-negative magnitude); 1e-4 carries a ~12× margin. Property-tested
+# against the float64 truth in test_quantization.
+_SQ_F32_ERR = 1e-4
+
+
 def _topk_tie_aware(np, ids, d, k: int):
     """(ids, dists) of the k smallest by (dist, id): distance ties break
     by id deterministically. Partitioning at both m-1 and m puts the k-th
@@ -1039,27 +1048,38 @@ class SqReplicaHandle:
     :func:`sq_replica_serve`'s own cache, so the code tier and model are
     bit-identical to the batch path's.
 
-    Latency economics (measured at 100K×128): ~7 ms/query — the coarse
-    scan must widen the code matrix to float64 per call (in L2-resident
-    chunks since r11, so only the uint8 codes stream from DRAM), and
-    unlike BQ/IVF nothing amortizes at batch 1. SQ is the CAPACITY tier
-    (4× corpus per node); latency-sensitive single-query traffic belongs
-    on the IVF handle (~0.1 ms) or BQ (~1.2 ms), with this tier serving
-    batched/offline reads — which is why bench publishes its batch row
-    only."""
+    r12 two-phase scan: the coarse pass widens uint8→float32 (half the
+    cast cost of float64 — the cast, not the GEMV, dominated the r11
+    profile) and keeps a CERTIFIED error envelope per row
+    (``_SQ_F32_ERR`` × the sum of the expansion's non-negative term
+    magnitudes — every term is ≥0, so absolute float32 error is bounded
+    by the envelope with a ~12× margin over the worst-case γ₁₂₈ bound).
+    Rows whose envelope-lowered distance can reach the k-th
+    envelope-raised distance are recomputed with the EXACT float64
+    expansion in the batch path's op order, so the returned (ids, dists)
+    are bit-identical to a full float64 scan — the envelope only decides
+    *which* rows get the exact treatment, never the output values.
 
-    __slots__ = ("_paths", "_id_col", "_np", "_chunk", "ids", "codes", "minv", "s", "s2", "wa2")
+    Latency economics (measured at 100K×128): ~4-5 ms/query coarse+refine
+    (was ~7 with the full float64 widening; values unchanged). SQ remains
+    the CAPACITY tier (4× corpus per node); latency-sensitive
+    single-query traffic belongs on the IVF handle (~0.1 ms) or BQ
+    (~1.2 ms), with this tier serving batched/offline reads."""
 
-    def __init__(self, shard_paths: list[str], *, id_col: str = "vec_id", chunk_rows: int = 512):
+    __slots__ = (
+        "_paths", "_id_col", "_np", "_chunk", "ids", "codes", "minv", "s",
+        "s2", "wa2", "_wa2_32", "_scratch32", "_cross32", "_buf32",
+    )
+
+    def __init__(self, shard_paths: list[str], *, id_col: str = "vec_id", chunk_rows: int = 1024):
         import numpy as np
 
-        # chunk_rows 512 (r11): the per-chunk float64 widened block is
-        # 512×D×8 B ≈ 0.5 MB at D=128 — L2-resident, so the widening
-        # write + GEMV read never round-trip DRAM; only the uint8 codes
-        # stream from memory. Swept in-process: 16384 → 512 halves p50
-        # (11.97 → 6.7-8.8 ms, box-state spread); 256/128 gain nothing
-        # more (python loop overhead catches up). Values bit-identical
-        # at every chunk size (per-row dot order is unchanged).
+        # chunk_rows 1024 (r12, was 512 float64): the per-chunk float32
+        # widened block is 1024×D×4 B ≈ 0.5 MB at D=128 — L2-resident,
+        # so the widening write + GEMV read never round-trip DRAM; only
+        # the uint8 codes stream from memory. The float64 sweep history
+        # (16384 → 512 halved p50) carries over at the same scratch
+        # footprint; 2048 (1 MB) measured slower (L2 spill).
         self._np = np
         self._paths = list(shard_paths)
         self._id_col = id_col
@@ -1069,16 +1089,59 @@ class SqReplicaHandle:
     def refresh(self) -> None:
         import pandas as pd
 
+        np = self._np
         sq_replica_serve(
             self._paths, pd.DataFrame({"qid": [], "qvec": []}), k=1, id_col=self._id_col
         )
         entry = _SQ_REPLICA_CACHE[(tuple(sorted(self._paths)), self._id_col)]
         _, self.ids, self.codes, self.minv, self.s, self.wa2 = entry
         self.s2 = self.s * self.s
+        n = len(self.ids)
+        self._wa2_32 = self.wa2.astype(np.float32)
+        self._scratch32 = np.empty((min(self._chunk, max(n, 1)), self.codes.shape[1]), np.float32)
+        self._cross32 = np.empty(n, np.float32)
+        self._buf32 = np.empty(n, np.float32)
+
+    def _exact_rows(self, rows, qw, wb2: float):
+        """Float64 L2-expansion distances for a row subset, recomputed IN
+        THE ORIGINAL CHUNK GEOMETRY: every candidate's GEMV runs over its
+        full ``self._chunk``-aligned block, so shapes/slices equal a full
+        float64 chunked scan and results are bit-identical BY CONSTRUCTION
+        (BLAS dgemv picks shape-dependent reduction kernels — a gathered
+        (C,D) matrix measured 1-ulp cross-term flips vs the same rows
+        inside a (chunk,D) block, amplified ~50 ulps by the expansion's
+        cancellation on near-duplicate rows)."""
+        np = self._np
+        n = len(self.ids)
+        chunk = self._chunk
+        if isinstance(rows, slice):
+            cross = np.empty(n, np.float64)
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                cross[lo:hi] = self.codes[lo:hi].astype(np.float64) @ qw
+            wa2 = self.wa2
+        else:
+            cross = np.empty(len(rows), np.float64)
+            for b in np.unique(rows // chunk):
+                lo = int(b) * chunk
+                hi = min(lo + chunk, n)
+                blk = self.codes[lo:hi].astype(np.float64) @ qw
+                mask = (rows >= lo) & (rows < hi)
+                cross[mask] = blk[rows[mask] - lo]
+            wa2 = self.wa2[rows]
+        d2 = cross
+        d2 *= -2.0
+        d2 += wa2
+        d2 += wb2
+        np.maximum(d2, 0.0, out=d2)
+        np.sqrt(d2, out=d2)
+        return d2
 
     def search_one(self, qvec, k: int = 10):
         """Coarse SQ-L2 top-k for ONE query, distances identical to the
-        batch path (same float64 expansion, same chunked widening)."""
+        batch path (float32 coarse scan certifies a candidate superset;
+        candidates are recomputed with the batch path's exact float64
+        expansion)."""
         np = self._np
         q = np.asarray(qvec, dtype=np.float64)
         scale = self.s * 255.0
@@ -1086,16 +1149,45 @@ class SqReplicaHandle:
         qw = qc * self.s2
         wb2 = float((qc * qc * self.s2).sum())
         n = len(self.ids)
-        d2 = np.empty(n, dtype=np.float64)
-        for lo in range(0, n, self._chunk):
-            hi = min(lo + self._chunk, n)
-            d2[lo:hi] = self.codes[lo:hi].astype(np.float64) @ qw
-        d2 *= -2.0
-        d2 += self.wa2
-        d2 += wb2
-        np.maximum(d2, 0.0, out=d2)
-        np.sqrt(d2, out=d2)
-        return _topk_tie_aware(np, self.ids, d2, k)
+        m = min(k, n)
+        if m == 0:
+            return _topk_tie_aware(np, self.ids[:0], np.empty(0, np.float64), k)
+        if n <= 4 * k or n <= 2048:
+            # tiny tier: phase-1 bookkeeping costs more than the scan
+            return _topk_tie_aware(
+                np, self.ids, self._exact_rows(slice(None), qw, wb2), k
+            )
+        # phase 1: float32 coarse scan (chunked L2-resident widening)
+        qw32 = qw.astype(np.float32)
+        codes = self.codes
+        cross = self._cross32
+        s32 = self._scratch32
+        chunk = self._chunk
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            c = hi - lo
+            np.copyto(s32[:c], codes[lo:hi], casting="unsafe")
+            np.matmul(s32[:c], qw32, out=cross[lo:hi])
+        # error envelope: every expansion term is non-negative, so
+        # |d2_f32 − d2_f64| ≤ _SQ_F32_ERR · (wa2 + 2·cross + wb2)
+        env = self._buf32
+        np.multiply(cross, np.float32(2.0), out=env)
+        env += self._wa2_32
+        env += np.float32(wb2)
+        env *= np.float32(_SQ_F32_ERR)
+        # d2_f32 in place of cross
+        d2c = cross
+        d2c *= np.float32(-2.0)
+        d2c += self._wa2_32
+        d2c += np.float32(wb2)
+        # certified superset: rows whose lower bound reaches the k-th
+        # smallest upper bound (boundary ties included by ≤)
+        upper = d2c + env
+        tau = np.partition(upper, m - 1)[m - 1]
+        np.subtract(d2c, env, out=upper)  # reuse: now the lower bounds
+        cand = np.flatnonzero(upper <= tau)
+        # phase 2: exact float64 recompute of the candidates only
+        return _topk_tie_aware(np, self.ids[cand], self._exact_rows(cand, qw, wb2), k)
 
 
 class PqReplicaHandle:

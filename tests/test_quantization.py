@@ -396,3 +396,51 @@ def test_sq_pq_handle_parity(spark):
                 if (np.abs(od - od[r]) < 1e-9).sum() == 1:
                     assert oi[r] == ids[r]
             assert list(zip(d, ids)) == sorted(zip(d, ids))
+
+
+def test_sq_handle_two_phase_bit_identity():
+    """The r12 two-phase SqReplicaHandle scan (float32 coarse pass with a
+    certified error envelope, float64 chunk-geometry refine) must return
+    ids AND distances bit-identical to a full float64 chunked scan —
+    including corpus-row queries, where the L2 expansion's cancellation
+    amplifies any cross-term ulp flip ~50x (the failure mode that forced
+    the chunk-geometry recompute)."""
+    import glob
+
+    from custom_python_vectordb_spark.operators.quantization import (
+        SqReplicaHandle,
+        _topk_tie_aware,
+    )
+
+    shard = "/root/testdata/sf0.01/embeddings.parquet"
+    h = SqReplicaHandle([shard])
+
+    def full_scan(qvec, k):
+        q = np.asarray(qvec, dtype=np.float64)
+        scale = h.s * 255.0
+        qc = np.floor(np.clip((q - h.minv) / scale * 255.0, 0.0, 255.0))
+        qw = qc * h.s2
+        wb2 = float((qc * qc * h.s2).sum())
+        n = len(h.ids)
+        d2 = np.empty(n, dtype=np.float64)
+        for lo in range(0, n, h._chunk):
+            hi = min(lo + h._chunk, n)
+            d2[lo:hi] = h.codes[lo:hi].astype(np.float64) @ qw
+        d2 *= -2.0
+        d2 += h.wa2
+        d2 += wb2
+        np.maximum(d2, 0.0, out=d2)
+        np.sqrt(d2, out=d2)
+        return _topk_tie_aware(np, h.ids, d2, k)
+
+    rng = np.random.default_rng(12)
+    dim = h.codes.shape[1]
+    # corpus rows (distance ~0 -> maximal cancellation) + uniform randoms
+    queries = [h.minv + h.s * 255.0 * c.astype(np.float64) / 255.0 for c in h.codes[:40]]
+    queries += [h.minv + rng.random(dim) * (h.s * 255.0) for _ in range(40)]
+    for k in (1, 10, 50):
+        for q in queries:
+            i_new, d_new = h.search_one(q, k)
+            i_ref, d_ref = full_scan(q, k)
+            assert np.array_equal(i_new, i_ref)
+            assert np.array_equal(d_new, d_ref)

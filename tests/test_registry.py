@@ -113,24 +113,31 @@ def test_scale_snapshot_fixtures_match_recompute(spark):
     """The per-scale parquet snapshot oracles (r10) must equal a fresh
     recompute — pins fixture drift (Spark/NumPy version, testdata regen)
     in pytest before it can fail the sweep. Cheap queries only; the heavy
-    ones are covered by the committed CHECK artifacts."""
+    ones are covered by the committed CHECK artifacts. Floats compare via
+    the same tolerance comparator the sweep uses (tools/check.py, r12):
+    a fixture is the engine's own prior output, and a fresh container's
+    BLAS can flip the last ulp exactly on a rounding boundary
+    (media_features doc 668, −0.240894 vs −0.240895) without anything
+    being wrong."""
+    import sys
+
     import duckdb
 
     from custom_python_vectordb_spark import registry
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check import pinned_values_equal
 
     registry.load_all()
     for name in ("embed_mock", "bpe_train_merges", "media_features"):
         for sf in ("sf0.1", "sf0.001"):
             sql = registry.resolve_scale_oracle(name, sf)
             assert sql is not None, (name, sf)
-            frozen = sorted(map(tuple, duckdb.sql(sql).fetchall()))
-            fresh = sorted(
-                tuple(r)
-                for r in registry.QUERIES[name](spark, f"/root/testdata/{sf}").collect()
-            )
-            assert [tuple(map(str, r)) for r in frozen] == [
-                tuple(map(str, r)) for r in fresh
-            ], (name, sf)
+            frozen = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+            df = registry.QUERIES[name](spark, f"/root/testdata/{sf}")
+            fresh = [tuple(r) for r in df.collect()]
+            cols = list(df.columns)
+            assert pinned_values_equal(frozen, cols, fresh, cols), (name, sf)
 
 
 def test_pinned_tolerance_compare():
