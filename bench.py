@@ -609,6 +609,140 @@ def _bench_knn_100k(spark) -> dict[str, float]:
     return out
 
 
+def _bench_rest_soak(spark) -> dict:
+    """Concurrent REST serving soak (r12, VERDICT r11 task 7): N=8 client
+    threads with persistent keep-alive connections against the IVF replica
+    tier over HTTP, measured from a SEPARATE client process
+    (tools/soak_client.py) so client-side interpreter work doesn't share
+    the server's GIL. The reference's comparable is its uvicorn benchmark
+    (8,498 q/s single-endpoint, notes_benchmark.txt:32). Concurrency works
+    because the IVF probe's BLAS/NumPy kernels release the GIL — the
+    c8-vs-c1 qps ratio is the measured evidence. The single-stream row is
+    published next to it so the queueing cost at 8 streams stays visible."""
+    import glob
+    import subprocess
+
+    out: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, ".bench", "vec100k_128d_c256")
+    _ensure_vec100k(src)
+    wh_root = os.path.join(here, ".bench", "soak_wh")
+    cdir = os.path.join(wh_root, "vec100k")
+    src_parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    if not os.path.exists(os.path.join(cdir, "_DONE")):
+        # warehouse twin of the bench corpus: same vectors, string ids
+        # (the facade's id contract), written once with pyarrow
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(cdir, exist_ok=True)
+        for p in src_parts:
+            t = pq.read_table(p)
+            pq.write_table(
+                pa.table({
+                    "id": pa.array([str(v) for v in t.column("vec_id").to_pylist()]),
+                    "embedding": t.column("embedding"),
+                }),
+                os.path.join(cdir, os.path.basename(p)),
+            )
+        with open(os.path.join(cdir, "_DONE"), "w") as fh:
+            fh.write("ok\n")
+
+    from custom_python_vectordb_spark.api import VectorDB
+    from custom_python_vectordb_spark.server import serve_background
+
+    # the bench IVF geometry (384/3/r1, measured recall@10 = 1.0 in
+    # the knn_ivf_replica rows) so the REST p50 is comparable to the
+    # in-process handle row and the reference's hnswlib p50
+    body = ('{"ann": true, "n_results": 10, "n_cells": 384, '
+            '"nprobe": 3, "assign_r": 1}')
+
+    def run(port: int, streams: int, n: int) -> dict:
+        # one client PROCESS per stream: the load generator must not be
+        # the GIL ceiling it is measuring (a single 8-thread client tops
+        # out ~1-1.5k q/s regardless of the server)
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "soak_client.py"),
+             "--port", str(port), "--collection", "vec100k",
+             "--queries", src_parts[0], "--procs", str(streams),
+             "--threads", "1", "--n", str(n), "--body", body],
+            capture_output=True, text=True, timeout=300,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    db = VectorDB(spark, wh_root)
+    db.get_collection("vec100k", dimensions=128)  # pin dims: no discovery job
+    srv, port = serve_background(db)
+    try:
+        run(port, 1, 30)  # server-side warm: IVF build + route caches
+        one = run(port, 1, 400)
+        eight = run(port, 8, 400)
+        if "error" in one or "error" in eight:
+            out["rest_soak_error"] = str(one.get("error") or eight.get("error"))[:300]
+            return out
+        out["rest_ann_c1_p50_ms"] = one["p50_ms"]
+        out["rest_ann_c1_qps"] = one["qps"]
+        out["rest_ann_c8_p50_ms"] = eight["p50_ms"]
+        out["rest_ann_c8_p99_ms"] = eight["p99_ms"]
+        out["rest_ann_c8_qps"] = eight["qps"]
+    finally:
+        srv.shutdown()
+
+    # scale-out shape: 8 share-nothing SO_REUSEPORT worker processes on
+    # one port (see server.make_server docstring) — the GIL answer; this
+    # row next to the single-process c8 row makes the deployment trade
+    # visible in the artifact
+    import socket
+    import urllib.request
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    wport = s.getsockname()[1]
+    s.close()
+    pool = subprocess.Popen(
+        [sys.executable, "-m", "custom_python_vectordb_spark.server",
+         wh_root, str(wport), "--workers", "8", "--serving-only"],
+        cwd=here, stdout=subprocess.DEVNULL,
+        start_new_session=True,  # teardown kills the GROUP — no orphan
+        # worker survives a parent that dies between spawn and its
+        # SIGTERM-forwarding handler registration
+    )
+    try:
+        deadline = time.perf_counter() + 60
+        while time.perf_counter() < deadline:
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{wport}/health", timeout=2)
+                break
+            except Exception:
+                time.sleep(0.3)
+        # warm every worker: kernel balancing is per-connection, so 16
+        # short-lived streams touch all 8 workers with high probability
+        run(wport, 16, 60)
+        run(wport, 16, 30)
+        w8 = run(wport, 8, 400)
+        if "error" not in w8:
+            out["rest_ann_c8_w8_p50_ms"] = w8["p50_ms"]
+            out["rest_ann_c8_w8_p99_ms"] = w8["p99_ms"]
+            out["rest_ann_c8_w8_qps"] = w8["qps"]
+        else:
+            out["rest_soak_w8_error"] = str(w8["error"])[:300]
+    finally:
+        import signal
+
+        try:
+            os.killpg(pool.pid, signal.SIGTERM)
+        except ProcessLookupError:
+            pass
+        try:
+            pool.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(pool.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+    return out
+
+
 def _calibration_rows(spark) -> dict:
     """Two Spark-side noise anchors recorded per run (r10, after the r8→r9
     '+11% regression' turned out to be co-tenant drift between driver runs
@@ -846,6 +980,8 @@ def main() -> None:
     # random-corpus BQ/PQ coarse recall — comparable to the reference's
     # ~0.85/~0.90 claims (the clustered rows above stay as the hard case)
     out.update(_bench_quant_recall_random())
+    # concurrent REST soak against the IVF replica tier (r12)
+    out.update(_bench_rest_soak(spark))
     # lakehouse commit-path lifecycle (ingest/prune/delete/optimize)
     out.update(_bench_versioned(spark, sf_dir))
     # streaming maintenance arc (ingest -> postings index -> serve)
@@ -971,6 +1107,9 @@ def main() -> None:
         "knn_single_100k_ivf_p50_ms", "knn_single_100k_ivf_p99_ms",
         "knn_single_100k_ivfpq_p50_ms", "knn_single_100k_ivfpq_rerank_recall_at10",
         "mem_bw_gbps", "py4j_rtt_us", "spark_job_floor_ms",
+        "rest_ann_c8_w8_qps", "rest_ann_c8_w8_p50_ms", "rest_ann_c8_w8_p99_ms",
+        "rest_ann_c8_qps", "rest_ann_c8_p50_ms", "rest_ann_c8_p99_ms",
+        "rest_ann_c1_qps", "rest_ann_c1_p50_ms",
         "knn_single_100k_sq_p50_ms", "knn_single_100k_pq_p50_ms",
         "knn_batch20_100k_filtered_ms_per_query",
         "knn_batch20_100k_rand_bq_recall_at10", "knn_batch20_100k_rand_pq_recall_at10",

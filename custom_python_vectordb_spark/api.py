@@ -328,6 +328,7 @@ class Collection:
         metric: str = "cosine",
         n_cells: int = 64,
         nprobe: int = 8,
+        assign_r: int = 2,
     ) -> list[list[dict]]:
         """APPROXIMATE serving twin of :meth:`query_serve` — the product
         facade over ``operators/partitioned.ivf_replica_serve`` (the
@@ -337,11 +338,21 @@ class Collection:
         scan (≈ nprobe·2/n_cells of brute force); recall is measured in
         bench/tests, never assumed. Falls back to the EXACT serving path
         while deletion vectors are active (raw shards would resurrect
-        deleted rows) — approximate must never also mean stale."""
-        import pandas as pd
+        deleted rows) — approximate must never also mean stale.
+
+        r12: serves through the stat-checked handle LRU
+        (``partitioned.ivf_handle_for`` + ``search_one`` per query)
+        instead of the batch ``ivf_replica_serve`` — same index, same
+        ranking (handle/batch parity is test-asserted), but the
+        per-request GIL-held plumbing drops ~1.8 ms → ~0.05 ms, which is
+        what lets the ThreadingHTTPServer's 8 concurrent handler threads
+        actually scale (the batch path convoyed them below single-stream
+        throughput). Freshness contract unchanged: the handle refreshes
+        on any shard (path, mtime, size) change."""
+        import numpy as np
 
         from custom_python_vectordb_spark.operators.partitioned import (
-            ivf_replica_serve,
+            ivf_handle_for,
         )
 
         if (query_texts is None) == (query_embeddings is None):
@@ -358,19 +369,26 @@ class Collection:
             )
         if not paths:
             return [[] for _ in query_embeddings]
-        qpd = pd.DataFrame(
-            {
-                "qid": range(len(query_embeddings)),
-                "qvec": [[float(x) for x in v] for v in query_embeddings],
-            }
-        )
-        res = ivf_replica_serve(
-            paths, qpd, k=n_results, n_cells=n_cells, nprobe=nprobe,
-            metric=metric, id_col="id",
-        )
-        out: list[list[dict]] = [[] for _ in query_embeddings]
-        for qid, vid, dist in zip(res["qid"], res["id"], res["dist"]):
-            out[int(qid)].append({"id": vid, "dist": float(dist)})
+        try:
+            # float32 tier: the reference's serving dtype (hnswlib stores
+            # float32) and half the probe traffic of float64 — recall at
+            # this geometry is measured in bench (knn_ivf_replica rows)
+            handle = ivf_handle_for(
+                paths, n_cells=n_cells, nprobe=nprobe, assign_r=assign_r,
+                metric=metric, id_col="id", dtype="float32",
+            )
+        except ValueError:
+            # paths exist but hold zero rows (Spark writes empty part
+            # files): same empty-result contract as the sibling tiers
+            return [[] for _ in query_embeddings]
+        out: list[list[dict]] = []
+        for v in query_embeddings:
+            ids, dists = handle.search_one(
+                np.asarray(v, dtype=np.float64), n_results
+            )
+            out.append(
+                [{"id": str(i), "dist": float(d)} for i, d in zip(ids, dists)]
+            )
         return out
 
     def bq_serve(
@@ -671,6 +689,26 @@ class VectorDB:
         if not self.warehouse.exists(name):
             raise FileNotFoundError(f"collection {name!r} does not exist")
         dim = dimensions or self._dims.get(name)
+        if dim is None:
+            # dimension discovery straight off the parquet shards (r12):
+            # no Spark job on the serving path, and it works in a
+            # spark-less serving-only worker (server.py --serving-only)
+            try:
+                paths = self.warehouse.shard_paths(name)
+            except (RuntimeError, FileNotFoundError):
+                paths = []  # e.g. active deletion vectors: use the plan
+            for p in paths:
+                import pyarrow.parquet as pq
+
+                f = pq.ParquetFile(p)
+                if f.metadata.num_rows:
+                    batch = next(iter(f.iter_batches(batch_size=1, columns=["embedding"])))
+                    v = batch.column("embedding")[0].as_py()
+                    if v is not None:
+                        dim = len(v)
+                    break
+        if dim is None and self.spark is None:
+            dim = 64  # spark-less worker, empty collection: the default
         if dim is None:
             row = self.warehouse.load(name).select(F.size("embedding").alias("d")).first()
             dim = row["d"] if row else 64

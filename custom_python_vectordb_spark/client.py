@@ -134,6 +134,7 @@ class Collection:
         bq: bool = False,
         ivfpq: bool = False,
         fetch_k: int | None = None,
+        index_params: dict | None = None,
     ) -> list[list[dict]]:
         """Batch kNN; results[i] corresponds to input query i (positional
         contract, empty slot when a filter matches nothing). ``ann=True``
@@ -144,8 +145,16 @@ class Collection:
         also incompatible with ``where``). ``ivfpq=True`` routes to the
         cell-pruned PQ tier (round 11: 32× resident compression at
         cell-pruned latency; same ``fetch_k`` rerank and ``where``
-        incompatibility)."""
+        incompatibility). ``index_params`` forwards index geometry to the
+        ann/ivfpq tiers (``n_cells``, ``nprobe``, and ``assign_r`` for
+        ann) — the same per-request tuning surface the reference's client
+        exposes for hnswlib's ef; the server contract-validates and 400s
+        out-of-range values."""
         body: dict[str, Any] = {"n_results": n_results}
+        if index_params:
+            for key in ("n_cells", "nprobe", "assign_r"):
+                if key in index_params:
+                    body[key] = int(index_params[key])
         if query_texts is not None:
             body["query_texts"] = query_texts
         if query_embeddings is not None:

@@ -178,6 +178,11 @@ def knn_partitioned(
 
 # {(paths, dtype, n_cells, assign_r, metric):
 #   (stat_key, centroids, [cell ids], [cell matrices])}
+# Bounded LRU (insertion-ordered dict, hit = pop+reinsert) since r12: the
+# REST ann route accepts per-request n_cells/nprobe, so distinct build
+# keys are request-controlled — each entry pins a cell-layout float copy
+# of its corpus, and unbounded growth would be a memory DoS.
+_IVF_CACHE_CAP = 4
 _IVF_REPLICA_CACHE: dict = {}
 
 
@@ -296,8 +301,9 @@ def _ivf_resolve(
     paths = tuple(sorted(shard_paths))
     stat_key = tuple((p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths))
     ck = (paths, dtype, n_cells, assign_r, metric, train_sample_cap, train_iters)
-    entry = _IVF_REPLICA_CACHE.get(ck)
+    entry = _IVF_REPLICA_CACHE.pop(ck, None)  # pop → reinsert = LRU touch
     if entry is not None and entry[0] == stat_key:
+        _IVF_REPLICA_CACHE[ck] = entry
         return entry
     loaded = _load_shards_id_sorted(paths, id_col, dtype)
     if loaded is None:
@@ -313,7 +319,17 @@ def _ivf_resolve(
     rowlists = _group_rows_by_cell(np, multi, len(cent))
     cell_ids = [ids[rows] for rows in rowlists]
     cell_mats = [np.ascontiguousarray(mat[rows]) for rows in rowlists]
-    entry = (stat_key, cent, cell_ids, cell_mats)
+    # int64 corpus-row positions per cell: the handle's assign_r dedup
+    # keys on these instead of id VALUES — an object-dtype (string-id)
+    # lexsort over the probed rows measured 9 ms/query (r12 soak)
+    cell_rows = [np.asarray(rows, dtype=np.int64) for rows in rowlists]
+    entry = (stat_key, cent, cell_ids, cell_mats, cell_rows)
+    # bounded LRU like _IVFPQ_REPLICA_CACHE: each entry pins a full float
+    # copy of its corpus in cell layout, and the REST ann route (r12)
+    # accepts per-request n_cells/nprobe-derived build keys — eviction
+    # must be by age, not clear-on-rebuild
+    while len(_IVF_REPLICA_CACHE) >= _IVF_CACHE_CAP:
+        _IVF_REPLICA_CACHE.pop(next(iter(_IVF_REPLICA_CACHE)))
     _IVF_REPLICA_CACHE[ck] = entry
     return entry
 
@@ -335,7 +351,7 @@ class IvfReplicaHandle:
 
     __slots__ = (
         "_paths", "_kw", "_np", "metric", "nprobe", "assign_r",
-        "cent", "cell_ids", "cell_mats", "_cent_sq", "_cell_sq",
+        "cent", "cell_ids", "cell_mats", "cell_rows", "_cent_sq", "_cell_sq",
     )
 
     def __init__(
@@ -371,7 +387,7 @@ class IvfReplicaHandle:
         if entry is None:
             raise ValueError("empty shard set")
         np = self._np
-        _, self.cent, self.cell_ids, self.cell_mats = entry
+        _, self.cent, self.cell_ids, self.cell_mats, self.cell_rows = entry
         self._cent_sq = (self.cent * self.cent).sum(1)
         self._cell_sq = (
             [(m * m).sum(1) for m in self.cell_mats] if self.metric == "l2" else None
@@ -408,12 +424,13 @@ class IvfReplicaHandle:
         # independent, so values are bit-identical to the per-cell form
         # (parity-asserted vs the batch path in tests), but the nprobe-1
         # extra temporaries + passes disappear — ~8% off the measured p50.
-        id_parts, d_parts, sq_parts = [], [], []
+        id_parts, row_parts, d_parts, sq_parts = [], [], [], []
         for j in probes:
             sids = self.cell_ids[j]
             if not len(sids):
                 continue
             id_parts.append(sids)
+            row_parts.append(self.cell_rows[j])
             d_parts.append(self.cell_mats[j] @ q)
             if self._cell_sq is not None:
                 sq_parts.append(self._cell_sq[j])
@@ -430,16 +447,69 @@ class IvfReplicaHandle:
         else:  # ip
             d = -dots
         if self.assign_r > 1:
-            # same (id)-keyed dedup rule as the batch path: per-cell GEMV
-            # copies can differ in the last ulp, keep the smaller
-            order = np.lexsort((d, ids))
-            ids, d = ids[order], d[order]
-            keep = np.r_[True, ids[1:] != ids[:-1]]
+            # same keep-the-smaller dedup rule as the batch path (per-cell
+            # GEMV copies can differ in the last ulp), but keyed on int64
+            # corpus-row positions instead of id values: row ↔ id is a
+            # bijection within one corpus, and an object-dtype string-id
+            # lexsort over the probed rows measured 9 ms/query (r12 soak)
+            # vs ~50 µs on int rows
+            rows = np.concatenate(row_parts)
+            order = np.lexsort((d, rows))
+            ids, d, rows = ids[order], d[order], rows[order]
+            keep = np.r_[True, rows[1:] != rows[:-1]]
             ids, d = ids[keep], d[keep]
         # tie-aware (dist, id) truncation — same rank rule as
         # ivf_replica_serve and the SQ/PQ/BQ handles (_topk_tie_aware);
         # a bare argpartition broke k-th-boundary ties arbitrarily
         return _topk_tie_aware(np, ids, d, k)
+
+
+# {(paths, n_cells, nprobe, assign_r, metric, id_col, dtype):
+#   (stat_key, IvfReplicaHandle)} — bounded LRU like the resolve caches
+_IVF_HANDLE_CAP = 4
+_IVF_HANDLE_CACHE: dict = {}
+
+
+def ivf_handle_for(
+    shard_paths: list[str],
+    *,
+    n_cells: int,
+    nprobe: int,
+    assign_r: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    dtype: str = "float64",
+) -> IvfReplicaHandle:
+    """Stat-checked LRU of pre-resolved :class:`IvfReplicaHandle`s — the
+    REST serving path's resolver (r12, VERDICT r11 task 7). The batch
+    :func:`ivf_replica_serve` costs ~1.8 ms/call of GIL-held pandas/stat
+    plumbing, which convoys ThreadingHTTPServer's 8 handler threads into
+    LOWER throughput than one stream (measured 311 → 48 q/s); this path
+    keeps the per-request Python down to one stat pass (~0.05 ms) and
+    serves from ``search_one`` (GIL-releasing BLAS). Freshness contract
+    is identical to the batch path: the handle refreshes whenever any
+    shard's (path, mtime_ns, size) changes."""
+    import os as _os
+
+    paths = tuple(sorted(shard_paths))
+    stat_key = tuple(
+        (p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths)
+    )
+    ck = (paths, n_cells, nprobe, assign_r, metric, id_col, dtype)
+    ent = _IVF_HANDLE_CACHE.pop(ck, None)  # pop → reinsert = LRU touch
+    if ent is not None:
+        sk, handle = ent
+        if sk != stat_key:
+            handle.refresh()
+    else:
+        handle = IvfReplicaHandle(
+            list(paths), n_cells=n_cells, nprobe=nprobe, assign_r=assign_r,
+            metric=metric, id_col=id_col, dtype=dtype,
+        )
+    while len(_IVF_HANDLE_CACHE) >= _IVF_HANDLE_CAP:
+        _IVF_HANDLE_CACHE.pop(next(iter(_IVF_HANDLE_CACHE)))
+    _IVF_HANDLE_CACHE[ck] = (stat_key, handle)
+    return handle
 
 
 def ivf_replica_serve(
@@ -486,7 +556,7 @@ def ivf_replica_serve(
     )
     if entry is None:
         return pd.DataFrame({"qid": [], id_col: [], dist_col: []})
-    _, cent, cell_ids, cell_mats = entry
+    _, cent, cell_ids, cell_mats, _cell_rows = entry
     c = len(cell_ids)
 
     qids = queries_pd["qid"].to_numpy()

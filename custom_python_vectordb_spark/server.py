@@ -584,11 +584,32 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                             "ann queries do not support where-filters; "
                             "use the exact path"
                         )
+                    # optional index geometry, contract-validated like the
+                    # ivfpq route (r12): the reference exposes its index
+                    # params per request too (ef/M in the hnswlib facade)
+                    n_cells = int(body.get("n_cells", 64))
+                    nprobe = int(body.get("nprobe", 8))
+                    assign_r = int(body.get("assign_r", 2))
+                    if not (1 <= n_cells <= 65536):
+                        raise ValueError(
+                            f"n_cells must be in [1, 65536], got {n_cells}"
+                        )
+                    if not (1 <= nprobe <= n_cells):
+                        raise ValueError(
+                            f"nprobe must be in [1, n_cells={n_cells}], got {nprobe}"
+                        )
+                    if not (1 <= assign_r <= 8):
+                        raise ValueError(
+                            f"assign_r must be in [1, 8], got {assign_r}"
+                        )
                     return 200, {
                         "results": coll.ann_serve(
                             query_texts=body.get("query_texts"),
                             query_embeddings=body.get("query_embeddings"),
                             n_results=int(body.get("n_results", 10)),
+                            n_cells=n_cells,
+                            nprobe=nprobe,
+                            assign_r=assign_r,
                         )
                     }
                 # "ivfpq": true routes to the cell-pruned PQ replica
@@ -783,9 +804,18 @@ def _graph_routes(graph: GraphStore, method: str, parts: list[str], body: dict, 
     return 404, {"error": f"no route {method} /" + "/".join(parts)}
 
 
-def make_server(db: VectorDB, port: int = 0) -> ThreadingHTTPServer:
+def make_server(db: VectorDB, port: int = 0, *, reuse_port: bool = False) -> ThreadingHTTPServer:
     """Build (not start) the server; port 0 picks a free port. The server
-    carries an EventBus (`srv.bus`) publishing every mutation route."""
+    carries an EventBus (`srv.bus`) publishing every mutation route.
+
+    ``reuse_port=True`` binds with SO_REUSEPORT so N independent WORKER
+    PROCESSES can share one port, kernel-load-balanced per connection —
+    the share-nothing scale-out answer to CPython's GIL: one process
+    serves ~1 stream of this workload at full speed (the per-request
+    Python — HTTP parse, route, JSON — serializes on the GIL, and 8
+    concurrent streams measured LOWER aggregate q/s than 1), N processes
+    serve ~N (r12 soak; the gunicorn/uvicorn-workers deployment model,
+    which is also what the reference's uvicorn benchmark runs)."""
     bus = EventBus()
     graph = GraphStore(db.spark)
     handle = _routes(db, bus, graph)
@@ -794,6 +824,11 @@ def make_server(db: VectorDB, port: int = 0) -> ThreadingHTTPServer:
         # WS clients reject a "HTTP/1.0 101" status line; every JSON route
         # sends Content-Length, so 1.1 keep-alive semantics are safe.
         protocol_version = "HTTP/1.1"
+        # TCP_NODELAY: headers and body leave as two small writes; with
+        # Nagle on, the body write stalls behind the peer's delayed ACK
+        # (~40 ms floor per request, measured in the r12 keep-alive soak —
+        # 48 ms/req REST vs 1.8 ms in-process before this line)
+        disable_nagle_algorithm = True
 
         def _reply(self, method):
             try:
@@ -988,7 +1023,12 @@ def make_server(db: VectorDB, port: int = 0) -> ThreadingHTTPServer:
         def log_message(self, *a):  # keep test output quiet
             pass
 
-    srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    server_cls = ThreadingHTTPServer
+    if reuse_port:
+        class server_cls(ThreadingHTTPServer):  # noqa: N801 — local subclass
+            allow_reuse_port = True
+
+    srv = server_cls(("127.0.0.1", port), Handler)
     srv.bus = bus  # exposed for embedding/tests
     srv.graph = graph
     return srv
@@ -1004,20 +1044,67 @@ def serve_background(db: VectorDB, port: int = 0) -> tuple[ThreadingHTTPServer, 
 
 
 def main() -> None:
-    """CLI: python -m custom_python_vectordb_spark.server <warehouse_dir> [port]"""
+    """CLI: python -m custom_python_vectordb_spark.server <warehouse_dir> [port]
+    [--workers N] [--serving-only]
+
+    --workers N (N > 1): spawn N share-nothing worker processes all bound
+      to the SAME port via SO_REUSEPORT (kernel per-connection load
+      balancing) — the GIL-scaling deployment shape, see make_server.
+      Each worker owns its replica caches; Parquet shards are the shared
+      truth, so coherence is the same stat-key contract as one process.
+    --serving-only: skip the Spark session. The in-process replica routes
+      (ann/ivfpq/bq/exact query_serve, health, events) work; plan-backed
+      routes (count, peek, exact declarative fallbacks) need Spark and
+      fail loudly. This is the hot-tier worker shape — front workers
+      serve vectors, one Spark-backed instance handles analytics."""
+    import argparse
+    import subprocess
     import sys
 
-    from custom_python_vectordb_spark.session import get_spark
+    ap = argparse.ArgumentParser()
+    ap.add_argument("root")
+    ap.add_argument("port", nargs="?", type=int, default=8765)
+    ap.add_argument("--workers", type=int, default=1)
+    ap.add_argument("--serving-only", action="store_true")
+    ap.add_argument("--reuse-port", action="store_true")
+    args = ap.parse_args()
 
-    if len(sys.argv) < 2:
-        print("usage: python -m custom_python_vectordb_spark.server <warehouse_dir> [port]")
-        raise SystemExit(2)
-    root = sys.argv[1]
-    port = int(sys.argv[2]) if len(sys.argv) > 2 else 8765
-    spark = get_spark("vectordb-server")
-    spark.sparkContext.setLogLevel("ERROR")
-    srv = make_server(VectorDB(spark, root), port)
-    print(f"serving {root} on http://127.0.0.1:{srv.server_address[1]} — Ctrl-C to stop")
+    if args.workers > 1:
+        if args.port == 0:
+            print("--workers needs an explicit port (0 would scatter workers)")
+            raise SystemExit(2)
+        cmd = [sys.executable, "-m", "custom_python_vectordb_spark.server",
+               args.root, str(args.port), "--reuse-port"]
+        if args.serving_only:
+            cmd.append("--serving-only")
+        procs = [subprocess.Popen(cmd) for _ in range(args.workers)]
+
+        def _stop(*_a):  # forward SIGTERM so no worker is orphaned
+            for p in procs:
+                p.terminate()
+            raise SystemExit(0)
+
+        import signal
+
+        signal.signal(signal.SIGTERM, _stop)
+        print(f"{args.workers} workers on http://127.0.0.1:{args.port} — Ctrl-C to stop")
+        try:
+            for p in procs:
+                p.wait()
+        except KeyboardInterrupt:
+            for p in procs:
+                p.terminate()
+        return
+
+    if args.serving_only:
+        spark = None
+    else:
+        from custom_python_vectordb_spark.session import get_spark
+
+        spark = get_spark("vectordb-server")
+        spark.sparkContext.setLogLevel("ERROR")
+    srv = make_server(VectorDB(spark, args.root), args.port, reuse_port=args.reuse_port)
+    print(f"serving {args.root} on http://127.0.0.1:{srv.server_address[1]} — Ctrl-C to stop")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

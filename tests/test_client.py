@@ -52,6 +52,16 @@ def test_full_crud_query_cycle(client):
     # corpus this tiny every cell is probed and the rerank is exact
     hits = coll.query(query_texts=["spark joins data"], n_results=1, ivfpq=True, fetch_k=10)
     assert hits[0][0]["id"] == "a"
+    # r12: per-request index geometry rides through index_params; the
+    # server contract-validates (400 on out-of-range, never a numpy error)
+    hits = coll.query(
+        query_texts=["spark joins data"], n_results=1, ann=True,
+        index_params={"n_cells": 2, "nprobe": 2, "assign_r": 1},
+    )
+    assert hits[0][0]["id"] == "a"
+    with pytest.raises(ClientError) as e:
+        coll.query(query_texts=["x"], ann=True, index_params={"n_cells": 0})
+    assert e.value.status == 400
 
     # get / peek carry the document and metadata
     got = coll.get("a")

@@ -301,7 +301,7 @@ def test_ivf_resolve_grouping_matches_boolean_scan(tmp_path):
             [p], id_col="vec_id", dtype="float64", metric="l2",
             n_cells=n_cells, assign_r=assign_r, train_sample_cap=cap,
         )
-        _, cent, cell_ids, cell_mats = entry
+        _, cent, cell_ids, cell_mats, cell_rows = entry
         c = len(cell_ids)
         # reconstruct the id-sorted matrix the builder worked from
         order = np.argsort(ids, kind="stable")
@@ -317,6 +317,8 @@ def test_ivf_resolve_grouping_matches_boolean_scan(tmp_path):
             msel = np.nonzero((multi == j).any(axis=1))[0]  # boolean-scan form
             assert np.array_equal(cell_ids[j], sids[msel]), (case, j)
             assert np.array_equal(cell_mats[j], smat[msel]), (case, j)
+            # r12: the handle's dedup keys on these id-sorted row positions
+            assert np.array_equal(cell_rows[j], msel), (case, j)
             total += len(msel)
         assert total == n * r  # every (row, slot) landed in exactly one cell
 

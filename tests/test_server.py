@@ -482,3 +482,100 @@ def test_ws_update_subscription_mid_stream(served):
     ev = ws.read_json()
     assert ev["event_type"] == "add" and ev["ids"] == ["b"]
     ws.close()
+
+
+def test_ann_route_geometry_params_and_validation(served):
+    """r12: the ann route accepts per-request n_cells/nprobe/assign_r
+    (contract-validated like the ivfpq route) and serves through the
+    stat-checked handle LRU — results must still match the exact path on
+    a fully-probed corpus, and bad geometry is a 400, never an opaque
+    numpy error."""
+    port = served
+    call(port, "POST", "/collections", {"name": "kb", "dimensions": 64})
+    call(
+        port, "POST", "/collections/kb/add",
+        {"ids": ["x", "y", "z"],
+         "documents": ["spark joins data", "brown foxes run", "quartz clocks tick"]},
+    )
+    status, ann = call(
+        port, "POST", "/collections/kb/query",
+        {"query_texts": ["spark joins data"], "n_results": 1, "ann": True,
+         "n_cells": 2, "nprobe": 2, "assign_r": 1},
+    )
+    assert status == 200 and ann["results"][0][0]["id"] == "x"
+    for bad in (
+        {"n_cells": 0},
+        {"n_cells": 70000},
+        {"nprobe": 0},
+        {"n_cells": 2, "nprobe": 3},
+        {"assign_r": 0},
+        {"assign_r": 9},
+    ):
+        status, out = call(
+            port, "POST", "/collections/kb/query",
+            {"query_texts": ["q"], "ann": True, **bad},
+        )
+        assert status == 400 and "error" in out, bad
+
+
+def test_serving_worker_pool_reuse_port(spark, tmp_path):
+    """r12 scale-out shape: N --serving-only worker processes sharing one
+    SO_REUSEPORT port (server.main --workers). Each worker answers the
+    IVF route with no Spark session; kill of the parent reaps the group."""
+    import os
+    import signal
+    import subprocess
+    import socket
+    import sys
+    import time
+    import urllib.request
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "wh"
+    cdir = root / "vecs"
+    cdir.mkdir(parents=True)
+    rows = [(str(i), [float(i), 1.0]) for i in range(64)]
+    pq.write_table(
+        pa.table({"id": pa.array([r[0] for r in rows]),
+                  "embedding": pa.array([r[1] for r in rows])}),
+        str(cdir / "part-0.parquet"),
+    )
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    pool = subprocess.Popen(
+        [sys.executable, "-m", "custom_python_vectordb_spark.server",
+         str(root), str(port), "--workers", "2", "--serving-only"],
+        cwd="/root/repo", stdout=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    try:
+        deadline = time.time() + 30
+        up = False
+        while time.time() < deadline:
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=2)
+                up = True
+                break
+            except Exception:
+                time.sleep(0.2)
+        assert up, "worker pool never became healthy"
+        status, out = call(
+            port, "POST", "/collections/vecs/query",
+            {"query_embeddings": [[3.0, 1.0]], "n_results": 1, "ann": True,
+             "n_cells": 2, "nprobe": 2, "assign_r": 1},
+        )
+        assert status == 200 and out["results"][0][0]["id"] == "3"
+    finally:
+        os.killpg(pool.pid, signal.SIGTERM)
+        pool.wait(timeout=10)
+    # the group is gone: the port refuses new connections
+    time.sleep(0.5)
+    try:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=2)
+        assert False, "a worker survived group SIGTERM"
+    except Exception:
+        pass
