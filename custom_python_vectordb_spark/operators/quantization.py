@@ -1068,18 +1068,16 @@ class SqReplicaHandle:
 
     __slots__ = (
         "_paths", "_id_col", "_np", "_chunk", "ids", "codes", "minv", "s",
-        "s2", "wa2", "_wa2_32", "_scratch32", "_cross32", "_buf32",
+        "s2", "wa2", "_wa2_32", "_cross32", "_buf32", "_ubuf32",
     )
 
     def __init__(self, shard_paths: list[str], *, id_col: str = "vec_id", chunk_rows: int = 1024):
         import numpy as np
 
-        # chunk_rows 1024 (r12, was 512 float64): the per-chunk float32
-        # widened block is 1024×D×4 B ≈ 0.5 MB at D=128 — L2-resident,
-        # so the widening write + GEMV read never round-trip DRAM; only
-        # the uint8 codes stream from memory. The float64 sweep history
-        # (16384 → 512 halved p50) carries over at the same scratch
-        # footprint; 2048 (1 MB) measured slower (L2 spill).
+        # chunk_rows sets the float64 EXACT-path chunk geometry only
+        # (phase 2 recomputes candidates in these absolute blocks — see
+        # _exact_rows); the float32 coarse pass is a single fused einsum
+        # and needs no scratch
         self._np = np
         self._paths = list(shard_paths)
         self._id_col = id_col
@@ -1098,9 +1096,9 @@ class SqReplicaHandle:
         self.s2 = self.s * self.s
         n = len(self.ids)
         self._wa2_32 = self.wa2.astype(np.float32)
-        self._scratch32 = np.empty((min(self._chunk, max(n, 1)), self.codes.shape[1]), np.float32)
         self._cross32 = np.empty(n, np.float32)
         self._buf32 = np.empty(n, np.float32)
+        self._ubuf32 = np.empty(n, np.float32)
 
     def _exact_rows(self, rows, qw, wb2: float):
         """Float64 L2-expansion distances for a row subset, recomputed IN
@@ -1157,17 +1155,20 @@ class SqReplicaHandle:
             return _topk_tie_aware(
                 np, self.ids, self._exact_rows(slice(None), qw, wb2), k
             )
-        # phase 1: float32 coarse scan (chunked L2-resident widening)
+        # phase 1: float32 coarse scan. einsum with a cast-dtype FUSES the
+        # uint8→float32 widening into the dot's own buffered pass — one
+        # read of the 12.8 MB code matrix instead of writing+re-reading a
+        # 51 MB float image (the widen-then-GEMV loop measured 5.1 ms vs
+        # 3.8 here, and it degraded faster under co-tenant cache
+        # pressure). Coarse summation order is free to differ from BLAS:
+        # the certified envelope below bounds ANY order.
         qw32 = qw.astype(np.float32)
         codes = self.codes
         cross = self._cross32
-        s32 = self._scratch32
-        chunk = self._chunk
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            c = hi - lo
-            np.copyto(s32[:c], codes[lo:hi], casting="unsafe")
-            np.matmul(s32[:c], qw32, out=cross[lo:hi])
+        np.einsum(
+            "ij,j->i", codes, qw32, out=cross,
+            dtype=np.float32, casting="unsafe",
+        )
         # error envelope: every expansion term is non-negative, so
         # |d2_f32 − d2_f64| ≤ _SQ_F32_ERR · (wa2 + 2·cross + wb2)
         env = self._buf32
@@ -1181,9 +1182,14 @@ class SqReplicaHandle:
         d2c += self._wa2_32
         d2c += np.float32(wb2)
         # certified superset: rows whose lower bound reaches the k-th
-        # smallest upper bound (boundary ties included by ≤)
-        upper = d2c + env
-        tau = np.partition(upper, m - 1)[m - 1]
+        # smallest upper bound (boundary ties included by ≤); one
+        # preallocated buffer serves as upper bounds, then (scrambled by
+        # the in-place introselect — order is irrelevant past the k-th
+        # statistic) is overwritten with the lower bounds
+        upper = self._ubuf32
+        np.add(d2c, env, out=upper)
+        upper.partition(m - 1)
+        tau = upper[m - 1]
         np.subtract(d2c, env, out=upper)  # reuse: now the lower bounds
         cand = np.flatnonzero(upper <= tau)
         # phase 2: exact float64 recompute of the candidates only
