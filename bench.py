@@ -672,7 +672,7 @@ def _bench_rest_soak(spark) -> dict:
 
     db = VectorDB(spark, wh_root)
     db.get_collection("vec100k", dimensions=128)  # pin dims: no discovery job
-    srv, port = serve_background(db)
+    srv, port = serve_background(db, ann_geometries={(384, 1)})
     try:
         run(port, 1, 30)  # server-side warm: IVF build + route caches
         one = run(port, 1, 400)
@@ -701,7 +701,8 @@ def _bench_rest_soak(spark) -> dict:
     s.close()
     pool = subprocess.Popen(
         [sys.executable, "-m", "custom_python_vectordb_spark.server",
-         wh_root, str(wport), "--workers", "8", "--serving-only"],
+         wh_root, str(wport), "--workers", "8", "--serving-only",
+         "--ann-geometries", "384:1"],
         cwd=here, stdout=subprocess.DEVNULL,
         start_new_session=True,  # teardown kills the GROUP — no orphan
         # worker survives a parent that dies between spawn and its

@@ -697,18 +697,39 @@ class VectorDB:
                 paths = self.warehouse.shard_paths(name)
             except (RuntimeError, FileNotFoundError):
                 paths = []  # e.g. active deletion vectors: use the plan
+            has_rows = False
             for p in paths:
                 import pyarrow.parquet as pq
 
                 f = pq.ParquetFile(p)
-                if f.metadata.num_rows:
-                    batch = next(iter(f.iter_batches(batch_size=1, columns=["embedding"])))
-                    v = batch.column("embedding")[0].as_py()
-                    if v is not None:
-                        dim = len(v)
+                if not f.metadata.num_rows:
+                    continue
+                has_rows = True
+                # scan forward for the first NON-NULL embedding — the
+                # first row (or the whole first shard) may hold NULLs, and
+                # stopping there silently mis-sized the collection (r13,
+                # ADVICE low: a --serving-only worker then fell back to 64
+                # and embedded query_texts at the wrong dimensionality)
+                for batch in f.iter_batches(batch_size=256, columns=["embedding"]):
+                    col = batch.column("embedding")
+                    if col.null_count == len(col):
+                        continue
+                    for v in col:
+                        if v.is_valid:
+                            dim = len(v)
+                            break
+                    if dim is not None:
+                        break
+                if dim is not None:
                     break
+            if dim is None and has_rows and self.spark is None:
+                raise ValueError(
+                    f"collection {name!r} has rows but no readable embedding "
+                    "— cannot discover dimensionality in a spark-less "
+                    "worker; pass dimensions= explicitly"
+                )
         if dim is None and self.spark is None:
-            dim = 64  # spark-less worker, empty collection: the default
+            dim = 64  # spark-less worker, EMPTY collection: the default
         if dim is None:
             row = self.warehouse.load(name).select(F.size("embedding").alias("d")).first()
             dim = row["d"] if row else 64

@@ -32,6 +32,8 @@ happens once at write time, not per job.
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -352,6 +354,7 @@ class IvfReplicaHandle:
     __slots__ = (
         "_paths", "_kw", "_np", "metric", "nprobe", "assign_r",
         "cent", "cell_ids", "cell_mats", "cell_rows", "_cent_sq", "_cell_sq",
+        "_snap",
     )
 
     def __init__(
@@ -382,16 +385,27 @@ class IvfReplicaHandle:
 
     def refresh(self) -> None:
         """Re-resolve against the shard files (stat check + rebuild if
-        changed) — the write-visibility boundary for mutating callers."""
+        changed) — the write-visibility boundary for mutating callers.
+
+        Concurrency: REST handler threads share one handle, so the new
+        state is built entirely in locals and published as ONE tuple
+        assignment (``self._snap = …``, atomic under the GIL); a racing
+        ``search_one`` sees either the whole old index or the whole new
+        one, never a torn mix of new cell_ids with old cell_mats (r13,
+        ADVICE high)."""
         entry = _ivf_resolve(self._paths, **self._kw)
         if entry is None:
             raise ValueError("empty shard set")
-        np = self._np
-        _, self.cent, self.cell_ids, self.cell_mats, self.cell_rows = entry
-        self._cent_sq = (self.cent * self.cent).sum(1)
-        self._cell_sq = (
-            [(m * m).sum(1) for m in self.cell_mats] if self.metric == "l2" else None
+        _, cent, cell_ids, cell_mats, cell_rows = entry
+        cent_sq = (cent * cent).sum(1)
+        cell_sq = (
+            [(m * m).sum(1) for m in cell_mats] if self.metric == "l2" else None
         )
+        # legacy per-field views (single-threaded callers/tests); readers
+        # on the serving path use only the atomic snapshot below
+        self.cent, self.cell_ids, self.cell_mats = cent, cell_ids, cell_mats
+        self.cell_rows, self._cent_sq, self._cell_sq = cell_rows, cent_sq, cell_sq
+        self._snap = (cent, cell_ids, cell_mats, cell_rows, cent_sq, cell_sq)
 
     def search_one(self, qvec, k: int = 10):
         """Exact-within-probed-cells top-k for ONE query vector: (ids,
@@ -409,14 +423,17 @@ class IvfReplicaHandle:
         (bound ≈ 0.1 vs k-th ≈ 0.25) while costing ~30 µs/call of bound
         bookkeeping."""
         np = self._np
-        q = np.asarray(qvec, dtype=self.cent.dtype)
+        # one atomic snapshot read: a concurrent refresh() can swap the
+        # whole index mid-call but can never hand this call a torn mix
+        cent, cell_ids, cell_mats, cell_rows, cent_sq, cell_sq = self._snap
+        q = np.asarray(qvec, dtype=cent.dtype)
         if self.metric == "cosine":
             # q @ q + sqrt beats np.linalg.norm's dispatch on the hot path
             qn = float(q @ q) ** 0.5
             if qn != 0.0:
                 q = q / qn
         # probe selection: |q|^2 is rank-invariant, omit it
-        cscore = self._cent_sq - 2.0 * (self.cent @ q)
+        cscore = cent_sq - 2.0 * (cent @ q)
         p = min(self.nprobe, len(cscore))
         probes = cscore.argpartition(p - 1)[:p]
         # r11: per-probe GEMVs emit raw dots; the dist transform runs ONCE
@@ -426,14 +443,14 @@ class IvfReplicaHandle:
         # extra temporaries + passes disappear — ~8% off the measured p50.
         id_parts, row_parts, d_parts, sq_parts = [], [], [], []
         for j in probes:
-            sids = self.cell_ids[j]
+            sids = cell_ids[j]
             if not len(sids):
                 continue
             id_parts.append(sids)
-            row_parts.append(self.cell_rows[j])
-            d_parts.append(self.cell_mats[j] @ q)
-            if self._cell_sq is not None:
-                sq_parts.append(self._cell_sq[j])
+            row_parts.append(cell_rows[j])
+            d_parts.append(cell_mats[j] @ q)
+            if cell_sq is not None:
+                sq_parts.append(cell_sq[j])
         if not id_parts:
             return np.empty(0, dtype=np.int64), np.empty(0)
         ids = np.concatenate(id_parts)
@@ -465,9 +482,13 @@ class IvfReplicaHandle:
 
 
 # {(paths, n_cells, nprobe, assign_r, metric, id_col, dtype):
-#   (stat_key, IvfReplicaHandle)} — bounded LRU like the resolve caches
+#   (stat_key, IvfReplicaHandle)} — bounded LRU like the resolve caches.
+# All mutations (and refresh-on-stale) run under _IVF_HANDLE_LOCK so two
+# REST threads can't interleave a build/refresh (r13, ADVICE high);
+# search_one itself never takes the lock — it reads one atomic snapshot.
 _IVF_HANDLE_CAP = 4
 _IVF_HANDLE_CACHE: dict = {}
+_IVF_HANDLE_LOCK = _threading.Lock()
 
 
 def ivf_handle_for(
@@ -496,19 +517,24 @@ def ivf_handle_for(
         (p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths)
     )
     ck = (paths, n_cells, nprobe, assign_r, metric, id_col, dtype)
-    ent = _IVF_HANDLE_CACHE.pop(ck, None)  # pop → reinsert = LRU touch
-    if ent is not None:
-        sk, handle = ent
-        if sk != stat_key:
-            handle.refresh()
-    else:
-        handle = IvfReplicaHandle(
-            list(paths), n_cells=n_cells, nprobe=nprobe, assign_r=assign_r,
-            metric=metric, id_col=id_col, dtype=dtype,
-        )
-    while len(_IVF_HANDLE_CACHE) >= _IVF_HANDLE_CAP:
-        _IVF_HANDLE_CACHE.pop(next(iter(_IVF_HANDLE_CACHE)))
-    _IVF_HANDLE_CACHE[ck] = (stat_key, handle)
+    # one lock around lookup + build/refresh + reinsert: concurrent REST
+    # threads can't double-build one geometry or interleave two refreshes
+    # of the same handle (r13, ADVICE high). Builds serialize, which is
+    # the point — a k-means retrain must happen once, not per thread.
+    with _IVF_HANDLE_LOCK:
+        ent = _IVF_HANDLE_CACHE.pop(ck, None)  # pop → reinsert = LRU touch
+        if ent is not None:
+            sk, handle = ent
+            if sk != stat_key:
+                handle.refresh()
+        else:
+            handle = IvfReplicaHandle(
+                list(paths), n_cells=n_cells, nprobe=nprobe, assign_r=assign_r,
+                metric=metric, id_col=id_col, dtype=dtype,
+            )
+        while len(_IVF_HANDLE_CACHE) >= _IVF_HANDLE_CAP:
+            _IVF_HANDLE_CACHE.pop(next(iter(_IVF_HANDLE_CACHE)))
+        _IVF_HANDLE_CACHE[ck] = (stat_key, handle)
     return handle
 
 

@@ -1008,13 +1008,15 @@ def pq_replica_serve(
     return parts.iloc[order].reset_index(drop=True)
 
 
-# Certified absolute-error coefficient for the float32 coarse SQ scan:
-# worst-case γ-bound for the D=128 non-negative-term expansion is
-# (D + 8)·2⁻²⁴ ≈ 8.2e-6 (cast of qw/wa2/wb2 to float32, the GEMV
+# Margin multiplier for the certified float32 coarse-scan error bound.
+# The worst-case γ-bound for the non-negative-term L2 expansion GROWS
+# with dimension — (D + 8)·2⁻²⁴ (cast of qw/wa2/wb2 to float32, the GEMV
 # summation, and the 3 expansion adds, each bounded by the running
-# non-negative magnitude); 1e-4 carries a ~12× margin. Property-tested
-# against the float64 truth in test_quantization.
-_SQ_F32_ERR = 1e-4
+# non-negative magnitude) — so the coefficient is computed from the
+# corpus D at refresh() (r13, ADVICE medium: a constant tuned to D=128
+# undersizes the envelope at 2048/4096-d and can silently drop true
+# top-k rows). 12× matches the margin the old D=128 constant carried.
+_SQ_F32_MARGIN = 12.0
 
 
 def _topk_tie_aware(np, ids, d, k: int):
@@ -1051,7 +1053,7 @@ class SqReplicaHandle:
     r12 two-phase scan: the coarse pass widens uint8→float32 (half the
     cast cost of float64 — the cast, not the GEMV, dominated the r11
     profile) and keeps a CERTIFIED error envelope per row
-    (``_SQ_F32_ERR`` × the sum of the expansion's non-negative term
+    (``_err32 = _SQ_F32_MARGIN·(D+8)·2⁻²⁴`` × the sum of the non-negative term
     magnitudes — every term is ≥0, so absolute float32 error is bounded
     by the envelope with a ~12× margin over the worst-case γ₁₂₈ bound).
     Rows whose envelope-lowered distance can reach the k-th
@@ -1068,7 +1070,7 @@ class SqReplicaHandle:
 
     __slots__ = (
         "_paths", "_id_col", "_np", "_chunk", "ids", "codes", "minv", "s",
-        "s2", "wa2", "_wa2_32", "_cross32", "_buf32", "_ubuf32",
+        "s2", "wa2", "_wa2_32", "_err32",
     )
 
     def __init__(self, shard_paths: list[str], *, id_col: str = "vec_id", chunk_rows: int = 1024):
@@ -1094,11 +1096,10 @@ class SqReplicaHandle:
         entry = _SQ_REPLICA_CACHE[(tuple(sorted(self._paths)), self._id_col)]
         _, self.ids, self.codes, self.minv, self.s, self.wa2 = entry
         self.s2 = self.s * self.s
-        n = len(self.ids)
         self._wa2_32 = self.wa2.astype(np.float32)
-        self._cross32 = np.empty(n, np.float32)
-        self._buf32 = np.empty(n, np.float32)
-        self._ubuf32 = np.empty(n, np.float32)
+        # dimension-dependent certified coefficient (see _SQ_F32_MARGIN)
+        d_dim = int(self.codes.shape[1]) if self.codes.ndim == 2 else 0
+        self._err32 = np.float32(_SQ_F32_MARGIN * (d_dim + 8) * 2.0 ** -24)
 
     def _exact_rows(self, rows, qw, wb2: float):
         """Float64 L2-expansion distances for a row subset, recomputed IN
@@ -1162,20 +1163,24 @@ class SqReplicaHandle:
         # 3.8 here, and it degraded faster under co-tenant cache
         # pressure). Coarse summation order is free to differ from BLAS:
         # the certified envelope below bounds ANY order.
+        # scratch is allocated per call (3 × n float32 — small next to
+        # the scan cost): handles are served from concurrent REST threads,
+        # and shared preallocated buffers corrupted each other's envelopes
+        # under reentrancy (r13, ADVICE low)
         qw32 = qw.astype(np.float32)
         codes = self.codes
-        cross = self._cross32
+        cross = np.empty(n, np.float32)
         np.einsum(
             "ij,j->i", codes, qw32, out=cross,
             dtype=np.float32, casting="unsafe",
         )
         # error envelope: every expansion term is non-negative, so
-        # |d2_f32 − d2_f64| ≤ _SQ_F32_ERR · (wa2 + 2·cross + wb2)
-        env = self._buf32
+        # |d2_f32 − d2_f64| ≤ _err32 · (wa2 + 2·cross + wb2)
+        env = np.empty(n, np.float32)
         np.multiply(cross, np.float32(2.0), out=env)
         env += self._wa2_32
         env += np.float32(wb2)
-        env *= np.float32(_SQ_F32_ERR)
+        env *= self._err32
         # d2_f32 in place of cross
         d2c = cross
         d2c *= np.float32(-2.0)
@@ -1186,7 +1191,7 @@ class SqReplicaHandle:
         # preallocated buffer serves as upper bounds, then (scrambled by
         # the in-place introselect — order is irrelevant past the k-th
         # statistic) is overwritten with the lower bounds
-        upper = self._ubuf32
+        upper = np.empty(n, np.float32)
         np.add(d2c, env, out=upper)
         upper.partition(m - 1)
         tau = upper[m - 1]

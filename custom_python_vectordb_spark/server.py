@@ -375,7 +375,22 @@ def _texts_df(db: VectorDB, ids: list, documents: list, metadatas: list | None =
     return embed_column(df, "_document", "embedding", dims)
 
 
-def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None = None):
+def _routes(
+    db: VectorDB,
+    bus: EventBus | None = None,
+    graph: GraphStore | None = None,
+    ann_geometries: frozenset | None = None,
+):
+    # Build-affecting index geometry a request may select. nprobe is a
+    # query-time knob (free within bounds, like hnswlib's ef); n_cells and
+    # assign_r key a k-means retrain + corpus re-layout, so an arbitrary
+    # request-supplied value lets a client force unbounded rebuild CPU
+    # (the 4-entry LRU caps memory, not retrains — r13, ADVICE low).
+    # Operators extend the set at make_server(ann_geometries=...).
+    if ann_geometries is None:
+        ann_geometries = frozenset({(64, 2)})
+    ivfpq_cells = frozenset(g[0] for g in ann_geometries)
+
     def publish(collection: str, event_type: str, **data):
         if bus is not None:
             bus.publish({"collection": collection, "event_type": event_type, **data})
@@ -590,17 +605,18 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                     n_cells = int(body.get("n_cells", 64))
                     nprobe = int(body.get("nprobe", 8))
                     assign_r = int(body.get("assign_r", 2))
-                    if not (1 <= n_cells <= 65536):
+                    if (n_cells, assign_r) not in ann_geometries:
                         raise ValueError(
-                            f"n_cells must be in [1, 65536], got {n_cells}"
+                            f"index geometry (n_cells={n_cells}, assign_r="
+                            f"{assign_r}) is not in this server's allowed set "
+                            f"{sorted(ann_geometries)}; n_cells/assign_r key a "
+                            "k-means retrain — ask the operator to add the "
+                            "geometry (make_server ann_geometries=...). "
+                            "nprobe is query-time and free within bounds."
                         )
                     if not (1 <= nprobe <= n_cells):
                         raise ValueError(
                             f"nprobe must be in [1, n_cells={n_cells}], got {nprobe}"
-                        )
-                    if not (1 <= assign_r <= 8):
-                        raise ValueError(
-                            f"assign_r must be in [1, 8], got {assign_r}"
                         )
                     return 200, {
                         "results": coll.ann_serve(
@@ -624,13 +640,15 @@ def _routes(db: VectorDB, bus: EventBus | None = None, graph: GraphStore | None 
                         )
                     n_cells = int(body.get("n_cells", 64))
                     nprobe = int(body.get("nprobe", 6))
-                    # contract-validate BEFORE index construction: n_cells=0
-                    # would train k-means on an empty centroid set and die
-                    # with an opaque numpy error; bound above so a request
-                    # can't key an absurd build that thrashes the LRU
-                    if not (1 <= n_cells <= 65536):
+                    # contract-validate BEFORE index construction; n_cells
+                    # keys a retrain, so it faces the same operator
+                    # allowlist as the ann route (r13, ADVICE low)
+                    if n_cells not in ivfpq_cells:
                         raise ValueError(
-                            f"n_cells must be in [1, 65536], got {n_cells}"
+                            f"n_cells={n_cells} is not in this server's "
+                            f"allowed set {sorted(ivfpq_cells)}; it keys a "
+                            "k-means retrain — ask the operator to add it "
+                            "(make_server ann_geometries=...)"
                         )
                     if not (1 <= nprobe <= n_cells):
                         raise ValueError(
@@ -804,7 +822,13 @@ def _graph_routes(graph: GraphStore, method: str, parts: list[str], body: dict, 
     return 404, {"error": f"no route {method} /" + "/".join(parts)}
 
 
-def make_server(db: VectorDB, port: int = 0, *, reuse_port: bool = False) -> ThreadingHTTPServer:
+def make_server(
+    db: VectorDB,
+    port: int = 0,
+    *,
+    reuse_port: bool = False,
+    ann_geometries: frozenset | set | None = None,
+) -> ThreadingHTTPServer:
     """Build (not start) the server; port 0 picks a free port. The server
     carries an EventBus (`srv.bus`) publishing every mutation route.
 
@@ -818,7 +842,10 @@ def make_server(db: VectorDB, port: int = 0, *, reuse_port: bool = False) -> Thr
     which is also what the reference's uvicorn benchmark runs)."""
     bus = EventBus()
     graph = GraphStore(db.spark)
-    handle = _routes(db, bus, graph)
+    handle = _routes(
+        db, bus, graph,
+        ann_geometries=frozenset(ann_geometries) if ann_geometries else None,
+    )
 
     class Handler(BaseHTTPRequestHandler):
         # WS clients reject a "HTTP/1.0 101" status line; every JSON route
@@ -1034,9 +1061,11 @@ def make_server(db: VectorDB, port: int = 0, *, reuse_port: bool = False) -> Thr
     return srv
 
 
-def serve_background(db: VectorDB, port: int = 0) -> tuple[ThreadingHTTPServer, int]:
+def serve_background(
+    db: VectorDB, port: int = 0, *, ann_geometries: frozenset | set | None = None
+) -> tuple[ThreadingHTTPServer, int]:
     """Start serving on a daemon thread; returns (server, bound_port)."""
-    srv = make_server(db, port)
+    srv = make_server(db, port, ann_geometries=ann_geometries)
     srv.daemon_threads = True  # SSE handler threads must not block shutdown
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -1067,7 +1096,20 @@ def main() -> None:
     ap.add_argument("--workers", type=int, default=1)
     ap.add_argument("--serving-only", action="store_true")
     ap.add_argument("--reuse-port", action="store_true")
+    ap.add_argument(
+        "--ann-geometries",
+        default=None,
+        help="comma list of allowed build geometries 'n_cells:assign_r' "
+             "(e.g. '64:2,384:1'); requests selecting other geometries get "
+             "a 400 instead of keying a k-means retrain",
+    )
     args = ap.parse_args()
+    geoms = None
+    if args.ann_geometries:
+        geoms = frozenset(
+            (int(g.split(":")[0]), int(g.split(":")[1]))
+            for g in args.ann_geometries.split(",")
+        )
 
     if args.workers > 1:
         if args.port == 0:
@@ -1077,6 +1119,8 @@ def main() -> None:
                args.root, str(args.port), "--reuse-port"]
         if args.serving_only:
             cmd.append("--serving-only")
+        if args.ann_geometries:
+            cmd += ["--ann-geometries", args.ann_geometries]
         procs = [subprocess.Popen(cmd) for _ in range(args.workers)]
 
         def _stop(*_a):  # forward SIGTERM so no worker is orphaned
@@ -1103,7 +1147,10 @@ def main() -> None:
 
         spark = get_spark("vectordb-server")
         spark.sparkContext.setLogLevel("ERROR")
-    srv = make_server(VectorDB(spark, args.root), args.port, reuse_port=args.reuse_port)
+    srv = make_server(
+        VectorDB(spark, args.root), args.port,
+        reuse_port=args.reuse_port, ann_geometries=geoms,
+    )
     print(f"serving {args.root} on http://127.0.0.1:{srv.server_address[1]} — Ctrl-C to stop")
     try:
         srv.serve_forever()

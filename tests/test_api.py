@@ -388,3 +388,56 @@ def test_ivfpq_serve_all_empty_shards(db):
     assert db.warehouse.shard_paths("hollow")  # the premise: paths exist
     out = c.ivfpq_serve(query_embeddings=[[0.0] * 8, [1.0] * 8], n_results=3)
     assert out == [[], []]
+
+
+def test_dim_discovery_skips_null_embeddings(tmp_path):
+    """r13 ADVICE (low): dimension discovery must scan past NULL
+    embeddings (and empty leading shards) for the first real vector — a
+    spark-less worker that breaks at the first non-empty shard silently
+    fell back to dim=64 and embedded query_texts at the wrong width. A
+    collection with rows but NO readable embedding must raise, not
+    default."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.api import VectorDB
+
+    root = tmp_path / "wh"
+    cdir = root / "vecs"
+    cdir.mkdir(parents=True)
+    emb_type = pa.list_(pa.float64())
+    # shard 0: rows exist, every embedding NULL (e.g. text-only ingests)
+    pq.write_table(
+        pa.table({
+            "id": pa.array(["a", "b"]),
+            "embedding": pa.array([None, None], type=emb_type),
+        }),
+        str(cdir / "part-0.parquet"),
+    )
+    # shard 1: first real vector, 16-d
+    pq.write_table(
+        pa.table({
+            "id": pa.array(["c"]),
+            "embedding": pa.array([list(np.arange(16, dtype=float))], type=emb_type),
+        }),
+        str(cdir / "part-1.parquet"),
+    )
+    db = VectorDB(None, str(root))
+    assert db.get_collection("vecs").dimensions == 16
+
+    # all-null collection: loud error beats a silent 64
+    cdir2 = root / "nulls"
+    cdir2.mkdir()
+    pq.write_table(
+        pa.table({
+            "id": pa.array(["x"]),
+            "embedding": pa.array([None], type=emb_type),
+        }),
+        str(cdir2 / "part-0.parquet"),
+    )
+    db2 = VectorDB(None, str(root))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no readable embedding"):
+        db2.get_collection("nulls")

@@ -432,3 +432,67 @@ def test_ivfpq_cache_bounded_lru():
     live_ncells = {k[2] for k in P._IVFPQ_REPLICA_CACHE}
     assert live_ncells == {8, 12, 16, 20}
     P._IVFPQ_REPLICA_CACHE.clear()
+
+
+def test_ivf_handle_concurrent_refresh_never_tears(tmp_path):
+    """r13 ADVICE (high): REST handler threads share one handle while a
+    shard rewrite triggers refresh(). The index must be published as ONE
+    atomic snapshot — a racing reader sees either the whole old corpus or
+    the whole new one, never new cell_ids with old cell_mats (which raised
+    shape errors or returned ids from neither version)."""
+    import threading
+    import time as _time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.operators.partitioned import IvfReplicaHandle
+
+    rng = np.random.default_rng(3)
+    p = str(tmp_path / "shard.parquet")
+
+    def write(n_rows: int, base: int):
+        mat = rng.standard_normal((n_rows, 16)).astype(np.float64)
+        pq.write_table(
+            pa.table({
+                "vec_id": np.arange(base, base + n_rows),
+                "embedding": list(mat),
+            }),
+            p, compression="none",
+        )
+
+    # two corpora with DIFFERENT row counts and disjoint id ranges so a
+    # torn mix is detectable: version A ids < 10_000, version B ≥ 10_000
+    write(800, 0)
+    h = IvfReplicaHandle([p], n_cells=8, nprobe=8, assign_r=1, metric="l2")
+    errors: list = []
+    stop = threading.Event()
+
+    def reader():
+        q = rng.standard_normal(16)
+        while not stop.is_set():
+            try:
+                ids, dists = h.search_one(q, k=5)
+                lo, hi = int(min(ids)), int(max(ids))
+                # ids must come from ONE version, never a mix
+                if not (hi < 10_000 or lo >= 10_000):
+                    errors.append(f"torn id mix: {lo}..{hi}")
+                if len(dists) and list(dists) != sorted(dists):
+                    errors.append("unsorted")
+            except Exception as e:  # torn state raised shape errors pre-fix
+                errors.append(repr(e))
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    flip = True
+    for _ in range(6):
+        _time.sleep(0.02)  # mtime_ns must move between writes
+        write(1200 if flip else 800, 10_000 if flip else 0)
+        flip = not flip
+        h.refresh()
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:5]

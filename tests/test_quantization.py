@@ -444,3 +444,81 @@ def test_sq_handle_two_phase_bit_identity():
             i_ref, d_ref = full_scan(q, k)
             assert np.array_equal(i_new, i_ref)
             assert np.array_equal(d_new, d_ref)
+
+
+def test_sq_handle_reentrant_under_concurrency():
+    """r13 ADVICE (low): SqReplicaHandle is served from concurrent REST
+    threads — concurrent search_one calls must return exactly what serial
+    calls return (the r12 shared preallocated scratch buffers corrupted
+    each other's envelopes under reentrancy)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from custom_python_vectordb_spark.operators.quantization import SqReplicaHandle
+
+    shard = "/root/testdata/sf0.01/embeddings.parquet"
+    h = SqReplicaHandle([shard])
+    rng = np.random.default_rng(7)
+    dim = h.codes.shape[1]
+    queries = [h.minv + rng.random(dim) * (h.s * 255.0) for _ in range(32)]
+    serial = [h.search_one(q, k=10) for q in queries]
+    with ThreadPoolExecutor(8) as ex:
+        for _ in range(3):  # repeat: interleavings vary per run
+            conc = list(ex.map(lambda q: h.search_one(q, k=10), queries))
+            for (si, sd), (ci, cd) in zip(serial, conc):
+                assert list(si) == list(ci)
+                assert np.array_equal(sd, cd)
+
+
+def test_sq_handle_envelope_scales_with_dimension(tmp_path):
+    """r13 ADVICE (medium): the certified float32 coarse-scan coefficient
+    must grow with D — a constant tuned to D=128 undersizes the envelope
+    at 2048-d and can silently drop true top-k rows. Checks the computed
+    coefficient dominates the true worst-case bound and that high-dim
+    results stay bit-identical to the float64 scan on near-duplicate rows
+    (the envelope's hardest case)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.operators.quantization import (
+        SqReplicaHandle,
+        _topk_tie_aware,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, n = 2048, 3000
+    base = rng.random((n, dim))
+    # clusters of near-duplicates: rows whose float32 coarse distances
+    # collide are exactly where an undersized envelope drops true top-k
+    base[1::3] = base[0::3][: len(base[1::3])] + 1e-7
+    p = str(tmp_path / "hd.parquet")
+    pq.write_table(
+        pa.table({"vec_id": np.arange(n), "embedding": list(base)}),
+        p, compression="none",
+    )
+    h = SqReplicaHandle([p])
+    true_bound = (dim + 8) * 2.0 ** -24
+    assert float(h._err32) >= true_bound, (float(h._err32), true_bound)
+
+    def full_scan(qvec, k):
+        q = np.asarray(qvec, dtype=np.float64)
+        scale = h.s * 255.0
+        qc = np.floor(np.clip((q - h.minv) / scale * 255.0, 0.0, 255.0))
+        qw = qc * h.s2
+        wb2 = float((qc * qc * h.s2).sum())
+        nn = len(h.ids)
+        d2 = np.empty(nn, dtype=np.float64)
+        for lo in range(0, nn, h._chunk):
+            hi = min(lo + h._chunk, nn)
+            d2[lo:hi] = h.codes[lo:hi].astype(np.float64) @ qw
+        d2 *= -2.0
+        d2 += h.wa2
+        d2 += wb2
+        np.maximum(d2, 0.0, out=d2)
+        np.sqrt(d2, out=d2)
+        return _topk_tie_aware(np, h.ids, d2, k)
+
+    for q in [base[i] for i in range(0, 30, 3)]:
+        ti, td = full_scan(q, 10)
+        hi_, hd = h.search_one(q, 10)
+        assert list(ti) == list(hi_)
+        assert np.array_equal(td, hd)

@@ -27,7 +27,12 @@ def call(port, method, path, body=None):
 
 @pytest.fixture()
 def served(spark, tmp_path):
-    srv, port = serve_background(VectorDB(spark, str(tmp_path / "wh")))
+    # the test geometries (2-cell toy indexes) are allowlisted explicitly:
+    # build-affecting n_cells/assign_r are operator-gated since r13
+    srv, port = serve_background(
+        VectorDB(spark, str(tmp_path / "wh")),
+        ann_geometries={(64, 2), (2, 1), (2, 2)},
+    )
     yield port
     srv.shutdown()
 
@@ -510,6 +515,9 @@ def test_ann_route_geometry_params_and_validation(served):
         {"n_cells": 2, "nprobe": 3},
         {"assign_r": 0},
         {"assign_r": 9},
+        # valid-looking but NOT in the server's allowlist: geometry keys a
+        # k-means retrain, so it is operator-gated, not client-chosen (r13)
+        {"n_cells": 128},
     ):
         status, out = call(
             port, "POST", "/collections/kb/query",
@@ -548,7 +556,8 @@ def test_serving_worker_pool_reuse_port(spark, tmp_path):
     s.close()
     pool = subprocess.Popen(
         [sys.executable, "-m", "custom_python_vectordb_spark.server",
-         str(root), str(port), "--workers", "2", "--serving-only"],
+         str(root), str(port), "--workers", "2", "--serving-only",
+         "--ann-geometries", "2:1"],
         cwd="/root/repo", stdout=subprocess.DEVNULL,
         start_new_session=True,
     )
