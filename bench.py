@@ -1111,6 +1111,7 @@ def main() -> None:
         "rest_ann_c8_w8_qps", "rest_ann_c8_w8_p50_ms", "rest_ann_c8_w8_p99_ms",
         "rest_ann_c8_qps", "rest_ann_c8_p50_ms", "rest_ann_c8_p99_ms",
         "rest_ann_c1_qps", "rest_ann_c1_p50_ms",
+        "knn_single_100k_bq_p50_ms",
         "knn_single_100k_sq_p50_ms", "knn_single_100k_pq_p50_ms",
         "knn_batch20_100k_filtered_ms_per_query",
         "knn_batch20_100k_rand_bq_recall_at10", "knn_batch20_100k_rand_pq_recall_at10",

@@ -616,23 +616,36 @@ class BqReplicaHandle:
         qw = np.ascontiguousarray(qp).view(np.uint64)
         words = self.words
         n = len(self.ids)
-        # single-threaded SWAR: at one query the per-slice numpy ops are
-        # too small to amortize GIL handoffs (a thread pool measured 3×
-        # SLOWER than this loop; the batch path's threads only pay off on
-        # its (Q, N) matrices)
-        acc = np.zeros(n, dtype=np.uint64)
-        x = np.empty(n, dtype=np.uint64)
-        t = np.empty(n, dtype=np.uint64)
-        for w in range(words.shape[1]):
-            np.bitwise_xor(qw[w], words[:, w], out=x)
-            acc += _popcount64(x, t)
+        # single-threaded SWAR over 32K-row blocks: the x/t scratch
+        # (2 × 256 KB) stays L2-resident across the ~12 per-word passes
+        # instead of streaming N×8B through DRAM each pass (measured p50
+        # 1.61 → 1.22 ms at 100K×128, r13). Still one thread: at one
+        # query the per-slice ops are too small to amortize GIL handoffs
+        # (a 2-thread split measured 2.5× SLOWER; the batch path's
+        # threads only pay off on its (Q, N) matrices).
+        blk = 32768
+        n_words = words.shape[1]
+        acc = np.empty(n, dtype=np.uint16)
+        bw = min(blk, n)
+        x = np.empty(bw, dtype=np.uint64)
+        t = np.empty(bw, dtype=np.uint64)
+        for lo in range(0, n, blk):
+            hi = min(lo + blk, n)
+            m = hi - lo
+            xx, tt, a = x[:m], t[:m], acc[lo:hi]
+            np.bitwise_xor(qw[0], words[lo:hi, 0], out=xx)
+            a[:] = _popcount64(xx, tt)  # cast-assign uint64→uint16
+            for w in range(1, n_words):
+                np.bitwise_xor(qw[w], words[lo:hi, w], out=xx)
+                np.add(a, _popcount64(xx, tt), out=a, casting="unsafe")
         m = min(k, n)
         if m < n:
             # Hamming lives in [0, bits]: a bincount gives the exact k-th
             # boundary value in one cheap pass (no argpartition), and the
             # (dist, id) lexsort over everything at or below it applies
-            # the id tie-break exactly like the batch path
-            hist = np.bincount(acc.astype(np.int64))
+            # the id tie-break exactly like the batch path (uint16 feeds
+            # bincount directly — no widening pass)
+            hist = np.bincount(acc)
             thr = int(np.searchsorted(np.cumsum(hist), m))
             cand = np.nonzero(acc <= thr)[0]
             ids, d = self.ids[cand], acc[cand]
@@ -696,25 +709,39 @@ def bq_replica_serve(
     qwords = np.ascontiguousarray(qpacked).view(np.uint64)
     n = len(ids)
     # the scan is memory-bandwidth-bound (10 SWAR passes over a (Q, N)
-    # uint64 matrix per word; one core sustains ~5 GB/s): shard the corpus
-    # rows across a small thread pool — numpy releases the GIL on large
-    # elementwise ops, so the passes run on independent slices in parallel
-    # (the same scoped-parallelism play as the GEMM path's BLAS bump)
+    # uint64 matrix per word): 4 threads over row slices, each slicing its
+    # range into 32K-row column blocks so the x/t scratch (2 × Q×B×8B ≈
+    # 10 MB at Q=20) stays cache-warm across the per-word passes instead
+    # of round-tripping DRAM. Measured at 100K×128/Q=20 (r13): 8 threads ×
+    # full-slice scratch = 1.16 ms/q (DRAM-saturated, HT-contended) vs 4
+    # threads × blocked = 0.62 ms/q — past the reference's published
+    # 0.8 ms packed-bit row (BASELINE.md:15). numpy releases the GIL on
+    # the large elementwise ops, so slices genuinely run in parallel.
     from concurrent.futures import ThreadPoolExecutor
 
-    dh = np.empty((len(qids), n), dtype=np.uint16)
-    n_threads = 8 if n >= 65536 else 1
+    nq = len(qids)
+    dh = np.empty((nq, n), dtype=np.uint16)
+    n_threads = 4 if n >= 65536 else 1
+    blk = 32768
     bounds = np.linspace(0, n, n_threads + 1, dtype=np.int64)
+    n_words = words.shape[1]
 
     def _scan(slot):
-        lo, hi = int(bounds[slot]), int(bounds[slot + 1])
-        acc = np.zeros((len(qids), hi - lo), dtype=np.uint64)
-        x = np.empty_like(acc)
-        t = np.empty_like(acc)
-        for w in range(words.shape[1]):
-            np.bitwise_xor.outer(qwords[:, w], words[lo:hi, w], out=x)
-            acc += _popcount64_(x, t)
-        dh[:, lo:hi] = acc
+        lo0, hi0 = int(bounds[slot]), int(bounds[slot + 1])
+        bw = min(blk, hi0 - lo0)
+        x = np.empty((nq, bw), dtype=np.uint64)
+        t = np.empty_like(x)
+        acc = np.empty((nq, bw), dtype=np.uint16)  # contiguous accumulator
+        for lo in range(lo0, hi0, blk):
+            hi = min(lo + blk, hi0)
+            m = hi - lo
+            xx, tt, a = x[:, :m], t[:, :m], acc[:, :m]
+            np.bitwise_xor.outer(qwords[:, 0], words[lo:hi, 0], out=xx)
+            a[:] = _popcount64_(xx, tt)  # cast-assign uint64→uint16
+            for w in range(1, n_words):
+                np.bitwise_xor.outer(qwords[:, w], words[lo:hi, w], out=xx)
+                np.add(a, _popcount64_(xx, tt), out=a, casting="unsafe")
+            dh[:, lo:hi] = a
 
     if n_threads == 1:
         _scan(0)

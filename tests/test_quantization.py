@@ -522,3 +522,45 @@ def test_sq_handle_envelope_scales_with_dimension(tmp_path):
         hi_, hd = h.search_one(q, 10)
         assert list(ti) == list(hi_)
         assert np.array_equal(td, hd)
+
+
+def test_bq_batch_threaded_blocked_scan_equals_single_thread(tmp_path):
+    """r13: the batch BQ scan's 4-thread × 32K-block kernel (the path the
+    100K bench corpus takes) must produce exactly the single-thread scan's
+    Hamming top-k — thread/block boundaries are arithmetic-invariant for
+    xor+popcount, so any divergence is an indexing bug."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import custom_python_vectordb_spark.operators.quantization as Q
+
+    rng = np.random.default_rng(11)
+    n, dim = 70_000, 32  # past the 65_536 threading threshold
+    mat = rng.standard_normal((n, dim))
+    p = str(tmp_path / "big.parquet")
+    pq.write_table(
+        pa.table({"vec_id": np.arange(n), "embedding": list(mat)}),
+        p, compression="none",
+    )
+    qpd = pd.DataFrame({"qid": np.arange(8), "qvec": list(mat[:8])})
+    got = Q.bq_replica_serve([p], qpd, k=10)
+
+    # single-thread truth straight off the cached packed tier
+    entry = Q._bq_resolve([p], id_col="vec_id")
+    _, ids, words, med, pad = entry
+    qp = np.packbits((mat[:8] > med[None, :]).astype(np.uint8), axis=1)
+    if pad:
+        qp = np.concatenate([qp, np.zeros((8, pad), dtype=np.uint8)], axis=1)
+    qw = np.ascontiguousarray(qp).view(np.uint64)
+    for qi in range(8):
+        acc = np.zeros(n, dtype=np.uint64)
+        x = np.empty(n, dtype=np.uint64)
+        t = np.empty(n, dtype=np.uint64)
+        for w in range(words.shape[1]):
+            np.bitwise_xor(qw[qi, w], words[:, w], out=x)
+            acc += Q._popcount64(x, t)
+        order = sorted(range(n), key=lambda i: (acc[i], ids[i]))[:10]
+        sub = got[got["qid"] == qi]
+        assert list(sub["vec_id"]) == [ids[i] for i in order]
+        assert list(sub["dist"]) == [float(acc[i]) for i in order]
