@@ -551,6 +551,21 @@ def _bench_knn_100k(spark) -> dict[str, float]:
     )
     _p50_p99("ivf", handle.search_one)
 
+    # the reference's published "Search throughput: 8,498 queries/sec"
+    # (notes_benchmark.txt:32) is a SEQUENTIAL IN-PROCESS single-thread
+    # loop — examples/benchmark.py:505-539, ops/sec = num_queries /
+    # duration over collection.search() calls; notes_benchmark.txt has no
+    # REST/uvicorn row at all. This row reproduces that exact methodology
+    # on the IVF handle (same 1000-query count as the reference's
+    # num_search_queries default) so the artifact carries the honest
+    # comparable; the rest_ann_* rows below measure a different thing
+    # (HTTP round trips) the reference never benchmarked.
+    seq_n = 1000
+    t0 = time.perf_counter()
+    for i in range(seq_n):
+        handle.search_one(qvecs[i % len(qvecs)], 10)
+    out["knn_single_100k_ivf_seq_qps"] = round(seq_n / (time.perf_counter() - t0), 1)
+
     # single-query latency on the BQ tier (r7): the 32×-compressed coarse
     # scan is memory-bandwidth-bound, so unlike IVF it cannot amortize
     # below its one-pass cost — published next to the batch row so the
@@ -695,52 +710,63 @@ def _bench_rest_soak(spark) -> dict:
     import socket
     import urllib.request
 
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    wport = s.getsockname()[1]
-    s.close()
-    pool = subprocess.Popen(
-        [sys.executable, "-m", "custom_python_vectordb_spark.server",
-         wh_root, str(wport), "--workers", "8", "--serving-only",
-         "--ann-geometries", "384:1"],
-        cwd=here, stdout=subprocess.DEVNULL,
-        start_new_session=True,  # teardown kills the GROUP — no orphan
-        # worker survives a parent that dies between spawn and its
-        # SIGTERM-forwarding handler registration
-    )
-    try:
-        deadline = time.perf_counter() + 60
-        while time.perf_counter() < deadline:
-            try:
-                urllib.request.urlopen(f"http://127.0.0.1:{wport}/health", timeout=2)
-                break
-            except Exception:
-                time.sleep(0.3)
-        # warm every worker: kernel balancing is per-connection, so 16
-        # short-lived streams touch all 8 workers with high probability
-        run(wport, 16, 60)
-        run(wport, 16, 30)
-        w8 = run(wport, 8, 400)
-        if "error" not in w8:
-            out["rest_ann_c8_w8_p50_ms"] = w8["p50_ms"]
-            out["rest_ann_c8_w8_p99_ms"] = w8["p99_ms"]
-            out["rest_ann_c8_w8_qps"] = w8["qps"]
-        else:
-            out["rest_soak_w8_error"] = str(w8["error"])[:300]
-    finally:
-        import signal
+    # two pool sizes: w8 keeps round-over-round continuity; w32 is the
+    # box-shaped pool (one worker per core). The timed cells per pool:
+    # c8 (same client shape as the single-process row, collisions nearly
+    # eliminated at w32) and, for w32 only, c32 — the box ceiling with
+    # client and server sharing the 32 cores (r13 grid artifact
+    # REST_GRID_r13.json; per-worker ceiling w1_c1 ≈ 950 q/s with a
+    # dedicated client core).
+    for n_workers, cells in ((8, (8,)), (32, (8, 32))):
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        wport = s.getsockname()[1]
+        s.close()
+        pool = subprocess.Popen(
+            [sys.executable, "-m", "custom_python_vectordb_spark.server",
+             wh_root, str(wport), "--workers", str(n_workers), "--serving-only",
+             "--ann-geometries", "384:1"],
+            cwd=here, stdout=subprocess.DEVNULL,
+            start_new_session=True,  # teardown kills the GROUP — no orphan
+            # worker survives a parent that dies between spawn and its
+            # SIGTERM-forwarding handler registration
+        )
+        try:
+            deadline = time.perf_counter() + 90
+            while time.perf_counter() < deadline:
+                try:
+                    urllib.request.urlopen(f"http://127.0.0.1:{wport}/health", timeout=2)
+                    break
+                except Exception:
+                    time.sleep(0.3)
+            # warm every worker OUTSIDE the timed runs: kernel balancing
+            # is per-connection, so 2×workers short-lived streams touch
+            # all workers with overwhelming probability (a cold worker
+            # pays its one-time IVF build on its first request)
+            run(wport, min(2 * n_workers, 64), 60)
+            run(wport, min(2 * n_workers, 64), 30)
+            for c in cells:
+                r = run(wport, c, 400)
+                if "error" not in r:
+                    out[f"rest_ann_c{c}_w{n_workers}_p50_ms"] = r["p50_ms"]
+                    out[f"rest_ann_c{c}_w{n_workers}_p99_ms"] = r["p99_ms"]
+                    out[f"rest_ann_c{c}_w{n_workers}_qps"] = r["qps"]
+                else:
+                    out[f"rest_soak_w{n_workers}_error"] = str(r["error"])[:300]
+        finally:
+            import signal
 
-        try:
-            os.killpg(pool.pid, signal.SIGTERM)
-        except ProcessLookupError:
-            pass
-        try:
-            pool.wait(timeout=10)
-        except subprocess.TimeoutExpired:
             try:
-                os.killpg(pool.pid, signal.SIGKILL)
+                os.killpg(pool.pid, signal.SIGTERM)
             except ProcessLookupError:
                 pass
+            try:
+                pool.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(pool.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
     return out
 
 
@@ -1106,8 +1132,10 @@ def main() -> None:
         "knn_batch20_100k_ms_per_query", "knn_batch1k_100k_ms_per_query",
         "knn_ivf_replica_100k_ms_per_query", "knn_ivf_replica_100k_recall_at10",
         "knn_single_100k_ivf_p50_ms", "knn_single_100k_ivf_p99_ms",
+        "knn_single_100k_ivf_seq_qps",
         "knn_single_100k_ivfpq_p50_ms", "knn_single_100k_ivfpq_rerank_recall_at10",
         "mem_bw_gbps", "py4j_rtt_us", "spark_job_floor_ms",
+        "rest_ann_c32_w32_qps", "rest_ann_c8_w32_qps",
         "rest_ann_c8_w8_qps", "rest_ann_c8_w8_p50_ms", "rest_ann_c8_w8_p99_ms",
         "rest_ann_c8_qps", "rest_ann_c8_p50_ms", "rest_ann_c8_p99_ms",
         "rest_ann_c1_qps", "rest_ann_c1_p50_ms",
