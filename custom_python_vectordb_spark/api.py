@@ -457,6 +457,8 @@ class Collection:
         n_cells: int = 64,
         nprobe: int = 6,
         fetch_k: int | None = None,
+        num_subspaces: int | str = 16,
+        target_recall: float = 0.99,
     ) -> list[list[dict]]:
         """Cell-pruned PQ serving (round 11) — the FAISS-IVFPQ tier over
         ``operators/partitioned.IvfPqReplicaHandle``: coarse IVF cells
@@ -465,7 +467,13 @@ class Collection:
         rerank (recall is measured in bench, never assumed). APPROXIMATE
         by contract on both axes (unprobed cells + quantized ranking).
         Falls back to the exact serving path while deletion vectors are
-        active, like :meth:`ann_serve`/:meth:`bq_serve`."""
+        active, like :meth:`ann_serve`/:meth:`bq_serve`.
+
+        ``num_subspaces="auto"`` (r13) picks the smallest M whose
+        probed-cell rerank recall@10 reaches ``target_recall`` at full
+        corpus density — the 10M probe showed the right M doubles per
+        density decade, so a hand-tuned default silently under-resolves
+        denser corpora (SCALING.md VEC10M)."""
         from custom_python_vectordb_spark.operators.partitioned import (
             IvfPqReplicaHandle,
         )
@@ -493,7 +501,8 @@ class Collection:
             )
         try:
             handle = IvfPqReplicaHandle(
-                paths, n_cells=n_cells, nprobe=nprobe, id_col="id", **kw
+                paths, n_cells=n_cells, nprobe=nprobe, id_col="id",
+                num_subspaces=num_subspaces, target_recall=target_recall, **kw
             )
         except ValueError as e:
             # shard paths can be non-empty while every parquet file holds

@@ -666,6 +666,120 @@ def ivf_replica_serve(
 
 # ------------------------------------------------- in-process IVF-PQ replica
 
+
+def _auto_pq_subspaces(
+    np,
+    mat,
+    cent,
+    rowlists,
+    res_sample,
+    *,
+    target_recall: float,
+    num_centroids: int,
+    nprobe: int,
+    fetch_k: int = 300,
+    n_queries: int = 64,
+    k: int = 10,
+):
+    """Pick the smallest PQ subspace count M whose residual-ADC +
+    exact-rerank recall@k on THIS corpus reaches ``target_recall``;
+    returns (m, books, measured_recall) so the caller reuses the winning
+    books without retraining.
+
+    Why a probe and not a formula (r13, VERDICT r12 task 5): the 10M
+    probe showed ADC resolution must grow with corpus DENSITY — M=16
+    plateaus at recall 0.971 inside ~39k-row natural clusters at any
+    nprobe/train-sample, M=32 reaches 1.0 (SCALING.md VEC10M). Density is
+    a property of the data, so the trade is re-measured per corpus, at
+    FULL density: the probe queries are corpus rows and every candidate
+    set comes from the real cells — a down-sampled sub-corpus has thinner
+    cells and overestimates recall (exactly the trap the finding names).
+
+    Cost control: recall is evaluated within each query's own probed-cell
+    union (probing loss is nprobe's knob, not M's — ground truth uses the
+    same union), so per candidate M only the probed cells' rows are
+    encoded, not the corpus; the final full encode runs once, with the
+    winner."""
+    from custom_python_vectordb_spark.operators.quantization import (
+        _pq_encode,
+        _train_pq_books,
+    )
+
+    n, d_dim = mat.shape
+    candidates = [m for m in (8, 16, 32, 64) if d_dim % m == 0]
+    if not candidates:
+        raise ValueError(f"no usable subspace count divides dim {d_dim}")
+    qidx = np.unique(np.linspace(0, n - 1, min(n_queries, n)).astype(np.int64))
+    cent_sq = (cent * cent).sum(1)
+    probe_sets = []
+    for qi in qidx:
+        q = mat[qi]
+        cscore = cent_sq - 2.0 * (cent @ q)
+        p = min(nprobe, len(cscore))
+        probe_sets.append(cscore.argpartition(p - 1)[:p])
+    union_cells = sorted({int(j) for s in probe_sets for j in s})
+    # ground truth per query: exact L2 within ITS probed cells (row
+    # indices are identities; multi-assignment duplicates dedup below)
+    gts = []
+    for qi, probes in zip(qidx, probe_sets):
+        live = [rowlists[j] for j in probes if len(rowlists[j])]
+        if not live:
+            gts.append(set())
+            continue
+        rsel = np.unique(np.concatenate(live))
+        diff = mat[rsel] - mat[qi]
+        ex = np.einsum("ij,ij->i", diff, diff)
+        order = np.argsort(ex, kind="stable")[: k]
+        gts.append(set(int(r) for r in rsel[order]))
+    best = None
+    for m in candidates:
+        books, _ = _train_pq_books(np, res_sample, m, num_centroids)
+        books_sq = (books * books).sum(2)
+        sub_d = d_dim // m
+        off = (np.arange(m, dtype=np.uint16) * np.uint16(books.shape[1]))[:, None]
+        codes = {
+            j: np.ascontiguousarray(
+                _pq_encode(np, mat[rowlists[j]] - cent[j], books).T.astype(np.uint16)
+                + off
+            )
+            for j in union_cells
+            if len(rowlists[j])
+        }
+        hits = tot = 0
+        for qi, probes, gt in zip(qidx, probe_sets, gts):
+            if not gt:
+                continue
+            q = mat[qi]
+            id_parts, d_parts = [], []
+            for j in probes:
+                rows = rowlists[j]
+                if not len(rows):
+                    continue
+                qsub = (q - cent[j]).reshape(m, sub_d)
+                lut = (
+                    (qsub * qsub).sum(1)[:, None]
+                    + books_sq
+                    - 2.0 * np.einsum("ms,mks->mk", qsub, books)
+                )
+                id_parts.append(rows)
+                d_parts.append(lut.ravel()[codes[j]].sum(0, dtype=np.float64))
+            rsel = np.concatenate(id_parts)
+            d = np.concatenate(d_parts)
+            fk = min(fetch_k, len(rsel))
+            cand = np.unique(
+                rsel[np.argpartition(d, fk - 1)[:fk]] if fk < len(rsel) else rsel
+            )
+            diff = mat[cand] - q
+            ex = np.einsum("ij,ij->i", diff, diff)
+            top = cand[np.argsort(ex, kind="stable")[: k]]
+            hits += len(set(int(r) for r in top) & gt)
+            tot += len(gt)
+        rec = hits / max(tot, 1)
+        best = (m, books, rec)
+        if rec >= target_recall:
+            break
+    return best
+
 # {(paths, id_col, n_cells, assign_r, M, K, cap, iters):
 #   (stat_key, cent, books, [cell ids], [cell fused-code arrays], mmap pos)}
 # Bounded LRU (insertion-ordered dict, hit = pop+reinsert): the r11
@@ -712,8 +826,9 @@ class IvfPqReplicaHandle:
     __slots__ = (
         "_paths", "_np", "nprobe", "metric",
         "_n_cells", "_assign_r", "_m", "_kc", "_cap", "_iters", "_id_col",
+        "_target_recall", "chosen_m", "probe_recall",
         "cent", "books", "books_sq", "cell_ids", "cell_codes",
-        "_cent_sq", "_mmap_dir", "_mmap_mat", "_mmap_pos",
+        "_cent_sq", "_mmap_dir", "_mmap_dtype", "_mmap_mat", "_mmap_pos",
     )
 
     def __init__(
@@ -722,13 +837,15 @@ class IvfPqReplicaHandle:
         n_cells: int = 64,
         nprobe: int = 6,
         assign_r: int = 2,
-        num_subspaces: int = 16,
+        num_subspaces: int | str = 16,
         num_centroids: int = 256,
         *,
         id_col: str = "vec_id",
         train_sample_cap: int = 131_072,
         train_iters: int = 5,
         rerank_mmap_dir: str | None = None,
+        rerank_dtype: str = "float64",
+        target_recall: float = 0.99,
     ):
         import numpy as np
 
@@ -736,15 +853,25 @@ class IvfPqReplicaHandle:
             raise ValueError(
                 f"num_centroids={num_centroids} exceeds the uint8 code range (max 256)"
             )
+        if num_subspaces != "auto" and not isinstance(num_subspaces, int):
+            raise ValueError(
+                f"num_subspaces must be an int or 'auto', got {num_subspaces!r}"
+            )
         self._np = np
         self._paths = list(shard_paths)
         self.nprobe = nprobe
         self.metric = "l2"  # ADC approximates L2; cosine callers pre-normalize
         self._n_cells, self._assign_r = n_cells, assign_r
         self._m, self._kc = num_subspaces, num_centroids
+        self._target_recall = target_recall
         self._cap, self._iters = train_sample_cap, train_iters
         self._id_col = id_col
         self._mmap_dir = rerank_mmap_dir
+        # float32 rerank halves the disk tier and its gather bandwidth
+        # (the 100 TB knob: exactness to f32 resolution is the contract
+        # most serving traffic wants); float64 stays the default for
+        # bit-parity with the batch serves
+        self._mmap_dtype = rerank_dtype
         self.refresh()
 
     def refresh(self) -> None:
@@ -762,7 +889,7 @@ class IvfPqReplicaHandle:
             (p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths)
         )
         ck = (paths, self._id_col, self._n_cells, self._assign_r,
-              self._m, self._kc, self._cap, self._iters)
+              self._m, self._kc, self._cap, self._iters, self._target_recall)
         entry = _IVFPQ_REPLICA_CACHE.pop(ck, None)  # pop → reinsert = LRU touch
         if entry is not None and entry[0] == stat_key:
             _IVFPQ_REPLICA_CACHE[ck] = entry
@@ -795,8 +922,22 @@ class IvfPqReplicaHandle:
                 else:
                     tsel = np.arange(n, dtype=np.int64)
                 res_sample = mat[tsel] - cent[multi[tsel, 0]]
-                books, _ = _train_pq_books(np, res_sample, self._m, self._kc)
                 rowlists = _group_rows_by_cell(np, multi, len(cent))
+                if self._m == "auto":
+                    # density-adaptive resolution (r13): probe candidate M
+                    # values at FULL corpus density and keep the smallest
+                    # one whose rerank recall@10 reaches target_recall —
+                    # the 10M finding is that this trade moves with the
+                    # data and a hand-tuned M silently under-resolves a
+                    # denser corpus (SCALING.md VEC10M)
+                    m_used, books, probe_rec = _auto_pq_subspaces(
+                        np, mat, cent, rowlists, res_sample,
+                        target_recall=self._target_recall,
+                        num_centroids=self._kc, nprobe=self.nprobe,
+                    )
+                else:
+                    m_used, probe_rec = self._m, None
+                    books, _ = _train_pq_books(np, res_sample, m_used, self._kc)
                 cell_ids = [ids[rows] for rows in rowlists]
                 # subspace-major OFFSET codes per cell: code[mi] + mi·K,
                 # so the per-cell ADC is ONE gather from that cell's
@@ -805,7 +946,7 @@ class IvfPqReplicaHandle:
                 # overhead). K is the TRAINED book size (min(K, sample))
                 # — the flattened-LUT stride. M·K ≤ 4096 fits uint16.
                 off = (
-                    np.arange(self._m, dtype=np.uint16) * np.uint16(books.shape[1])
+                    np.arange(m_used, dtype=np.uint16) * np.uint16(books.shape[1])
                 )[:, None]
                 cell_codes = [
                     np.ascontiguousarray(
@@ -815,16 +956,17 @@ class IvfPqReplicaHandle:
                     for j, rows in enumerate(rowlists)
                 ]
             del mat  # only codes stay resident — the 32× claim
-            entry = (stat_key, cent, books, cell_ids, cell_codes)
+            entry = (stat_key, cent, books, cell_ids, cell_codes, m_used, probe_rec)
             while len(_IVFPQ_REPLICA_CACHE) >= _IVFPQ_CACHE_CAP:
                 _IVFPQ_REPLICA_CACHE.pop(next(iter(_IVFPQ_REPLICA_CACHE)))
             _IVFPQ_REPLICA_CACHE[ck] = entry
-        _, self.cent, self.books, self.cell_ids, self.cell_codes = entry
+        (_, self.cent, self.books, self.cell_ids, self.cell_codes,
+         self.chosen_m, self.probe_recall) = entry
         self._cent_sq = (self.cent * self.cent).sum(1)
         self.books_sq = (self.books * self.books).sum(2)
         if self._mmap_dir is not None:
             built = _build_mmap_replica(
-                paths, stat_key, self._mmap_dir, self._id_col, "float64"
+                paths, stat_key, self._mmap_dir, self._id_col, self._mmap_dtype
             )
             m_ids, self._mmap_mat, _n, _s = built
             # vectorized id→row lookup (sorted ids + searchsorted): a

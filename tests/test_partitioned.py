@@ -496,3 +496,61 @@ def test_ivf_handle_concurrent_refresh_never_tears(tmp_path):
     for t in threads:
         t.join()
     assert not errors, errors[:5]
+
+
+def test_ivfpq_auto_subspaces_density_adaptive(tmp_path):
+    """r13 (VERDICT r12 task 5): num_subspaces='auto' must pick the ADC
+    resolution from a full-density recall probe — the 10M probe showed M
+    must grow with rows-per-cell (recall plateaus at coarse codes inside
+    dense cells, SCALING.md VEC10M), so a corpus with 6000-row clusters
+    needs a finer code than the same rows spread over 512 clusters. Gate:
+    auto hits the target recall on BOTH corpora without a manual M, and
+    externally-measured rerank recall@10 (exhaustive probing, so the
+    probing term is zero) confirms the probe's verdict."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.operators.partitioned import IvfPqReplicaHandle
+
+    rng = np.random.default_rng(21)
+    n, dim = 24_000, 32
+
+    def make(n_centers: int) -> np.ndarray:
+        c = rng.standard_normal((n_centers, dim)) * 5.0
+        asn = rng.integers(0, n_centers, n)
+        return (c[asn] + 0.7 * rng.standard_normal((n, dim))).astype(np.float64)
+
+    handles = {}
+    for name, n_centers in (("loose", 512), ("dense", 4)):
+        mat = make(n_centers)
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(
+            pa.table({"vec_id": np.arange(n), "embedding": list(mat)}),
+            p, compression="none",
+        )
+        h = IvfPqReplicaHandle(
+            [p], n_cells=16, nprobe=16, assign_r=1,
+            num_subspaces="auto", num_centroids=16, target_recall=0.99,
+            rerank_mmap_dir=str(tmp_path / f"mm_{name}"),
+        )
+        assert h.probe_recall is not None and h.probe_recall >= 0.99, (
+            name, h.chosen_m, h.probe_recall,
+        )
+        # external recall check, independent of the probe's own loop:
+        # nprobe = n_cells ⇒ no probing loss, so this isolates ADC+rerank
+        hits = 0
+        qidx = np.linspace(0, n - 1, 32).astype(np.int64)
+        for qi in qidx:
+            q = mat[qi]
+            diff = mat - q
+            ex = np.einsum("ij,ij->i", diff, diff)
+            truth = set(int(r) for r in np.argsort(ex, kind="stable")[:10])
+            ids, _d = h.search_one(q, k=10, fetch_k=300)
+            hits += len(set(int(i) for i in ids) & truth)
+        assert hits / 320 >= 0.99, (name, h.chosen_m, hits / 320)
+        handles[name] = h
+    # the density claim itself: more rows per cluster demands finer codes
+    assert handles["dense"].chosen_m > handles["loose"].chosen_m, {
+        k: v.chosen_m for k, v in handles.items()
+    }

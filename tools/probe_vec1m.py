@@ -261,11 +261,268 @@ def probe_10m() -> int:
     return 0
 
 
+OUT100M = os.path.join(_REPO, ".bench", "vec100m_128d_c256")
+# 100M = the SIXTH decade (r13, VERDICT r12 task 6). 100M × 128 f32 is
+# 51 GB — past RAM-resident floats, so the probe runs the tier in the
+# shape a 1000-executor cluster would: N_SUB sub-indexes (one per
+# "executor"), each an IvfPqReplicaHandle over its own 12.5M rows with a
+# float32 disk-mmap rerank tier (rerank_dtype="float32" — half the disk
+# and gather bandwidth of f64; exactness to f32 resolution), driver-side
+# (dist, id) top-k merge across sub-indexes — the identical merge every
+# distributed top-k in this repo uses. Disk discipline: each sub-corpus
+# parquet is DELETED right after its build (the mmap tier + codes are the
+# serving truth), so peak usage stays ~mmap_total + one sub-corpus.
+# num_subspaces is picked by the r13 density-adaptive probe on the FIRST
+# sub-index (num_subspaces="auto") and reused for the rest — the sixth
+# decade is exactly where the hand-tuned-M trap the 10M probe found
+# would bite again.
+N_SUB_100M = 8
+ROWS_PER_SUB_100M = 12_500_000
+CFG_100M = dict(n_cells=1024, nprobe=8, assign_r=1)  # per sub-index
+FETCHK_SWEEP_100M = (500, 1000)
+NQ_100M = 100
+
+
+def probe_100m() -> int:
+    import shutil
+
+    import numpy as np
+
+    from custom_python_vectordb_spark.operators.partitioned import IvfPqReplicaHandle
+
+    from bench import _mem_bw_gbps
+
+    bw0 = _mem_bw_gbps()
+    rows: dict[str, float] = {}
+
+    # ---- 10M anchor build, SAME process (alpha denominator), no rerank
+    # tier (build time is the measurement; the f64 mmap would cost 10 GB
+    # of the disk budget the 100M tier needs)
+    gen_corpus(OUT10M, 10_000_000, 10042)
+    shard_10m = sorted(glob.glob(os.path.join(OUT10M, "part-*.parquet")))
+    t = time.perf_counter()
+    h10 = IvfPqReplicaHandle(
+        shard_10m, n_cells=CFG_10M["n_cells"], nprobe=8, assign_r=1,
+        num_subspaces=CFG_10M["num_subspaces"],
+    )
+    rows["ivfpq_build_10m_s"] = time.perf_counter() - t
+    del h10
+    from custom_python_vectordb_spark.operators.partitioned import (
+        _IVFPQ_REPLICA_CACHE,
+    )
+
+    _IVFPQ_REPLICA_CACHE.clear()
+    # free the r12 f64 rerank tier (10 GB) — the 100M mmap total needs it
+    old_mm = os.path.join(OUT10M, "ivfpq_mmap")
+    if os.path.isdir(old_mm):
+        shutil.rmtree(old_mm)
+    print(f"10M anchor build: {rows['ivfpq_build_10m_s']:.1f} s; disk freed",
+          flush=True)
+
+    # ---- generate + build the 8 sub-indexes, deleting parquet as we go
+    rng_global = np.random.default_rng(100_042)
+    centers = rng_global.standard_normal((256, DIM), dtype=np.float32)
+    handles = []
+    chosen_m = None
+    build_total = 0.0
+    queries = None
+    for s in range(N_SUB_100M):
+        sub_dir = os.path.join(OUT100M, f"sub-{s:02d}")
+        mm_dir = os.path.join(OUT100M, f"mmap-{s:02d}")
+        done = os.path.join(mm_dir, "_SUB_DONE")
+        lo = s * ROWS_PER_SUB_100M
+        sub_paths = []
+        if not os.path.exists(done):
+            os.makedirs(sub_dir, exist_ok=True)
+            rng = np.random.default_rng(100_042 + 7 * s + 1)
+            per_file = ROWS_PER_SUB_100M // 4
+            import pyarrow as pa
+            import pyarrow.parquet as _pq
+
+            for f in range(4):
+                flo = lo + f * per_file
+                assign = rng.integers(0, 256, per_file)
+                mat = centers[assign] + np.float32(0.7) * rng.standard_normal(
+                    (per_file, DIM), dtype=np.float32
+                )
+                if queries is None:  # probe queries = first rows of sub 0
+                    queries = mat[:NQ_100M].astype(np.float32).copy()
+                tbl = pa.table({
+                    "vec_id": pa.array(np.arange(flo, flo + per_file, dtype=np.int64)),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(mat.reshape(-1)), DIM
+                    ),
+                })
+                _pq.write_table(
+                    tbl, os.path.join(sub_dir, f"part-{f:05d}.parquet"),
+                    row_group_size=200_000,
+                )
+                del mat
+            sub_paths = sorted(glob.glob(os.path.join(sub_dir, "part-*.parquet")))
+        t = time.perf_counter()
+        if sub_paths:  # fresh build
+            h = IvfPqReplicaHandle(
+                sub_paths, n_cells=CFG_100M["n_cells"], nprobe=CFG_100M["nprobe"],
+                assign_r=CFG_100M["assign_r"],
+                num_subspaces=(chosen_m or "auto"), target_recall=0.995,
+                rerank_mmap_dir=mm_dir, rerank_dtype="float32",
+            )
+            build_s = time.perf_counter() - t
+            build_total += build_s
+            if chosen_m is None:
+                chosen_m = h.chosen_m
+                rows["auto_m"] = chosen_m
+                print(f"auto num_subspaces on sub-0: M={chosen_m} "
+                      f"(probe recall {h.probe_recall})", flush=True)
+            # codes + mmap are now the serving truth: drop the parquet and
+            # persist the handle state marker (a re-run rebuilds from
+            # scratch; this probe is one-shot by design)
+            shutil.rmtree(sub_dir)
+            with open(done, "w") as fh:
+                fh.write("ok\n")
+            print(f"sub-{s}: built in {build_s:.1f} s, parquet dropped", flush=True)
+            handles.append(h)
+        else:
+            print(f"sub-{s}: mmap present but parquet dropped — "
+                  "one-shot probe cannot resume; delete .bench/vec100m* to rerun",
+                  flush=True)
+            return 1
+    rows["ivfpq_build_100m_total_s"] = build_total
+    rows["build_alpha_10m_100m"] = math.log10(
+        build_total / rows["ivfpq_build_10m_s"]
+    )
+
+    # ---- exact truth per sub-index straight off its f32 mmap matrix
+    # (chunked GEMM, global ids = row + sub_lo by construction)
+    if queries is None:
+        print("no queries captured"); return 1
+    truth_d = np.full((NQ_100M, 10), np.inf, dtype=np.float64)
+    truth_i = np.full((NQ_100M, 10), -1, dtype=np.int64)
+    q64 = queries.astype(np.float64)
+    q_sq = (q64 * q64).sum(1)
+    t = time.perf_counter()
+    for s in range(N_SUB_100M):
+        mm_dir = os.path.join(OUT100M, f"mmap-{s:02d}")
+        mat_p = glob.glob(os.path.join(mm_dir, "replica_*.mat.npy"))[0]
+        mat = np.load(mat_p, mmap_mode="r")
+        lo = s * ROWS_PER_SUB_100M
+        B = 1_000_000
+        for blo in range(0, mat.shape[0], B):
+            blk = np.asarray(mat[blo : blo + B], dtype=np.float32)
+            cross = blk.astype(np.float64) @ q64.T  # (B, Q)
+            b_sq = (blk.astype(np.float64) ** 2).sum(1)
+            d2 = b_sq[:, None] - 2.0 * cross + q_sq[None, :]
+            np.maximum(d2, 0.0, out=d2)
+            for qi in range(NQ_100M):
+                col = d2[:, qi]
+                idx = np.argpartition(col, 9)[:10]
+                cand_d = np.sqrt(col[idx])
+                cand_i = idx + lo + blo
+                all_d = np.concatenate([truth_d[qi], cand_d])
+                all_i = np.concatenate([truth_i[qi], cand_i])
+                order = np.lexsort((all_i, all_d))[:10]
+                truth_d[qi], truth_i[qi] = all_d[order], all_i[order]
+        del mat
+        print(f"truth: sub-{s} merged ({time.perf_counter() - t:.0f} s elapsed)",
+              flush=True)
+    rows["exact_truth_total_s"] = time.perf_counter() - t
+
+    # ---- serving sweep: per-query search all 8 sub-indexes, merge top-10
+    results = []
+    for fk in FETCHK_SWEEP_100M:
+        hits = 0
+        seq_p50s, shard_max_p50s = [], []
+        for rep in range(2):
+            seq_lat, shard_max_lat = [], []
+            for qi in range(NQ_100M):
+                v = queries[qi]
+                parts_i, parts_d = [], []
+                t0 = time.perf_counter()
+                per_shard = []
+                for h in handles:
+                    ts = time.perf_counter()
+                    ids_s, d_s = h.search_one(v, 10, fetch_k=fk)
+                    per_shard.append(time.perf_counter() - ts)
+                    parts_i.append(np.asarray(ids_s, dtype=np.int64))
+                    parts_d.append(d_s)
+                seq_lat.append((time.perf_counter() - t0) * 1000)
+                shard_max_lat.append(max(per_shard) * 1000)
+                if rep == 0:
+                    ids_all = np.concatenate(parts_i)
+                    d_all = np.concatenate(parts_d)
+                    order = np.lexsort((ids_all, d_all))[:10]
+                    hits += len(
+                        set(int(i) for i in ids_all[order])
+                        & set(int(i) for i in truth_i[qi])
+                    )
+            seq_lat.sort(); shard_max_lat.sort()
+            seq_p50s.append(seq_lat[len(seq_lat) // 2])
+            shard_max_p50s.append(shard_max_lat[len(shard_max_lat) // 2])
+        recall = hits / (NQ_100M * 10)
+        results.append((fk, recall, min(seq_p50s), min(shard_max_p50s)))
+        print(f"fetch_k={fk}: recall@10={recall:.4f} "
+              f"p50_seq={min(seq_p50s):.3f} ms p50_shard_max={min(shard_max_p50s):.3f} ms",
+              flush=True)
+    bw1 = _mem_bw_gbps()
+
+    lines = [
+        "| fetch_k | recall@10 | p50 seq (8 sub-indexes, 1 core) | p50 max-shard (cluster-parallel bound) |",
+        "|---|---|---|---|",
+    ] + [
+        f"| {fk} | {rec:.4f} | {p50s:.3f} ms | {p50m:.3f} ms |"
+        for fk, rec, p50s, p50m in results
+    ]
+    block = "\n".join(lines)
+    begin, end = "<!-- VEC100M PROBE BEGIN -->", "<!-- VEC100M PROBE END -->"
+    section = (
+        f"{begin}\n\n## Sixth decade, embeddings axis (100M-vector sharded IVF-PQ via the f32 mmap tier)\n\n"
+        "tools/probe_vec1m.py --100m: 100M x 128 f32 (51 GB — past resident\n"
+        f"floats) served as {N_SUB_100M} sub-indexes of {ROWS_PER_SUB_100M:,} rows (the\n"
+        "1000-executor shape: every sub-index is one node's IvfPqReplicaHandle,\n"
+        "the driver merge is the same (dist, id) top-k every distributed\n"
+        "operator here uses). Same clustered recipe (256 centers, sigma 0.7 —\n"
+        "~390k rows per natural cluster, 10x the 10M density). Disk: parquet\n"
+        "deleted after each sub-build; resident tier = uint16 codes\n"
+        f"(~{N_SUB_100M * ROWS_PER_SUB_100M * (rows.get('auto_m', 64)) * 2 / 1e9:.1f} GB RAM) "
+        "+ float32 mmap rerank (51 GB disk, page-cached).\n\n"
+        "SIXTH-DECADE FINDING: num_subspaces came from the r13 density-adaptive\n"
+        f"probe (num_subspaces='auto', target 0.995) on sub-index 0: M={rows.get('auto_m')}\n"
+        "— the auto pick at full density replaces the hand-tuned M the 10M\n"
+        "probe showed goes stale each decade.\n\n"
+        f"Anchors this run: mem_bw_gbps {bw0} at start, {bw1} after; 10M anchor\n"
+        f"build {rows['ivfpq_build_10m_s']:.1f} s same-process vs 100M total "
+        f"{rows['ivfpq_build_100m_total_s']:.1f} s ->\ndecade exponent alpha = "
+        f"{rows['build_alpha_10m_100m']:.2f} (gate <= 1.1; sub-builds are\n"
+        "embarrassingly parallel across executors in the cluster shape, so the\n"
+        "wall-clock alpha there is ~0). Exact truth: chunked f32 GEMM straight\n"
+        f"off the mmap tier, {rows['exact_truth_total_s']:.0f} s for "
+        f"{NQ_100M} queries x 100M rows.\n\n"
+        "The p50 bandwidth statement: each sub-query probes nprobe/n_cells\n"
+        f"(={CFG_100M['nprobe']}/{CFG_100M['n_cells']}) of 12.5M rows' codes "
+        "(resident) + fetch_k f32 rows\nfrom the page-cached mmap — the "
+        "cluster-parallel bound is the max-shard\ncolumn, the single-core "
+        "sequential sum is the seq column.\n\n"
+        + block + "\n\n" + end
+    )
+    md = os.path.join(_REPO, "SCALING.md")
+    src = open(md).read()
+    if begin in src:
+        src = src.split(begin)[0] + section + src.split(end)[1]
+    else:
+        src = src.rstrip() + "\n\n" + section + "\n"
+    with open(md, "w") as fh:
+        fh.write(src)
+    print("SCALING.md updated (100M block)")
+    return 0
+
+
 def main() -> int:
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
     if "--10m" in sys.argv:
         return probe_10m()
+    if "--100m" in sys.argv:
+        return probe_100m()
     import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq
