@@ -884,6 +884,12 @@ class IvfPqReplicaHandle:
         )
         from custom_python_vectordb_spark.operators.quantization import _train_pq_books
 
+        if self._paths is None:
+            raise RuntimeError(
+                "this handle is a load_index() snapshot with no source shard "
+                "set — rebuild from parquet (IvfPqReplicaHandle(shard_paths, "
+                "...)) to pick up new rows"
+            )
         paths = tuple(sorted(self._paths))
         stat_key = tuple(
             (p, st.st_mtime_ns, st.st_size) for p, st in ((p, _os.stat(p)) for p in paths)
@@ -977,6 +983,128 @@ class IvfPqReplicaHandle:
             self._mmap_pos = (m_ids[sorter], sorter)
         else:
             self._mmap_mat = self._mmap_pos = None
+
+    def save_index(self, out_dir: str) -> None:
+        """Persist the RESIDENT index tier (centroids, PQ books, per-cell
+        ids and codes) as one ``ivfpq_index.npz`` — the ``faiss
+        write_index`` role, and the durability the reference gets from
+        pickling its index state to disk (``/root/reference/
+        vectordb_optimized.py`` save/load of the collection's index).
+        The mmap rerank tier is ALREADY durable (``rerank_mmap_dir``
+        holds the float rows); this call makes the code tier durable
+        too, so a serving worker — or a resumed 100M-scale build —
+        can :meth:`load_index` without the source parquet and without
+        re-running k-means/PQ training.
+
+        Codes are stored offset-free as uint8 (the trained book size is
+        ≤ 256 by construction); the subspace offsets are re-baked at
+        load. Ragged per-cell arrays are stored flat + lengths."""
+        import json
+        import os as _os
+
+        np = self._np
+        _os.makedirs(out_dir, exist_ok=True)
+        m, kc_t, _sub_d = self.books.shape
+        off = (np.arange(m, dtype=np.uint16) * np.uint16(kc_t))[:, None]
+        lens = np.array([len(ids) for ids in self.cell_ids], dtype=np.int64)
+        ids_flat = (
+            np.concatenate(self.cell_ids)
+            if len(lens) and lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        codes_flat = (
+            np.concatenate(
+                [(c - off).astype(np.uint8) for c in self.cell_codes if c.size],
+                axis=1,
+            )
+            if lens.sum()
+            else np.empty((m, 0), dtype=np.uint8)
+        )
+        cfg = {
+            "nprobe": int(self.nprobe), "assign_r": int(self._assign_r),
+            "n_cells": int(self._n_cells), "num_centroids": int(self._kc),
+            "chosen_m": int(self.chosen_m),
+            "probe_recall": None if self.probe_recall is None else float(self.probe_recall),
+            "mmap_dtype": self._mmap_dtype, "id_col": self._id_col,
+        }
+        tmp = _os.path.join(out_dir, "ivfpq_index.npz.tmp")
+        with open(tmp, "wb") as fh:
+            np.savez(
+                fh, cent=self.cent, books=self.books, cell_lens=lens,
+                cell_ids=ids_flat, cell_codes=codes_flat,
+                cfg=np.frombuffer(json.dumps(cfg).encode(), dtype=np.uint8),
+            )
+        _os.replace(tmp, _os.path.join(out_dir, "ivfpq_index.npz"))
+
+    @classmethod
+    def load_index(
+        cls,
+        in_dir: str,
+        *,
+        rerank_mmap_dir: str | None = None,
+        nprobe: int | None = None,
+    ):
+        """Reconstitute a handle from :meth:`save_index` output — an
+        immutable serving snapshot (``refresh()`` raises: there are no
+        source shards to re-stat; rebuild from parquet to pick up new
+        rows). ``rerank_mmap_dir`` attaches an existing mmap float tier
+        built by the original handle; ``nprobe`` optionally overrides
+        the saved query-time probe width (it is query-time-free, same
+        contract as the REST route)."""
+        import glob as _glob
+        import json
+        import os as _os
+
+        import numpy as np
+
+        with np.load(
+            _os.path.join(in_dir, "ivfpq_index.npz"), allow_pickle=True
+        ) as z:
+            cfg = json.loads(bytes(z["cfg"].tobytes()).decode())
+            cent = z["cent"]
+            books = z["books"]
+            lens = z["cell_lens"]
+            ids_flat = z["cell_ids"]
+            codes_flat = z["cell_codes"]
+        self = object.__new__(cls)
+        self._np = np
+        self._paths = None  # snapshot — no shard set, refresh() refuses
+        self.nprobe = int(nprobe if nprobe is not None else cfg["nprobe"])
+        self.metric = "l2"
+        self._n_cells, self._assign_r = cfg["n_cells"], cfg["assign_r"]
+        self._m = self.chosen_m = cfg["chosen_m"]
+        self._kc = cfg["num_centroids"]
+        self.probe_recall = cfg["probe_recall"]
+        self._target_recall, self._cap, self._iters = 0.99, 0, 0
+        self._id_col = cfg["id_col"]
+        self._mmap_dir, self._mmap_dtype = rerank_mmap_dir, cfg["mmap_dtype"]
+        self.cent = cent
+        self.books = books
+        self._cent_sq = (cent * cent).sum(1)
+        self.books_sq = (books * books).sum(2)
+        m, kc_t, _sub_d = books.shape
+        off = (np.arange(m, dtype=np.uint16) * np.uint16(kc_t))[:, None]
+        bounds = np.cumsum(lens)[:-1]
+        self.cell_ids = np.split(ids_flat, bounds)
+        self.cell_codes = [
+            np.ascontiguousarray(c.astype(np.uint16) + off)
+            for c in np.split(codes_flat, bounds, axis=1)
+        ]
+        if rerank_mmap_dir is not None:
+            mats = sorted(_glob.glob(_os.path.join(rerank_mmap_dir, "replica_*.mat.npy")))
+            if len(mats) != 1:
+                raise ValueError(
+                    f"expected exactly one replica_*.mat.npy in {rerank_mmap_dir}, "
+                    f"found {len(mats)}"
+                )
+            self._mmap_mat = np.load(mats[0], mmap_mode="r")
+            m_ids = np.load(mats[0][: -len(".mat.npy")] + ".ids.npy", allow_pickle=True)
+            m_ids = np.asarray(m_ids)
+            sorter = np.argsort(m_ids, kind="stable")
+            self._mmap_pos = (m_ids[sorter], sorter)
+        else:
+            self._mmap_mat = self._mmap_pos = None
+        return self
 
     def search_one(self, qvec, k: int = 10, fetch_k: int | None = None):
         """Cell-pruned ADC top-k for ONE query: (ids, dists) sorted by

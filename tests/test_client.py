@@ -13,7 +13,14 @@ from custom_python_vectordb_spark.server import serve_background
 
 @pytest.fixture()
 def client(spark, tmp_path):
-    srv, port = serve_background(VectorDB(spark, str(tmp_path / "wh")))
+    # r13: build-affecting geometry (n_cells, assign_r) is operator-
+    # allowlisted (make_server ann_geometries=...); the tiny test geometry
+    # the cycle below exercises must be granted explicitly, like a real
+    # deployment would grant its collection's geometry.
+    srv, port = serve_background(
+        VectorDB(spark, str(tmp_path / "wh")),
+        ann_geometries={(64, 2), (2, 1)},
+    )
     yield Client(f"http://127.0.0.1:{port}")
     srv.shutdown()
 
@@ -62,6 +69,15 @@ def test_full_crud_query_cycle(client):
     with pytest.raises(ClientError) as e:
         coll.query(query_texts=["x"], ann=True, index_params={"n_cells": 0})
     assert e.value.status == 400
+    # r13: a geometry outside the operator allowlist is refused with a
+    # 400 naming the allowed set — clients cannot trigger an unbounded
+    # k-means retrain by sweeping build parameters
+    with pytest.raises(ClientError) as e:
+        coll.query(
+            query_texts=["x"], ann=True,
+            index_params={"n_cells": 3, "nprobe": 1, "assign_r": 1},
+        )
+    assert e.value.status == 400 and "allowed set" in str(e.value)
 
     # get / peek carry the document and metadata
     got = coll.get("a")

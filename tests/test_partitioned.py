@@ -554,3 +554,65 @@ def test_ivfpq_auto_subspaces_density_adaptive(tmp_path):
     assert handles["dense"].chosen_m > handles["loose"].chosen_m, {
         k: v.chosen_m for k, v in handles.items()
     }
+
+
+def test_ivfpq_save_load_index_snapshot(tmp_path):
+    """r13: `save_index`/`load_index` — the faiss write_index/read_index
+    role. A loaded snapshot must (a) return BIT-IDENTICAL results to the
+    live handle, coarse and reranked, without the source parquet present;
+    (b) honor an nprobe override (query-time knob); (c) refuse refresh()
+    loudly (no shard set to re-stat)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from custom_python_vectordb_spark.operators.partitioned import IvfPqReplicaHandle
+
+    src = "/root/testdata/sf0.1/embeddings.parquet"
+    shard = str(tmp_path / "emb.parquet")
+    shutil.copyfile(src, shard)
+    head = _pq.read_table(shard, columns=["embedding"]).slice(0, 6)
+    qv = [np.asarray(v, dtype=np.float32) for v in head.column("embedding").to_pylist()]
+
+    mm = str(tmp_path / "mm")
+    h = IvfPqReplicaHandle(
+        [shard], n_cells=16, nprobe=4, assign_r=2, num_subspaces=8,
+        rerank_mmap_dir=mm,
+    )
+    idx = str(tmp_path / "idx")
+    h.save_index(idx)
+    live = [h.search_one(q, k=10, fetch_k=50) for q in qv]
+    # coarse baseline needs a handle WITHOUT the mmap tier (with one
+    # attached, search_one always reranks at the default fetch_k); the
+    # code tier is shared through the LRU cache so this build is free
+    h_c = IvfPqReplicaHandle([shard], n_cells=16, nprobe=4, assign_r=2,
+                             num_subspaces=8)
+    live_coarse = [h_c.search_one(q, k=10) for q in qv]
+
+    # the snapshot must serve with the parquet GONE — codes + mmap tier
+    # are the whole serving truth
+    os.remove(shard)
+    h2 = IvfPqReplicaHandle.load_index(idx, rerank_mmap_dir=mm)
+    assert h2.chosen_m == h.chosen_m
+    for q, (ids, d), (cids, cd) in zip(qv, live, live_coarse):
+        ids2, d2 = h2.search_one(q, k=10, fetch_k=50)
+        assert np.array_equal(ids, ids2) and np.array_equal(d, d2)
+        # coarse path (no fetch_k rerank triggered when mmap absent)
+        h3 = IvfPqReplicaHandle.load_index(idx)
+        cids2, cd2 = h3.search_one(q, k=10)
+        assert np.array_equal(cids, cids2) and np.array_equal(cd, cd2)
+
+    # (b) nprobe override widens the probe set exactly like a live handle
+    h.nprobe = 16
+    want = h.search_one(qv[0], k=10, fetch_k=50)
+    h4 = IvfPqReplicaHandle.load_index(idx, rerank_mmap_dir=mm, nprobe=16)
+    got = h4.search_one(qv[0], k=10, fetch_k=50)
+    assert np.array_equal(want[0], got[0]) and np.array_equal(want[1], got[1])
+
+    # (c) snapshots are immutable — refresh refuses with a clear message
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="load_index"):
+        h2.refresh()

@@ -261,7 +261,9 @@ def probe_10m() -> int:
     return 0
 
 
-OUT100M = os.path.join(_REPO, ".bench", "vec100m_128d_c256")
+OUT100M = os.environ.get("PROBE100M_OUT") or os.path.join(
+    _REPO, ".bench", "vec100m_128d_c256"
+)
 # 100M = the SIXTH decade (r13, VERDICT r12 task 6). 100M × 128 f32 is
 # 51 GB — past RAM-resident floats, so the probe runs the tier in the
 # shape a 1000-executor cluster would: N_SUB sub-indexes (one per
@@ -269,18 +271,240 @@ OUT100M = os.path.join(_REPO, ".bench", "vec100m_128d_c256")
 # float32 disk-mmap rerank tier (rerank_dtype="float32" — half the disk
 # and gather bandwidth of f64; exactness to f32 resolution), driver-side
 # (dist, id) top-k merge across sub-indexes — the identical merge every
-# distributed top-k in this repo uses. Disk discipline: each sub-corpus
-# parquet is DELETED right after its build (the mmap tier + codes are the
-# serving truth), so peak usage stays ~mmap_total + one sub-corpus.
-# num_subspaces is picked by the r13 density-adaptive probe on the FIRST
-# sub-index (num_subspaces="auto") and reused for the rest — the sixth
-# decade is exactly where the hand-tuned-M trap the 10M probe found
-# would bite again.
-N_SUB_100M = 8
-ROWS_PER_SUB_100M = 12_500_000
+# distributed top-k in this repo uses.
+#
+# r13 second pass: the build is now RESUMABLE and WAVE-PARALLEL. Each
+# sub-index builds in its own WORKER PROCESS (the literal executor
+# shape) and persists its resident tier with save_index() — codes +
+# centroids + books land next to the mmap float tier, so an interrupted
+# probe resumes from the completed subs instead of restarting a
+# multi-hour build (the first r13 attempt lost 4 completed sub-builds
+# to exactly this). Waves run up to MAX_WORKERS_100M builds at once;
+# the 10M alpha anchor runs INSIDE a 3-wide wave so numerator and
+# denominator see the same memory-bandwidth contention regime. Corpus
+# generation is seeded per (sub, file): any worker can regenerate its
+# parquet bit-identically, and the parquet is deleted the moment the
+# index + mmap tier exist (disk peak stays ~one in-flight sub per
+# worker above the final footprint).
+# num_subspaces is picked by the r13 density-adaptive probe on sub-0
+# (num_subspaces="auto") and reused for the rest — the sixth decade is
+# exactly where the hand-tuned-M trap the 10M probe found would bite.
+# env overrides exist so the WHOLE pipeline (waves, workers, resume,
+# save/load, truth merge, sweep) smoke-tests in seconds before a
+# multi-hour real run — subprocess workers re-import this module, so
+# the knobs must ride the environment, not monkeypatching
+N_SUB_100M = int(os.environ.get("PROBE100M_NSUB", 8))
+ROWS_PER_SUB_100M = int(os.environ.get("PROBE100M_ROWS_PER_SUB", 12_500_000))
+FILES_PER_SUB_100M = 4
+ANCHOR_ROWS_100M = int(os.environ.get("PROBE100M_ANCHOR_ROWS", 10_000_000))
 CFG_100M = dict(n_cells=1024, nprobe=8, assign_r=1)  # per sub-index
 FETCHK_SWEEP_100M = (500, 1000)
 NQ_100M = 100
+MAX_WORKERS_100M = 3
+MIN_FREE_GB_100M = 15.0
+
+
+def _centers_100m():
+    import numpy as np
+
+    return np.random.default_rng(100_042).standard_normal(
+        (256, DIM), dtype=np.float32
+    )
+
+
+def _gen_sub_block(s: int, f: int, centers):
+    """Deterministic (ids, mat) for file `f` of sub-index `s` — seeded per
+    (s, f) so ANY process can regenerate any block bit-identically."""
+    import numpy as np
+
+    per_file = ROWS_PER_SUB_100M // FILES_PER_SUB_100M
+    lo = s * ROWS_PER_SUB_100M + f * per_file
+    rng = np.random.default_rng(100_042 + 1000 * s + f + 1)
+    assign = rng.integers(0, 256, per_file)
+    mat = centers[assign] + np.float32(0.7) * rng.standard_normal(
+        (per_file, DIM), dtype=np.float32
+    )
+    ids = np.arange(lo, lo + per_file, dtype=np.int64)
+    return ids, mat
+
+
+def _sidecar_write(name: str, payload: dict) -> None:
+    import json
+
+    tmp = os.path.join(OUT100M, f"t_{name}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, os.path.join(OUT100M, f"t_{name}.json"))
+
+
+def _sidecar_read(name: str):
+    import json
+
+    p = os.path.join(OUT100M, f"t_{name}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _worker_anchor() -> int:
+    """10M anchor build (alpha denominator): same build path as the
+    sub-indexes — parquet in, handle build, no mmap tier (build time is
+    the measurement; the float tier would cost disk the 100M run needs)."""
+    from custom_python_vectordb_spark.operators.partitioned import (
+        IvfPqReplicaHandle,
+    )
+
+    anchor_dir = (OUT10M if ANCHOR_ROWS_100M == 10_000_000
+                  else os.path.join(OUT100M, "anchor_corpus"))
+    gen_corpus(anchor_dir, ANCHOR_ROWS_100M, 10042)
+    shard_10m = sorted(glob.glob(os.path.join(anchor_dir, "part-*.parquet")))
+    t = time.perf_counter()
+    IvfPqReplicaHandle(
+        shard_10m, n_cells=CFG_10M["n_cells"], nprobe=8, assign_r=1,
+        num_subspaces=CFG_10M["num_subspaces"],
+    )
+    _sidecar_write("anchor", {"seconds": time.perf_counter() - t})
+    return 0
+
+
+def _worker_sub(s: int, m_spec: str) -> int:
+    """Generate sub `s`'s parquet (deterministic), build its
+    IvfPqReplicaHandle (+f32 mmap rerank tier), persist the resident tier
+    with save_index, drop the parquet. One executor's build, verbatim."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from custom_python_vectordb_spark.operators.partitioned import (
+        IvfPqReplicaHandle,
+    )
+
+    mm_dir = os.path.join(OUT100M, f"mmap-{s:02d}")
+    if os.path.exists(os.path.join(mm_dir, "_SUB_DONE")):
+        print(f"sub-{s}: already built", flush=True)
+        return 0
+    sub_dir = os.path.join(OUT100M, f"sub-{s:02d}")
+    os.makedirs(sub_dir, exist_ok=True)
+    centers = _centers_100m()
+    for f in range(FILES_PER_SUB_100M):
+        ids, mat = _gen_sub_block(s, f, centers)
+        tbl = pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), DIM
+            ),
+        })
+        _pq.write_table(
+            tbl, os.path.join(sub_dir, f"part-{f:05d}.parquet"),
+            row_group_size=200_000,
+        )
+        del mat
+    sub_paths = sorted(glob.glob(os.path.join(sub_dir, "part-*.parquet")))
+    t = time.perf_counter()
+    h = IvfPqReplicaHandle(
+        sub_paths, n_cells=CFG_100M["n_cells"], nprobe=CFG_100M["nprobe"],
+        assign_r=CFG_100M["assign_r"],
+        num_subspaces=("auto" if m_spec == "auto" else int(m_spec)),
+        target_recall=0.995,
+        rerank_mmap_dir=mm_dir, rerank_dtype="float32",
+    )
+    build_s = time.perf_counter() - t
+    h.save_index(mm_dir)
+    shutil.rmtree(sub_dir)
+    _sidecar_write(f"sub{s}", {
+        "seconds": build_s, "chosen_m": int(h.chosen_m),
+        "probe_recall": None if h.probe_recall is None else float(h.probe_recall),
+    })
+    with open(os.path.join(mm_dir, "_SUB_DONE"), "w") as fh:
+        fh.write("ok\n")
+    print(f"sub-{s}: built in {build_s:.1f} s (M={h.chosen_m}), parquet dropped",
+          flush=True)
+    return 0
+
+
+def _worker_truth(s: int) -> int:
+    """Exact top-10 within sub `s` for the probe queries, chunked f32 GEMM
+    straight off the sub's mmap float tier — one executor's slice of the
+    distributed exact-truth job."""
+    import numpy as np
+
+    queries = np.load(os.path.join(OUT100M, "queries.npy"))
+    mm_dir = os.path.join(OUT100M, f"mmap-{s:02d}")
+    mat_p = glob.glob(os.path.join(mm_dir, "replica_*.mat.npy"))[0]
+    mat = np.load(mat_p, mmap_mode="r")
+    lo = s * ROWS_PER_SUB_100M
+    nq = len(queries)
+    q64 = queries.astype(np.float64)
+    q_sq = (q64 * q64).sum(1)
+    truth_d = np.full((nq, 10), np.inf, dtype=np.float64)
+    truth_i = np.full((nq, 10), -1, dtype=np.int64)
+    t = time.perf_counter()
+    B = 1_000_000
+    for blo in range(0, mat.shape[0], B):
+        blk = np.asarray(mat[blo : blo + B], dtype=np.float32)
+        cross = blk.astype(np.float64) @ q64.T  # (B, Q)
+        b_sq = (blk.astype(np.float64) ** 2).sum(1)
+        d2 = b_sq[:, None] - 2.0 * cross + q_sq[None, :]
+        np.maximum(d2, 0.0, out=d2)
+        for qi in range(nq):
+            col = d2[:, qi]
+            idx = np.argpartition(col, 9)[:10]
+            cand_d = np.sqrt(col[idx])
+            cand_i = idx + lo + blo
+            all_d = np.concatenate([truth_d[qi], cand_d])
+            all_i = np.concatenate([truth_i[qi], cand_i])
+            order = np.lexsort((all_i, all_d))[:10]
+            truth_d[qi], truth_i[qi] = all_d[order], all_i[order]
+    el = time.perf_counter() - t
+    tmp = os.path.join(OUT100M, f"truth-{s:02d}.npz.tmp")
+    with open(tmp, "wb") as fh:
+        np.savez(fh, d=truth_d, i=truth_i)
+    os.replace(tmp, os.path.join(OUT100M, f"truth-{s:02d}.npz"))
+    _sidecar_write(f"truth{s}", {"seconds": el})
+    print(f"truth: sub-{s} done in {el:.0f} s", flush=True)
+    return 0
+
+
+def _run_wave(tasks: list[str], max_workers: int = MAX_WORKERS_100M) -> None:
+    """Run worker tasks as subprocesses, at most `max_workers` at once,
+    holding new launches while disk free < MIN_FREE_GB_100M (each build
+    frees its parquet on completion). A worker failure aborts the probe."""
+    import shutil
+    import subprocess
+
+    pending = list(tasks)
+    running: list[tuple[str, subprocess.Popen]] = []
+    while pending or running:
+        for name, p in list(running):
+            rc = p.poll()
+            if rc is not None:
+                running.remove((name, p))
+                if rc != 0:
+                    for _, q in running:
+                        q.terminate()
+                    raise RuntimeError(f"worker {name} failed rc={rc} "
+                                       f"(see {OUT100M}/log_{name}.txt)")
+        free_gb = shutil.disk_usage(OUT100M).free / 1e9
+        # the disk gate holds only SUB BUILDS (each stages a ~13 GB
+        # parquet+mmap transient); anchor/truth tasks add ~nothing and
+        # must not deadlock behind the final footprint
+        disk_ok = (not pending or not pending[0].startswith("sub:")
+                   or free_gb >= MIN_FREE_GB_100M)
+        if pending and len(running) < max_workers and disk_ok:
+            name = pending.pop(0)
+            log = open(os.path.join(OUT100M, f"log_{name.replace(':', '_')}.txt"), "ab")
+            p = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--100m-worker", name],
+                stdout=log, stderr=subprocess.STDOUT,
+            )
+            running.append((name, p))
+            print(f"wave: launched {name} ({len(running)} running, "
+                  f"{free_gb:.0f} GB free)", flush=True)
+            continue
+        time.sleep(5)
 
 
 def probe_100m() -> int:
@@ -288,144 +512,80 @@ def probe_100m() -> int:
 
     import numpy as np
 
-    from custom_python_vectordb_spark.operators.partitioned import IvfPqReplicaHandle
+    from custom_python_vectordb_spark.operators.partitioned import (
+        IvfPqReplicaHandle,
+    )
 
     from bench import _mem_bw_gbps
 
+    # v2 layout marker: the first r13 attempt's one-shot layout (no saved
+    # index state, whole-sub RNG streams) cannot be resumed — wipe it
+    marker = os.path.join(OUT100M, "_V2_LAYOUT")
+    if os.path.isdir(OUT100M) and not os.path.exists(marker):
+        print("wiping pre-v2 (unresumable) 100M build dir", flush=True)
+        shutil.rmtree(OUT100M)
+    os.makedirs(OUT100M, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("per-(sub,file) seeds + save_index state\n")
+
     bw0 = _mem_bw_gbps()
-    rows: dict[str, float] = {}
 
-    # ---- 10M anchor build, SAME process (alpha denominator), no rerank
-    # tier (build time is the measurement; the f64 mmap would cost 10 GB
-    # of the disk budget the 100M tier needs)
-    gen_corpus(OUT10M, 10_000_000, 10042)
-    shard_10m = sorted(glob.glob(os.path.join(OUT10M, "part-*.parquet")))
-    t = time.perf_counter()
-    h10 = IvfPqReplicaHandle(
-        shard_10m, n_cells=CFG_10M["n_cells"], nprobe=8, assign_r=1,
-        num_subspaces=CFG_10M["num_subspaces"],
+    # probe queries: first rows of sub-0 — regenerable by any process
+    qp = os.path.join(OUT100M, "queries.npy")
+    if not os.path.exists(qp):
+        _ids, mat0 = _gen_sub_block(0, 0, _centers_100m())
+        np.save(qp, mat0[:NQ_100M].astype(np.float32).copy())
+        del mat0
+    queries = np.load(qp)
+
+    # ---- build waves: sub-0 solo first (its auto-M pick gates the rest),
+    # then the anchor rides inside a full-width wave so the alpha ratio
+    # compares like-contended builds
+    if _sidecar_read("sub0") is None:
+        _run_wave(["sub:0:auto"], max_workers=1)
+    chosen_m = _sidecar_read("sub0")["chosen_m"]
+    print(f"auto num_subspaces on sub-0: M={chosen_m}", flush=True)
+    remaining = [f"sub:{s}:{chosen_m}" for s in range(1, N_SUB_100M)
+                 if _sidecar_read(f"sub{s}") is None]
+    if _sidecar_read("anchor") is None:
+        remaining.insert(0, "anchor")
+    if remaining:
+        _run_wave(remaining)
+
+    rows: dict[str, float] = {"auto_m": chosen_m}
+    rows["ivfpq_build_10m_s"] = _sidecar_read("anchor")["seconds"]
+    rows["ivfpq_build_100m_total_s"] = sum(
+        _sidecar_read(f"sub{s}")["seconds"] for s in range(N_SUB_100M)
     )
-    rows["ivfpq_build_10m_s"] = time.perf_counter() - t
-    del h10
-    from custom_python_vectordb_spark.operators.partitioned import (
-        _IVFPQ_REPLICA_CACHE,
-    )
-
-    _IVFPQ_REPLICA_CACHE.clear()
-    # free the r12 f64 rerank tier (10 GB) — the 100M mmap total needs it
-    old_mm = os.path.join(OUT10M, "ivfpq_mmap")
-    if os.path.isdir(old_mm):
-        shutil.rmtree(old_mm)
-    print(f"10M anchor build: {rows['ivfpq_build_10m_s']:.1f} s; disk freed",
-          flush=True)
-
-    # ---- generate + build the 8 sub-indexes, deleting parquet as we go
-    rng_global = np.random.default_rng(100_042)
-    centers = rng_global.standard_normal((256, DIM), dtype=np.float32)
-    handles = []
-    chosen_m = None
-    build_total = 0.0
-    queries = None
-    for s in range(N_SUB_100M):
-        sub_dir = os.path.join(OUT100M, f"sub-{s:02d}")
-        mm_dir = os.path.join(OUT100M, f"mmap-{s:02d}")
-        done = os.path.join(mm_dir, "_SUB_DONE")
-        lo = s * ROWS_PER_SUB_100M
-        sub_paths = []
-        if not os.path.exists(done):
-            os.makedirs(sub_dir, exist_ok=True)
-            rng = np.random.default_rng(100_042 + 7 * s + 1)
-            per_file = ROWS_PER_SUB_100M // 4
-            import pyarrow as pa
-            import pyarrow.parquet as _pq
-
-            for f in range(4):
-                flo = lo + f * per_file
-                assign = rng.integers(0, 256, per_file)
-                mat = centers[assign] + np.float32(0.7) * rng.standard_normal(
-                    (per_file, DIM), dtype=np.float32
-                )
-                if queries is None:  # probe queries = first rows of sub 0
-                    queries = mat[:NQ_100M].astype(np.float32).copy()
-                tbl = pa.table({
-                    "vec_id": pa.array(np.arange(flo, flo + per_file, dtype=np.int64)),
-                    "embedding": pa.FixedSizeListArray.from_arrays(
-                        pa.array(mat.reshape(-1)), DIM
-                    ),
-                })
-                _pq.write_table(
-                    tbl, os.path.join(sub_dir, f"part-{f:05d}.parquet"),
-                    row_group_size=200_000,
-                )
-                del mat
-            sub_paths = sorted(glob.glob(os.path.join(sub_dir, "part-*.parquet")))
-        t = time.perf_counter()
-        if sub_paths:  # fresh build
-            h = IvfPqReplicaHandle(
-                sub_paths, n_cells=CFG_100M["n_cells"], nprobe=CFG_100M["nprobe"],
-                assign_r=CFG_100M["assign_r"],
-                num_subspaces=(chosen_m or "auto"), target_recall=0.995,
-                rerank_mmap_dir=mm_dir, rerank_dtype="float32",
-            )
-            build_s = time.perf_counter() - t
-            build_total += build_s
-            if chosen_m is None:
-                chosen_m = h.chosen_m
-                rows["auto_m"] = chosen_m
-                print(f"auto num_subspaces on sub-0: M={chosen_m} "
-                      f"(probe recall {h.probe_recall})", flush=True)
-            # codes + mmap are now the serving truth: drop the parquet and
-            # persist the handle state marker (a re-run rebuilds from
-            # scratch; this probe is one-shot by design)
-            shutil.rmtree(sub_dir)
-            with open(done, "w") as fh:
-                fh.write("ok\n")
-            print(f"sub-{s}: built in {build_s:.1f} s, parquet dropped", flush=True)
-            handles.append(h)
-        else:
-            print(f"sub-{s}: mmap present but parquet dropped — "
-                  "one-shot probe cannot resume; delete .bench/vec100m* to rerun",
-                  flush=True)
-            return 1
-    rows["ivfpq_build_100m_total_s"] = build_total
     rows["build_alpha_10m_100m"] = math.log10(
-        build_total / rows["ivfpq_build_10m_s"]
+        rows["ivfpq_build_100m_total_s"] / rows["ivfpq_build_10m_s"]
     )
 
-    # ---- exact truth per sub-index straight off its f32 mmap matrix
-    # (chunked GEMM, global ids = row + sub_lo by construction)
-    if queries is None:
-        print("no queries captured"); return 1
+    # ---- exact truth: one worker per sub (each reads only ITS mmap tier),
+    # then a driver-side 10-way merge — the distributed truth job
+    truth_tasks = [f"truth:{s}" for s in range(N_SUB_100M)
+                   if not os.path.exists(os.path.join(OUT100M, f"truth-{s:02d}.npz"))]
+    if truth_tasks:
+        _run_wave(truth_tasks)
     truth_d = np.full((NQ_100M, 10), np.inf, dtype=np.float64)
     truth_i = np.full((NQ_100M, 10), -1, dtype=np.int64)
-    q64 = queries.astype(np.float64)
-    q_sq = (q64 * q64).sum(1)
-    t = time.perf_counter()
+    for s in range(N_SUB_100M):
+        with np.load(os.path.join(OUT100M, f"truth-{s:02d}.npz")) as z:
+            sd, si = z["d"], z["i"]
+        for qi in range(NQ_100M):
+            all_d = np.concatenate([truth_d[qi], sd[qi]])
+            all_i = np.concatenate([truth_i[qi], si[qi]])
+            order = np.lexsort((all_i, all_d))[:10]
+            truth_d[qi], truth_i[qi] = all_d[order], all_i[order]
+    rows["exact_truth_total_s"] = sum(
+        _sidecar_read(f"truth{s}")["seconds"] for s in range(N_SUB_100M)
+    )
+
+    # ---- load the 8 persisted sub-indexes (codes resident, floats mmap)
+    handles = []
     for s in range(N_SUB_100M):
         mm_dir = os.path.join(OUT100M, f"mmap-{s:02d}")
-        mat_p = glob.glob(os.path.join(mm_dir, "replica_*.mat.npy"))[0]
-        mat = np.load(mat_p, mmap_mode="r")
-        lo = s * ROWS_PER_SUB_100M
-        B = 1_000_000
-        for blo in range(0, mat.shape[0], B):
-            blk = np.asarray(mat[blo : blo + B], dtype=np.float32)
-            cross = blk.astype(np.float64) @ q64.T  # (B, Q)
-            b_sq = (blk.astype(np.float64) ** 2).sum(1)
-            d2 = b_sq[:, None] - 2.0 * cross + q_sq[None, :]
-            np.maximum(d2, 0.0, out=d2)
-            for qi in range(NQ_100M):
-                col = d2[:, qi]
-                idx = np.argpartition(col, 9)[:10]
-                cand_d = np.sqrt(col[idx])
-                cand_i = idx + lo + blo
-                all_d = np.concatenate([truth_d[qi], cand_d])
-                all_i = np.concatenate([truth_i[qi], cand_i])
-                order = np.lexsort((all_i, all_d))[:10]
-                truth_d[qi], truth_i[qi] = all_d[order], all_i[order]
-        del mat
-        print(f"truth: sub-{s} merged ({time.perf_counter() - t:.0f} s elapsed)",
-              flush=True)
-    rows["exact_truth_total_s"] = time.perf_counter() - t
+        handles.append(IvfPqReplicaHandle.load_index(mm_dir, rerank_mmap_dir=mm_dir))
 
     # ---- serving sweep: per-query search all 8 sub-indexes, merge top-10
     results = []
@@ -481,21 +641,26 @@ def probe_100m() -> int:
         "1000-executor shape: every sub-index is one node's IvfPqReplicaHandle,\n"
         "the driver merge is the same (dist, id) top-k every distributed\n"
         "operator here uses). Same clustered recipe (256 centers, sigma 0.7 —\n"
-        "~390k rows per natural cluster, 10x the 10M density). Disk: parquet\n"
-        "deleted after each sub-build; resident tier = uint16 codes\n"
-        f"(~{N_SUB_100M * ROWS_PER_SUB_100M * (rows.get('auto_m', 64)) * 2 / 1e9:.1f} GB RAM) "
+        "~390k rows per natural cluster, 10x the 10M density). Build: each\n"
+        f"sub-index built in its OWN WORKER PROCESS ({MAX_WORKERS_100M}-wide waves — the\n"
+        "executor shape, resumable via save_index persistence; the 10M alpha\n"
+        "anchor built inside the same wave width so both sides of the ratio\n"
+        "see the same bandwidth contention), parquet deleted after each\n"
+        "sub-build; resident tier = uint16 offset codes\n"
+        f"(~{N_SUB_100M * ROWS_PER_SUB_100M * rows.get('auto_m', 64) * 2 / 1e9:.1f} GB RAM) "
         "+ float32 mmap rerank (51 GB disk, page-cached).\n\n"
         "SIXTH-DECADE FINDING: num_subspaces came from the r13 density-adaptive\n"
         f"probe (num_subspaces='auto', target 0.995) on sub-index 0: M={rows.get('auto_m')}\n"
         "— the auto pick at full density replaces the hand-tuned M the 10M\n"
         "probe showed goes stale each decade.\n\n"
         f"Anchors this run: mem_bw_gbps {bw0} at start, {bw1} after; 10M anchor\n"
-        f"build {rows['ivfpq_build_10m_s']:.1f} s same-process vs 100M total "
-        f"{rows['ivfpq_build_100m_total_s']:.1f} s ->\ndecade exponent alpha = "
+        f"build {rows['ivfpq_build_10m_s']:.1f} s (in-wave) vs 100M total "
+        f"{rows['ivfpq_build_100m_total_s']:.1f} s (sum of per-sub\nbuild seconds, "
+        f"{MAX_WORKERS_100M}-way-concurrent regime) ->\ndecade exponent alpha = "
         f"{rows['build_alpha_10m_100m']:.2f} (gate <= 1.1; sub-builds are\n"
         "embarrassingly parallel across executors in the cluster shape, so the\n"
         "wall-clock alpha there is ~0). Exact truth: chunked f32 GEMM straight\n"
-        f"off the mmap tier, {rows['exact_truth_total_s']:.0f} s for "
+        f"off the mmap tiers, {rows['exact_truth_total_s']:.0f} worker-seconds for "
         f"{NQ_100M} queries x 100M rows.\n\n"
         "The p50 bandwidth statement: each sub-query probes nprobe/n_cells\n"
         f"(={CFG_100M['nprobe']}/{CFG_100M['n_cells']}) of 12.5M rows' codes "
@@ -504,15 +669,15 @@ def probe_100m() -> int:
         "sequential sum is the seq column.\n\n"
         + block + "\n\n" + end
     )
-    md = os.path.join(_REPO, "SCALING.md")
-    src = open(md).read()
+    md = os.environ.get("PROBE100M_MD") or os.path.join(_REPO, "SCALING.md")
+    src = open(md).read() if os.path.exists(md) else ""
     if begin in src:
         src = src.split(begin)[0] + section + src.split(end)[1]
     else:
         src = src.rstrip() + "\n\n" + section + "\n"
     with open(md, "w") as fh:
         fh.write(src)
-    print("SCALING.md updated (100M block)")
+    print(f"{md} updated (100M block)")
     return 0
 
 
@@ -521,6 +686,17 @@ def main() -> int:
         os.environ.setdefault(var, "1")
     if "--10m" in sys.argv:
         return probe_10m()
+    if "--100m-worker" in sys.argv:
+        task = sys.argv[sys.argv.index("--100m-worker") + 1]
+        if task == "anchor":
+            return _worker_anchor()
+        kind, *args = task.split(":")
+        if kind == "sub":
+            return _worker_sub(int(args[0]), args[1])
+        if kind == "truth":
+            return _worker_truth(int(args[0]))
+        print(f"unknown worker task {task!r}")
+        return 2
     if "--100m" in sys.argv:
         return probe_100m()
     import numpy as np
