@@ -376,6 +376,7 @@ class Collection:
             handle = ivf_handle_for(
                 paths, n_cells=n_cells, nprobe=nprobe, assign_r=assign_r,
                 metric=metric, id_col="id", dtype="float32",
+                index_dir=self.db.index_cache_dir,
             )
         except ValueError:
             # paths exist but hold zero rows (Spark writes empty part
@@ -674,7 +675,13 @@ class VectorDB:
     log (`sources/versioned.py`): atomic manifest commits, O(delta) appends,
     time travel via `db.warehouse.load(name, version=n)`. Same interface."""
 
-    def __init__(self, spark: SparkSession, root: str, versioned: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        versioned: bool = False,
+        index_cache_dir: str | None = None,
+    ):
         self.spark = spark
         if versioned:
             from custom_python_vectordb_spark.sources.versioned import VersionedWarehouse
@@ -683,6 +690,11 @@ class VectorDB:
         else:
             self.warehouse = Warehouse(spark, root)
         self._dims: dict[str, int] = {}
+        # r13 warm-start tier: when set, accelerated serving handles
+        # persist their built index here (IvfReplicaHandle.save_index) and
+        # booting workers LOAD instead of re-running k-means — see
+        # ivf_handle_for(index_dir=...). Stat-key freshness still governs.
+        self.index_cache_dir = index_cache_dir
 
     def create_collection(self, name: str, dimensions: int, overwrite: bool = False) -> Collection:
         if self.warehouse.exists(name):

@@ -605,6 +605,54 @@ class BqReplicaHandle:
             raise ValueError("empty shard set")
         _, self.ids, self.words, self.med, self.pad = entry
 
+    def save_index(self, out_dir: str) -> None:
+        """Persist the packed-word tier (ids + uint64 codes + per-dim
+        median thresholds) as ``bq_index.npz`` — same warm-start family
+        contract as ``IvfReplicaHandle.save_index``: the build's expensive
+        part at scale is the full-corpus decode+binarize pass, which N
+        booting serving workers should pay once, not N times. The shard
+        stat key rides along for the caller's freshness check."""
+        import json
+        import os as _os
+
+        np = self._np
+        _os.makedirs(out_dir, exist_ok=True)
+        meta = {
+            "id_col": self._id_col, "pad": int(self.pad),
+            "stat_key": [
+                [p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size]
+                for p in sorted(self._paths)
+            ],
+        }
+        tmp = _os.path.join(out_dir, "bq_index.npz.tmp")
+        with open(tmp, "wb") as fh:
+            np.savez(fh, ids=self.ids, words=self.words, med=self.med,
+                     meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8))
+        _os.replace(tmp, _os.path.join(out_dir, "bq_index.npz"))
+
+    @classmethod
+    def load_index(cls, in_dir: str):
+        """Reconstitute from :meth:`save_index` output without reading
+        parquet. The shard set is preserved, so ``refresh()`` remains the
+        write-visibility boundary; freshness checking against live shards
+        is the caller's job (compare ``meta['stat_key']``)."""
+        import json
+        import os as _os
+
+        import numpy as np
+
+        with np.load(
+            _os.path.join(in_dir, "bq_index.npz"), allow_pickle=True
+        ) as z:
+            meta = json.loads(bytes(z["meta"].tobytes()).decode())
+            ids, words, med = z["ids"], z["words"], z["med"]
+        self = object.__new__(cls)
+        self._np = np
+        self._paths = [p for p, _m, _s in meta["stat_key"]]
+        self._id_col = meta["id_col"]
+        self.ids, self.words, self.med, self.pad = ids, words, med, meta["pad"]
+        return self
+
     def search_one(self, qvec, k: int = 10):
         """Coarse Hamming top-k for ONE query: (ids, hamming) sorted by
         (distance, id). One xor+SWAR-popcount pass per packed word."""
@@ -1122,11 +1170,66 @@ class SqReplicaHandle:
         )
         entry = _SQ_REPLICA_CACHE[(tuple(sorted(self._paths)), self._id_col)]
         _, self.ids, self.codes, self.minv, self.s, self.wa2 = entry
+        self._finish_derived()
+
+    def _finish_derived(self) -> None:
+        """Fields derived from (codes, s, wa2) — shared by refresh() and
+        load_index() so the certified-envelope coefficient can never
+        diverge between a built and a loaded handle."""
+        np = self._np
         self.s2 = self.s * self.s
         self._wa2_32 = self.wa2.astype(np.float32)
         # dimension-dependent certified coefficient (see _SQ_F32_MARGIN)
         d_dim = int(self.codes.shape[1]) if self.codes.ndim == 2 else 0
         self._err32 = np.float32(_SQ_F32_MARGIN * (d_dim + 8) * 2.0 ** -24)
+
+    def save_index(self, out_dir: str) -> None:
+        """Persist the SQ tier (ids, uint8 codes, per-dim min/scale, row
+        norms) as ``sq_index.npz`` — warm-start family contract (see
+        ``IvfReplicaHandle.save_index``); derived certified-scan fields
+        are recomputed at load through the same helper refresh() uses."""
+        import json
+        import os as _os
+
+        np = self._np
+        _os.makedirs(out_dir, exist_ok=True)
+        meta = {
+            "id_col": self._id_col, "chunk": int(self._chunk),
+            "stat_key": [
+                [p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size]
+                for p in sorted(self._paths)
+            ],
+        }
+        tmp = _os.path.join(out_dir, "sq_index.npz.tmp")
+        with open(tmp, "wb") as fh:
+            np.savez(fh, ids=self.ids, codes=self.codes, minv=self.minv,
+                     s=self.s, wa2=self.wa2,
+                     meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8))
+        _os.replace(tmp, _os.path.join(out_dir, "sq_index.npz"))
+
+    @classmethod
+    def load_index(cls, in_dir: str):
+        """Reconstitute from :meth:`save_index` output without reading
+        parquet; ``refresh()`` still works (shard set preserved).
+        Freshness vs live shards is the caller's job (``meta['stat_key']``)."""
+        import json
+        import os as _os
+
+        import numpy as np
+
+        with np.load(
+            _os.path.join(in_dir, "sq_index.npz"), allow_pickle=True
+        ) as z:
+            meta = json.loads(bytes(z["meta"].tobytes()).decode())
+            ids, codes, minv, s, wa2 = z["ids"], z["codes"], z["minv"], z["s"], z["wa2"]
+        self = object.__new__(cls)
+        self._np = np
+        self._paths = [p for p, _m, _s in meta["stat_key"]]
+        self._id_col = meta["id_col"]
+        self._chunk = meta["chunk"]
+        self.ids, self.codes, self.minv, self.s, self.wa2 = ids, codes, minv, s, wa2
+        self._finish_derived()
+        return self
 
     def _exact_rows(self, rows, qw, wb2: float):
         """Float64 L2-expansion distances for a row subset, recomputed IN

@@ -1074,7 +1074,7 @@ def serve_background(
 
 def main() -> None:
     """CLI: python -m custom_python_vectordb_spark.server <warehouse_dir> [port]
-    [--workers N] [--serving-only]
+    [--workers N] [--serving-only] [--index-cache DIR]
 
     --workers N (N > 1): spawn N share-nothing worker processes all bound
       to the SAME port via SO_REUSEPORT (kernel per-connection load
@@ -1096,6 +1096,14 @@ def main() -> None:
     ap.add_argument("--workers", type=int, default=1)
     ap.add_argument("--serving-only", action="store_true")
     ap.add_argument("--reuse-port", action="store_true")
+    ap.add_argument(
+        "--index-cache",
+        default=None,
+        help="directory for persisted serving indexes (warm start): the "
+             "first worker to build an IVF geometry saves it here; every "
+             "other booting worker LOADS it instead of re-running k-means "
+             "(stat-key freshness still governs, stale snapshots rebuild)",
+    )
     ap.add_argument(
         "--ann-geometries",
         default=None,
@@ -1121,6 +1129,8 @@ def main() -> None:
             cmd.append("--serving-only")
         if args.ann_geometries:
             cmd += ["--ann-geometries", args.ann_geometries]
+        if args.index_cache:
+            cmd += ["--index-cache", args.index_cache]
         procs = [subprocess.Popen(cmd) for _ in range(args.workers)]
 
         def _stop(*_a):  # forward SIGTERM so no worker is orphaned
@@ -1148,7 +1158,7 @@ def main() -> None:
         spark = get_spark("vectordb-server")
         spark.sparkContext.setLogLevel("ERROR")
     srv = make_server(
-        VectorDB(spark, args.root), args.port,
+        VectorDB(spark, args.root, index_cache_dir=args.index_cache), args.port,
         reuse_port=args.reuse_port, ann_geometries=geoms,
     )
     print(f"serving {args.root} on http://127.0.0.1:{srv.server_address[1]} — Ctrl-C to stop")

@@ -616,3 +616,103 @@ def test_ivfpq_save_load_index_snapshot(tmp_path):
 
     with _pytest.raises(RuntimeError, match="load_index"):
         h2.refresh()
+
+
+def test_ivf_save_load_index_parity(tmp_path):
+    """r13: IvfReplicaHandle.save_index/load_index — the REST fleet's
+    warm-start tier. A loaded snapshot must return bit-identical results
+    (cosine and l2, assign_r dedup included), keep refresh() working
+    (the shard set is preserved), and support string ids (the warehouse
+    id_col)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.operators.partitioned import IvfReplicaHandle
+
+    shard = "/root/testdata/sf0.1/embeddings.parquet"
+    head = pq.read_table(shard, columns=["embedding"]).slice(0, 5)
+    qv = [np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()]
+
+    for metric in ("cosine", "l2"):
+        h = IvfReplicaHandle([shard], n_cells=16, nprobe=4, assign_r=2,
+                             metric=metric, dtype="float32")
+        d = str(tmp_path / f"idx_{metric}")
+        h.save_index(d)
+        h2 = IvfReplicaHandle.load_index(d)
+        for q in qv:
+            a_i, a_d = h.search_one(q, 10)
+            b_i, b_d = h2.search_one(q, 10)
+            assert np.array_equal(a_i, b_i) and np.array_equal(a_d, b_d), metric
+        h2.refresh()  # loaded handles keep the shard set — still refreshable
+        a_i, a_d = h.search_one(qv[0], 10)
+        b_i, b_d = h2.search_one(qv[0], 10)
+        assert np.array_equal(a_i, b_i) and np.array_equal(a_d, b_d)
+
+    # string ids (the warehouse serving shape, id_col="id")
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((500, 16)).astype(np.float32)
+    sp = str(tmp_path / "strids.parquet")
+    pq.write_table(
+        pa.table({"id": [f"doc-{i:04d}" for i in range(500)],
+                  "embedding": list(mat)}), sp)
+    hs = IvfReplicaHandle([sp], n_cells=8, nprobe=3, assign_r=2,
+                          id_col="id", dtype="float32")
+    ds = str(tmp_path / "idx_str")
+    hs.save_index(ds)
+    hs2 = IvfReplicaHandle.load_index(ds)
+    a_i, a_d = hs.search_one(mat[7], 5)
+    b_i, b_d = hs2.search_one(mat[7], 5)
+    assert list(a_i) == list(b_i) and np.array_equal(a_d, b_d)
+    assert a_i[0] == "doc-0007"
+
+
+def test_ivf_handle_warm_start_and_staleness(tmp_path, monkeypatch):
+    """r13: ivf_handle_for(index_dir=...) — first resolve builds AND
+    persists; a fresh process (caches emptied) LOADS without touching
+    parquet; a shard mtime change invalidates the snapshot (stat-key
+    contract), forcing a rebuild."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import custom_python_vectordb_spark.operators.partitioned as P
+
+    shard = str(tmp_path / "emb.parquet")
+    shutil.copyfile("/root/testdata/sf0.01/embeddings.parquet", shard)
+    head = pq.read_table(shard, columns=["embedding"]).slice(0, 3)
+    qv = [np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()]
+    idx = str(tmp_path / "cache")
+    kw = dict(n_cells=8, nprobe=3, assign_r=2, dtype="float32", index_dir=idx)
+
+    h1 = P.ivf_handle_for([shard], **kw)
+    want = [h1.search_one(q, 10) for q in qv]
+    snaps = os.listdir(idx)
+    assert len(snaps) == 1 and os.path.exists(
+        os.path.join(idx, snaps[0], "ivf_index.npz"))
+
+    # "new worker boots": in-process caches emptied, parquet reads banned
+    P._IVF_HANDLE_CACHE.clear()
+    P._IVF_REPLICA_CACHE.clear()
+
+    def _no_parquet(*a, **k):
+        raise AssertionError("warm start must not read parquet")
+
+    monkeypatch.setattr(P, "_load_shards_id_sorted", _no_parquet)
+    h2 = P.ivf_handle_for([shard], **kw)
+    for q, (wi, wd) in zip(qv, want):
+        gi, gd = h2.search_one(q, 10)
+        assert np.array_equal(wi, gi) and np.array_equal(wd, gd)
+
+    # stale shards: snapshot stat key no longer matches → loader must NOT
+    # trust it (here the banned parquet read proves the rebuild attempt)
+    P._IVF_HANDLE_CACHE.clear()
+    P._IVF_REPLICA_CACHE.clear()
+    st = os.stat(shard)
+    os.utime(shard, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="warm start"):
+        P.ivf_handle_for([shard], **kw)

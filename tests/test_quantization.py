@@ -564,3 +564,52 @@ def test_bq_batch_threaded_blocked_scan_equals_single_thread(tmp_path):
         sub = got[got["qid"] == qi]
         assert list(sub["vec_id"]) == [ids[i] for i in order]
         assert list(sub["dist"]) == [float(acc[i]) for i in order]
+
+
+def test_bq_sq_handle_save_load_parity(tmp_path):
+    """r13: BqReplicaHandle / SqReplicaHandle save_index/load_index —
+    the warm-start family contract. Loaded snapshots must return
+    bit-identical results (the SQ certified two-phase scan included),
+    record the shard stat key, and keep refresh() working."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.operators.quantization import (
+        BqReplicaHandle,
+        SqReplicaHandle,
+    )
+
+    shard = "/root/testdata/sf0.1/embeddings.parquet"
+    head = pq.read_table(shard, columns=["embedding"]).slice(0, 5)
+    qv = [np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()]
+
+    hb = BqReplicaHandle([shard])
+    db = str(tmp_path / "bq")
+    hb.save_index(db)
+    hb2 = BqReplicaHandle.load_index(db)
+    for q in qv:
+        a_i, a_d = hb.search_one(q, 10)
+        b_i, b_d = hb2.search_one(q, 10)
+        assert np.array_equal(a_i, b_i) and np.array_equal(a_d, b_d)
+    hb2.refresh()
+    a_i, a_d = hb.search_one(qv[0], 10)
+    b_i, b_d = hb2.search_one(qv[0], 10)
+    assert np.array_equal(a_i, b_i) and np.array_equal(a_d, b_d)
+
+    hs = SqReplicaHandle([shard])
+    ds = str(tmp_path / "sq")
+    hs.save_index(ds)
+    hs2 = SqReplicaHandle.load_index(ds)
+    assert hs2._err32 == hs._err32  # certified coefficient re-derived
+    for q in qv:
+        a_i, a_d = hs.search_one(q, 10)
+        b_i, b_d = hs2.search_one(q, 10)
+        assert np.array_equal(a_i, b_i) and np.array_equal(a_d, b_d)
+
+    # both snapshots carry the stat-key freshness handle
+    for f, key in ((db, "bq_index.npz"), (ds, "sq_index.npz")):
+        with np.load(f"{f}/{key}", allow_pickle=True) as z:
+            meta = json.loads(bytes(z["meta"].tobytes()).decode())
+        assert meta["stat_key"][0][0] == shard

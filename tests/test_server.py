@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import os
 import urllib.request
 
 import pytest
@@ -588,3 +589,51 @@ def test_serving_worker_pool_reuse_port(spark, tmp_path):
         assert False, "a worker survived group SIGTERM"
     except Exception:
         pass
+
+
+def test_ann_route_warm_start_index_cache(spark, tmp_path):
+    """r13 warm-start tier end-to-end over REST: with
+    VectorDB(index_cache_dir=...), the first ann query persists the built
+    IVF index; a 'rebooted worker' (fresh server process state simulated
+    by emptying the in-process handle caches) serves the SAME results
+    from the snapshot without re-reading parquet."""
+    import custom_python_vectordb_spark.operators.partitioned as P
+
+    idx = str(tmp_path / "idxcache")
+    srv, port = serve_background(
+        VectorDB(spark, str(tmp_path / "wh"), index_cache_dir=idx),
+        ann_geometries={(2, 1)},
+    )
+    try:
+        call(port, "POST", "/collections", {"name": "kb", "dimensions": 64})
+        call(
+            port, "POST", "/collections/kb/add",
+            {"ids": ["x", "y", "z"],
+             "documents": ["spark joins data", "brown foxes run",
+                           "quartz clocks tick"]},
+        )
+        body = {"query_texts": ["spark joins data"], "n_results": 2,
+                "ann": True, "n_cells": 2, "nprobe": 2, "assign_r": 1}
+        status, first = call(port, "POST", "/collections/kb/query", body)
+        assert status == 200 and first["results"][0][0]["id"] == "x"
+        snaps = os.listdir(idx)
+        assert len(snaps) == 1 and os.path.exists(
+            os.path.join(idx, snaps[0], "ivf_index.npz"))
+
+        # worker reboot: caches empty, parquet reads banned — the snapshot
+        # must carry the whole serve
+        P._IVF_HANDLE_CACHE.clear()
+        P._IVF_REPLICA_CACHE.clear()
+        real_loader = P._load_shards_id_sorted
+
+        def _no_parquet(*a, **k):
+            raise AssertionError("warm start must not read parquet")
+
+        P._load_shards_id_sorted = _no_parquet
+        try:
+            status, again = call(port, "POST", "/collections/kb/query", body)
+        finally:
+            P._load_shards_id_sorted = real_loader
+        assert status == 200 and again["results"] == first["results"]
+    finally:
+        srv.shutdown()
