@@ -1122,9 +1122,10 @@ class IvfPqReplicaHandle:
     def save_index(self, out_dir: str) -> None:
         """Persist the RESIDENT index tier (centroids, PQ books, per-cell
         ids and codes) as one ``ivfpq_index.npz`` — the ``faiss
-        write_index`` role, and the durability the reference gets from
-        pickling its index state to disk (``/root/reference/
-        vectordb_optimized.py`` save/load of the collection's index).
+        write_index`` role; the reference persists its accelerator the
+        same way (``/root/reference/binary_persistence.py:196-209``
+        ``save_hnsw_index``/``load_hnsw_index`` — serialize the built
+        index next to the binary vector store, reload without rebuild).
         The mmap rerank tier is ALREADY durable (``rerank_mmap_dir``
         holds the float rows); this call makes the code tier durable
         too, so a serving worker — or a resumed 100M-scale build —
