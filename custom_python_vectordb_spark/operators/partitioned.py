@@ -1301,3 +1301,83 @@ class IvfPqReplicaHandle:
             ex = np.sqrt(np.maximum((diff * diff).sum(1), 0.0))
             return _topk_tie_aware(np, cand, ex, k)
         return _topk_tie_aware(np, ids, d, k)
+
+
+class ShardedIvfPqIndex:
+    """N persisted sub-indexes served as ONE logical index — the
+    1000-executor serving shape the 100M probe measured, productized:
+    every sub-index is an :meth:`IvfPqReplicaHandle.load_index` snapshot
+    (uint16 codes resident, float32 mmap rerank on disk), a query fans
+    out to every shard's ``search_one`` and the per-shard top-k merge by
+    (dist, id) is the same rank rule every distributed top-k in this
+    repo uses (and the exact merge the probe's driver ran — SCALING.md
+    VEC100M: 8 × 12.5M rows, recall@10 1.0000, ~21 ms per shard).
+
+    This is what lets a SPARK-LESS serving worker host a corpus that
+    never fits one process's build: executors build + ``save_index``
+    their partition's sub-index (one parquet shard-set each), the
+    serving fleet loads the snapshot dirs, and freshness stays the
+    per-shard stat-key contract. The reference's single-process analog
+    is loading one pickled HNSW (``binary_persistence.py:196-209``);
+    sharding is the 100-TB version of that capability."""
+
+    def __init__(
+        self,
+        snapshot_dirs: list[str],
+        *,
+        nprobe: int | None = None,
+        with_mmap: bool = True,
+    ):
+        import glob as _glob
+        import os as _os
+
+        import numpy as np
+
+        self._np = np
+        dirs = sorted(snapshot_dirs)
+        if not dirs:
+            raise ValueError("empty snapshot dir list")
+        self.shards = []
+        for d in dirs:
+            if not _os.path.exists(_os.path.join(d, "ivfpq_index.npz")):
+                raise FileNotFoundError(f"no ivfpq_index.npz under {d}")
+            has_mmap = bool(_glob.glob(_os.path.join(d, "replica_*.mat.npy")))
+            self.shards.append(
+                IvfPqReplicaHandle.load_index(
+                    d,
+                    rerank_mmap_dir=(d if (with_mmap and has_mmap) else None),
+                    nprobe=nprobe,
+                )
+            )
+
+    @classmethod
+    def discover(cls, root: str, **kw):
+        """Load every ``<root>/*/ivfpq_index.npz`` snapshot as one sharded
+        index — the layout both the 100M probe and an executor-per-subdir
+        ``save_index`` convention produce."""
+        import glob as _glob
+        import os as _os
+
+        dirs = sorted(
+            _os.path.dirname(p)
+            for p in _glob.glob(_os.path.join(root, "*", "ivfpq_index.npz"))
+        )
+        return cls(dirs, **kw)
+
+    def __len__(self) -> int:
+        return sum(sum(len(c) for c in h.cell_ids) for h in self.shards)
+
+    def search_one(self, qvec, k: int = 10, fetch_k: int | None = None):
+        """Global top-k across every shard: (ids, dists) sorted by
+        (dist, id) — per-shard ``search_one`` then one concatenate +
+        lexsort truncation, identical to the probe's driver merge."""
+        np = self._np
+        parts_i, parts_d = [], []
+        for h in self.shards:
+            ids_s, d_s = h.search_one(qvec, k, fetch_k=fetch_k)
+            parts_i.append(ids_s)
+            parts_d.append(d_s)
+        ids = np.concatenate(parts_i)
+        d = np.concatenate(parts_d)
+        order = np.lexsort((ids, d))[:k]
+        return ids[order], d[order]

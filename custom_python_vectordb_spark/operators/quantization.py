@@ -1382,6 +1382,13 @@ class PqReplicaHandle:
         # subspace's column per pass, and a strided (n, M) column walk
         # measured 4-5× slower than contiguous rows
         self.codes_t = np.ascontiguousarray(codes.T)
+        self._finish_derived()
+
+    def _finish_derived(self) -> None:
+        """Fields derived from (codes_t, books) — shared by refresh() and
+        load_index() so the fused-pair gather layout can never diverge
+        between a built and a loaded handle."""
+        np = self._np
         self.books_sq = (self.books * self.books).sum(2)
         # fused uint16 pair codes (same total bytes as codes_t): feeds the
         # pair-LUT gather path when M is even and K² fits uint16
@@ -1393,6 +1400,53 @@ class PqReplicaHandle:
             )
         else:
             self._fused = None
+
+    def save_index(self, out_dir: str) -> None:
+        """Persist the PQ code tier (ids, subspace-major uint8 codes,
+        codebooks) as ``pq_index.npz`` — completing the warm-start family
+        contract across every serving handle (IVF / IVF-PQ / SQ / BQ /
+        PQ; see ``IvfReplicaHandle.save_index``). The shard stat key
+        rides along for the caller's freshness check."""
+        import json
+        import os as _os
+
+        np = self._np
+        _os.makedirs(out_dir, exist_ok=True)
+        meta = {
+            "kw": dict(self._kw),
+            "stat_key": [
+                [p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size]
+                for p in sorted(self._paths)
+            ],
+        }
+        tmp = _os.path.join(out_dir, "pq_index.npz.tmp")
+        with open(tmp, "wb") as fh:
+            np.savez(fh, ids=self.ids, codes_t=self.codes_t, books=self.books,
+                     meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8))
+        _os.replace(tmp, _os.path.join(out_dir, "pq_index.npz"))
+
+    @classmethod
+    def load_index(cls, in_dir: str):
+        """Reconstitute from :meth:`save_index` output without reading
+        parquet; ``refresh()`` still works (shard set preserved).
+        Freshness vs live shards is the caller's job (``meta['stat_key']``)."""
+        import json
+        import os as _os
+
+        import numpy as np
+
+        with np.load(
+            _os.path.join(in_dir, "pq_index.npz"), allow_pickle=True
+        ) as z:
+            meta = json.loads(bytes(z["meta"].tobytes()).decode())
+            ids, codes_t, books = z["ids"], z["codes_t"], z["books"]
+        self = object.__new__(cls)
+        self._np = np
+        self._paths = [p for p, _m, _s in meta["stat_key"]]
+        self._kw = meta["kw"]
+        self.ids, self.codes_t, self.books = ids, codes_t, books
+        self._finish_derived()
+        return self
 
     def search_one(self, qvec, k: int = 10):
         """Coarse ADC top-k for ONE query: one (M, K) LUT, then M/2

@@ -380,6 +380,7 @@ def _routes(
     bus: EventBus | None = None,
     graph: GraphStore | None = None,
     ann_geometries: frozenset | None = None,
+    snapshots: dict | None = None,
 ):
     # Build-affecting index geometry a request may select. nprobe is a
     # query-time knob (free within bounds, like hnswlib's ef); n_cells and
@@ -394,6 +395,29 @@ def _routes(
     def publish(collection: str, event_type: str, **data):
         if bus is not None:
             bus.publish({"collection": collection, "event_type": event_type, **data})
+
+    # snapshot-backed sharded indexes (r13): {name: root_dir} where
+    # root_dir/*/ivfpq_index.npz are per-executor save_index outputs —
+    # serves corpora that never fit one process's BUILD (e.g. the 100M
+    # probe tier) from a spark-less worker. Lazy-loaded + memoized: boot
+    # stays fast, first query pays the code-tier load once. nprobe is
+    # fixed at load (a per-request mutation would race concurrent
+    # handler threads); k/fetch_k stay per-request query-time knobs.
+    snapshots = snapshots or {}
+    _snap_loaded: dict = {}
+    _snap_lock = threading.Lock()
+
+    def _snapshot_index(name: str):
+        from custom_python_vectordb_spark.operators.partitioned import (
+            ShardedIvfPqIndex,
+        )
+
+        with _snap_lock:
+            idx = _snap_loaded.get(name)
+            if idx is None:
+                idx = ShardedIvfPqIndex.discover(snapshots[name])
+                _snap_loaded[name] = idx
+        return idx
 
     def handle(method: str, path: str, body: dict):
         from urllib.parse import parse_qs, urlparse
@@ -414,6 +438,38 @@ def _routes(
                     [float(x) for x in mock_embed_one(t, dims)] for t in body["texts"]
                 ]
             }
+        if parts == ["snapshots"] and method == "GET":
+            return 200, {
+                "snapshots": {
+                    n: {"loaded": n in _snap_loaded,
+                        **({"rows": len(_snap_loaded[n]),
+                            "shards": len(_snap_loaded[n].shards)}
+                           if n in _snap_loaded else {})}
+                    for n in sorted(snapshots)
+                }
+            }
+        if (len(parts) == 3 and parts[0] == "snapshots"
+                and parts[2] == "query" and method == "POST"):
+            if parts[1] not in snapshots:
+                return 404, {"error": f"no snapshot {parts[1]!r}"}
+            idx = _snapshot_index(parts[1])
+            k = int(body.get("n_results", 10))
+            if not (1 <= k <= 1000):
+                raise ValueError(f"n_results must be in [1, 1000], got {k}")
+            fk = body.get("fetch_k")
+            out = []
+            for v in body["query_embeddings"]:
+                ids, dists = idx.search_one(
+                    [float(x) for x in v], k=k,
+                    fetch_k=(int(fk) if fk is not None else None),
+                )
+                out.append(
+                    # numpy scalars -> native; string ids pass through
+                    [{"id": (i.item() if hasattr(i, "item") else i),
+                      "dist": float(d)}
+                     for i, d in zip(ids, dists)]
+                )
+            return 200, {"results": out}
         if graph is not None and parts and parts[0] == "graph":
             return _graph_routes(graph, method, parts, body, qs)
         if parts == ["reset"] and method == "POST":
@@ -828,6 +884,7 @@ def make_server(
     *,
     reuse_port: bool = False,
     ann_geometries: frozenset | set | None = None,
+    snapshots: dict | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the server; port 0 picks a free port. The server
     carries an EventBus (`srv.bus`) publishing every mutation route.
@@ -845,6 +902,7 @@ def make_server(
     handle = _routes(
         db, bus, graph,
         ann_geometries=frozenset(ann_geometries) if ann_geometries else None,
+        snapshots=snapshots,
     )
 
     class Handler(BaseHTTPRequestHandler):
@@ -1062,10 +1120,11 @@ def make_server(
 
 
 def serve_background(
-    db: VectorDB, port: int = 0, *, ann_geometries: frozenset | set | None = None
+    db: VectorDB, port: int = 0, *, ann_geometries: frozenset | set | None = None,
+    snapshots: dict | None = None,
 ) -> tuple[ThreadingHTTPServer, int]:
     """Start serving on a daemon thread; returns (server, bound_port)."""
-    srv = make_server(db, port, ann_geometries=ann_geometries)
+    srv = make_server(db, port, ann_geometries=ann_geometries, snapshots=snapshots)
     srv.daemon_threads = True  # SSE handler threads must not block shutdown
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -1096,6 +1155,15 @@ def main() -> None:
     ap.add_argument("--workers", type=int, default=1)
     ap.add_argument("--serving-only", action="store_true")
     ap.add_argument("--reuse-port", action="store_true")
+    ap.add_argument(
+        "--snapshot",
+        action="append",
+        default=None,
+        metavar="NAME=DIR",
+        help="serve a persisted sharded IVF-PQ index (DIR/*/ivfpq_index.npz "
+             "save_index outputs) at POST /snapshots/NAME/query — a corpus "
+             "built shard-by-shard on executors, served spark-less",
+    )
     ap.add_argument(
         "--index-cache",
         default=None,
@@ -1131,6 +1199,8 @@ def main() -> None:
             cmd += ["--ann-geometries", args.ann_geometries]
         if args.index_cache:
             cmd += ["--index-cache", args.index_cache]
+        for s in args.snapshot or []:
+            cmd += ["--snapshot", s]
         procs = [subprocess.Popen(cmd) for _ in range(args.workers)]
 
         def _stop(*_a):  # forward SIGTERM so no worker is orphaned
@@ -1157,9 +1227,10 @@ def main() -> None:
 
         spark = get_spark("vectordb-server")
         spark.sparkContext.setLogLevel("ERROR")
+    snaps = dict(s.split("=", 1) for s in args.snapshot or [])
     srv = make_server(
         VectorDB(spark, args.root, index_cache_dir=args.index_cache), args.port,
-        reuse_port=args.reuse_port, ann_geometries=geoms,
+        reuse_port=args.reuse_port, ann_geometries=geoms, snapshots=snaps or None,
     )
     print(f"serving {args.root} on http://127.0.0.1:{srv.server_address[1]} — Ctrl-C to stop")
     try:

@@ -716,3 +716,123 @@ def test_ivf_handle_warm_start_and_staleness(tmp_path, monkeypatch):
 
     with _pytest.raises(AssertionError, match="warm start"):
         P.ivf_handle_for([shard], **kw)
+
+
+def test_sharded_ivfpq_index_merge_and_discover(tmp_path):
+    """r13: ShardedIvfPqIndex — N save_index snapshots served as one
+    logical index. The global top-k must equal the (dist, id) merge of
+    per-shard search_one results (the 100M probe's driver merge,
+    productized), discover() must find the dir layout, and the parquet
+    must not be needed at serve time."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.operators.partitioned import (
+        IvfPqReplicaHandle,
+        ShardedIvfPqIndex,
+    )
+
+    rng = np.random.default_rng(11)
+    root = str(tmp_path / "snaps")
+    per = 3000
+    handles = []
+    for s in range(2):
+        mat = rng.standard_normal((per, 16)).astype(np.float32)
+        p = str(tmp_path / f"c{s}.parquet")
+        pq.write_table(
+            pa.table({"vec_id": np.arange(s * per, (s + 1) * per),
+                      "embedding": list(mat)}), p)
+        d = os.path.join(root, f"sub-{s:02d}")
+        h = IvfPqReplicaHandle([p], n_cells=8, nprobe=4, assign_r=1,
+                               num_subspaces=8, rerank_mmap_dir=d)
+        h.save_index(d)
+        handles.append(h)
+        os.remove(p)  # snapshots carry the whole serve
+
+    idx = ShardedIvfPqIndex.discover(root)
+    assert len(idx.shards) == 2 and len(idx) == 2 * per
+
+    q = rng.standard_normal(16).astype(np.float32)
+    gi, gd = idx.search_one(q, k=10, fetch_k=64)
+    # manual merge of the live handles' per-shard results
+    pi = np.concatenate([h.search_one(q, 10, fetch_k=64)[0] for h in handles])
+    pd_ = np.concatenate([h.search_one(q, 10, fetch_k=64)[1] for h in handles])
+    order = np.lexsort((pi, pd_))[:10]
+    assert np.array_equal(gi, pi[order]) and np.array_equal(gd, pd_[order])
+    # both shards contribute for a centered query at this scale
+    assert {int(i) // per for i in gi} == {0, 1}
+
+
+def test_snapshot_rest_route(spark, tmp_path):
+    """r13: POST /snapshots/<name>/query serves a persisted sharded
+    index over REST (spark-less-capable path); GET /snapshots lists and
+    reports lazy-load state."""
+    import json
+    import os
+    import urllib.request
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from custom_python_vectordb_spark.api import VectorDB
+    from custom_python_vectordb_spark.operators.partitioned import (
+        IvfPqReplicaHandle,
+        ShardedIvfPqIndex,
+    )
+    from custom_python_vectordb_spark.server import serve_background
+
+    rng = np.random.default_rng(13)
+    root = str(tmp_path / "snaps")
+    for s in range(2):
+        mat = rng.standard_normal((1000, 8)).astype(np.float32)
+        p = str(tmp_path / f"c{s}.parquet")
+        pq.write_table(
+            pa.table({"vec_id": np.arange(s * 1000, (s + 1) * 1000),
+                      "embedding": list(mat)}), p)
+        d = os.path.join(root, f"sub-{s:02d}")
+        IvfPqReplicaHandle([p], n_cells=4, nprobe=4, assign_r=1,
+                           num_subspaces=4, rerank_mmap_dir=d).save_index(d)
+
+    srv, port = serve_background(
+        VectorDB(spark, str(tmp_path / "wh")), snapshots={"vecs": root},
+    )
+    try:
+        def call(method, path, body=None):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(body).encode() if body is not None else None,
+                method=method,
+                headers={"Content-Type": "application/json"} if body else {},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return json.loads(r.read())
+
+        listed = call("GET", "/snapshots")
+        assert listed["snapshots"] == {"vecs": {"loaded": False}}
+
+        q = rng.standard_normal(8).astype(np.float64)
+        got = call("POST", "/snapshots/vecs/query",
+                   {"query_embeddings": [list(q)], "n_results": 5, "fetch_k": 64})
+        want_idx = ShardedIvfPqIndex.discover(root)
+        wi, wd = want_idx.search_one(q, k=5, fetch_k=64)
+        assert [r["id"] for r in got["results"][0]] == [int(i) for i in wi]
+        assert np.allclose([r["dist"] for r in got["results"][0]], wd)
+
+        listed = call("GET", "/snapshots")
+        assert listed["snapshots"]["vecs"]["loaded"] is True
+        assert listed["snapshots"]["vecs"]["rows"] == 2000
+        # unknown snapshot is a 404, not a crash
+        import urllib.error
+
+        try:
+            call("POST", "/snapshots/nope/query",
+                 {"query_embeddings": [list(q)]})
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()

@@ -608,8 +608,23 @@ def test_bq_sq_handle_save_load_parity(tmp_path):
         b_i, b_d = hs2.search_one(q, 10)
         assert np.array_equal(a_i, b_i) and np.array_equal(a_d, b_d)
 
-    # both snapshots carry the stat-key freshness handle
-    for f, key in ((db, "bq_index.npz"), (ds, "sq_index.npz")):
+    from custom_python_vectordb_spark.operators.quantization import (
+        PqReplicaHandle,
+    )
+
+    hp = PqReplicaHandle([shard], num_subspaces=8)
+    dp = str(tmp_path / "pq")
+    hp.save_index(dp)
+    hp2 = PqReplicaHandle.load_index(dp)
+    assert (hp2._fused is None) == (hp._fused is None)
+    for q in qv:
+        a_i, a_d = hp.search_one(q, 10)
+        b_i, b_d = hp2.search_one(q, 10)
+        assert np.array_equal(a_i, b_i) and np.array_equal(a_d, b_d)
+
+    # all three snapshots carry the stat-key freshness handle
+    for f, key in ((db, "bq_index.npz"), (ds, "sq_index.npz"),
+                   (dp, "pq_index.npz")):
         with np.load(f"{f}/{key}", allow_pickle=True) as z:
             meta = json.loads(bytes(z["meta"].tobytes()).decode())
         assert meta["stat_key"][0][0] == shard
