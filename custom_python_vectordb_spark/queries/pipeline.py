@@ -695,7 +695,9 @@ def recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, cents, k=10, nprobe=2, assigned=_ivf_assigned(spark, sf_dir)
     ).select("qid", "vec_id")
     truth = knn(emb, queries, k=10, metric="cosine").select("qid", "vec_id")
-    hits = truth.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(F.count(F.lit(1)).alias("n"))
+    # approx is k·|queries| rows by construction — broadcast the bounded
+    # side instead of the estimate-blind SortMergeJoin (r13 plan audit)
+    hits = truth.join(F.broadcast(approx), ["qid", "vec_id"]).groupBy("qid").agg(F.count(F.lit(1)).alias("n"))
     return hits.agg(F.round(F.avg("n") / 10.0, ROUND).alias("avg_recall"))
 
 

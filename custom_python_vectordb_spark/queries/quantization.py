@@ -335,7 +335,11 @@ def recall_sq_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", 10, F.col("dist").asc(), F.col("vec_id").asc(),
     ).select("qid", "vec_id")
     truth = knn(emb, queries, k=10, metric="l2").select("qid", "vec_id")
-    hits = truth.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(F.count(F.lit(1)).alias("n"))
+    # approx is k·|queries| rows BY CONSTRUCTION (top-k per query) at any
+    # corpus scale, but the planner can't see through the rank window and
+    # falls back to a SortMergeJoin (2 exchanges + sorts); the explicit
+    # hint makes the bounded side broadcast (r13 plan audit, guide §3.1)
+    hits = truth.join(F.broadcast(approx), ["qid", "vec_id"]).groupBy("qid").agg(F.count(F.lit(1)).alias("n"))
     return hits.agg(F.round(F.avg("n") / 10.0, ROUND).alias("avg_recall"))
 
 
