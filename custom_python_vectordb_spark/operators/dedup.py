@@ -215,8 +215,19 @@ def jaccard_pairs(
         # join: the corpus-sized shingle table is filtered map-side and
         # never shuffles; only candidate-doc shingles reach the verify join.
         rp = F.broadcast(restrict_pairs)
-        a_small = a.join(F.broadcast(restrict_pairs.select("a").distinct()), "a", "left_semi")
-        b_small = b.join(F.broadcast(restrict_pairs.select("b").distinct()), "b", "left_semi")
+        # ONE candidate-id relation reused by all three semi-prunes (r13:
+        # the a-side/b-side distincts were separate subtrees, so the plan
+        # carried ~6 structurally distinct broadcast exchanges of the same
+        # tiny id set — sharing the DataFrame lets exchange reuse collapse
+        # them). Pruning each shingle side by the a∪b superset instead of
+        # its own side is result-identical: the inner joins on a / on b
+        # below discard any extra rows.
+        ids = restrict_pairs.select(F.col("a").alias(id_col)).unionByName(
+            restrict_pairs.select(F.col("b").alias(id_col))
+        ).distinct()
+        bids = F.broadcast(ids)
+        a_small = a.join(bids.withColumnRenamed(id_col, "a"), "a", "left_semi")
+        b_small = b.join(bids.withColumnRenamed(id_col, "b"), "b", "left_semi")
         inter = (
             rp.join(a_small, "a")
             .join(b_small, ["b", "shingle"])
@@ -225,10 +236,7 @@ def jaccard_pairs(
         )
         # per-doc sizes restricted the same way stay broadcastable at any
         # corpus size (candidate-doc count, not corpus count)
-        ids = restrict_pairs.select(F.col("a").alias(id_col)).unionByName(
-            restrict_pairs.select(F.col("b").alias(id_col))
-        ).distinct()
-        sizes = sizes.join(F.broadcast(ids), id_col, "left_semi")
+        sizes = sizes.join(bids, id_col, "left_semi")
         sized = (
             inter.join(F.broadcast(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))), "a")
             .join(F.broadcast(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))), "b")
