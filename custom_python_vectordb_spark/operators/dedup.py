@@ -294,9 +294,17 @@ def simhash_bits(
     return votes
 
 
-def simhash_fingerprint(docs: DataFrame, num_bits: int = 48, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash): bit-string fingerprint, bit 0 first."""
-    bits = simhash_bits(docs, num_bits, id_col, text_col)
+def simhash_fingerprint(
+    docs: DataFrame,
+    num_bits: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: DataFrame | None = None,
+) -> DataFrame:
+    """(id, simhash): bit-string fingerprint, bit 0 first. Pass `bits`
+    (id, bit, b) to serve from a materialized signature table."""
+    if bits is None:
+        bits = simhash_bits(docs, num_bits, id_col, text_col)
     return (
         bits.groupBy(id_col)
         .agg(
@@ -314,6 +322,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     bands: int | None = None,
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, hamming ≤ max_hamming) near-duplicate pairs.
 
@@ -329,33 +338,43 @@ def simhash_pairs(
     if num_bits % nb:
         raise ValueError(f"num_bits={num_bits} not divisible by bands={nb}")
     rpb = num_bits // nb
-    bits = simhash_bits(docs, num_bits, id_col, text_col)
-    # band value = the band's bits packed into an int (≤ 2^rpb, double-exact)
-    banded = (
-        bits.withColumn("band", F.floor(F.col("bit") / rpb).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.sum(F.col("b") * F.pow(F.lit(2.0), F.col("bit") % rpb))
-            .cast("long")
-            .alias("band_val")
+    if bits is None:
+        bits = simhash_bits(docs, num_bits, id_col, text_col)
+    # ONE aggregate packs the whole signature into a long (b·2^bit sums are
+    # ≤ 2^48, double-exact); band values are then bit-slices of the packed
+    # word — a pure projection, mirroring the MinHash wide design. (r13:
+    # the former shape aggregated per-(doc, band), materialized the raw
+    # bucket pairs, DISTINCT-shuffled them, and verified by re-attaching
+    # all 48 bits per side — at sf0.1 a single hot 12-bit bucket of ~1000
+    # docs pushed 1.4M candidate rows through two shuffles and a 64M-row
+    # bit join; at 100× that is quadratic shuffle bytes.)
+    sig_tbl = bits.groupBy(id_col).agg(
+        F.sum(F.col("b") * F.pow(F.lit(2.0), F.col("bit"))).cast("long").alias("sig")
+    )
+    mask = (1 << rpb) - 1
+    structs = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.shiftright("sig", k * rpb).bitwiseAND(F.lit(mask)).alias("band_val"),
         )
-    )
-    la = banded.select(F.col(id_col).alias("a"), "band", "band_val")
-    lb = banded.select(F.col(id_col).alias("b"), "band", "band_val")
-    cands = (
-        la.join(lb, ["band", "band_val"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    ba = bits.select(F.col(id_col).alias("a"), "bit", F.col("b").alias("ba"))
-    bb = bits.select(F.col(id_col).alias("b"), "bit", F.col("b").alias("bb"))
+        for k in range(nb)
+    ]
+    banded = sig_tbl.select(
+        F.col(id_col), "sig", F.explode(F.array(*structs)).alias("bk")
+    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    la = banded.select(F.col(id_col).alias("a"), F.col("sig").alias("siga"), "band", "band_val")
+    lb = banded.select(F.col(id_col).alias("b"), F.col("sig").alias("sigb"), "band", "band_val")
+    # Hamming distance = popcount of the XOR of the packed signatures —
+    # integer-identical to summing per-bit disagreements. Verifying INLINE
+    # in the bucket join keeps the |bucket|² candidate enumeration inside
+    # the join task: nothing quadratic is ever shuffled or materialized;
+    # only true ≤ max_hamming pairs reach the final distinct.
+    ham = F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb")))
     return (
-        cands.join(ba, "a")
-        .join(bb, ["b", "bit"])
-        .groupBy("a", "b")
-        .agg(F.sum((F.col("ba") != F.col("bb")).cast("long")).alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+        la.join(lb, ["band", "band_val"])
+        .filter((F.col("a") < F.col("b")) & (ham <= max_hamming))
+        .select("a", "b", ham.cast("long").alias("hamming"))
+        .distinct()
     )
 
 

@@ -313,7 +313,11 @@ SELECT doc_id, array_to_string(list(b ORDER BY bit), '') AS simhash
 FROM sbits WHERE doc_id < 5 GROUP BY doc_id
 """)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_fingerprint(_corpus(spark, sf_dir)).filter(F.col("doc_id") < 5)
+    from custom_python_vectordb_spark.sources.corpus_view import corpus_simhash_bits
+
+    return simhash_fingerprint(
+        _corpus(spark, sf_dir), bits=corpus_simhash_bits(spark, sf_dir)
+    ).filter(F.col("doc_id") < 5)
 
 
 @query("dedup_simhash_pairs", f"""
@@ -328,8 +332,20 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL corpus — the Spark side generates candidates via band buckets
     (4 bands × 12 bits; pigeonhole makes it exact for hamming ≤ 3), so no
     pre-filter is needed.  The oracle states the same result as the naive
-    all-pairs compare, which is what the banding provably equals."""
-    return simhash_pairs(_corpus(spark, sf_dir), max_hamming=3)
+    all-pairs compare, which is what the banding provably equals.
+
+    Bits served from the materialized per-(session, sf) signature view —
+    the same ingest-time-index discipline as the MinHash family (r8
+    VERDICT #2); per-run work is banding (an aggregate over the view),
+    the bucket join, and the Hamming verify on candidates (r13: this was
+    the one signature family still recomputed per run — three times per
+    execution, 22 s at sf0.1)."""
+    from custom_python_vectordb_spark.sources.corpus_view import corpus_simhash_bits
+
+    return simhash_pairs(
+        _corpus(spark, sf_dir), max_hamming=3,
+        bits=corpus_simhash_bits(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------- dedup: embedding

@@ -92,6 +92,42 @@ def corpus_shingle_table(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFr
     return sh.unionByName(dupes)
 
 
+def doc_simhash_bits(
+    spark: SparkSession, sf_dir: str, num_bits: int = 48
+) -> DataFrame:
+    """(doc_id, bit, b) SimHash bit table of the documents table,
+    materialized once per (session, sf). Like the MinHash signatures this
+    is the near-dup INDEX itself — ingest-time state — and it was the one
+    signature family still recomputed per run: `simhash_pairs` references
+    the bits subtree THREE times (banding, a-side verify, b-side verify),
+    and the subtree contains the 48× bit cross-join over the tf table, so
+    one run paid the tokenize+tf+vote pipeline three times (r13: 22 s per
+    fresh-plan execution at sf0.1 — the slowest repeat cost in the whole
+    registry sweep)."""
+
+    def build() -> DataFrame:
+        from custom_python_vectordb_spark.operators.dedup import simhash_bits
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return simhash_bits(docs, num_bits=num_bits).localCheckpoint(eager=True)
+
+    return _memoized(spark, sf_dir, f"simhash{num_bits}", build)
+
+
+def corpus_simhash_bits(
+    spark: SparkSession, sf_dir: str, num_bits: int = 48
+) -> DataFrame:
+    """SimHash bit table of the injected-duplicates corpus. The SimHash of
+    a document is a pure function of its text, so the duplicates' bits are
+    the originals' bits with shifted ids — a filter+select over the
+    materialized base table, never a second vote pipeline."""
+    bits = doc_simhash_bits(spark, sf_dir, num_bits=num_bits)
+    dupes = bits.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "bit", "b"
+    )
+    return bits.unionByName(dupes)
+
+
 def corpus_minhash_table(
     spark: SparkSession, sf_dir: str, num_hashes: int = 16
 ) -> DataFrame:
