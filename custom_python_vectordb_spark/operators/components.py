@@ -47,17 +47,21 @@ def connected_components(
             .groupBy(F.col("u").alias("id"))
             .agg(F.min("component").alias("nmin"))
         )
+        # carry the previous label through the checkpoint so the fixpoint
+        # check is a filter over the already-materialized rows — the former
+        # shape re-joined new labels against old labels every iteration,
+        # one extra shuffle + job per round for a comparison the row
+        # already knows (r13)
         new_labels = (
             labels.join(neighbor_min, "id", "left")
-            .select("id", F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"))
+            .select(
+                "id",
+                F.col("component").alias("old_c"),
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"),
+            )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.withColumnRenamed("component", "new_c")
-            .join(labels, "id")
-            .filter(F.col("new_c") != F.col("component"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("component") != F.col("old_c")).count()
         labels = new_labels.select("id", "component")
         if changed == 0:
             break

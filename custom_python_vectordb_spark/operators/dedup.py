@@ -427,15 +427,27 @@ def embedding_neardup_lsh_topk(
         cand = p if cand is None else cand.unionByName(p)
     # candidate pairs are bucket-bounded ⇒ broadcastable; persist so the
     # broadcast subtrees read the cached bucket self-join instead of
-    # re-running it. Verify shape: broadcast candidates into the first
-    # vector join (corpus streams map-side), broadcast the candidate-sized
-    # result into the second — the embedding table never shuffles.
+    # re-running it. Verify shape (r13): broadcast the candidate-DOC
+    # vectors onto the streaming pair table — the former shape broadcast
+    # the first join's result, i.e. candidate PAIRS × full vectors (at
+    # sf0.1: 133K pairs × 128 doubles ≈ 140 MB through the driver every
+    # run; pairs ≥ docs/2 always, typically pairs ≫ docs, 66× here).
+    # The corpus itself still never shuffles: the semi prune streams
+    # map-side under a broadcast id set, and only candidate docs' vectors
+    # enter the two broadcasts.
     cand = cand.distinct().persist()
-    ea = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    eb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    j1 = ea.join(F.broadcast(cand), "a")
-    scored = eb.join(F.broadcast(j1), "b").select(
-        "a", "b", cosine_similarity("va", "vb").alias("sim")
+    ids = (
+        cand.select(F.col("a").alias(id_col))
+        .unionByName(cand.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    cvecs = vectors.join(F.broadcast(ids), id_col, "left_semi").select(id_col, vec_col)
+    va = cvecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = cvecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    scored = (
+        cand.join(F.broadcast(va), "a")
+        .join(F.broadcast(vb), "b")
+        .select("a", "b", cosine_similarity("va", "vb").alias("sim"))
     )
     return scored.orderBy(F.col("sim").desc(), "a", "b").limit(k)
 
