@@ -476,46 +476,51 @@ def perceptual_hash_pairs(
     images) salt like any hot key; at web scale widen bands to 32 bits.
     """
     bcols = [f"{band_prefix}{i}" for i in range(n_bands)]
-    sig = hashes.select(id_col, *bcols, *[
-        f"{p}{i}" for p in extra_prefixes for i in range(n_bands)
-    ])
+    scols = bcols + [f"{p}{i}" for p in extra_prefixes for i in range(n_bands)]
+    sig = hashes.select(id_col, *scols)
+    # The full (narrow: n_bands ints per family) signature rides each
+    # banded row, so the Hamming verify runs INLINE in the bucket join and
+    # only true ≤ max_hamming pairs reach the final distinct (r13, same
+    # restructure as simhash_pairs: the former shape materialized the raw
+    # |bucket|² candidate rows through a DISTINCT shuffle and then
+    # re-attached signatures with two id joins — quadratic shuffle bytes
+    # under a hot band value, e.g. near-constant images at web scale).
     banded = sig.select(
         F.col(id_col),
+        *scols,
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band"), F.col(c).alias("val"))
                 for i, c in enumerate(bcols)
             ])
         ).alias("bv"),
-    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    la = banded.select(F.col(id_col).alias("a"), "band", "val")
-    lb = banded.select(F.col(id_col).alias("b"), "band", "val")
-    cands = (
-        la.join(lb, ["band", "val"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    ).select(id_col, *scols, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    la = banded.select(
+        F.col(id_col).alias("a"), "band", "val",
+        *[F.col(c).alias(f"l_{c}") for c in scols],
+    )
+    lb = banded.select(
+        F.col(id_col).alias("b"), "band", "val",
+        *[F.col(c).alias(f"r_{c}") for c in scols],
     )
 
     def _ham(prefix: str):
         expr = None
         for i in range(n_bands):
             t = F.bit_count(
-                F.col(f"l.{prefix}{i}").bitwiseXOR(F.col(f"r.{prefix}{i}"))
+                F.col(f"l_{prefix}{i}").bitwiseXOR(F.col(f"r_{prefix}{i}"))
             )
             expr = t if expr is None else expr + t
         return expr.cast("long")
 
-    l = sig.alias("l")
-    r = sig.alias("r")
-    joined = (
-        cands.join(l, cands["a"] == F.col(f"l.{id_col}"))
-        .join(r, cands["b"] == F.col(f"r.{id_col}"))
+    return (
+        la.join(lb, ["band", "val"])
+        .filter((F.col("a") < F.col("b")) & (_ham(band_prefix) <= max_hamming))
+        .select(
+            "a",
+            "b",
+            _ham(band_prefix).alias(f"{band_prefix}amming"),
+            *[_ham(p).alias(f"{p}amming") for p in extra_prefixes],
+        )
+        .distinct()
     )
-    out = joined.select(
-        "a",
-        "b",
-        _ham(band_prefix).alias(f"{band_prefix}amming"),
-        *[_ham(p).alias(f"{p}amming") for p in extra_prefixes],
-    )
-    return out.filter(F.col(f"{band_prefix}amming") <= max_hamming)
