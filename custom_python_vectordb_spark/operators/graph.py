@@ -432,15 +432,18 @@ def semantic_graph_search(
         prev = ["_gss_h0"]
         level_frames = []
         for h in range(1, expand_hops + 1):
-            antis = " ".join(
-                f"LEFT ANTI JOIN {p} ON d.id = {p}.id" for p in prev
-            )
-            hints = ", ".join(prev)
+            # ONE anti-join against the UNION of all previous levels — a
+            # chained LEFT ANTI per level is set-identical but broadcasts
+            # each level separately (r13: executed plans showed zero
+            # exchange reuse, so hop h paid h broadcast stages for the
+            # min-hop exclusion; the union re-reads the persisted levels
+            # and broadcasts once)
+            seen = " UNION ALL ".join(f"SELECT id FROM {p}" for p in prev)
             nxt = sess.sql(f"""
-                SELECT /*+ BROADCAST({hints}) */ d.id, {h} AS hop FROM (
+                SELECT /*+ BROADCAST(seen) */ d.id, {h} AS hop FROM (
                   SELECT /*+ BROADCAST(f) */ DISTINCT p.`to` AS id
                   FROM _gss_pairs p JOIN {prev[-1]} f ON p.frm = f.id
-                ) d {antis}""")
+                ) d LEFT ANTI JOIN ({seen}) seen ON d.id = seen.id""")
             if h < expand_hops:
                 nxt = nxt.persist()  # broadcast at hop h+1 fills the cache
             nxt.createOrReplaceTempView(f"_gss_h{h}")
