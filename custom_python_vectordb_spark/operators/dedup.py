@@ -7,7 +7,10 @@ family, each expressed as a shuffle-minimal DataFrame plan:
 - exact:    md5(text) → groupBy hash (one shuffle on the hash)
 - MinHash+LSH: shingle → H seeded min-hashes → band buckets → bucket join
   (candidates only; true Jaccard verifies) — the classic near-dup pipeline
-- SimHash:  per-token 60-bit hash, tf-weighted bit votes → 60-bit signature
+- SimHash:  per-token 48-bit hash, tf-weighted bit votes → 48-bit signature
+  (48 is a hard width limit of the packed-long formulation in
+  simhash_pairs, not a tunable: the b·2^bit sum must stay double-exact,
+  so num_bits ≤ 52)
 - n-gram Jaccard: shingle-set overlap via a shingle join (exact pairwise,
   for candidate verification or small corpora)
 - embedding near-dup: cosine-similar pairs (brute pairs here; LSH/IVF from
@@ -337,6 +340,11 @@ def simhash_pairs(
     nb = bands if bands is not None else max_hamming + 1
     if num_bits % nb:
         raise ValueError(f"num_bits={num_bits} not divisible by bands={nb}")
+    if num_bits > 52:
+        # the packed-long signature sums b·2^bit through a DOUBLE aggregate:
+        # exact only while the sum fits the 52-bit mantissa. Wider
+        # signatures would silently corrupt band values and hamming.
+        raise ValueError(f"packed simhash supports num_bits <= 52, got {num_bits}")
     rpb = num_bits // nb
     if bits is None:
         bits = simhash_bits(docs, num_bits, id_col, text_col)

@@ -83,3 +83,16 @@ def test_packed_simhash_pairs_hamming_zero_for_exact_dupes(spark, sf_small):
     got = {(r["a"], r["b"]): r["hamming"] for r in out.collect()}
     for i in range(5):
         assert got.get((i, i + 5000)) == 0
+
+
+def test_packed_simhash_rejects_wide_signatures(spark, sf_small):
+    """num_bits > 52 would overflow the double-exact packed sum — the
+    guard must fail loudly instead of silently corrupting band values
+    (r13 ADVICE)."""
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(5)
+    with pytest.raises(ValueError, match="num_bits <= 52"):
+        simhash_pairs(docs, max_hamming=3, num_bits=60, bands=4)
