@@ -750,14 +750,18 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean ln P(w_i | w_{i-1}) under a bigram model trained on the corpus
     itself, where P = (c(w1,w2)+k) / (c(w1)+k·V). Low scores flag
     incoherent word-soup that unigram frequency can't see (every word
-    common, transitions nonsense). Plan: one pair explode, two
-    map-side-combined count aggregates, a 1-row vocab-size broadcast, and
-    AQE-sized LM joins (no broadcast hint — vocabulary² grows unboundedly;
-    same discipline as unigram_logprob)."""
-    from custom_python_vectordb_spark.functions.text import tokenize
+    common, transitions nonsense). Plan: ONE tokenize pass (the shared
+    `doc_token_table` view — r14: the old plan re-tokenized the corpus
+    four times, once per LM relation, guide §2.4), pair/unigram/vocab all
+    cheap derivations of the checkpointed arrays; two map-side-combined
+    count aggregates, a 1-row vocab-size broadcast, and AQE-sized LM
+    joins (no broadcast hint — vocabulary² grows unboundedly; same
+    discipline as unigram_logprob). c1 counts pairs by w1 directly
+    (integer-identical to summing c2 over w2, one exchange fewer)."""
+    from custom_python_vectordb_spark.sources.corpus_view import doc_token_table
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize("text").alias("t")).filter(F.size("t") >= 2)
+    tok_all = doc_token_table(spark, sf_dir)
+    toks = tok_all.filter(F.size("t") >= 2)
     pair = toks.select(
         "doc_id",
         F.explode(
@@ -765,10 +769,10 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
     lm2 = pair.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    lm1 = lm2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm1 = pair.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = (
-        docs.select(F.explode(tokenize("text")).alias("t"))
-        .agg(F.count_distinct("t").cast("double").alias("vs"))
+        tok_all.select(F.explode("t").alias("tok"))
+        .agg(F.count_distinct("tok").cast("double").alias("vs"))
     )
     return (
         pair.join(lm2, ["w1", "w2"])

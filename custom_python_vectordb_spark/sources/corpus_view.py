@@ -62,6 +62,27 @@ def bpe_merges(
     return _memoized(spark, sf_dir, f"bpe{top_words}_{num_merges}", build)
 
 
+def doc_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t array<string>) tokenizer output over the documents
+    table, materialized once per (session, sf) — the LM-scoring family's
+    shared first stage (r14: `bigram_logprob`'s plan tokenized the corpus
+    FOUR times — pair probe, bigram counts, unigram counts, vocab size —
+    guide §2.4 shared-subtree cure, same as the gram/shingle views above).
+    Tokenizer output is ingest-time state exactly like the shingle table;
+    per-token derivations (explodes, windowed bigrams) stay cheap
+    projections of the checkpointed arrays."""
+
+    def build() -> DataFrame:
+        from custom_python_vectordb_spark.functions.text import tokenize
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return docs.select(
+            "doc_id", tokenize("text").alias("t")
+        ).localCheckpoint(eager=True)
+
+    return _memoized(spark, sf_dir, "tokens", build)
+
+
 def doc_shingle_table(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """(doc_id, shingle) token-n-gram shingles of the documents table,
     materialized once per (session, sf) — the MinHash/LSH/Jaccard family's
