@@ -15,6 +15,7 @@ from custom_python_vectordb_spark.operators.quantization import (
     pq_lut,
     pq_sample_codebook,
     pq_train_kmeans,
+    pq_train_lloyd,
     quantized_rerank,
     sq_encode,
     sq_l2_dist_expr,
@@ -414,9 +415,11 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_kmeans_recall_oracle() -> str:
     """Snapshot oracle for A6 (the embed_mock trick applied to k-means):
-    MLlib training is not SQL-expressible but IS bit-deterministic across
-    session configs (verified: local[4]/7 shuffle partitions vs
-    local[32]/32 produce identical centroids), so the trained sf0.01
+    k-means training is not SQL-expressible but IS bit-deterministic
+    across session configs (r14: the deterministic driver-side Lloyd
+    kernel — RNG-free, hash-stride sample, id-sorted matrix; verified
+    local[4]/7 shuffle partitions vs local[32]/32 produce identical
+    centroids), so the trained sf0.01
     codebook is FROZEN as literals (`_pq_snapshot.py`) and DuckDB
     independently recomputes everything downstream of training — per-
     subspace argmin encoding (squared L2, lowest code wins ties), the
@@ -469,14 +472,19 @@ FROM truth JOIN approx USING (vec_id)
 
 @query("pq_kmeans_recall", _pq_kmeans_recall_oracle, oracle_sf="sf0.01")
 def pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib-KMeans-trained PQ (seeded): recall@10 of ADC ranking vs exact
-    L2 for one query, fully oracle-checked via the frozen-codebook
-    snapshot (see `_pq_kmeans_recall_oracle`); the quality bar
-    (recall ≥ 0.5 at M=8×K=16 on 64d) is additionally asserted in tests."""
+    """Trained-PQ recall@10 of ADC ranking vs exact L2 for one query,
+    fully oracle-checked via the frozen-codebook snapshot (see
+    `_pq_kmeans_recall_oracle`). r14 (the round's one sanctioned
+    declared-output change, VERDICT r13 #4): training switched from M
+    per-subspace MLlib fits — each fit maxIter distributed passes over
+    the corpus, ~80 jobs, 8.6-9.2 s — to the deterministic driver-side
+    Lloyd kernel on a bounded hash-stride sample (`pq_train_lloyd`, ONE
+    collect + NumPy), and the snapshot oracle was re-frozen from the new
+    codebook. The quality bar is asserted in tests."""
     from custom_python_vectordb_spark.operators.knn import knn
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = pq_train_kmeans(emb, M, KCENT, seed=42, max_iter=10)
+    cb = pq_train_lloyd(emb, M, KCENT, iters=10)
     codes = pq_encode(emb, cb, M)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     lut = pq_lut(qv, cb, M)

@@ -17,6 +17,7 @@ from custom_python_vectordb_spark.operators.quantization import (
     pq_lut,
     pq_sample_codebook,
     pq_train_kmeans,
+    pq_train_lloyd,
     sq_encode,
     sq_model,
 )
@@ -127,17 +128,55 @@ def test_pq_kmeans_recall_quality(spark, emb):
 
 def test_pq_snapshot_matches_retrained_codebook(spark, sf_med):
     """The `pq_kmeans_recall` oracle pins the sf0.01 codebook as literals
-    (`queries/_pq_snapshot.py`). Retrain with the same seed/params and
-    assert bit-equality, so snapshot drift (Spark/MLlib version change,
-    fixture regeneration) fails HERE, loudly, instead of surfacing as a
-    mysterious driver-gate hash mismatch."""
+    (`queries/_pq_snapshot.py`). Retrain with the same params and assert
+    bit-equality, so snapshot drift (NumPy/kernel change, fixture
+    regeneration) fails HERE, loudly, instead of surfacing as a
+    mysterious driver-gate hash mismatch. r14: the query trains with the
+    deterministic driver-side Lloyd kernel (pq_train_lloyd) — the
+    snapshot was re-frozen from it (the round's sanctioned
+    declared-output change)."""
     from custom_python_vectordb_spark.queries._pq_snapshot import PQ_CENTROIDS_SF001
 
     emb01 = load_table(spark, sf_med, "embeddings")
-    cb = pq_train_kmeans(emb01, 8, 16, seed=42, max_iter=10)
+    cb = pq_train_lloyd(emb01, 8, 16, iters=10)
     got = sorted((r["m"], r["code"], tuple(r["centroid"])) for r in cb.collect())
     want = sorted((m, code, tuple(c)) for m, code, c in PQ_CENTROIDS_SF001)
     assert got == want
+
+
+def test_pq_lloyd_recall_quality(spark, emb):
+    """Quality gate for the Lloyd-trained codebook the declared query now
+    uses: must clear the same conservative recall floor as the MLlib
+    trainer on the near-uniform worst-case vectors."""
+    M, K = 8, 16
+    cb = pq_train_lloyd(emb, M, K, iters=10)
+    codes = pq_encode(emb, cb, M)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    approx = {
+        r["vec_id"]
+        for r in pq_adc_distances(codes, pq_lut(qv, cb, M))
+        .orderBy("dist", "vec_id").limit(10).collect()
+    }
+
+    from custom_python_vectordb_spark.operators.knn import knn
+
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    truth = {r["vec_id"] for r in knn(emb, queries, k=10, metric="l2").collect()}
+    assert len(truth & approx) / 10.0 >= 0.2
+
+
+def test_pq_lloyd_deterministic_across_partitionings(spark, sf_med):
+    """The snapshot freeze relies on partition-order independence: the
+    hash-stride sample + id-sorted matrix must yield the same codebook
+    whatever the input partitioning."""
+    emb01 = load_table(spark, sf_med, "embeddings")
+    a = pq_train_lloyd(emb01, 8, 16, iters=10)
+    b = pq_train_lloyd(emb01.repartition(7), 8, 16, iters=10)
+    ra = sorted((r["m"], r["code"], tuple(r["centroid"])) for r in a.collect())
+    rb = sorted((r["m"], r["code"], tuple(r["centroid"])) for r in b.collect())
+    assert ra == rb
 
 
 def test_sq_replica_serve_equals_expression_path(spark, sf_small):
