@@ -318,6 +318,47 @@ def simhash_fingerprint(
     )
 
 
+def _skew_split_bucket_join(
+    la: DataFrame,
+    lb: DataFrame,
+    keys: list[str],
+    a_col: str = "a",
+    hot_threshold: int = 4096,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Bucket self-join `la ⋈ lb ON keys` with hot buckets split over
+    `n_salts` sub-tasks (guide §2.5, r14 — VERDICT r13 #3).
+
+    The banded pair generators verify INLINE in the bucket join, so
+    nothing quadratic ever shuffles — but a pathological band value
+    (near-constant images, boilerplate docs) still enumerates |bucket|²
+    candidates inside ONE task. Remedy: count bucket sizes (map-side
+    combined, doc-scale), broadcast the (rare by construction) hot key
+    list, and split only those buckets — left rows keyed by a
+    deterministic salt of the id, right rows replicated n_salts ways —
+    so per-task work is bounded by |bucket|²/n_salts. Every (a, b) pair
+    in a hot bucket meets exactly once, at salt = hash(a) % n_salts, so
+    the joined row set is IDENTICAL to the plain join's (pinned by
+    tests). Cold buckets (all of them, in a healthy corpus) take the
+    plain join; with no hot buckets the extra cost is one bucket-size
+    aggregate over the banded projection plus an empty broadcast.
+    `hot_threshold` = 4096 keeps the worst cold task at ≤ ~16M candidate
+    enumerations."""
+    sizes = lb.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    hot = sizes.filter(F.col("_n") > hot_threshold).select(*keys)
+    la_cold = la.join(F.broadcast(hot), keys, "left_anti")
+    lb_cold = lb.join(F.broadcast(hot), keys, "left_anti")
+    cold = la_cold.join(lb_cold, keys)
+    la_hot = la.join(F.broadcast(hot), keys, "left_semi").withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(a_col)), F.lit(n_salts))
+    )
+    lb_hot = lb.join(F.broadcast(hot), keys, "left_semi").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long")))
+    )
+    hot_joined = la_hot.join(lb_hot, keys + ["_salt"]).drop("_salt")
+    return cold.unionByName(hot_joined)
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -326,6 +367,8 @@ def simhash_pairs(
     text_col: str = "text",
     bands: int | None = None,
     bits: DataFrame | None = None,
+    hot_threshold: int = 4096,
+    n_salts: int = 16,
 ) -> DataFrame:
     """(a, b, hamming ≤ max_hamming) near-duplicate pairs.
 
@@ -356,6 +399,10 @@ def simhash_pairs(
     # all 48 bits per side — at sf0.1 a single hot 12-bit bucket of ~1000
     # docs pushed 1.4M candidate rows through two shuffles and a 64M-row
     # bit join; at 100× that is quadratic shuffle bytes.)
+    # NOT persisted (measured, r14): `bits` is already a checkpointed
+    # corpus view, so re-deriving the packed word per leg is a cheap
+    # in-memory aggregate — a persist here only added cache-fill jobs
+    # (0.69 -> 1.25 s at sf0.1)
     sig_tbl = bits.groupBy(id_col).agg(
         F.sum(F.col("b") * F.pow(F.lit(2.0), F.col("bit"))).cast("long").alias("sig")
     )
@@ -379,7 +426,10 @@ def simhash_pairs(
     # only true ≤ max_hamming pairs reach the final distinct.
     ham = F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb")))
     return (
-        la.join(lb, ["band", "band_val"])
+        _skew_split_bucket_join(
+            la, lb, ["band", "band_val"],
+            hot_threshold=hot_threshold, n_salts=n_salts,
+        )
         .filter((F.col("a") < F.col("b")) & (ham <= max_hamming))
         .select("a", "b", ham.cast("long").alias("hamming"))
         .distinct()
@@ -467,6 +517,8 @@ def perceptual_hash_pairs(
     band_prefix: str = "dh",
     n_bands: int = 4,
     extra_prefixes: tuple = (),
+    hot_threshold: int = 4096,
+    n_salts: int = 16,
 ) -> DataFrame:
     """(a, b, {band_prefix}amming[, extras...]) near-duplicate image pairs
     from banded perceptual-hash signatures (`operators/multimodal
@@ -481,11 +533,19 @@ def perceptual_hash_pairs(
     100 TB shape: the self-join is an equi-join on (band, value) — cost
     Σ|bucket|², never all-pairs; signatures are 8 small ints per image, so
     the join input is O(corpus), not O(pixels). Skewed buckets (constant
-    images) salt like any hot key; at web scale widen bands to 32 bits.
+    images at web scale) split over `n_salts` sub-tasks when they exceed
+    `hot_threshold` members (r14, `_skew_split_bucket_join` — pair set
+    provably identical); at web scale additionally widen bands to 32 bits.
     """
     bcols = [f"{band_prefix}{i}" for i in range(n_bands)]
     scols = bcols + [f"{p}{i}" for p in extra_prefixes for i in range(n_bands)]
-    sig = hashes.select(id_col, *scols)
+    # persist the NARROW signature projection (n_bands ints per image):
+    # the plan references it from both join sides plus the bucket-size
+    # aggregate (r14 salting), and the upstream is typically a decode+hash
+    # kernel — without the persist every leg re-decodes the payload bytes
+    # (measured: the salted plan re-ran the image decode 5×; with it the
+    # decode runs ONCE, and even the pre-salting 2× is gone)
+    sig = hashes.select(id_col, *scols).persist()
     # The full (narrow: n_bands ints per family) signature rides each
     # banded row, so the Hamming verify runs INLINE in the bucket join and
     # only true ≤ max_hamming pairs reach the final distinct (r13, same
@@ -522,7 +582,10 @@ def perceptual_hash_pairs(
         return expr.cast("long")
 
     return (
-        la.join(lb, ["band", "val"])
+        _skew_split_bucket_join(
+            la, lb, ["band", "val"],
+            hot_threshold=hot_threshold, n_salts=n_salts,
+        )
         .filter((F.col("a") < F.col("b")) & (_ham(band_prefix) <= max_hamming))
         .select(
             "a",
