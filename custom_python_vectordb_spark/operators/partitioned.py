@@ -432,7 +432,12 @@ class IvfReplicaHandle:
         lens = np.array([len(i) for i in cell_ids], dtype=np.int64)
         meta = {"stat_key": stat_key, "kw": dict(self._kw),
                 "nprobe": int(self.nprobe)}
-        tmp = _os.path.join(out_dir, "ivf_index.npz.tmp")
+        # unique tmp per process: concurrent savers (a 32-worker pool's
+        # first-request storm all building the same geometry) must not
+        # share one tmp path — the loser's os.replace would raise ENOENT
+        # after the winner consumed it. Last atomic replace wins; every
+        # writer produces identical bytes for one (stat_key, kw).
+        tmp = _os.path.join(out_dir, f"ivf_index.npz.tmp.{_os.getpid()}")
         with open(tmp, "wb") as fh:
             np.savez(
                 fh, cent=cent, cell_lens=lens,
@@ -1170,7 +1175,9 @@ class IvfPqReplicaHandle:
                 for p in sorted(self._paths)
             ] if self._paths else None,
         }
-        tmp = _os.path.join(out_dir, "ivfpq_index.npz.tmp")
+        # unique tmp per process: concurrent savers must not share one
+        # tmp path (see IvfReplicaHandle.save_index)
+        tmp = _os.path.join(out_dir, f"ivfpq_index.npz.tmp.{_os.getpid()}")
         with open(tmp, "wb") as fh:
             np.savez(
                 fh, cent=self.cent, books=self.books, cell_lens=lens,

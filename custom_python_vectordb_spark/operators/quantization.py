@@ -668,7 +668,9 @@ class BqReplicaHandle:
                 for p in sorted(self._paths)
             ],
         }
-        tmp = _os.path.join(out_dir, "bq_index.npz.tmp")
+        # unique tmp per process: concurrent savers must not share one
+        # tmp path (see IvfReplicaHandle.save_index)
+        tmp = _os.path.join(out_dir, f"bq_index.npz.tmp.{_os.getpid()}")
         with open(tmp, "wb") as fh:
             np.savez(fh, ids=self.ids, words=self.words, med=self.med,
                      meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8))
@@ -1244,7 +1246,9 @@ class SqReplicaHandle:
                 for p in sorted(self._paths)
             ],
         }
-        tmp = _os.path.join(out_dir, "sq_index.npz.tmp")
+        # unique tmp per process: concurrent savers must not share one
+        # tmp path (see IvfReplicaHandle.save_index)
+        tmp = _os.path.join(out_dir, f"sq_index.npz.tmp.{_os.getpid()}")
         with open(tmp, "wb") as fh:
             np.savez(fh, ids=self.ids, codes=self.codes, minv=self.minv,
                      s=self.s, wa2=self.wa2,
@@ -1463,7 +1467,9 @@ class PqReplicaHandle:
                 for p in sorted(self._paths)
             ],
         }
-        tmp = _os.path.join(out_dir, "pq_index.npz.tmp")
+        # unique tmp per process: concurrent savers must not share one
+        # tmp path (see IvfReplicaHandle.save_index)
+        tmp = _os.path.join(out_dir, f"pq_index.npz.tmp.{_os.getpid()}")
         with open(tmp, "wb") as fh:
             np.savez(fh, ids=self.ids, codes_t=self.codes_t, books=self.books,
                      meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8))

@@ -52,6 +52,7 @@ deployment would put this behind Spark Connect instead of one driver.
 from __future__ import annotations
 
 import json
+import os
 import queue as _queue
 import threading
 import time
@@ -926,6 +927,12 @@ def make_server(
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))
+            # which worker PROCESS served this connection: SO_REUSEPORT
+            # pools balance per-connection by kernel hash, so a client
+            # that cares about collision-free placement (a least-
+            # connections balancer, or the soak's --distinct-workers
+            # mode) needs the worker identity observable (r14)
+            self.send_header("X-Worker", str(os.getpid()))
             self.end_headers()
             self.wfile.write(data)
 

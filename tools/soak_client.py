@@ -40,7 +40,46 @@ import time
 from http.client import HTTPConnection
 
 
-def _run_threads(args, go_sync=None) -> dict:
+def _connect(port: int) -> HTTPConnection:
+    """Keep-alive connection with TCP_NODELAY. http.client writes the
+    header block and the body as separate sends; with Nagle on, the body
+    send can stall behind the server's delayed ACK (~25-40 ms spikes —
+    the exact failure the server fixed on ITS side in r12 with
+    disable_nagle_algorithm; r14 fixes the client's half, which showed up
+    as p99 ≈ 25-35 ms vs p50 ≈ 2 ms and a 2-4x per-stream wall spread)."""
+    import socket as _socket
+
+    conn = HTTPConnection("127.0.0.1", port)
+    conn.connect()
+    conn.sock.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+    return conn
+
+
+def _claimed_connect(args, path: str, hdrs: dict, payload: bytes, claimer):
+    """Connect and re-roll until the connection lands on an UNCLAIMED
+    worker (identified by the X-Worker response header), bounded attempts.
+
+    SO_REUSEPORT pools balance per-connection by kernel hash: at c=8
+    streams on w=32 workers only ~39% of draws are collision-free, and a
+    collided pair convoys on one worker's GIL for the whole run — the
+    bimodal ~2x qps lottery in the r12/r13 artifacts. A production
+    deployment fronts the pool with a least-connections balancer; this
+    reproduces that placement so the soak measures the serving tier, not
+    the kernel hash. The probe request doubles as connection warm-up."""
+    conn = None
+    for _ in range(max(4, args.distinct_attempts)):
+        conn = _connect(args.port)
+        conn.request("POST", path, payload, hdrs)
+        r = conn.getresponse()
+        r.read()
+        pid = r.getheader("X-Worker")
+        if pid is None or claimer(pid):
+            return conn
+        conn.close()
+    return _connect(args.port)  # cap hit: accept the draw
+
+
+def _run_threads(args, go_sync=None, claimer=None) -> dict:
     """The timed loop for one process: ``--threads`` threads × ``--n``
     requests each over persistent connections. Warm is untimed; if
     ``go_sync`` (a callable) is given it runs between warm and the timed
@@ -66,7 +105,10 @@ def _run_threads(args, go_sync=None) -> dict:
     errs: list[str] = []
 
     def worker(tid: int) -> None:
-        conn = HTTPConnection("127.0.0.1", args.port)
+        if claimer is not None:
+            conn = _claimed_connect(args, path, hdrs, payloads[0], claimer)
+        else:
+            conn = _connect(args.port)
         try:
             for i in range(args.warm):
                 conn.request("POST", path, payloads[(i * args.threads + tid) % len(payloads)], hdrs)
@@ -141,14 +183,23 @@ def _report(results: list[dict], procs: int, threads: int) -> int:
     return 0
 
 
-def _proc_worker(args, barrier, q) -> None:
+def _proc_worker(args, barrier, q, claimed=None, claim_lock=None) -> None:
     def sync():
         try:
             barrier.wait()
         except Exception:
             pass  # a sibling aborted: run unaligned, its error is reported
 
-    res = _run_threads(args, go_sync=sync)
+    claimer = None
+    if claimed is not None:
+        def claimer(pid: str) -> bool:
+            with claim_lock:
+                if pid in claimed:
+                    return False
+                claimed[pid] = 1
+                return True
+
+    res = _run_threads(args, go_sync=sync, claimer=claimer)
     if "error" in res:
         try:
             barrier.abort()  # don't leave siblings waiting on a dead peer
@@ -168,6 +219,13 @@ def main() -> int:
     ap.add_argument("--body", default='{"ann": true, "n_results": 10}')
     ap.add_argument("--procs", type=int, default=1,
                     help="client processes, each running --threads threads")
+    ap.add_argument("--distinct-workers", action="store_true",
+                    help="re-roll each stream's connection until it lands "
+                         "on a distinct pool worker (least-connections "
+                         "placement emulation; needs the server's X-Worker "
+                         "header)")
+    ap.add_argument("--distinct-attempts", type=int, default=32,
+                    help="re-roll cap per stream for --distinct-workers")
     args = ap.parse_args()
 
     if args.procs <= 1:
@@ -178,8 +236,12 @@ def main() -> int:
     ctx = mp.get_context("spawn")
     barrier = ctx.Barrier(args.procs)
     q = ctx.Queue()
+    claimed = claim_lock = None
+    if args.distinct_workers:
+        mgr = ctx.Manager()
+        claimed, claim_lock = mgr.dict(), mgr.Lock()
     procs = [
-        ctx.Process(target=_proc_worker, args=(args, barrier, q))
+        ctx.Process(target=_proc_worker, args=(args, barrier, q, claimed, claim_lock))
         for _ in range(args.procs)
     ]
     for p in procs:
