@@ -69,7 +69,15 @@ EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 US_DAY = 86_400_000_000
 
 
-def _write(name: str, table: pa.Table, row_group: int = 200_000) -> None:
+def _write(name: str, table: pa.Table, row_group: int | None = None) -> None:
+    # ~64 row groups per table (r14): a single 200K row group put the
+    # whole 100K-row embeddings table (and the 50K documents) in ONE scan
+    # split, so every vector/text query ran single-task at sf1 and the
+    # 8-vs-32-core probe read ratio ≈ 1 — an input-layout artifact (guide
+    # §2.5 input skew), not engine behavior. Parquet splits at row-group
+    # granularity; 64 groups give 32 cores headroom at any table size.
+    if row_group is None:
+        row_group = max(1024, min(200_000, table.num_rows // 64))
     pq.write_table(
         table, os.path.join(OUT, f"{name}.parquet"),
         row_group_size=row_group, compression="zstd",
