@@ -26,6 +26,16 @@ def get_spark(app_name: str = "custom_python_vectordb_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # guide §6: openCostInBytes floors the scan-split size, so any table
+        # file under 4 MiB (its default) scans as ONE task no matter how many
+        # cores exist — at bench scales the documents/embeddings tables are
+        # exactly that, and every map-heavy text/vector stage ran single-task
+        # (r14 sf1 probe: text_quality 2.39 -> 0.71 s from this line alone).
+        # 128 KiB keeps small inputs parallel; at production file sizes
+        # (hundreds of MB+) the knob is irrelevant by construction, so the
+        # setting is scale-adaptive, not local-tuned. Env-overridable.
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_GRAFT_OPEN_COST", str(128 * 1024)))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -57,6 +67,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # externally-created sessions default to 200 shuffle partitions —
         # wasteful at test scale and for streaming state stores
         ("spark.sql.shuffle.partitions", str(cpus)),
+        # small-file scan parallelism (see get_spark) — runtime-settable
+        ("spark.sql.files.openCostInBytes",
+         os.environ.get("SPARK_GRAFT_OPEN_COST", str(128 * 1024))),
     ):
         try:
             spark.conf.set(key, value)
