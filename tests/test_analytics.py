@@ -218,7 +218,11 @@ def test_langid_expression_stays_deduplicated(spark, sf_med):
         langid_predict("text").alias("lang")
     )
     plan = df._jdf.queryExecution().analyzed().toString()
-    assert plan.count("split(lower") == 1, plan.count("split(lower")
+    # the tokenize expression (r14: regexp_extract_all of token runs) must
+    # appear exactly once — let_once binds it for all per-language counts
+    assert plan.count("regexp_extract_all(lower") == 1, plan.count(
+        "regexp_extract_all(lower"
+    )
 
 
 def test_epoch_shuffle_reproducible_permutation(spark, sf_med):
